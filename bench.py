@@ -1,0 +1,62 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract, BASELINE.md t3).
+
+Runs the headline catalog queries (``bench=True`` specs) at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+Each query is forced with a count-style action (``df.write.format("noop")``
+is avoided to keep Spark-version independence; ``_collect_to_python`` isn't
+used — ``count()`` after a cache-free pipeline measures the full plan).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from finance_data_ingestion_pipeline_with_kafka_spark.registry import load_all
+from finance_data_ingestion_pipeline_with_kafka_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
+    catalog = load_all()
+    bench_specs = {n: s for n, s in sorted(catalog.items()) if s.bench}
+
+    spark = get_spark(app_name="engine-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM/codegen paths once on the smallest table so per-query
+    # numbers measure the query, not session startup.
+    next(iter(bench_specs.values())).fn(spark, sf_dir).limit(1).collect()
+
+    timings: dict[str, float] = {}
+    for name, spec in bench_specs.items():
+        t0 = time.perf_counter()
+        df = spec.fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        assert n >= 0
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,54 @@
+"""Table catalog over the driver's parquet fixtures (TESTDATA.md).
+
+``load_table`` is a plain columnar parquet scan — Catalyst pushes filters
+and prunes columns into the scan (verified in tests/test_plans.py). At
+100 TB the same call reads a date/symbol-partitioned parquet lake and
+partition pruning applies; nothing in the query layer changes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Oracle-SQL CTE normalizing events.ts to µs precision (DuckDB reads the
+#: parquet as TIMESTAMP_NS; Spark-side we truncate nanos → µs identically).
+EVENTS_US = "events_us AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)"
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark rejects by
+        # default. Read nanos as long and truncate to microseconds — the
+        # same truncation DuckDB applies casting TIMESTAMP_NS → TIMESTAMP,
+        # so both engines see identical µs values.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a SQL temp view (entry point 2:
+    ``spark.sql`` over views — SURVEY §3.3)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

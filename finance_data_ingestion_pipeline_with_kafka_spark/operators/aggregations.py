@@ -1,0 +1,284 @@
+"""Aggregations (SURVEY §2.4 A1–A8).
+
+Physical shape: Catalyst plans every ``groupBy().agg()`` as partial
+(map-side) + final hash aggregation — at 100 TB the shuffle carries only
+one row per (group × partition), not raw data. Float sums go through exact
+DECIMAL accumulation so results are order-independent (registry docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.core import DEC, davg, dsum
+from ..registry import query
+
+
+@query(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,6))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(30,6))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("A1",),
+    bench=True,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A1] Flagship: TPC-H-Q1-style grouped hash aggregation (the
+    per-flag pricing summary the reference's promised "financial reports"
+    need — SURVEY §2.4)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "grouped_stats",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           CAST(MIN(c_acctbal) AS DOUBLE) AS min_bal,
+           CAST(MAX(c_acctbal) AS DOUBLE) AS max_bal,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS sum_bal,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) / COUNT(c_acctbal) AS avg_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    tags=("A1",),
+)
+def grouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A1] min/max/sum/avg/count per group. min/max over doubles are
+    order-independent (no decimal guard needed)."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("c_acctbal").cast("double").alias("min_bal"),
+            F.max("c_acctbal").cast("double").alias("max_bal"),
+            dsum("c_acctbal").alias("sum_bal"),
+            davg("c_acctbal").alias("avg_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "distinct_count",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("A4",),
+)
+def distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A4] Exact distinct count. (The approx variant
+    ``approx_count_distinct`` is exercised in unit tests, not the oracle —
+    its HLL estimate is engine-specific by design.)"""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "distinct_rows",
+    oracle="""
+    SELECT DISTINCT l_returnflag, l_linestatus, l_shipdate
+    FROM lineitem
+    ORDER BY l_returnflag, l_linestatus, l_shipdate
+    """,
+    tags=("A5",),
+)
+def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A5] De-duplicated row set — parity with the producer-side tuple
+    dedup (``StockFinnhubMetrics.py:82-99``) expressed relationally."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_returnflag", "l_linestatus", "l_shipdate")
+        .distinct()
+        .orderBy("l_returnflag", "l_linestatus", "l_shipdate")
+    )
+
+
+@query(
+    "rollup_subtotals",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    tags=("A6",),
+)
+def rollup_subtotals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A6] ROLLUP subtotals + grand total (report shaping, README.md:15)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(dsum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n_rows"))
+        .orderBy(F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first())
+    )
+
+
+@query(
+    "cube_subtotals",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    tags=("A6",),
+)
+def cube_subtotals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A6] CUBE over status × priority."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("sum_price"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(), F.col("o_orderpriority").asc_nulls_first()
+        )
+    )
+
+
+@query(
+    "stddev_variance",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           ROUND(SQRT((sxx - sx * sx / n) / (n - 1)), 4) AS price_stddev,
+           ROUND((sxx - sx * sx / n) / (n - 1), 2) AS price_var
+    FROM s
+    ORDER BY l_returnflag
+    """,
+    tags=("A7",),
+)
+def stddev_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A7] Sample stddev/variance via exact decimal moment sums — the
+    distributed-safe formulation (built-in ``stddev`` accumulates doubles
+    in shuffle order, which cannot hash-match a serial oracle)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x.cast(DEC)).cast("double").alias("sx"),
+        F.sum((x * x).cast("decimal(38,6)")).cast("double").alias("sxx"),
+    )
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1)
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(F.sqrt(var), 4).alias("price_stddev"),
+        F.round(var, 2).alias("price_var"),
+    ).orderBy("l_returnflag")
+
+
+@query(
+    "pivot_matrix",
+    oracle="""
+    SELECT CAST(YEAR(o_orderdate) AS INT) AS order_year,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS status_F,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS status_O,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS status_P
+    FROM orders
+    GROUP BY 1
+    ORDER BY order_year
+    """,
+    tags=("A8",),
+)
+def pivot_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A8] Pivot year × status counts (the ticker × day close matrix shape,
+    README.md:15). Explicit pivot values → no extra distinct-values job."""
+    o = load_table(spark, sf_dir, "orders")
+    out = (
+        o.withColumn("order_year", F.year("o_orderdate"))
+        .groupBy("order_year")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .orderBy("order_year")
+    )
+    renamed = out.select(
+        "order_year",
+        F.coalesce("F", F.lit(0)).alias("status_F"),
+        F.coalesce("O", F.lit(0)).alias("status_O"),
+        F.coalesce("P", F.lit(0)).alias("status_P"),
+    )
+    return renamed
+
+
+@query(
+    "percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+           CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("A7",),
+)
+def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A7] Exact interpolated percentiles — Spark ``percentile`` and DuckDB
+    ``quantile_cont`` both linearly interpolate over the sorted values;
+    rounding to 4 digits absorbs any final-arithmetic ULP difference."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
+            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
+            F.max("l_extendedprice").cast("double").alias("max_price"),
+        )
+        .orderBy("l_returnflag")
+    )

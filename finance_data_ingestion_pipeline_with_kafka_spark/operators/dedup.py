@@ -1,0 +1,247 @@
+"""Deduplication family over ``documents`` (SURVEY §2.10 U4; north-star
+"dedup": exact, MinHash-LSH, SimHash, n-gram Jaccard).
+
+Scale design: every variant is banding/blocking-based — no O(n²) global
+comparison ever materializes. Candidate generation is a hash-bucket
+self-join (shuffle on the band key), verification runs only inside
+buckets. That is the shape that survives 100 TB: work is proportional to
+(docs × signature width) + (candidate pairs), not docs².
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+from .text import TOKEN_SPLIT, tokens
+
+# MinHash parameters: 16 permutations in 4 bands × 4 rows. With Jaccard
+# threshold ~0.8, P(candidate) = 1-(1-s^4)^4 ≈ 0.93 at s=0.8.
+MINHASH_PERMS = 16
+MINHASH_BANDS = 4
+MINHASH_ROWS = MINHASH_PERMS // MINHASH_BANDS
+SHINGLE_N = 3
+
+
+@query(
+    "exact_dedup",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+      FROM documents
+    )
+    SELECT fingerprint,
+           MIN(doc_id) AS keeper_doc_id,
+           COUNT(*) AS n_copies
+    FROM fp
+    GROUP BY fingerprint
+    ORDER BY keeper_doc_id
+    """,
+    tags=("U4", "A5"),
+    bench=True,
+)
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U4] Exact dedup via canonical-fingerprint hash-groupBy: one shuffle
+    on the 128-bit fingerprint, keeper = min doc_id (deterministic)."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")))
+    return (
+        d.select("doc_id", fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .orderBy("keeper_doc_id")
+    )
+
+
+def shingles(col: str = "text", n: int = SHINGLE_N) -> F.Column:
+    """Distinct n-word shingles as an array column (built-in exprs only)."""
+    toks = F.split(F.trim(F.col(col)), TOKEN_SPLIT)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]),
+        )
+    )
+
+
+def minhash_signatures(docs: DataFrame, perms: int = MINHASH_PERMS) -> DataFrame:
+    """MinHash signatures: explode shingles, take per-permutation min of a
+    seeded xxhash64. One shuffle (groupBy doc_id); signature width is
+    ``perms`` longs per doc regardless of doc size."""
+    exploded = docs.select("doc_id", F.explode(shingles()).alias("sh"))
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"mh{i}") for i in range(perms)
+    ]
+    return exploded.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_candidates(sigs: DataFrame) -> DataFrame:
+    """LSH banding: band hash = xxhash64 of the band's row minhashes;
+    docs sharing any (band_id, band_hash) bucket become candidate pairs."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.xxhash64(
+                    *[F.col(f"mh{b * MINHASH_ROWS + r}") for r in range(MINHASH_ROWS)]
+                ).alias("band_hash"),
+            )
+            for b in range(MINHASH_BANDS)
+        ]
+    )
+    banded = sigs.select("doc_id", F.explode(bands).alias("band")).select(
+        "doc_id", "band.band_id", "band.band_hash"
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+@query("minhash_near_dup", tags=("U4",), bench=True)
+def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U4] MinHash + LSH near-duplicate detection (shingle → minhash →
+    band → bucket-join → exact-Jaccard verify). Deterministic via seeded
+    xxhash64, so results are stable across runs/partitionings; xxhash64 has
+    no DuckDB equivalent → rows-only oracle (candidates are verified with
+    exact Jaccard below, and tests inject known near-dups)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs)
+    cands = minhash_candidates(sigs)
+    sh = docs.select("doc_id", shingles().alias("sh"))
+    verified = (
+        cands.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return verified.filter(F.col("jaccard") >= 0.8).orderBy("doc_a", "doc_b")
+
+
+@query(
+    "ngram_jaccard_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents WHERE lang = 'zh'
+    ), grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(list_zip(t[:len(t)-1], t[2:]),
+                                          s -> s[1] || ' ' || s[2])) AS g
+      FROM toks WHERE len(t) >= 2
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                 / len(list_distinct(a.g || b.g)), 6) AS jaccard
+    FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+          / len(list_distinct(a.g || b.g)) >= 0.3
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("U4",),
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U4] Exact word-bigram Jaccard over a blocked subset (lang='zh') —
+    the verification kernel of near-dup dedup, oracle-checked. Blocking
+    keys (language here; source/length-bucket in production) keep the pair
+    space bounded; the full-corpus path goes through MinHash banding."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "zh")
+    toks = tokens()
+    bigrams = F.array_distinct(
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    )
+    g = d.filter(F.size(toks) >= 2).select("doc_id", bigrams.alias("g"))
+    a = g.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("g_a"))
+    b = g.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("g_b"))
+    jac = F.size(F.array_intersect("g_a", "g_b")).cast("double") / F.size(
+        F.array_union("g_a", "g_b")
+    )
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(jac >= 0.3)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def simhash_column(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per document: per-token xxhash64, signed bit votes,
+    reassembled sign vector. Pure expression work — one explode + one
+    groupBy, no UDF."""
+    tok = docs.select(id_col, F.explode(F.array_distinct(tokens())).alias("tok"))
+    h = F.xxhash64("tok")
+    votes = tok.groupBy(id_col).agg(
+        *[
+            F.sum(F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(
+                f"v{i}"
+            )
+            for i in range(64)
+        ]
+    )
+    bits = [
+        F.shiftleft(F.when(F.col(f"v{i}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"), i)
+        for i in range(64)
+    ]
+    acc = bits[0]
+    for b in bits[1:]:
+        acc = acc.bitwiseOR(b)
+    return votes.select(id_col, acc.alias("simhash"))
+
+
+@query("simhash_near_dup", tags=("U4",))
+def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U4] SimHash near-dup: 4×16-bit band blocking, then Hamming distance
+    ≤ 3 via ``bit_count(a XOR b)``. Rows-only oracle (xxhash64-based);
+    behavior verified in unit tests with injected near-duplicates."""
+    docs = load_table(spark, sf_dir, "documents")
+    sims = simhash_column(docs)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("band_id"),
+                F.shiftright("simhash", 16 * k).bitwiseAND(F.lit(0xFFFF)).alias("band_val"),
+            )
+            for k in range(4)
+        ]
+    )
+    banded = sims.select("doc_id", "simhash", F.explode(bands).alias("b")).select(
+        "doc_id", "simhash", "b.band_id", "b.band_val"
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= 3).orderBy("doc_a", "doc_b")

@@ -1,0 +1,221 @@
+"""Joins (SURVEY §2.3 J1–J7).
+
+Scale notes baked into each query:
+
+* Small dims (region 5 rows, nation 25, supplier ~10/SF-unit) are wrapped
+  in ``F.broadcast`` — at 100 TB these joins must NOT shuffle the fact side.
+* Fact-fact joins (orders ⋈ lineitem) shuffle on the join key; AQE handles
+  skew splitting. Both tables would be bucketed by orderkey in a real lake
+  (see sources/lake.py) to make this a shuffle-free zipped join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.core import dsum
+from ..registry import query
+
+
+@query(
+    "top_revenue_orders",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate  > TIMESTAMP '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+    tags=("J1", "A1", "O4"),
+    bench=True,
+)
+def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[J1] TPC-H-Q3-shaped fact⋈fact⋈dim join + grouped agg + top-k.
+    Filters sit before the joins so Catalyst pushes them into the scans."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(l, l["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(revenue).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "broadcast_dim_join",
+    oracle="""
+    SELECT r.r_name AS region, n.n_name AS nation,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS sum_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r_name, n_name
+    ORDER BY region, nation
+    """,
+    tags=("J2", "A1"),
+    bench=True,
+)
+def broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[J2] Fact ⋈ broadcast dims — the 101-row symbol-table pattern
+    (``stock_code_constant.py:1-14``). Explicit ``broadcast()`` so the fact
+    table never shuffles for the dims at any scale."""
+    c = load_table(spark, sf_dir, "customer")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        c.join(n, c["c_nationkey"] == n["n_nationkey"])
+        .join(r, n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal").alias("sum_acctbal"),
+        )
+        .orderBy("region", "nation")
+    )
+
+
+@query(
+    "outer_join_counts",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           COUNT(o.o_orderkey) AS n_orders,
+           CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(30,6))), 0) AS DOUBLE) AS total_spend
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY c.c_custkey
+    """,
+    tags=("J3", "A1"),
+)
+def outer_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[J3] Left outer join keeping zero-order customers (bars without
+    trades in a minute, SURVEY §2.3)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_outer")
+        .groupBy(c["c_custkey"], c["c_name"])
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(dsum("o_totalprice"), F.lit(0.0)).alias("total_spend"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "semi_join",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+    ORDER BY c_custkey
+    """,
+    tags=("J4",),
+)
+def semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[J4] Left semi join — "tickers that traded today"."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    )
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "anti_join",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    ORDER BY c_custkey
+    """,
+    tags=("J4",),
+)
+def anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[J4] Left anti join — "bars with no trades"."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "cross_join_pairs",
+    oracle="""
+    SELECT a.r_name AS region_a, b.r_name AS region_b
+    FROM region a CROSS JOIN region b
+    WHERE a.r_regionkey < b.r_regionkey
+    ORDER BY region_a, region_b
+    """,
+    tags=("J7",),
+)
+def cross_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[J7] Guarded cross join (pairwise-correlation shape) — only ever on
+    a small broadcast-size relation; the pairwise-ticker use case at scale
+    is bounded by the symbol universe (~10^2..10^4 rows), never the facts."""
+    r = load_table(spark, sf_dir, "region")
+    a = r.select(F.col("r_regionkey").alias("key_a"), F.col("r_name").alias("region_a"))
+    b = r.select(F.col("r_regionkey").alias("key_b"), F.col("r_name").alias("region_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select("region_a", "region_b")
+        .orderBy("region_a", "region_b")
+    )
+
+
+@query(
+    "range_join",
+    oracle="""
+    SELECT o.o_orderkey, l.l_linenumber, o.o_totalprice, l.l_extendedprice
+    FROM orders o JOIN lineitem l
+      ON o.o_orderkey = l.l_orderkey
+     AND l.l_shipdate BETWEEN o.o_orderdate AND o.o_orderdate + INTERVAL 90 DAY
+    ORDER BY o_orderkey, l_linenumber
+    """,
+    tags=("J6",),
+)
+def range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[J6] Interval/theta join turned equi+range: the equi key keeps it a
+    hash join; the range predicate is applied as a post-join filter —
+    "trades within the bar's minute" (SURVEY §2.3 J6)."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            l,
+            (o["o_orderkey"] == l["l_orderkey"])
+            & (l["l_shipdate"] >= o["o_orderdate"])
+            & (l["l_shipdate"] <= o["o_orderdate"] + F.expr("INTERVAL 90 DAYS")),
+        )
+        .select("o_orderkey", "l_linenumber", "o_totalprice", "l_extendedprice")
+        .orderBy("o_orderkey", "l_linenumber")
+    )

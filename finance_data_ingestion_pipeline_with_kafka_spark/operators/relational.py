@@ -1,0 +1,212 @@
+"""Projections, filters, predicates, scalar functions (SURVEY §2.2 P1–P8,
+§2.8 F4–F11).
+
+Each query is a narrow (shuffle-free) pipeline — Catalyst pushes the
+predicates and the column pruning into the parquet scan, so at 100 TB these
+read only the referenced columns of the matching row groups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+
+@query(
+    "filter_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS disc_price,
+           ROUND(l_extendedprice * l_tax, 4) AS tax_amt
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    tags=("P8", "F6"),
+    bench=True,
+)
+def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[P8/F6] Range + between + comparison predicates with computed
+    projections. Per-row double arithmetic is deterministic — no decimal
+    guard needed (only multi-row float aggregation is order-sensitive)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("disc_price"),
+            F.round(F.col("l_extendedprice") * F.col("l_tax"), 4).alias("tax_amt"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@query(
+    "membership_predicate",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_orderpriority
+    FROM orders
+    WHERE o_orderstatus IN ('F', 'O') AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+    ORDER BY o_orderkey
+    """,
+    tags=("P7",),
+)
+def membership_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[P7] ``isin`` whitelist — mirrors the reference's ticker-membership
+    gate (``StockFinanceMetrics.py:43-47``)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(
+            F.col("o_orderstatus").isin("F", "O")
+            & F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        )
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "null_conditional",
+    oracle="""
+    SELECT c_custkey,
+           COALESCE(c_mktsegment, 'UNKNOWN') AS segment,
+           CASE WHEN c_acctbal < 0 THEN 'overdrawn'
+                WHEN c_acctbal < 5000 THEN 'standard'
+                ELSE 'premium' END AS tier,
+           c_acctbal IS NULL AS bal_missing
+    FROM customer
+    ORDER BY c_custkey
+    """,
+    tags=("P8", "F10"),
+)
+def null_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F10] when/otherwise, coalesce, null predicates — the validity-gate
+    family the reference runs pre-Spark (``dags/...yfinance...py:85-99``)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("segment"),
+        F.when(F.col("c_acctbal") < 0, "overdrawn")
+        .when(F.col("c_acctbal") < 5000, "standard")
+        .otherwise("premium")
+        .alias("tier"),
+        F.col("c_acctbal").isNull().alias("bal_missing"),
+    ).orderBy("c_custkey")
+
+
+@query(
+    "string_functions",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_brand) AS brand_uc,
+           SUBSTRING(p_name, 1, 10) AS name_prefix,
+           LENGTH(p_name) AS name_len,
+           CONCAT(p_brand, '/', p_type) AS brand_type,
+           REGEXP_EXTRACT(p_type, '^([A-Z]+)', 1) AS type_head,
+           CONTAINS(p_type, 'BRUSHED') AS is_brushed
+    FROM part
+    ORDER BY p_partkey
+    """,
+    tags=("F7",),
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F7] upper/substring/length/concat/regexp/contains."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_uc"),
+        F.substring("p_name", 1, 10).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_extract("p_type", r"^([A-Z]+)", 1).alias("type_head"),
+        F.col("p_type").contains("BRUSHED").alias("is_brushed"),
+    ).orderBy("p_partkey")
+
+
+@query(
+    "datetime_functions",
+    oracle="""
+    SELECT o_orderkey,
+           DATE_TRUNC('month', o_orderdate) AS order_month,
+           CAST(YEAR(o_orderdate) AS INT) AS order_year,
+           CAST(MONTH(o_orderdate) AS INT) AS order_mon,
+           CAST(DAYOFWEEK(o_orderdate) AS INT) + 1 AS order_dow,
+           o_orderdate + INTERVAL 30 DAY AS due_date
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+    ORDER BY o_orderkey
+    """,
+    tags=("F5",),
+)
+def datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F5] date_trunc / extract / arithmetic. DuckDB ``DAYOFWEEK`` is
+    0=Sunday while Spark ``dayofweek`` is 1=Sunday — the oracle adds 1."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select(
+            "o_orderkey",
+            F.date_trunc("month", "o_orderdate").alias("order_month"),
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_mon"),
+            F.dayofweek("o_orderdate").alias("order_dow"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "json_extraction",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_value
+    FROM events
+    ORDER BY event_id
+    """,
+    tags=("F9",),
+)
+def json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F9] JSON path extraction from the ``events.props`` string column —
+    the event-properties pattern (driver fixture)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_value"),
+    ).orderBy("event_id")
+
+
+@query(
+    "hash_functions",
+    oracle="""
+    SELECT o_orderkey,
+           md5(CONCAT(CAST(o_orderkey AS VARCHAR), '§', o_orderstatus)) AS row_md5,
+           sha256(o_orderpriority) AS prio_sha
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+    tags=("F11",),
+)
+def hash_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F11] Deterministic hashing — basis for the idempotent surrogate key
+    replacing the reference's ``uuid()`` (SURVEY §7.2)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.md5(F.concat_ws("§", F.col("o_orderkey").cast("string"), "o_orderstatus")).alias(
+            "row_md5"
+        ),
+        F.sha2("o_orderpriority", 256).alias("prio_sha"),
+    ).orderBy("o_orderkey")

@@ -1,0 +1,94 @@
+"""Set operations (SURVEY §2.7) — the combined-tape / feed-divergence
+family over union-compatible normalized feeds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+
+def _normalized_feeds(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Two union-compatible (entity, day) feeds — the shape of the two sink
+    tables after normalization (SURVEY §2.7): customers seen via orders
+    vs customers seen via high-balance status."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    feed_a = o.select(F.col("o_custkey").alias("custkey")).distinct()
+    feed_b = c.filter(F.col("c_acctbal") > 0).select(F.col("c_custkey").alias("custkey"))
+    return feed_a, feed_b
+
+
+_FEED_A = "SELECT DISTINCT o_custkey AS custkey FROM orders"
+_FEED_B = "SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 0"
+
+
+@query(
+    "union_feeds",
+    oracle=f"""
+    SELECT custkey, COUNT(*) AS appearances FROM (
+      ({_FEED_A}) UNION ALL ({_FEED_B})
+    ) GROUP BY custkey ORDER BY custkey
+    """,
+    tags=("SET",),
+)
+def union_feeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (combined tape) + appearance counts."""
+    a, b = _normalized_feeds(spark, sf_dir)
+    return (
+        a.unionByName(b)
+        .groupBy("custkey")
+        .agg(F.count(F.lit(1)).alias("appearances"))
+        .orderBy("custkey")
+    )
+
+
+@query(
+    "intersect_feeds",
+    oracle=f"({_FEED_A}) INTERSECT ({_FEED_B}) ORDER BY custkey",
+    tags=("SET",),
+)
+def intersect_feeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT — entities present in both feeds."""
+    a, b = _normalized_feeds(spark, sf_dir)
+    return a.intersect(b).orderBy("custkey")
+
+
+@query(
+    "except_feeds",
+    oracle=f"({_FEED_B}) EXCEPT ({_FEED_A}) ORDER BY custkey",
+    tags=("SET",),
+)
+def except_feeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT — feed divergence: positive-balance customers who never
+    ordered."""
+    a, b = _normalized_feeds(spark, sf_dir)
+    return b.exceptAll(a).orderBy("custkey")
+
+
+@query(
+    "union_by_name_missing",
+    oracle="""
+    SELECT custkey, src, bal FROM (
+      SELECT o_custkey AS custkey, 'orders' AS src, CAST(NULL AS DOUBLE) AS bal FROM orders
+      UNION ALL
+      SELECT c_custkey AS custkey, 'customer' AS src, c_acctbal AS bal FROM customer
+    ) ORDER BY custkey, src, bal
+    """,
+    tags=("SET",),
+)
+def union_by_name_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``unionByName(allowMissingColumns=True)`` — schema-mismatched feeds
+    merged with NULL fill (the yfinance/finnhub sink-merge case)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), F.lit("orders").alias("src")
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.lit("customer").alias("src"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    return o.unionByName(c, allowMissingColumns=True).orderBy("custkey", "src", "bal")

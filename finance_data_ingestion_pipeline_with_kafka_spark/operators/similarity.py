@@ -1,0 +1,194 @@
+"""Similarity search over ``embeddings`` (SURVEY §2.10 U5; north-star
+"similarity search": brute-force cosine baseline + LSH-bucketed scale path).
+
+Numeric determinism: all math runs in DOUBLE with left-to-right
+accumulation over the 64-dim arrays (``F.aggregate`` folds in array order;
+DuckDB's list functions iterate in order) so scores are bit-identical to
+the oracle. Ranking uses the ROUNDED score + vec_id tie-break so ordering
+is stable under any ULP noise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+N_QUERY_VECS = 5  # vec_id 0..4 serve as the query set
+TOP_K = 10
+
+
+def as_double(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in array order (deterministic fold)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+_ORACLE_COSINE = """
+    WITH vecs AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), q AS (SELECT vec_id AS query_id, v AS qv FROM vecs WHERE vec_id < {nq}),
+    scored AS (
+      SELECT q.query_id, vecs.vec_id, vecs.label,
+             ROUND(list_dot_product(q.qv, vecs.v)
+                   / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(vecs.v, vecs.v))),
+                   6) AS cosine_sim
+      FROM q JOIN vecs ON vecs.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, label, cosine_sim FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, vec_id) AS rn
+      FROM scored
+    ) WHERE rn <= {k}
+    ORDER BY query_id, cosine_sim DESC, vec_id
+"""
+
+
+@query(
+    "knn_bruteforce",
+    oracle=_ORACLE_COSINE.format(nq=N_QUERY_VECS, k=TOP_K),
+    tags=("U5",),
+    bench=True,
+)
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U5] Brute-force cosine top-k: broadcast the (small) query set
+    against all vectors, rank per query. This is the exact baseline; the
+    plan is a broadcast nested-loop over queries — each data partition is
+    scanned once, no shuffle of the corpus. At 100 TB with a large query
+    set, the scale path is ``ann_lsh_bucketed`` below."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double("embedding").alias("v")
+    )
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < N_QUERY_VECS).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        )
+    )
+    scored = q.join(e, F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        "vec_id",
+        "label",
+        F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "vec_id", "label", "cosine_sim")
+        .orderBy("query_id", F.desc("cosine_sim"), "vec_id")
+    )
+
+
+def hyperplane(seed: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane component from a hash — no
+    RNG state, reproducible across engines/runs."""
+    import hashlib
+
+    out = []
+    for j in range(dim):
+        h = int.from_bytes(
+            hashlib.sha256(f"{seed}:{j}".encode()).digest()[:8], "big", signed=False
+        )
+        out.append((h / 2**64) * 2.0 - 1.0)
+    return out
+
+
+N_PLANES = 8  # 256 buckets over the corpus
+
+
+def lsh_bucket(v: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane LSH bucket id: bit i = sign(v · plane_i)."""
+    acc = F.lit(0)
+    for i, p in enumerate(planes):
+        d = dot(v, F.array(*[F.lit(x) for x in p]))
+        acc = acc + F.when(d > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return acc
+
+
+@query("ann_lsh_bucketed", tags=("U5",))
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U5] Approximate NN via random-hyperplane LSH: bucket the corpus by
+    sign-pattern (8 deterministic hyperplanes → 256 buckets), search only
+    the query's bucket. At 100 TB the corpus is written bucketed-by
+    ``bucket`` so a query touches 1/256th of the data with no shuffle.
+    Approximate by design → rows-only oracle; recall vs the brute-force
+    baseline is asserted in unit tests."""
+    dim = 64
+    planes = [hyperplane(s, dim) for s in range(N_PLANES)]
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double("embedding").alias("v")
+    )
+    bucketed = e.withColumn("bucket", lsh_bucket(F.col("v"), planes))
+    q = F.broadcast(
+        bucketed.filter(F.col("vec_id") < N_QUERY_VECS).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("bucket").alias("qbucket"),
+        )
+    )
+    scored = q.join(
+        bucketed,
+        (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        "vec_id",
+        "label",
+        F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "vec_id", "label", "cosine_sim")
+        .orderBy("query_id", F.desc("cosine_sim"), "vec_id")
+    )
+
+
+@query(
+    "embedding_near_dup",
+    oracle="""
+    WITH vecs AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                 6) AS cosine_sim
+    FROM vecs a JOIN vecs b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.9
+    ORDER BY vec_a, vec_b
+    """,
+    tags=("U5", "U4"),
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U4/U5] Embedding-cosine near-duplicate pairs, blocked by ``label``
+    (the cluster/blocking key) so the pair space is per-block, not global —
+    the standard semantic-dedup shape for training corpora."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double("embedding").alias("v")
+    )
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("label").alias("l_a"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("label").alias("l_b"), F.col("v").alias("vb"))
+    sim = cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, (F.col("l_a") == F.col("l_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .withColumn("cosine_sim", F.round(sim, 6))
+        .filter(sim >= 0.9)
+        .select("vec_a", "vec_b", "cosine_sim")
+        .orderBy("vec_a", "vec_b")
+    )

@@ -1,0 +1,203 @@
+"""Text analysis over the ``documents`` table (SURVEY §2.10 U6; north-star
+"text analysis").
+
+Everything is built-in expression work (split/filter/transform/explode) —
+JVM-side, no Python UDFs — so it scales linearly with document bytes and
+stays inside whole-stage codegen at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+# Tiny per-language stopword anchors for the n-gram/stopword language-ID
+# heuristic. Real corpora would use a larger table broadcast as a dim.
+_STOP = {
+    "en": ("the", "a", "of"),
+    "es": ("el", "la", "de"),
+    "fr": ("le", "la", "de"),
+    "de": ("der", "die", "das"),
+}
+
+TOKEN_SPLIT = r"\s+"
+
+
+def tokens(col: str = "text") -> F.Column:
+    """Whitespace tokenization of trimmed text (BPE-ish regex splits live in
+    ``token_stats``)."""
+    return F.split(F.trim(F.col(col)), TOKEN_SPLIT)
+
+
+@query(
+    "token_stats",
+    oracle="""
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+           length(text) AS n_chars_computed,
+           length(regexp_replace(text, '[^aeiou]', '', 'g')) AS n_vowels,
+           ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                 / len(string_split_regex(trim(text), '\\s+')), 6) AS avg_token_len
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("U6",),
+    bench=True,
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U6] Token counting + character-class stats — per-row expression
+    work, fully pushed into codegen."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(tokens())
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.length("text").alias("n_chars_computed"),
+        F.length(F.regexp_replace("text", "[^aeiou]", "")).alias("n_vowels"),
+        F.round(
+            F.length(F.regexp_replace("text", " ", "")).cast("double") / n_tokens, 6
+        ).alias("avg_token_len"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "quality_score",
+    oracle="""
+    SELECT doc_id,
+           ROUND(LEAST(len(string_split_regex(trim(text), '\\s+')) / 50.0, 1.0) * 0.5
+                 + (1.0 - len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                          t -> t IN ('the', 'a', 'of')))
+                         / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)) * 0.3
+                 + CASE WHEN length(text) BETWEEN 20 AND 2000 THEN 0.2 ELSE 0.0 END,
+                 6) AS quality
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("U6",),
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U6] Heuristic document quality: length saturation + stopword-density
+    penalty + size-window bonus (the C4/Gopher-rule family, composable)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens()
+    n_tokens = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin("the", "a", "of")))
+    quality = (
+        F.least(n_tokens / F.lit(50.0), F.lit(1.0)) * 0.5
+        + (1.0 - stop_hits / n_tokens.cast("double")) * 0.3
+        + F.when(F.length("text").between(20, 2000), 0.2).otherwise(0.0)
+    )
+    return d.select("doc_id", F.round(quality, 6).alias("quality")).orderBy("doc_id")
+
+
+def _lang_score_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in _STOP[lang])
+    return (
+        f"len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t IN ({words})))"
+        f" / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)"
+    )
+
+
+@query(
+    "language_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {_lang_score_sql("en")} AS score_en,
+             {_lang_score_sql("es")} AS score_es,
+             {_lang_score_sql("fr")} AS score_fr,
+             {_lang_score_sql("de")} AS score_de
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE GREATEST(score_en, score_es, score_fr, score_de)
+                WHEN 0 THEN 'und'
+                WHEN score_en THEN 'en'
+                WHEN score_es THEN 'es'
+                WHEN score_fr THEN 'fr'
+                ELSE 'de' END AS predicted_lang
+    FROM scored
+    ORDER BY doc_id
+    """,
+    tags=("U6",),
+)
+def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U6] Stopword-anchor language ID. Ties resolve in the fixed order
+    en→es→fr→de in both engines (CASE evaluates in declaration order)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens()
+    n = F.size(toks).cast("double")
+
+    def score(lang: str) -> F.Column:
+        return F.size(F.filter(toks, lambda t: t.isin(*_STOP[lang]))) / n
+
+    scored = d.select(
+        "doc_id",
+        "lang",
+        score("en").alias("score_en"),
+        score("es").alias("score_es"),
+        score("fr").alias("score_fr"),
+        score("de").alias("score_de"),
+    )
+    best = F.greatest("score_en", "score_es", "score_fr", "score_de")
+    return scored.select(
+        "doc_id",
+        "lang",
+        F.when(best == 0, "und")
+        .when(best == F.col("score_en"), "en")
+        .when(best == F.col("score_es"), "es")
+        .when(best == F.col("score_fr"), "fr")
+        .otherwise("de")
+        .alias("predicted_lang"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "word_frequency",
+    oracle="""
+    SELECT token, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+    FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+          FROM documents)
+    GROUP BY token
+    ORDER BY n_occurrences DESC, token
+    LIMIT 20
+    """,
+    tags=("U6", "F8"),
+)
+def word_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U6/F8] Corpus term frequency via explode — the map-side-combine
+    wordcount; top-20 with deterministic tie-break."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(tokens()).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), "token")
+        .limit(20)
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("U6", "U4"),
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U6] Canonical-form content fingerprint (lowercase, collapsed
+    whitespace) — the key for exact near-canonical dedup."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))).alias("fingerprint"),
+    ).orderBy("doc_id")

@@ -1,0 +1,258 @@
+"""Time-series composites (SURVEY §2.3 J5/J6, §2.4 A2/A3, §2.9 T7/T8/T9).
+
+These are the finance-specific recipes: OHLCV bar building, VWAP, as-of
+join, tumbling/sliding/session event-time windows. Batch formulations here
+(oracle-checkable); the same expressions run under Structured Streaming in
+``streaming/windows.py`` with watermarks.
+
+Determinism: bar open/close use ``min_by``/``max_by`` over a total ordering
+``struct(ts, event_id)`` — never order-dependent ``F.first`` under shuffle
+(SURVEY §7.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.core import dsum
+from ..registry import query
+
+
+@query(
+    "tumbling_window_agg",
+    oracle="""
+    WITH events_us AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+    SELECT event_type,
+           time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+    FROM events_us
+    GROUP BY event_type, window_start
+    ORDER BY event_type, window_start
+    """,
+    tags=("T7", "A2"),
+    bench=True,
+)
+def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[T7] Tumbling event-time window — the 1-minute bar grid generalized.
+    ``F.window`` start equals DuckDB ``time_bucket`` on a UTC session."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type", F.window("ts", "1 hour").start.alias("window_start"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
+        .orderBy("event_type", "window_start")
+    )
+
+
+@query(
+    "sliding_window_agg",
+    oracle="""
+    WITH events_us AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+    SELECT event_type,
+           time_bucket(INTERVAL '30 minutes', ts) - k.k * INTERVAL '30 minutes' AS window_start,
+           COUNT(*) AS n_events
+    FROM events_us CROSS JOIN (VALUES (0), (1)) k(k)
+    GROUP BY event_type, window_start
+    ORDER BY event_type, window_start
+    """,
+    tags=("T8",),
+)
+def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[T8] Sliding window (1 h window, 30 min slide): each event lands in
+    two overlapping windows. Oracle derives the same window set by shifting
+    the half-width tumbling bucket."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type", F.window("ts", "1 hour", "30 minutes").start.alias("window_start"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("event_type", "window_start")
+    )
+
+
+@query(
+    "session_window_agg",
+    oracle="""
+    WITH events_us AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts >= COALESCE(LAG(ts) OVER w, TIMESTAMP '1970-01-01')
+                            + INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events_us
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+    tags=("T9",),
+)
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[T9] Session windows (30-minute inactivity gap) — trading-burst
+    sessions per user. Spark ``session_window`` closes a session when the
+    next event is >= gap after the previous; the oracle reproduces that
+    with the classic gaps-and-islands rewrite."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+@query(
+    "asof_join",
+    oracle="""
+    WITH events_us AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+    SELECT l.event_id, l.user_id, l.ts, l.value AS purchase_value,
+           r.ts AS last_click_ts, r.value AS last_click_value
+    FROM (SELECT * FROM events_us WHERE event_type = 'purchase') l
+    ASOF LEFT JOIN (SELECT * FROM events_us WHERE event_type = 'click') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    ORDER BY l.user_id, l.ts, l.event_id
+    """,
+    tags=("J5",),
+    bench=True,
+)
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[J5] As-of join — for each purchase, the latest click at-or-before
+    it per user (the "last trade price at-or-before each bar close" join).
+
+    Spark has no native as-of primitive; this is the union + last-non-null
+    window recipe (SURVEY §2.3 J5): tag both sides, union on (key, ts),
+    carry the right side's values forward with ``last(ignorenulls=True)``,
+    keep left rows. One shuffle on (user_id), no range explosion — at
+    100 TB this beats the range-join formulation because state is a single
+    carried row per key, not a windowed cross product.
+
+    Tie semantics: right rows sort before left rows at equal ts (side 0 < 1)
+    so ``ts >= r.ts`` is inclusive, matching DuckDB ASOF; duplicate right
+    timestamps resolve to the largest event_id deterministically.
+    """
+    e = load_table(spark, sf_dir, "events")
+    left = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value", F.lit(1).alias("side")
+    )
+    right = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value", F.lit(0).alias("side")
+    )
+    unioned = left.unionByName(right)
+    w = Window.partitionBy("user_id").orderBy("ts", "side", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r_ts = F.when(F.col("side") == 0, F.col("ts"))
+    r_val = F.when(F.col("side") == 0, F.col("value"))
+    carried = unioned.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        "side",
+        F.last(r_ts, ignorenulls=True).over(w).alias("last_click_ts"),
+        F.last(r_val, ignorenulls=True).over(w).alias("last_click_value"),
+    )
+    return (
+        carried.filter(F.col("side") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("value").alias("purchase_value"),
+            "last_click_ts",
+            "last_click_value",
+        )
+        .orderBy("user_id", "ts", "event_id")
+    )
+
+
+@query(
+    "ohlcv_bars",
+    oracle="""
+    WITH events_us AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    ranked AS (
+      SELECT event_type, time_bucket(INTERVAL '6 hours', ts) AS bar_start, ts, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type, time_bucket(INTERVAL '6 hours', ts)
+                                ORDER BY ts, event_id) AS rn_open,
+             ROW_NUMBER() OVER (PARTITION BY event_type, time_bucket(INTERVAL '6 hours', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_close
+      FROM events_us
+    )
+    SELECT event_type, bar_start,
+           MAX(CASE WHEN rn_open = 1 THEN value END) AS open,
+           CAST(MAX(value) AS DOUBLE) AS high,
+           CAST(MIN(value) AS DOUBLE) AS low,
+           MAX(CASE WHEN rn_close = 1 THEN value END) AS close,
+           COUNT(*) AS n_ticks,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS volume_proxy
+    FROM ranked
+    GROUP BY event_type, bar_start
+    ORDER BY event_type, bar_start
+    """,
+    tags=("A2",),
+    bench=True,
+)
+def ohlcv_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A2] OHLCV bar builder — the aggregation contract behind the
+    reference's 1-minute bars (Open=first, High=max, Low=min, Close=last,
+    SURVEY §2.4). ``min_by/max_by`` over ``struct(ts, event_id)`` gives
+    deterministic open/close in one shuffle-stage hash aggregation — no
+    window sort pass needed, which is the cheaper plan at scale."""
+    e = load_table(spark, sf_dir, "events")
+    tiebreak = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        e.groupBy("event_type", F.window("ts", "6 hours").start.alias("bar_start"))
+        .agg(
+            F.min_by("value", tiebreak).alias("open"),
+            F.max("value").cast("double").alias("high"),
+            F.min("value").cast("double").alias("low"),
+            F.max_by("value", tiebreak).alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+            dsum("value").alias("volume_proxy"),
+        )
+        .orderBy("event_type", "bar_start")
+    )
+
+
+@query(
+    "vwap",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(value * CAST(json_extract_string(props, '$.k') AS BIGINT)
+                         AS DECIMAL(30,6))) AS DOUBLE)
+             / CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) AS vwap,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS total_volume
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("A3", "F9"),
+)
+def vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A3] Volume-weighted average price: value as price, the JSON ``k``
+    prop as volume — sum(p·v)/sum(v) with exact decimal accumulation."""
+    e = load_table(spark, sf_dir, "events")
+    vol = F.get_json_object("props", "$.k").cast("bigint")
+    pv = (F.col("value") * vol).cast("decimal(30,6)")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            (F.sum(pv).cast("double") / F.sum(vol).cast("double")).alias("vwap"),
+            F.sum(vol).cast("bigint").alias("total_volume"),
+        )
+        .orderBy("event_type")
+    )

@@ -1,0 +1,68 @@
+"""Query registry — the contract between SURVEY §2's operator inventory and
+the driver's correctness harness.
+
+Every operator the engine claims is registered here as a named query:
+a callable ``(spark, sf_dir) -> DataFrame`` plus (where SQL-expressible)
+a DuckDB oracle SQL string computing the same result with the same column
+names. The driver hash-compares the two at sf0.01.
+
+Determinism rules enforced across the catalog (SURVEY §7 hard parts):
+
+* Float aggregation goes through exact ``DECIMAL`` accumulation — double
+  sums are order-sensitive under distributed partial aggregation, so
+  ``SUM(double)`` can differ from a single-threaded oracle in the last ULP
+  and break value-hashing.  ``SUM(CAST(x AS DECIMAL(30,6)))`` is exact and
+  order-independent; the final cast back to DOUBLE is deterministic.
+* ``first``/``last`` style picks use ``min_by``/``max_by`` with a total
+  ordering, never order-dependent ``F.first`` under shuffle.
+* Every computed column is aliased identically in Spark and oracle SQL.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None = None
+    tags: tuple[str, ...] = field(default_factory=tuple)
+    bench: bool = False  # include in bench.py headline set
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), bench: bool = False):
+    """Decorator registering a query in the catalog."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name {name!r}")
+        QUERIES[name] = QuerySpec(name=name, fn=fn, oracle=oracle, tags=tags, bench=bench)
+        return fn
+
+    return deco
+
+
+def load_all() -> dict[str, QuerySpec]:
+    """Import every operator module so its queries register, then return
+    the full catalog."""
+    from .operators import (  # noqa: F401
+        aggregations,
+        dedup,
+        joins,
+        relational,
+        setops,
+        similarity,
+        text,
+        timeseries,
+        windows,
+    )
+
+    return QUERIES

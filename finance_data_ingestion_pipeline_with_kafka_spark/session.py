@@ -1,0 +1,50 @@
+"""SparkSession factory tuned for this engine.
+
+Scale posture (100 TB readiness — SURVEY §4, §7):
+
+* AQE on: runtime partition coalescing, skew-join splitting, join-strategy
+  re-planning from actual stats.
+* UTC session timezone: timestamp semantics stable across drivers/oracles.
+* Arrow-backed pandas interchange for the (rare) Pandas-UDF paths.
+* ``shuffle.partitions`` is a knob, not a constant — callers size it to the
+  cluster; the local default keeps small-SF latency low while AQE coalesces.
+
+On a real cluster the same builder is used with master/memory provided by
+the deployer; nothing here assumes local mode.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "finance-engine",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's defaults applied."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("ENGINE_SHUFFLE_PARTITIONS", cpus))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.driver.memory", os.environ.get("ENGINE_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,25 @@
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from finance_data_ingestion_pipeline_with_kafka_spark.session import get_spark
+
+SF_DIR = os.environ.get("TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(
+        app_name="engine-tests",
+        master=os.environ.get("TEST_SPARK_MASTER", "local[8]"),
+        shuffle_partitions=8,
+    )
+    yield s
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return SF_DIR
