@@ -53,9 +53,66 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "streaming_msgs_per_sec": _streaming_throughput(spark),
             }
         )
     )
+
+
+def _streaming_throughput(spark, n_msgs: int = 100_000) -> float:
+    """BASELINE streaming target: msgs/sec through the full JSON-decode →
+    gate → watermarked-dedup → idempotent-sink pipeline in availableNow
+    replay (warm measurement: one throwaway batch first so JVM/codegen
+    startup isn't billed to the pipeline)."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    from finance_data_ingestion_pipeline_with_kafka_spark.sources import (
+        kafka_shaped_file_stream,
+        write_json_fixture,
+    )
+    from finance_data_ingestion_pipeline_with_kafka_spark.streaming.pipeline import (
+        finnhub_pipeline,
+    )
+    from finance_data_ingestion_pipeline_with_kafka_spark.streaming.sinks import (
+        start_idempotent_parquet_sink,
+    )
+
+    work = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        base = 1704205200000
+        msgs = [
+            _json.dumps(
+                {
+                    "c": ["1"],
+                    "p": 100.0 + (i % 997) * 0.01,
+                    "s": f"SYM{i % 101}",
+                    "t": base + (i // 101) * 1000,
+                    "v": 1 + i % 500,
+                }
+            )
+            for i in range(n_msgs)
+        ]
+        for chunk in range(4):
+            write_json_fixture(f"{work}/src", msgs[chunk::4], f"part-{chunk}.json")
+
+        def run(tag: str) -> float:
+            t0 = time.perf_counter()
+            q = start_idempotent_parquet_sink(
+                finnhub_pipeline(kafka_shaped_file_stream(spark, f"{work}/src")),
+                f"{work}/sink_{tag}",
+                f"{work}/cp_{tag}",
+                available_now=True,
+            )
+            q.awaitTermination(300)
+            return time.perf_counter() - t0
+
+        run("warmup")
+        wall = run("timed")
+        return round(n_msgs / wall)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,3 @@
+from .replay import kafka_shaped_file_stream, kafka_stream, write_json_fixture
+
+__all__ = ["kafka_shaped_file_stream", "kafka_stream", "write_json_fixture"]

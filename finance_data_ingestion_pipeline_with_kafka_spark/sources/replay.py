@@ -1,0 +1,64 @@
+"""Streaming sources (SURVEY §2.1 S1, S4–S5 replay).
+
+Two interchangeable builders both yield a Kafka-shaped streaming DataFrame
+(a ``value: string`` column, one JSON message per row):
+
+* ``kafka_stream`` — the real thing: ``readStream.format("kafka")``
+  exactly as the reference wires it
+  (plugins/Operators/SparkProcessOperator.py:96-101), ``earliest`` offsets,
+  ``failOnDataLoss=false``.
+* ``kafka_shaped_file_stream`` — deterministic file replay of the same
+  wire format for tests/CI (no broker in the loop). Downstream pipeline
+  code is identical for both.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def kafka_stream(
+    spark: SparkSession,
+    topic: str,
+    bootstrap_servers: str,
+    starting_offsets: str = "earliest",
+    fail_on_data_loss: bool = False,
+) -> DataFrame:
+    """Kafka streaming source → ``value: string``. The reference's config
+    dict says ``latest`` while its live code hardcodes ``earliest``
+    (SURVEY §4 offset conflict) — here it is an explicit, tested option."""
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .option("failOnDataLoss", str(fail_on_data_loss).lower())
+        .load()
+    )
+    # P1: raw Kafka value bytes → string (dags/...yfinance...py:254)
+    return raw.selectExpr("CAST(value AS STRING) AS value")
+
+
+def kafka_shaped_file_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-replay source with the Kafka wire shape: each line of each
+    text file is one message in a ``value`` column."""
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path).select(F.col("value").cast("string").alias("value"))
+
+
+def write_json_fixture(path: str, messages: list[str], filename: str = "part-0000.json") -> str:
+    """Write one JSON message per line — the producer's wire format
+    (StockFinanceMetrics.py:22-24: dict → JSON bytes → topic)."""
+    os.makedirs(path, exist_ok=True)
+    out = os.path.join(path, filename)
+    with open(out, "w") as f:
+        for m in messages:
+            f.write(m + "\n")
+    return out

@@ -1,0 +1,174 @@
+"""Streaming analytics tests (SURVEY §2.9 T6–T10, §2.3 J8–J9): windowed
+aggregations, stream-static and stream-stream joins, stateful position
+tracking — all via file replay + availableNow, compared against the same
+expressions computed in batch where applicable.
+"""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from finance_data_ingestion_pipeline_with_kafka_spark.sources import (
+    kafka_shaped_file_stream,
+    write_json_fixture,
+)
+from finance_data_ingestion_pipeline_with_kafka_spark.streaming.pipeline import (
+    finnhub_pipeline,
+)
+from finance_data_ingestion_pipeline_with_kafka_spark.streaming.sinks import (
+    start_memory_sink,
+)
+from finance_data_ingestion_pipeline_with_kafka_spark.streaming.stateful import (
+    running_position,
+)
+from finance_data_ingestion_pipeline_with_kafka_spark.streaming.windows import (
+    session_bursts,
+    sliding_momentum,
+    stream_static_enrich,
+    stream_stream_join,
+    tumbling_bars,
+)
+
+BASE_MS = 1704205200000  # 2024-01-02T14:20:00Z
+
+
+def fh_msg(symbol="AAPL", offset_s=0, p=100.0, v=10, c=None):
+    return json.dumps(
+        {"c": c or [], "p": p, "s": symbol, "t": BASE_MS + offset_s * 1000, "v": v}
+    )
+
+
+TRADES = [
+    fh_msg("AAPL", 0, 100.0, 10),
+    fh_msg("AAPL", 10, 101.0, 5),
+    fh_msg("AAPL", 59, 99.0, 20),  # same minute
+    fh_msg("AAPL", 65, 102.0, 7),  # next minute
+    fh_msg("MSFT", 5, 300.0, 3),
+    fh_msg("MSFT", 200, 301.0, 4),  # separate session (>30s gap)
+]
+
+
+@pytest.fixture
+def trade_stream(spark, tmp_path):
+    # dedup_watermark=None: the window/stateful operators under test attach
+    # their own watermark, and Spark disallows redefining one mid-stream.
+    src = tmp_path / "trades"
+    write_json_fixture(str(src), TRADES)
+    return finnhub_pipeline(kafka_shaped_file_stream(spark, str(src)), dedup_watermark=None)
+
+
+def drain(spark, df, name, mode="append"):
+    q = start_memory_sink(df, name, output_mode=mode, available_now=True)
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_tumbling_bars_streaming(spark, trade_stream):
+    out = drain(spark, tumbling_bars(trade_stream), "bars_t", mode="update").collect()
+    bars = {(r["symbol"], r["bar_start"].isoformat()): r for r in out}
+    a0 = bars[("AAPL", "2024-01-02T14:20:00")]
+    assert (a0["open"], a0["high"], a0["low"], a0["close"]) == (100.0, 101.0, 99.0, 99.0)
+    assert a0["volume"] == 35 and a0["n_trades"] == 3
+    a1 = bars[("AAPL", "2024-01-02T14:21:00")]
+    assert a1["open"] == a1["close"] == 102.0 and a1["n_trades"] == 1
+
+
+def test_session_bursts(spark, tmp_path):
+    # Session windows only emit in append mode once the watermark passes
+    # the session end: feed a far-future sentinel in a second micro-batch
+    # so the no-data batch flushes the real sessions.
+    src = tmp_path / "sess_trades"
+    write_json_fixture(str(src), TRADES, "f1.json")
+    write_json_fixture(str(src), [fh_msg("ZZZZ", 4000)], "f2.json")
+    stream = finnhub_pipeline(
+        kafka_shaped_file_stream(spark, str(src), max_files_per_trigger=1),
+        dedup_watermark=None,
+    )
+    out = drain(
+        spark, session_bursts(stream, watermark="1 second"), "sess_t", mode="append"
+    ).collect()
+    out = [r for r in out if r["symbol"] != "ZZZZ"]
+    msft = sorted(
+        [r for r in out if r["symbol"] == "MSFT"], key=lambda r: r["session_start"]
+    )
+    assert len(msft) == 2  # 195 s apart > 30 s gap → two bursts
+    aapl = sorted(
+        [r for r in out if r["symbol"] == "AAPL"], key=lambda r: r["session_start"]
+    )
+    # AAPL events at +0,+10,+59,+65 s: the 49 s gap (10→59) exceeds the
+    # 30 s session gap → two bursts of 2 trades each
+    assert [r["n_trades"] for r in aapl] == [2, 2]
+
+
+def test_sliding_momentum_matches_batch(spark, trade_stream, tmp_path):
+    out = drain(spark, sliding_momentum(trade_stream), "mom_t", mode="update")
+    # same expression over the same data in batch mode
+    src = tmp_path / "trades_b"
+    write_json_fixture(str(src), TRADES)
+    batch_raw = spark.read.text(str(src)).select(F.col("value").cast("string").alias("value"))
+    batch = sliding_momentum(finnhub_pipeline(batch_raw))
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_stream_static_enrich(spark, trade_stream):
+    dim = spark.createDataFrame(
+        [("AAPL", "Apple Inc", "tech"), ("MSFT", "Microsoft", "tech")],
+        ["symbol", "name", "sector"],
+    )
+    out = drain(spark, stream_static_enrich(trade_stream, dim), "enrich_t")
+    rows = out.collect()
+    assert len(rows) == len(TRADES)
+    assert all(r["sector"] == "tech" for r in rows)
+
+
+def test_stream_stream_join(spark, tmp_path):
+    bar_msgs = [
+        json.dumps(
+            {
+                "Datetime": "2024-01-02T14:20:00",
+                "Open": 100.0,
+                "High": 101.0,
+                "Low": 99.0,
+                "Close": 100.5,
+                "Adj Close": 100.5,
+                "Volume": 50,
+                "Dividends": 0.0,
+                "Stock Splits": 0.0,
+                "ticker": "AAPL",
+            }
+        )
+    ]
+    from finance_data_ingestion_pipeline_with_kafka_spark.streaming.pipeline import (
+        yfinance_pipeline,
+    )
+
+    bsrc, tsrc = tmp_path / "bars_src", tmp_path / "trades_src"
+    write_json_fixture(str(bsrc), bar_msgs)
+    write_json_fixture(str(tsrc), TRADES)
+    bars = yfinance_pipeline(kafka_shaped_file_stream(spark, str(bsrc)))
+    trades = finnhub_pipeline(kafka_shaped_file_stream(spark, str(tsrc)), dedup_watermark=None)
+    joined = stream_stream_join(bars, trades)
+    out = drain(spark, joined, "ss_join").collect()
+    # AAPL trades at +0, +10, +59 s fall inside the 14:20 bar's minute
+    assert len(out) == 3
+    assert all(r["symbol"] == "AAPL" and r["bar_close"] == pytest.approx(100.5) for r in out)
+
+
+def test_running_position_stateful(spark, tmp_path):
+    fills_src = tmp_path / "fills"
+    write_json_fixture(str(fills_src), TRADES)
+    fills = finnhub_pipeline(
+        kafka_shaped_file_stream(spark, str(fills_src)), dedup_watermark=None
+    ).withColumn(
+        "side", F.when(F.col("last_price") < 100.5, F.lit(1)).otherwise(F.lit(-1))
+    )
+    out = drain(spark, running_position(fills), "pos_t", mode="update")
+    pos = {r["symbol"]: r for r in out.collect()}
+    # AAPL: +10 (100.0 buy) -5 (101.0 sell) +20 (99.0 buy) -7 (102.0 sell) = 18
+    assert pos["AAPL"]["position"] == 18
+    assert pos["AAPL"]["n_fills"] == 4
+    # MSFT: both above 100.5 → sells: -3 -4 = -7
+    assert pos["MSFT"]["position"] == -7
+    cash = 300.0 * 3 + 301.0 * 4
+    assert pos["MSFT"]["cash_flow"] == pytest.approx(cash)

@@ -1,0 +1,134 @@
+"""Streaming core tests (SURVEY §5.3–5.4): file-replay of the Kafka wire
+format through the full pipelines with ``trigger(availableNow=True)``,
+golden sink contracts, idempotent-replay semantics, watermarked dedup.
+"""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from finance_data_ingestion_pipeline_with_kafka_spark.schemas import (
+    STOCK_DATA_COLUMNS,
+    STOCK_TRADE_COLUMNS,
+)
+from finance_data_ingestion_pipeline_with_kafka_spark.sources import (
+    kafka_shaped_file_stream,
+    write_json_fixture,
+)
+from finance_data_ingestion_pipeline_with_kafka_spark.streaming.pipeline import (
+    finnhub_pipeline,
+    yfinance_pipeline,
+)
+from finance_data_ingestion_pipeline_with_kafka_spark.streaming.sinks import (
+    start_idempotent_parquet_sink,
+)
+
+
+def yf_msg(ticker="AAPL", minute=0, close=101.5, volume=1000, **over):
+    m = {
+        "Datetime": f"2024-01-02T14:{minute:02d}:00",
+        "Open": 100.0,
+        "High": 102.0,
+        "Low": 99.5,
+        "Close": close,
+        "Adj Close": close,
+        "Volume": volume,
+        "Dividends": 0.0,
+        "Stock Splits": 0.0,
+        "ticker": ticker,
+    }
+    m.update(over)
+    return json.dumps(m)
+
+
+def fh_msg(symbol="AAPL", t=1704205200000, p=100.5, v=10, c=None):
+    return json.dumps({"c": c or ["1"], "p": p, "s": symbol, "t": t, "v": v})
+
+
+@pytest.fixture
+def run_to_sink(spark, tmp_path):
+    def _run(pipeline_fn, messages, name, run_twice=False):
+        src = tmp_path / f"src_{name}"
+        write_json_fixture(str(src), messages)
+        sink = str(tmp_path / f"sink_{name}")
+
+        def once(cp):
+            raw = kafka_shaped_file_stream(spark, str(src))
+            q = start_idempotent_parquet_sink(
+                pipeline_fn(raw), sink, str(tmp_path / cp), available_now=True
+            )
+            q.awaitTermination(120)
+
+        once("cp1")
+        if run_twice:
+            once("cp2")  # fresh checkpoint → full re-read → replays every message
+        return spark.read.parquet(sink)
+
+    return _run
+
+
+class TestYfinancePipeline:
+    def test_rename_contract_and_gate(self, run_to_sink):
+        msgs = [
+            yf_msg("AAPL", 0),
+            yf_msg("MSFT", 0),
+            yf_msg("AAPL", 0, volume=0),  # validity gate: Volume>0
+            yf_msg(minute=1, ticker=None),  # validity gate: ticker NOT NULL
+            "{not json",  # malformed → NULL struct → gated
+        ]
+        out = run_to_sink(yfinance_pipeline, msgs, "yf_contract")
+        assert tuple(out.columns) == STOCK_DATA_COLUMNS
+        rows = {r["ticker"]: r for r in out.collect()}
+        assert set(rows) == {"AAPL", "MSFT"}
+        a = rows["AAPL"]
+        assert a["close"] == pytest.approx(101.5)
+        assert a["volume"] == 1000
+        assert a["datetime"].isoformat().startswith("2024-01-02T14:00")
+        assert len(a["id"]) == 64  # sha2-256 hex, not uuid
+
+    def test_idempotent_replay(self, run_to_sink):
+        msgs = [yf_msg("AAPL", m) for m in range(5)] + [yf_msg("AAPL", 2)]  # dup msg
+        out = run_to_sink(yfinance_pipeline, msgs, "yf_idem", run_twice=True)
+        # 5 distinct bars; the in-batch dup and the full second replay both
+        # collapse via the deterministic key + anti-join sink
+        assert out.count() == 5
+        assert out.select("id").distinct().count() == 5
+
+
+class TestFinnhubPipeline:
+    def test_epoch_conversion_kept(self, run_to_sink):
+        out = run_to_sink(finnhub_pipeline, [fh_msg(t=1704205201500)], "fh_epoch")
+        assert tuple(out.columns) == STOCK_TRADE_COLUMNS
+        row = out.collect()[0]
+        # 1704205201500 ms = 2024-01-02T14:20:01.5Z — the conversion the
+        # reference computed then dropped (SURVEY §2.8 F1) must be KEPT
+        assert row["datetime"].isoformat() == "2024-01-02T14:20:01.500000"
+        assert row["last_price"] == pytest.approx(100.5)
+        assert row["trade_conditions"] == ["1"]
+
+    def test_tuple_key_dedup(self, run_to_sink):
+        msgs = [
+            fh_msg(t=1704205200000, p=100.5, v=10),
+            fh_msg(t=1704205200000, p=100.5, v=10),  # exact dup (producer key)
+            fh_msg(t=1704205200000, p=100.5, v=11),  # differs in v → kept
+            fh_msg(t=1704205260000, p=100.5, v=10),  # differs in t → kept
+            fh_msg(v=0),  # validity gate: v>0
+            fh_msg(symbol=None),  # validity gate: s NOT NULL
+        ]
+        out = run_to_sink(finnhub_pipeline, msgs, "fh_dedup")
+        assert out.count() == 3
+
+    def test_streaming_dedup_is_stateful(self, spark, tmp_path):
+        """Duplicates across micro-batches are dropped by the watermarked
+        state store, not just within a batch."""
+        src = tmp_path / "src_multi"
+        write_json_fixture(str(src), [fh_msg(t=1704205200000)], "f1.json")
+        write_json_fixture(str(src), [fh_msg(t=1704205200000), fh_msg(t=1704205260000)], "f2.json")
+        raw = kafka_shaped_file_stream(spark, str(src), max_files_per_trigger=1)
+        sink = str(tmp_path / "sink_multi")
+        q = start_idempotent_parquet_sink(
+            finnhub_pipeline(raw), sink, str(tmp_path / "cp_multi"), available_now=True
+        )
+        q.awaitTermination(120)
+        assert spark.read.parquet(sink).count() == 2
