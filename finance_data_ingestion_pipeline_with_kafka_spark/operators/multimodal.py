@@ -1,0 +1,145 @@
+"""Multimodal columns (SURVEY §2.10 U7; north-star "multimodal columns").
+
+Design: media is an opaque ``binary`` column plus a typed metadata struct;
+decode / feature-extraction runs as Arrow-batched ``mapInPandas`` so bytes
+never round-trip through Python row-by-row. The real decoders (image/audio
+libs) are NOT in this container — the decode kernel is STUBBED behind
+``decode_media`` (NotImplementedError for real codecs, a deterministic
+fake for tests) while all Spark-side plumbing — schema, partitioning, UDF
+signature, Arrow batch shape — is real and tested.
+
+At 100 TB: binary payloads dominate bytes → the scan must prune metadata-
+only queries to the metadata columns (columnar parquet gives this for
+free), and featurization parallelism is per-partition with bounded batch
+memory (``maxRecordsPerBatch``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..catalog import load_table
+from ..registry import query
+
+N_HIST_BINS = 16
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the canonical multimodal table shape from ``documents``: an
+    opaque binary payload + typed metadata. (In production this is
+    ``spark.read.format("binaryFile")`` or parquet with a binary column —
+    same schema, same downstream code.)"""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.octet_length(F.encode("text", "utf-8")).alias("n_bytes"),
+            F.col("source").alias("origin"),
+        ).alias("meta"),
+    )
+
+
+def decode_media(payload: bytes, mime: str) -> bytes:
+    """Decode kernel. Real codecs are unavailable in this environment —
+    anything non-text raises; tests exercise the passthrough path."""
+    if mime == "text/plain":
+        return payload
+    raise NotImplementedError(
+        f"decoder for {mime!r} requires media libraries not present in this "
+        "environment; plug a real decoder in here — the surrounding Spark "
+        "plumbing (schema, batching, partitioning) is decoder-agnostic"
+    )
+
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("mime", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("features", ArrayType(DoubleType())),
+    ]
+)
+
+
+def featurize_media(df: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over the binary column: a
+    deterministic 16-bin byte histogram (the stand-in for an image/audio
+    embedding model; swap the kernel, keep the plumbing)."""
+
+    def _featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload, meta in zip(pdf["doc_id"], pdf["payload"], pdf["meta"]):
+                raw = decode_media(bytes(payload), meta["mime"])
+                hist = [0] * N_HIST_BINS
+                for b in raw:
+                    hist[b * N_HIST_BINS // 256] += 1
+                total = max(len(raw), 1)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "mime": meta["mime"],
+                        "n_bytes": len(raw),
+                        "features": [c / total for c in hist],
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
+
+    return df.mapInPandas(_featurize, schema=FEATURE_SCHEMA)
+
+
+@query(
+    "multimodal_metadata",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           'text/plain' AS mime,
+           source AS origin,
+           octet_length(encode(text)) > 500 AS is_large
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("U7",),
+)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U7] Metadata-only query over the multimodal table — must never
+    touch payload bytes (column pruning does this; asserted in plan
+    tests)."""
+    m = media_table(spark, sf_dir)
+    return m.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.origin").alias("origin"),
+        (F.col("meta.n_bytes") > 500).alias("is_large"),
+    ).orderBy("doc_id")
+
+
+@query("media_features", tags=("U7", "U1"))
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U7] Binary → feature-vector extraction via mapInPandas (the
+    image/audio embedding shape). Deterministic fake kernel → rows-only
+    oracle; exact values asserted in unit tests."""
+    feats = featurize_media(media_table(spark, sf_dir))
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        F.round(F.element_at("features", 1), 6).alias("bin0"),
+        F.round(F.element_at("features", 2), 6).alias("bin1"),
+        F.size("features").alias("n_bins"),
+    ).orderBy("doc_id")

@@ -57,6 +57,8 @@ def load_all() -> dict[str, QuerySpec]:
         aggregations,
         dedup,
         joins,
+        multimodal,
+        pandas_udfs,
         relational,
         setops,
         similarity,

@@ -1,0 +1,114 @@
+"""Behavioral tests for the non-SQL-expressible extension operators:
+injected near-duplicates must be caught (MinHash/SimHash), ANN must agree
+with brute force on shared candidates, the multimodal featurizer kernel
+must be exact, and the decode stub must refuse unknown codecs.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from finance_data_ingestion_pipeline_with_kafka_spark.operators.dedup import (
+    minhash_candidates,
+    minhash_signatures,
+    shingles,
+    simhash_column,
+)
+from finance_data_ingestion_pipeline_with_kafka_spark.operators.multimodal import (
+    FEATURE_SCHEMA,
+    decode_media,
+    featurize_media,
+)
+from finance_data_ingestion_pipeline_with_kafka_spark.operators.similarity import (
+    TOP_K,
+    ann_lsh_bucketed,
+    knn_bruteforce,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the markets drift "
+    "slowly upward into the afternoon close on heavy volume"
+)
+NEAR = BASE + " indeed"  # one appended token → shingle Jaccard ≈ 0.87
+FAR = "completely different content about spark partitions shuffles and state stores"
+
+
+@pytest.fixture
+def docs(spark):
+    return spark.createDataFrame(
+        [(1, BASE), (2, NEAR), (3, FAR), (4, BASE)], ["doc_id", "text"]
+    )
+
+
+def test_minhash_catches_injected_near_dup(spark, docs):
+    sigs = minhash_signatures(docs)
+    cands = {(r["doc_a"], r["doc_b"]) for r in minhash_candidates(sigs).collect()}
+    assert (1, 4) in cands  # exact copy: identical signature, guaranteed
+    assert (1, 2) in cands  # near-dup above the 0.8 design threshold
+    assert (1, 3) not in cands and (2, 3) not in cands
+    # exact-Jaccard verification of the candidate
+    sh = docs.select("doc_id", shingles().alias("sh"))
+    a = sh.filter("doc_id = 1").select(F.col("sh").alias("a"))
+    b = sh.filter("doc_id = 2").select(F.col("sh").alias("b"))
+    jac = (
+        a.crossJoin(b)
+        .select(
+            (
+                F.size(F.array_intersect("a", "b"))
+                / F.size(F.array_union("a", "b"))
+            ).alias("j")
+        )
+        .collect()[0]["j"]
+    )
+    assert jac >= 0.8
+    # the sub-threshold pair (0.74 for a mid-string token swap) is the
+    # by-design miss zone — banding admits it only with low probability
+
+
+def test_simhash_hamming_separates(spark, docs):
+    sims = {r["doc_id"]: r["simhash"] for r in simhash_column(docs).collect()}
+    ham = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")
+    assert ham(sims[1], sims[2]) <= 6  # near-dup: few bit flips
+    assert ham(sims[1], sims[3]) > 10  # unrelated: far apart
+
+
+def test_ann_agrees_with_bruteforce(spark, sf_dir):
+    exact = {
+        (r["query_id"], r["vec_id"]): r["cosine_sim"]
+        for r in knn_bruteforce(spark, sf_dir).collect()
+    }
+    approx = ann_lsh_bucketed(spark, sf_dir).collect()
+    assert approx, "LSH search returned nothing"
+    for r in approx:
+        key = (r["query_id"], r["vec_id"])
+        if key in exact:  # shared candidate → identical score
+            assert r["cosine_sim"] == exact[key]
+    # every query's own-bucket search yields at most TOP_K rows per query
+    per_q = {}
+    for r in approx:
+        per_q[r["query_id"]] = per_q.get(r["query_id"], 0) + 1
+    assert all(v <= TOP_K for v in per_q.values())
+
+
+def test_featurizer_exact_histogram(spark):
+    # 'aaaa' = byte 97 ×4 → bin 97*16//256 = 6 gets weight 1.0
+    df = spark.createDataFrame([(1, "aaaa")], ["doc_id", "text"]).select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.lit(4).alias("n_bytes"),
+            F.lit("t").alias("origin"),
+        ).alias("meta"),
+    )
+    row = featurize_media(df).collect()[0]
+    assert row["n_bytes"] == 4
+    feats = row["features"]
+    assert len(feats) == 16
+    assert feats[6] == 1.0 and sum(feats) == 1.0
+    assert [f.name for f in FEATURE_SCHEMA.fields] == ["doc_id", "mime", "n_bytes", "features"]
+
+
+def test_decode_stub_refuses_unknown_codec():
+    assert decode_media(b"abc", "text/plain") == b"abc"
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x89PNG", "image/png")
