@@ -66,15 +66,39 @@ def shingles(col: str = "text", n: int = SHINGLE_N) -> F.Column:
     )
 
 
+def shingle_rows(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+    """(doc_id, shingle) rows via posexplode + window ``lead`` — every step
+    is whole-stage-codegen'd (higher-order-function lambdas evaluate
+    interpreted in Spark and are ~15× slower per element; measured at
+    sf0.1). One shuffle, partitioned by doc_id. Duplicate shingles are
+    KEPT: min-hash is duplicate-insensitive, so no distinct pass."""
+    from pyspark.sql import Window
+
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split(F.trim(F.col("text")), TOKEN_SPLIT)).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("tok", j).over(w) for j in range(1, n)]
+    sh = F.concat_ws(" ", F.col("tok"), *leads)
+    return (
+        tok.select("doc_id", sh.alias("sh"), leads[-1].alias("_tail"))
+        .filter(F.col("_tail").isNotNull())  # complete n-grams only
+        .drop("_tail")
+    )
+
+
 def minhash_signatures(docs: DataFrame, perms: int = MINHASH_PERMS) -> DataFrame:
-    """MinHash signatures: explode shingles, take per-permutation min of a
-    seeded xxhash64. One shuffle (groupBy doc_id); signature width is
-    ``perms`` longs per doc regardless of doc size."""
-    exploded = docs.select("doc_id", F.explode(shingles()).alias("sh"))
-    aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"mh{i}") for i in range(perms)
-    ]
-    return exploded.groupBy("doc_id").agg(*aggs)
+    """MinHash signatures as one ``array<long>`` column: per permutation
+    ``i``, the min of a seeded xxhash64 over the document's shingles.
+    The groupBy reuses the window's doc_id partitioning — one shuffle
+    total for the signature table; signature width is ``perms`` longs per
+    doc regardless of document size."""
+    rows = shingle_rows(docs)
+    aggs = [F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"mh{i}") for i in range(perms)]
+    grouped = rows.groupBy("doc_id").agg(*aggs)
+    return grouped.select(
+        "doc_id", F.array(*[F.col(f"mh{i}") for i in range(perms)]).alias("minhash")
+    )
 
 
 def minhash_candidates(sigs: DataFrame) -> DataFrame:
@@ -85,7 +109,10 @@ def minhash_candidates(sigs: DataFrame) -> DataFrame:
             F.struct(
                 F.lit(b).alias("band_id"),
                 F.xxhash64(
-                    *[F.col(f"mh{b * MINHASH_ROWS + r}") for r in range(MINHASH_ROWS)]
+                    *[
+                        F.element_at("minhash", b * MINHASH_ROWS + r + 1)
+                        for r in range(MINHASH_ROWS)
+                    ]
                 ).alias("band_hash"),
             )
             for b in range(MINHASH_BANDS)
@@ -116,9 +143,21 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     no DuckDB equivalent → rows-only oracle (candidates are verified with
     exact Jaccard below, and tests inject known near-dups)."""
     docs = load_table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs)
-    cands = minhash_candidates(sigs)
-    sh = docs.select("doc_id", shingles().alias("sh"))
+    # Persist the signature table: it is read by both sides of the bucket
+    # self-join. At lake scale this persist is "write the signature table
+    # once, reuse it for every dedup run".
+    sigs = minhash_signatures(docs).persist()
+    cands = minhash_candidates(sigs).persist()
+    # Exact-Jaccard verification only needs shingle SETS for candidate
+    # docs (a few hundred), not the whole corpus — semi-join first.
+    cand_ids = cands.select(F.col("doc_a").alias("doc_id")).union(
+        cands.select(F.col("doc_b").alias("doc_id"))
+    )
+    sh = (
+        shingle_rows(docs.join(cand_ids.distinct(), "doc_id", "left_semi"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("sh").alias("sh"))
+    )
     verified = (
         cands.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
         .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
