@@ -282,3 +282,98 @@ def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "correlation",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag, COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           ROUND((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS qty_price_corr
+    FROM s
+    ORDER BY l_returnflag
+    """,
+    tags=("A7",),
+)
+def correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A7] Pearson correlation via exact decimal moment sums (the
+    distributed-safe formulation of ``F.corr`` — returns-correlation shape
+    for the pairwise ticker matrix)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x.cast(DEC)).cast("double").alias("sx"),
+        F.sum(y.cast(DEC)).cast("double").alias("sy"),
+        F.sum((x * x).cast("decimal(38,6)")).cast("double").alias("sxx"),
+        F.sum((y * y).cast("decimal(38,6)")).cast("double").alias("syy"),
+        F.sum((x * y).cast("decimal(38,6)")).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    corr = (n * F.col("sxy") - sx * sy) / (
+        F.sqrt(n * F.col("sxx") - sx * sx) * F.sqrt(n * F.col("syy") - sy * sy)
+    )
+    return s.select(
+        "l_returnflag", "n", F.round(corr, 6).alias("qty_price_corr")
+    ).orderBy("l_returnflag")
+
+
+@query(
+    "argmax_order",
+    oracle="""
+    SELECT o_custkey, o_orderkey AS best_orderkey, o_totalprice AS best_price
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    ORDER BY o_custkey
+    """,
+    tags=("A1", "O1"),
+)
+def argmax_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A1] argmax via ``max_by`` with a total-order tiebreak
+    (struct(price, -orderkey)) — one hash aggregation, no window sort:
+    the cheaper plan for "most valuable order per customer" at scale."""
+    o = load_table(spark, sf_dir, "orders")
+    best = F.max_by(
+        F.struct(F.col("o_orderkey"), F.col("o_totalprice")),
+        F.struct(F.col("o_totalprice"), (-F.col("o_orderkey")).alias("neg")),
+    )
+    return (
+        o.groupBy("o_custkey")
+        .agg(best.alias("best"))
+        .select(
+            "o_custkey",
+            F.col("best.o_orderkey").alias("best_orderkey"),
+            F.col("best.o_totalprice").alias("best_price"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+@query("approx_distinct", tags=("A4",))
+def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A4] HyperLogLog++ approximate distinct — the constant-memory path
+    for "active tickers per window" at 100 TB (exact distinct shuffles
+    every key). Estimates are engine-specific by design → rows-only
+    oracle; the rsd bound vs exact counts is asserted in unit tests."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.approx_count_distinct("event_id", rsd=0.02).alias("approx_events"),
+        )
+        .orderBy("event_type")
+    )

@@ -210,3 +210,61 @@ def hash_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sha2("o_orderpriority", 256).alias("prio_sha"),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "array_functions",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           list_contains(toks, 'the') AS has_the,
+           len(list_distinct(toks)) AS n_unique,
+           array_to_string(list_sort(list_distinct(toks))[1:3], ',') AS first3_sorted,
+           len(list_filter(toks, x -> length(x) > 5)) AS n_long_tokens
+    FROM t
+    ORDER BY doc_id
+    """,
+    tags=("F8",),
+)
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F8] Array family: size/contains/distinct/sort/slice/filter over the
+    token array (the trade-conditions ArrayType surface,
+    finnhub_processing.py:18, exercised on text tokens)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.array_contains(toks, "the").alias("has_the"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        F.array_join(F.slice(F.array_sort(F.array_distinct(toks)), 1, 3), ",").alias(
+            "first3_sorted"
+        ),
+        F.size(F.filter(toks, lambda x: F.length(x) > 5)).alias("n_long_tokens"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "map_functions",
+    oracle="""
+    SELECT event_id,
+           array_to_string(json_keys(props), ',') AS prop_keys,
+           CAST(len(json_keys(props)) AS INT) AS n_props,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+    FROM events
+    ORDER BY event_id
+    """,
+    tags=("F9",),
+)
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F9] Map family: JSON → MapType, map_keys/size/element access over
+    the event-properties column."""
+    e = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return e.select(
+        "event_id",
+        F.array_join(F.map_keys(m), ",").alias("prop_keys"),
+        F.size(m).alias("n_props"),
+        m.getItem("k").alias("k_value"),
+    ).orderBy("event_id")

@@ -256,3 +256,34 @@ def vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "last_closed_bar",
+    oracle="""
+    WITH events_us AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+    SELECT user_id, event_id, ts, value
+    FROM (
+      SELECT user_id, event_id, ts, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events_us
+    ) WHERE rn = 2
+    ORDER BY user_id
+    """,
+    tags=("O1",),
+)
+def last_closed_bar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[O1] The reference's last-closed-bar selection
+    (``tail(2).head(1)``, StockFinanceMetrics.py:87-93) as a per-key
+    window: the second-most-recent record — i.e. the latest COMPLETE one,
+    skipping the in-progress bar."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.select("user_id", "event_id", "ts", "value", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 2)
+        .drop("rn")
+        .orderBy("user_id")
+    )

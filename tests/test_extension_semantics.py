@@ -112,3 +112,18 @@ def test_decode_stub_refuses_unknown_codec():
     assert decode_media(b"abc", "text/plain") == b"abc"
     with pytest.raises(NotImplementedError):
         decode_media(b"\x89PNG", "image/png")
+
+
+def test_approx_distinct_within_rsd(spark, sf_dir):
+    from finance_data_ingestion_pipeline_with_kafka_spark.registry import load_all
+
+    catalog = load_all()
+    approx = {
+        r["event_type"]: r for r in catalog["approx_distinct"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        r["event_type"]: r for r in catalog["distinct_count"].fn(spark, sf_dir).collect()
+    }
+    for et, ex in exact.items():
+        rel = abs(approx[et]["approx_users"] - ex["n_users"]) / max(ex["n_users"], 1)
+        assert rel < 0.1, f"{et}: approx {approx[et]['approx_users']} vs exact {ex['n_users']}"
