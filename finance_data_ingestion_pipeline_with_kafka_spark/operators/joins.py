@@ -219,3 +219,113 @@ def range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "l_linenumber", "o_totalprice", "l_extendedprice")
         .orderBy("o_orderkey", "l_linenumber")
     )
+
+
+@query(
+    "regional_revenue",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND s.s_nationkey = c.c_nationkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, nation
+    """,
+    tags=("J1", "J2", "A1"),
+    bench=True,
+)
+def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[J1/J2] TPC-H-Q5-shaped 6-way join: local-supplier revenue per
+    nation in one region. Three fact-side joins shuffle on their keys;
+    nation/region ride along broadcast. Catalyst reorders freely because
+    the whole query is declarative."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(l, l["l_orderkey"] == o["o_orderkey"])
+        .join(s, (l["l_suppkey"] == s["s_suppkey"]) & (s["s_nationkey"] == c["c_nationkey"]))
+        .join(n, c["c_nationkey"] == n["n_nationkey"])
+        .join(r, n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(dsum(revenue).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+        .orderBy(F.desc("revenue"), "nation")
+    )
+
+
+@query(
+    "order_count_histogram",
+    oracle="""
+    SELECT n_orders, COUNT(*) AS n_customers
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    )
+    GROUP BY n_orders
+    ORDER BY n_customers DESC, n_orders DESC
+    """,
+    tags=("J3", "A1"),
+)
+def order_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[J3/A1] TPC-H-Q13 shape: aggregation of an aggregation (customer
+    order-count distribution), outer join keeping zero-order customers."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_outer")
+        .groupBy(c["c_custkey"])
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy(F.desc("n_customers"), F.desc("n_orders"))
+    )
+
+
+@query(
+    "part_supplier_stats",
+    oracle="""
+    SELECT p.p_brand,
+           COUNT(DISTINCT l.l_suppkey) AS n_suppliers,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS total_qty
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size >= 20
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+    tags=("J1", "A4"),
+)
+def part_supplier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[J1/A4] Fact ⋈ mid-size dim with distinct-count per group (TPC-H
+    Q16 flavor). The part dim fits broadcast at every SF; at lake scale it
+    would be bucketed by p_partkey alongside lineitem."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = F.broadcast(load_table(spark, sf_dir, "part").filter(F.col("p_size") >= 20))
+    return (
+        l.join(p, l["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            dsum("l_quantity").alias("total_qty"),
+        )
+        .orderBy("p_brand")
+    )

@@ -1,0 +1,60 @@
+"""At-rest lake layout (SURVEY §2.1 S6/S8, §4 partitioning; the 100 TB
+posture made concrete).
+
+Three mechanisms, each with a test pinning the plan it buys:
+
+* **Partitioned writes** (`write_partitioned`): hive-style directory
+  partitioning (e.g. by event date/symbol). Buys *partition pruning* — a
+  filtered read lists only matching directories; at 100 TB a one-day query
+  touches 1/365th of the files before any I/O.
+* **Bucketed tables** (`write_bucketed`): pre-shuffled storage on the join
+  key. Buys *shuffle-free joins/aggregations* — two tables bucketed on the
+  same key join with zero Exchange in the plan; at 100 TB this removes the
+  dominant network cost of fact-fact joins.
+* **DDL parity** (`create_table_ddl`): the reference's CREATE-IF-ABSENT
+  contract (dags/...yfinance...py:108-138) expressed against the Spark
+  catalog instead of Cassandra.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """Hive-style partitioned parquet. Partition columns should be
+    low-cardinality (date, symbol-prefix, source) — one directory per
+    value per write."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 8,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed + sorted managed table. Joins/groupBys on ``bucket_col``
+    between tables with the same bucketing need no shuffle (asserted in
+    tests/test_lake.py)."""
+    writer = df.write.mode(mode).format("parquet").bucketBy(n_buckets, bucket_col)
+    if sort_col is not None:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table)
+
+
+def create_table_ddl(spark: SparkSession, table: str, schema_ddl: str, location: str) -> None:
+    """CREATE TABLE IF NOT EXISTS ... USING parquet — the reference's
+    keyspace/table bootstrap (S6) against the Spark catalog."""
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {table} ({schema_ddl}) "
+        f"USING parquet LOCATION '{location}'"
+    )

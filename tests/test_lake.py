@@ -1,0 +1,71 @@
+"""Lake-layout tests: partition pruning and bucketed shuffle-free joins —
+the two plan properties the 100 TB design depends on (SURVEY §4).
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from finance_data_ingestion_pipeline_with_kafka_spark.catalog import load_table
+from finance_data_ingestion_pipeline_with_kafka_spark.plans import executed_plan
+from finance_data_ingestion_pipeline_with_kafka_spark.sources.lake import (
+    create_table_ddl,
+    write_bucketed,
+    write_partitioned,
+)
+
+
+def test_partition_pruning(spark, sf_dir, tmp_path):
+    lake = str(tmp_path / "events_lake")
+    events = load_table(spark, sf_dir, "events")
+    write_partitioned(events, lake, ["event_type"])
+    # hive-style directories exist
+    assert any(d.startswith("event_type=") for d in os.listdir(lake))
+
+    filtered = spark.read.parquet(lake).filter(F.col("event_type") == "click")
+    p = executed_plan(filtered)
+    assert "PartitionFilters" in p and "event_type" in p.split("PartitionFilters:")[1].split("]")[0]
+    # pruned read returns exactly the partition's rows
+    expected = events.filter(F.col("event_type") == "click").count()
+    assert filtered.count() == expected
+
+
+def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path):
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force non-broadcast
+    try:
+        orders = load_table(spark, sf_dir, "orders")
+        lineitem = load_table(spark, sf_dir, "lineitem").withColumnRenamed(
+            "l_orderkey", "o_orderkey"
+        )
+        write_bucketed(orders, "b_orders", "o_orderkey", 8, sort_col="o_orderkey")
+        write_bucketed(lineitem, "b_lineitem", "o_orderkey", 8, sort_col="o_orderkey")
+        joined = spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey")
+        p = executed_plan(joined)
+        assert "Exchange" not in p, f"bucketed join still shuffles:\n{p[:1500]}"
+        assert joined.count() == lineitem.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_create_table_ddl(spark, tmp_path):
+    loc = str(tmp_path / "ddl_tbl")
+    create_table_ddl(
+        spark, "stock_data_ddl", "id STRING, datetime TIMESTAMP, close FLOAT, ticker STRING", loc
+    )
+    try:
+        assert spark.catalog.tableExists("stock_data_ddl")
+        # idempotent (IF NOT EXISTS — the reference's bootstrap contract)
+        create_table_ddl(
+            spark,
+            "stock_data_ddl",
+            "id STRING, datetime TIMESTAMP, close FLOAT, ticker STRING",
+            loc,
+        )
+        cols = [f.name for f in spark.table("stock_data_ddl").schema.fields]
+        assert cols == ["id", "datetime", "close", "ticker"]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS stock_data_ddl")
