@@ -92,3 +92,36 @@ def union_by_name_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_acctbal").alias("bal"),
     )
     return o.unionByName(c, allowMissingColumns=True).orderBy("custkey", "src", "bal")
+
+
+@query(
+    "sql_entry_revenue",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total_revenue
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("SQL",),
+)
+def sql_entry_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[§3.3 entry point 2] The same engine through ``spark.sql`` over
+    registered temp views — proves the SQL surface is first-class (the
+    Jupyter-notebook usage the reference promises, README.md:15)."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total_revenue
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )

@@ -127,3 +127,41 @@ def test_approx_distinct_within_rsd(spark, sf_dir):
     for et, ex in exact.items():
         rel = abs(approx[et]["approx_users"] - ex["n_users"]) / max(ex["n_users"], 1)
         assert rel < 0.1, f"{et}: approx {approx[et]['approx_users']} vs exact {ex['n_users']}"
+
+
+def test_salted_agg_equals_direct(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from finance_data_ingestion_pipeline_with_kafka_spark.catalog import load_table
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.skew import salted_agg
+
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = {
+        "n": ("count", F.lit(1)),
+        "total_qty": ("sum", F.col("l_quantity").cast("decimal(30,6)")),
+        "min_ship": ("min", F.col("l_shipdate")),
+        "max_ship": ("max", F.col("l_shipdate")),
+    }
+    salted = salted_agg(li, ["l_returnflag"], aggs, n_salts=8).orderBy("l_returnflag")
+    direct = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(30,6)")).alias("total_qty"),
+            F.min("l_shipdate").alias("min_ship"),
+            F.max("l_shipdate").alias("max_ship"),
+        )
+        .orderBy("l_returnflag")
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_salted_agg_rejects_non_decomposable(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from finance_data_ingestion_pipeline_with_kafka_spark.catalog import load_table
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.skew import salted_agg
+
+    li = load_table(spark, sf_dir, "lineitem")
+    with pytest.raises(ValueError, match="non-decomposable"):
+        salted_agg(li, ["l_returnflag"], {"m": ("median", F.col("l_quantity"))})
