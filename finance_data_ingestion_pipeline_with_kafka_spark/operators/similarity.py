@@ -72,16 +72,23 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", as_double("embedding").alias("v")
     )
+    # norms computed once per vector (not once per pair) — same arithmetic
+    # on the same doubles, so scores are bit-identical to the per-pair form
+    e = e.withColumn("norm", F.sqrt(dot(F.col("v"), F.col("v"))))
     q = F.broadcast(
         e.filter(F.col("vec_id") < N_QUERY_VECS).select(
-            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("norm").alias("qnorm"),
         )
     )
     scored = q.join(e, F.col("vec_id") != F.col("query_id")).select(
         "query_id",
         "vec_id",
         "label",
-        F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cosine_sim"),
+        F.round(
+            dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("norm")), 6
+        ).alias("cosine_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), "vec_id")
     return (
@@ -131,12 +138,15 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", as_double("embedding").alias("v")
     )
-    bucketed = e.withColumn("bucket", lsh_bucket(F.col("v"), planes))
+    bucketed = e.withColumn("bucket", lsh_bucket(F.col("v"), planes)).withColumn(
+        "norm", F.sqrt(dot(F.col("v"), F.col("v")))
+    )
     q = F.broadcast(
         bucketed.filter(F.col("vec_id") < N_QUERY_VECS).select(
             F.col("vec_id").alias("query_id"),
             F.col("v").alias("qv"),
             F.col("bucket").alias("qbucket"),
+            F.col("norm").alias("qnorm"),
         )
     )
     scored = q.join(
@@ -146,7 +156,9 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         "vec_id",
         "label",
-        F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cosine_sim"),
+        F.round(
+            dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("norm")), 6
+        ).alias("cosine_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), "vec_id")
     return (
@@ -182,9 +194,20 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", as_double("embedding").alias("v")
     )
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("label").alias("l_a"), F.col("v").alias("va"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("label").alias("l_b"), F.col("v").alias("vb"))
-    sim = cosine(F.col("va"), F.col("vb"))
+    e = e.withColumn("norm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    a = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("label").alias("l_a"),
+        F.col("v").alias("va"),
+        F.col("norm").alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("label").alias("l_b"),
+        F.col("v").alias("vb"),
+        F.col("norm").alias("nb"),
+    )
+    sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, (F.col("l_a") == F.col("l_b")) & (F.col("vec_a") < F.col("vec_b")))
         .withColumn("cosine_sim", F.round(sim, 6))
