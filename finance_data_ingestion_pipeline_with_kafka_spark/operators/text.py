@@ -8,7 +8,7 @@ stays inside whole-stage codegen at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -201,3 +201,45 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))).alias("fingerprint"),
     ).orderBy("doc_id")
+
+
+@query(
+    "tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT doc_id, term,
+           ROUND(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) AS tfidf
+    FROM tf JOIN df USING (term) CROSS JOIN n
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY tf * ln((n_docs + 1.0) / (df + 1.0)) DESC, term) = 1
+    ORDER BY doc_id
+    """,
+    tags=("U6",),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U6] TF-IDF as pure relational algebra: term frequency (groupBy),
+    document frequency (distinct-count), smoothed idf = ln((N+1)/(df+1)),
+    top-scoring term per document. No ML pipeline needed — and this
+    formulation scales as two hash aggregations + one broadcast-ish join
+    on the term dictionary."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens()).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # scalar; at lake scale use a precomputed stats table
+    tfidf = F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0))
+    w = Window.partitionBy("doc_id").orderBy(F.desc(tfidf), "term")
+    return (
+        tf.join(df_, "term")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "term", F.round(tfidf, 6).alias("tfidf"))
+        .orderBy("doc_id")
+    )

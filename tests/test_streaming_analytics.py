@@ -172,3 +172,75 @@ def test_running_position_stateful(spark, tmp_path):
     assert pos["MSFT"]["position"] == -7
     cash = 300.0 * 3 + 301.0 * 4
     assert pos["MSFT"]["cash_flow"] == pytest.approx(cash)
+
+
+def test_late_data_beyond_watermark_dropped(spark, tmp_path):
+    """T6: an event older than the advanced watermark must NOT create or
+    update a window (the documented divergence from the reference's
+    unbounded producer dedup: beyond-watermark late data is dropped)."""
+    import os as _os
+    import time as _time
+
+    src = tmp_path / "late_trades"
+    # batch 1: normal trades -> eviction watermark advances to max(t) - 1s.
+    # batch 2: benign current event -> the ADMISSION (late-events) filter
+    #   now also carries the advanced watermark (Spark lags it one batch
+    #   behind eviction so same-batch stragglers aren't dropped).
+    # batch 3: an event a full hour older than the watermark -> dropped.
+    f1 = write_json_fixture(str(src), [fh_msg("AAPL", 0), fh_msg("AAPL", 3600)], "f1.json")
+    f2 = write_json_fixture(str(src), [fh_msg("AAPL", 3610)], "f2.json")
+    f3 = write_json_fixture(str(src), [fh_msg("AAPL", -3600, p=555.0)], "f3.json")
+    now = _time.time()
+    for i, f in enumerate([f1, f2, f3]):  # file source orders by mtime
+        _os.utime(f, (now - 60 + 20 * i, now - 60 + 20 * i))
+    stream = finnhub_pipeline(
+        kafka_shaped_file_stream(spark, str(src), max_files_per_trigger=1),
+        dedup_watermark=None,
+    )
+    out = drain(
+        spark, tumbling_bars(stream, watermark="1 second"), "late_t", mode="append"
+    ).collect()
+    bars = {r["bar_start"].isoformat() for r in out}
+    # the -3600s event's bar (13:20) must be absent; the +0s bar must exist
+    assert "2024-01-02T14:20:00" in bars
+    assert "2024-01-02T13:20:00" not in bars
+
+
+def test_checkpoint_recovery_no_reprocessing(spark, tmp_path):
+    """T3: restarting a query on the SAME checkpoint resumes from stored
+    offsets — already-processed files are not re-read (exactly-once source
+    accounting, independent of the idempotent sink)."""
+    import os
+
+    from finance_data_ingestion_pipeline_with_kafka_spark.streaming.pipeline import (
+        finnhub_pipeline,
+    )
+
+    src, sink, cp = tmp_path / "cp_src", str(tmp_path / "cp_sink"), str(tmp_path / "cp_cp")
+    write_json_fixture(str(src), [fh_msg("AAPL", i) for i in range(5)], "f1.json")
+
+    def run_plain_append():
+        # plain append sink (NO anti-join) so any re-read would duplicate
+        raw = kafka_shaped_file_stream(spark, str(src))
+        q = (
+            finnhub_pipeline(raw, dedup_watermark=None)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_plain_append()
+    assert spark.read.parquet(sink).count() == 5
+    # second run, same checkpoint, no new data -> nothing reprocessed
+    run_plain_append()
+    assert spark.read.parquet(sink).count() == 5
+    # new file arrives -> only its rows are appended
+    write_json_fixture(str(src), [fh_msg("MSFT", 10)], "f2.json")
+    run_plain_append()
+    out = spark.read.parquet(sink)
+    assert out.count() == 6
+    assert out.filter("symbol = 'MSFT'").count() == 1
