@@ -32,19 +32,33 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
 
+#: Memoized unresolved scans keyed by (session id, sf_dir, table). A
+#: DataFrame is an immutable logical plan, so reuse is safe — and it skips
+#: the driver-side file listing + parquet footer/schema read that
+#: ``spark.read.parquet`` repeats on every call (~100 ms per table, the
+#: dominant cost of multi-table plan construction at small SF).
+_SCAN_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    key = (id(spark), sf_dir, name)
+    cached = _SCAN_CACHE.get(key)
+    if cached is not None:
+        return cached
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark rejects by
         # default. Read nanos as long and truncate to microseconds — the
         # same truncation DuckDB applies casting TIMESTAMP_NS → TIMESTAMP,
         # so both engines see identical µs values.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        df = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    _SCAN_CACHE[key] = df
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -377,3 +377,44 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus) AS g_status, GROUPING(o_orderpriority) AS g_priority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    ORDER BY g_status, g_priority, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    tags=("A6",),
+)
+def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A6] Explicit GROUPING SETS (the general form behind rollup/cube)
+    with GROUPING() flags to tell a real NULL group key from a subtotal
+    row — the report-shaping contract in one pass over the fact table
+    (Catalyst expands the sets into a single Expand + hash aggregate, not
+    one scan per set)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping("o_orderstatus").cast("bigint").alias("g_status"),
+            F.grouping("o_orderpriority").cast("bigint").alias("g_priority"),
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+        .orderBy(
+            "g_status",
+            "g_priority",
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )

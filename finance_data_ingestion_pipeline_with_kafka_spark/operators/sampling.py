@@ -1,0 +1,91 @@
+"""Deterministic sampling / dataset-splitting operators (north-star
+training-data pipeline surface; SURVEY §2.10 context).
+
+A 100 TB training corpus needs *reproducible* splits and per-domain
+sampling: random() is useless (re-runs disagree, engines disagree), so
+everything here keys off a content hash. ``md5(key)`` is identical in
+Spark and DuckDB, and the first two hex chars give a uniform 256-bucket
+lattice — comparing them lexicographically against a hex threshold
+selects a deterministic fraction with zero coordination, no shuffle, and
+full pushdown (the predicate is a pure per-row expression).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+#: first-two-hex-chars bucket of the row's content hash: 256 uniform bins.
+def _hash_bucket(key: F.Column) -> F.Column:
+    return F.substring(F.md5(key.cast("string")), 1, 2)
+
+
+_HASH_BUCKET_SQL = "substr(md5(CAST({key} AS VARCHAR)), 1, 2)"
+
+
+@query(
+    "dataset_split",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN {_HASH_BUCKET_SQL.format(key="doc_id")} < 'f0' THEN 'train'
+                WHEN {_HASH_BUCKET_SQL.format(key="doc_id")} < 'f8' THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("U6",),
+)
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (93.75 / 3.125 / 3.125 %)
+    by content-hash bucket. Every engine, every re-run, every subset of
+    the data agrees on each row's split — the property that matters when
+    the corpus is rebuilt incrementally. Narrow (no shuffle, no state);
+    at 100 TB this is a free extra column on the ingest pass."""
+    d = load_table(spark, sf_dir, "documents")
+    b = _hash_bucket(F.col("doc_id"))
+    split = (
+        F.when(b < "f0", F.lit("train")).when(b < "f8", F.lit("val")).otherwise(F.lit("test"))
+    )
+    return d.select("doc_id", split.alias("split")).orderBy("doc_id")
+
+
+#: per-language keep-rate as a hex threshold over the 256-bin lattice:
+#: de 100% · fr 75% ('c0'=192/256) · es 50% ('80') · en 25% ('40') ·
+#: zh 12.5% ('20') — the "domain mixing" shape: downsample the dominant
+#: source, keep the scarce ones.
+_RATES = {"de": "zz", "fr": "c0", "es": "80", "en": "40", "zh": "20"}
+_DEFAULT_RATE = "40"
+
+
+@query(
+    "stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE {_HASH_BUCKET_SQL.format(key="doc_id")} <
+          CASE lang WHEN 'de' THEN 'zz' WHEN 'fr' THEN 'c0' WHEN 'es' THEN '80'
+                    WHEN 'en' THEN '40' WHEN 'zh' THEN '20' ELSE '40' END
+    ORDER BY doc_id
+    """,
+    tags=("U6",),
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group deterministic sampling at group-specific rates (domain
+    mixing for training corpora). Same hash-threshold trick as
+    :func:`dataset_split`, with the threshold looked up per language.
+    Unlike ``df.sampleBy`` (seeded RNG, partitioning-sensitive) this is
+    exactly reproducible and engine-independent; the filter is a narrow
+    per-row predicate — no shuffle at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    thresh = F.coalesce(
+        F.create_map(*[F.lit(x) for kv in _RATES.items() for x in kv])[F.col("lang")],
+        F.lit(_DEFAULT_RATE),
+    )
+    return (
+        d.filter(_hash_bucket(F.col("doc_id")) < thresh)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )

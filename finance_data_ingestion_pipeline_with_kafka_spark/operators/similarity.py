@@ -215,3 +215,87 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", "cosine_sim")
         .orderBy("vec_a", "vec_b")
     )
+
+
+N_PROBE = 3  # clusters searched per query
+
+
+@query("ivf_ann", tags=("U5",))
+def ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U5] IVF (inverted-file) ANN: "train" a coarse quantizer (centroid =
+    per-cluster mean vector — one hash aggregation over the corpus, the
+    k-means-update step), assign every vector to its nearest centroid (the
+    "cell"), then search only the query's N_PROBE nearest cells. This is
+    the second scale path next to ``ann_lsh_bucketed``: at 100 TB the
+    corpus is written partitioned by ``cell``, so a query reads roughly
+    N_PROBE/N_cells of the data with no shuffle, and the centroid table
+    (KB-sized) broadcasts everywhere. The cluster seed here is the fixture's
+    ``label`` column; a production build would iterate k-means from random
+    seeds — placement changes recall, not the plan shape.
+    Approximate by design → rows-only oracle; recall vs ``knn_bruteforce``
+    is asserted in tests/test_extension_semantics.py."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double("embedding").alias("v")
+    )
+    e = e.withColumn("norm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    # centroid training: element-wise mean per cluster via posexplode →
+    # avg per (cluster, dim) → re-assemble in dim order
+    cent_dims = (
+        e.select("label", F.posexplode("v").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.avg("x").alias("m"))
+    )
+    cents = F.broadcast(
+        cent_dims.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+        .select(
+            F.col("label").alias("cid"),
+            F.transform("dm", lambda s: s["m"]).alias("cv"),
+        )
+        .withColumn("cnorm", F.sqrt(dot(F.col("cv"), F.col("cv"))))
+    )
+    # cell assignment: argmax cosine(corpus vec, centroid) — one broadcast
+    # nested-loop pass over the corpus, no shuffle of the big side
+    csim = dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cnorm"))
+    assigned = (
+        e.join(cents)
+        .select("vec_id", "label", "v", "norm", "cid", csim.alias("csim"))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by("cid", F.struct(F.round("csim", 9), (-F.col("cid")).alias("tb"))).alias(
+                "cell"
+            ),
+            F.first("label").alias("label"),
+            F.first("v").alias("v"),
+            F.first("norm").alias("norm"),
+        )
+    )
+    # query probe list: the N_PROBE nearest cells per query vector
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("norm").alias("qnorm")
+    )
+    qsim = dot(F.col("qv"), F.col("cv")) / (F.col("qnorm") * F.col("cnorm"))
+    wq = Window.partitionBy("query_id").orderBy(F.desc(F.round(F.col("qsim"), 9)), "cid")
+    probes = F.broadcast(
+        q.join(cents)
+        .select("query_id", "qv", "qnorm", "cid", qsim.alias("qsim"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= N_PROBE)
+        .select("query_id", "qv", "qnorm", F.col("cid").alias("cell"))
+    )
+    # search only the probed cells
+    scored = probes.join(assigned, "cell").filter(F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        "vec_id",
+        "label",
+        F.round(dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("norm")), 6).alias(
+            "cosine_sim"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "vec_id", "label", "cosine_sim")
+        .orderBy("query_id", F.desc("cosine_sim"), "vec_id")
+    )

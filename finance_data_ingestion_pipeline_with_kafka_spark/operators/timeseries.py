@@ -287,3 +287,71 @@ def last_closed_bar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .orderBy("user_id")
     )
+
+
+@query(
+    "multi_resolution_bars",
+    oracle="""
+    WITH events_us AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    ranked AS (
+      SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS bar_start, ts, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type, time_bucket(INTERVAL '1 hour', ts)
+                                ORDER BY ts, event_id) AS rn_open,
+             ROW_NUMBER() OVER (PARTITION BY event_type, time_bucket(INTERVAL '1 hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_close
+      FROM events_us
+    ),
+    fine AS (
+      SELECT event_type, bar_start,
+             MAX(CASE WHEN rn_open = 1 THEN value END) AS open,
+             CAST(MAX(value) AS DOUBLE) AS high,
+             CAST(MIN(value) AS DOUBLE) AS low,
+             MAX(CASE WHEN rn_close = 1 THEN value END) AS close,
+             COUNT(*) AS n_ticks,
+             CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS volume_proxy
+      FROM ranked GROUP BY event_type, bar_start
+    )
+    SELECT event_type, time_bucket(INTERVAL '6 hours', bar_start) AS bar_start,
+           arg_min(open, bar_start) AS open,
+           MAX(high) AS high,
+           MIN(low) AS low,
+           arg_max(close, bar_start) AS close,
+           CAST(SUM(n_ticks) AS BIGINT) AS n_ticks,
+           CAST(SUM(CAST(volume_proxy AS DECIMAL(30,6))) AS DOUBLE) AS volume_proxy
+    FROM fine
+    GROUP BY event_type, time_bucket(INTERVAL '6 hours', bar_start)
+    ORDER BY event_type, bar_start
+    """,
+    tags=("A2",),
+)
+def multi_resolution_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A2] Hypertable-style continuous-aggregate rollup: 6-hour bars
+    derived FROM the 1-hour bar table, not from raw ticks. OHLCV composes
+    exactly across resolutions (open-of-earliest, max, min,
+    close-of-latest, sums), so each coarser level reads the much smaller
+    finer level — at 100 TB the 6 h rollup scans the 1 h aggregate
+    (~1/10000th of the raw data) and the cascade is incremental-refresh
+    friendly. ``bar_start`` is unique per group at level 2, so
+    ``min_by/max_by`` on it is a total ordering (deterministic)."""
+    e = load_table(spark, sf_dir, "events")
+    tiebreak = F.struct(F.col("ts"), F.col("event_id"))
+    fine = e.groupBy("event_type", F.window("ts", "1 hour").start.alias("bar_start")).agg(
+        F.min_by("value", tiebreak).alias("open"),
+        F.max("value").cast("double").alias("high"),
+        F.min("value").cast("double").alias("low"),
+        F.max_by("value", tiebreak).alias("close"),
+        F.count(F.lit(1)).alias("n_ticks"),
+        dsum("value").alias("volume_proxy"),
+    )
+    return (
+        fine.groupBy("event_type", F.window("bar_start", "6 hours").start.alias("bar_start"))
+        .agg(
+            F.min_by("open", F.col("bar_start")).alias("open"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.max_by("close", F.col("bar_start")).alias("close"),
+            F.sum("n_ticks").alias("n_ticks"),
+            dsum("volume_proxy").alias("volume_proxy"),
+        )
+        .orderBy("event_type", "bar_start")
+    )

@@ -60,6 +60,7 @@ def load_all() -> dict[str, QuerySpec]:
         multimodal,
         pandas_udfs,
         relational,
+        sampling,
         setops,
         similarity,
         text,
