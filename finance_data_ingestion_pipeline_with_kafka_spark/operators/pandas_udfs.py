@@ -157,3 +157,46 @@ def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(_tokenize_rows, schema=_EXPLODE_SCHEMA)
         .orderBy("doc_id", "position")
     )
+
+
+@query(
+    "udtf_bigrams",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents WHERE doc_id < 20
+    )
+    SELECT doc_id, UNNEST(range(len(t) - 1)) AS pos,
+           UNNEST(list_transform(list_zip(t[:len(t)-1], t[2:]), s -> s[1] || ' ' || s[2])) AS ngram
+    FROM toks WHERE len(t) >= 2
+    ORDER BY doc_id, pos
+    """,
+    tags=("U3",),
+)
+def udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U3] A real Python UDTF (Spark 4 ``@udtf``, Arrow-optimized) used
+    via ``LATERAL`` — one input row expands to N output rows inside the
+    executor, streaming batches over Arrow. This is the genuine UDTF
+    surface next to the ``mapInPandas`` formulation in
+    :func:`udtf_tokenize`; prefer built-in ``explode`` when the expansion
+    is expressible — a Python UDTF is for logic builtins can't state."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos bigint, ngram string", useArrow=True)
+    class Bigrams:
+        def eval(self, text: str):
+            toks = (text or "").strip().split()
+            for i in range(len(toks) - 1):
+                yield i, toks[i] + " " + toks[i + 1]
+
+    spark.udtf.register("engine_bigrams", Bigrams)
+    load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20).createOrReplaceTempView(
+        "_udtf_docs"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.ngram
+        FROM _udtf_docs d, LATERAL engine_bigrams(d.text) t
+        ORDER BY doc_id, pos
+        """
+    )

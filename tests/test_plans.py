@@ -69,3 +69,21 @@ def test_argmax_is_hash_agg_not_window(spark, sf_dir):
     p = executed_plan(q(spark, sf_dir, "argmax_order"))
     assert "max_by" in p or "HashAggregate" in p
     assert "RunningWindowFunction" not in p
+
+
+def test_sampling_is_narrow_no_shuffle(spark, sf_dir):
+    """dataset_split / stratified_sample must stay narrow per-row
+    predicates: no Exchange (shuffle) anywhere except the final
+    presentation sort, and the scan reads only the needed columns."""
+    df = q(spark, sf_dir, "stratified_sample")
+    plan = executed_plan(df)
+    # the only shuffle allowed is the presentation sort's range exchange
+    assert plan.count("Exchange") <= 1
+    assert "hashpartitioning" not in plan
+    assert "text" not in read_schema(df)  # projection pruned to doc_id/lang
+
+
+def test_ivf_centroids_broadcast(spark, sf_dir):
+    """The IVF centroid table must ride a broadcast join — the corpus
+    side is never shuffled for the probe."""
+    assert has_broadcast_hash_join(q(spark, sf_dir, "ivf_ann"))
