@@ -222,6 +222,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY doc_id
     """,
     tags=("U6",),
+    bench=True,
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[U6] TF-IDF as pure relational algebra: term frequency (groupBy),

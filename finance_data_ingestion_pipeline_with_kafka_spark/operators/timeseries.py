@@ -323,6 +323,7 @@ def last_closed_bar(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY event_type, bar_start
     """,
     tags=("A2",),
+    bench=True,
 )
 def multi_resolution_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[A2] Hypertable-style continuous-aggregate rollup: 6-hour bars

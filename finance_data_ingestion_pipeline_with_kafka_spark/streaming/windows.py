@@ -110,10 +110,14 @@ def stream_stream_join(
     bar_watermark: str = "10 minutes",
     trade_watermark: str = "10 minutes",
     join_horizon: str = "1 minute",
+    how: str = "inner",
 ) -> DataFrame:
-    """J8: stream-stream inner join — trades matched to the bar whose
+    """J8: stream-stream join — trades matched to the bar whose
     [start, start+horizon) interval contains them. Both sides carry
     watermarks + a time-range condition so Spark can bound join state.
+    ``how`` extends to ``left_outer``/``full_outer``: unmatched rows are
+    emitted null-padded once the watermark passes the join horizon (state
+    for them is then evicted — bounded regardless of stream length).
 
     ``bars`` shape: (ticker, datetime, close); ``trades`` shape:
     (symbol, datetime, last_price, volume).
@@ -134,6 +138,7 @@ def stream_stream_join(
         (F.col("b_symbol") == F.col("t_symbol"))
         & (F.col("trade_time") >= F.col("bar_time"))
         & (F.col("trade_time") < F.col("bar_time") + F.expr(f"INTERVAL {join_horizon}")),
+        how,
     ).select(
         F.col("b_symbol").alias("symbol"),
         "bar_time",

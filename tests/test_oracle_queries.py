@@ -27,3 +27,22 @@ def test_rows_only_runs(spark, sf_dir, name):
     df = CATALOG[name].fn(spark, sf_dir)
     assert df.columns  # schema resolves
     assert df.count() >= 0
+
+
+def test_bad_sf_dir_raises_cleanly(spark):
+    """A nonexistent data dir must surface Spark's own PATH_NOT_FOUND
+    analysis error, not an engine-internal failure."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    with pytest.raises(AnalysisException, match="PATH_NOT_FOUND"):
+        CATALOG["pricing_summary"].fn(spark, "/root/testdata/sf_nope").collect()
+
+
+def test_query_reruns_are_identical(spark, sf_dir):
+    """Two executions of the same query return byte-identical frames —
+    the determinism contract (DECIMAL accumulation, total-order picks)."""
+    import pandas as pd
+
+    fn = CATALOG["pricing_summary"].fn
+    a, b = fn(spark, sf_dir).toPandas(), fn(spark, sf_dir).toPandas()
+    pd.testing.assert_frame_equal(a, b)

@@ -244,3 +244,56 @@ def test_checkpoint_recovery_no_reprocessing(spark, tmp_path):
     out = spark.read.parquet(sink)
     assert out.count() == 6
     assert out.filter("symbol = 'MSFT'").count() == 1
+
+
+def test_stream_stream_left_outer_join(spark, tmp_path):
+    """J8 outer: a bar with NO matching trades must still be emitted,
+    null-padded, once the watermark passes its join horizon."""
+    import os as _os
+    import time as _time
+
+    from finance_data_ingestion_pipeline_with_kafka_spark.streaming.pipeline import (
+        yfinance_pipeline,
+    )
+
+    def bar(ticker, dt_iso, close):
+        return json.dumps(
+            {
+                "Datetime": dt_iso,
+                "Open": close,
+                "High": close,
+                "Low": close,
+                "Close": close,
+                "Adj Close": close,
+                "Volume": 50,
+                "Dividends": 0.0,
+                "Stock Splits": 0.0,
+                "ticker": ticker,
+            }
+        )
+
+    bsrc, tsrc = tmp_path / "ob_src", tmp_path / "ot_src"
+    # GOOG bar at 14:20 has no trades at all; a later bar advances the
+    # bar-side watermark far enough to close the 14:20 join window.
+    write_json_fixture(str(bsrc), [bar("GOOG", "2024-01-02T14:20:00", 55.0)], "b1.json")
+    f2 = write_json_fixture(str(bsrc), [bar("GOOG", "2024-01-02T15:30:00", 56.0)], "b2.json")
+    # trades exist only for AAPL, and also advance the trade-side watermark
+    write_json_fixture(str(tsrc), [fh_msg("AAPL", 0, 100.0, 1)], "t1.json")
+    f4 = write_json_fixture(str(tsrc), [fh_msg("AAPL", 4800, 100.0, 1)], "t2.json")
+    now = _time.time()
+    for i, f in enumerate([f2, f4]):  # late files in a later micro-batch
+        _os.utime(f, (now + 5 + i, now + 5 + i))
+    bars = yfinance_pipeline(
+        kafka_shaped_file_stream(spark, str(bsrc), max_files_per_trigger=1)
+    )
+    trades = finnhub_pipeline(
+        kafka_shaped_file_stream(spark, str(tsrc), max_files_per_trigger=1),
+        dedup_watermark=None,
+    )
+    joined = stream_stream_join(bars, trades, how="left_outer")
+    out = drain(spark, joined, "ss_outer").collect()
+    unmatched = [r for r in out if r["trade_time"] is None]
+    assert any(
+        r["symbol"] == "GOOG" and r["bar_close"] == pytest.approx(55.0) for r in unmatched
+    )
+
