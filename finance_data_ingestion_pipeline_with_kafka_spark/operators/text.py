@@ -233,13 +233,15 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(tokens()).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # document frequency falls out of the tf table (one row per doc×term)
+    # as a window count over term — no second tokenization pass, no
+    # countDistinct, and no dictionary join to shuffle-build
     n_docs = d.count()  # scalar; at lake scale use a precomputed stats table
+    with_df = tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
     tfidf = F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0))
     w = Window.partitionBy("doc_id").orderBy(F.desc(tfidf), "term")
     return (
-        tf.join(df_, "term")
-        .withColumn("rn", F.row_number().over(w))
+        with_df.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("doc_id", "term", F.round(tfidf, 6).alias("tfidf"))
         .orderBy("doc_id")

@@ -40,6 +40,11 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # runtime row-level filtering: inject a bloom filter built from the
+        # selective side of a shuffle join into the big side's scan — at
+        # lake scale this prunes most of the probe-side IO for
+        # dim-filtered fact joins (no-op when the build side is too large)
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.driver.memory", os.environ.get("ENGINE_DRIVER_MEMORY", "8g"))

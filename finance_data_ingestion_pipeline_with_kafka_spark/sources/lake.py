@@ -58,3 +58,33 @@ def create_table_ddl(spark: SparkSession, table: str, schema_ddl: str, location:
         f"CREATE TABLE IF NOT EXISTS {table} ({schema_ddl}) "
         f"USING parquet LOCATION '{location}'"
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    shard_key: str,
+    mode: str = "overwrite",
+) -> None:
+    """Balanced, deterministic output sharding for training-data exports:
+    shard = md5-bucket of ``shard_key`` modulo ``n_shards``, then one file
+    per shard via ``repartition(n_shards, shard)``. Deterministic (a row
+    always lands in the same shard across rebuilds — same property as
+    ``operators/sampling.py`` splits), balanced (hash-uniform, no
+    straggler shards), and downstream loaders can read any subset of
+    shards as an unbiased sample. At 100 TB pick n_shards so each shard
+    is ~0.5–1 GB."""
+    from pyspark.sql import functions as F
+
+    shard = (
+        F.conv(F.substring(F.md5(F.col(shard_key).cast("string")), 1, 8), 16, 10)
+        .cast("long") % n_shards
+    ).alias("shard")
+    (
+        df.withColumn("shard", shard)
+        .repartition(n_shards, "shard")
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(path)
+    )

@@ -69,3 +69,28 @@ def test_create_table_ddl(spark, tmp_path):
         assert cols == ["id", "datetime", "close", "ticker"]
     finally:
         spark.sql("DROP TABLE IF EXISTS stock_data_ddl")
+
+
+def test_training_shards_balanced_and_deterministic(spark, sf_dir, tmp_path):
+    from finance_data_ingestion_pipeline_with_kafka_spark.sources.lake import (
+        write_training_shards,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "shards")
+    write_training_shards(docs, out, n_shards=8, shard_key="doc_id")
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    sizes = {r["shard"]: r["count"] for r in back.groupBy("shard").count().collect()}
+    assert len(sizes) == 8
+    # hash-uniform: no shard more than 3x the smallest (tiny-sample slack)
+    assert max(sizes.values()) <= 3 * min(sizes.values())
+    # deterministic: same row -> same shard on rewrite
+    out2 = str(tmp_path / "shards2")
+    write_training_shards(docs, out2, n_shards=8, shard_key="doc_id")
+    a = {r["doc_id"]: r["shard"] for r in back.select("doc_id", "shard").collect()}
+    b = {
+        r["doc_id"]: r["shard"]
+        for r in spark.read.parquet(out2).select("doc_id", "shard").collect()
+    }
+    assert a == b
