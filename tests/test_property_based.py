@@ -1,0 +1,120 @@
+"""Property-based tests (hypothesis): the hand-rolled composite recipes
+must agree with independent references on arbitrary generated inputs, not
+just the fixture tables — as-of join vs pandas ``merge_asof``, salted
+aggregation vs plain ``groupBy``.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from finance_data_ingestion_pipeline_with_kafka_spark.operators.skew import salted_agg
+
+from .conftest import get_test_spark
+
+EVENT = st.tuples(
+    st.integers(min_value=1, max_value=5),  # user_id
+    st.integers(min_value=0, max_value=50),  # ts (seconds)
+    st.sampled_from(["purchase", "click"]),
+    st.integers(min_value=1, max_value=100),  # value
+)
+
+
+def _asof_recipe(spark, rows):
+    """The engine's union + carry-forward as-of recipe over generated
+    (event_id, user_id, ts, event_type, value) rows."""
+    df = spark.createDataFrame(
+        [(i, u, float(t), et, float(v)) for i, (u, t, et, v) in enumerate(rows)],
+        "event_id long, user_id long, ts double, event_type string, value double",
+    )
+    left = df.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value", F.lit(1).alias("side")
+    )
+    right = df.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value", F.lit(0).alias("side")
+    )
+    unioned = left.unionByName(right)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r_val = F.when(F.col("side") == 0, F.col("value"))
+    carried = unioned.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        "side",
+        F.last(r_val, ignorenulls=True).over(w).alias("last_click_value"),
+    )
+    return (
+        carried.filter(F.col("side") == 1)
+        .select("event_id", "user_id", "ts", "last_click_value")
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=st.lists(EVENT, min_size=1, max_size=40))
+def test_asof_recipe_matches_pandas_merge_asof(rows):
+    spark = get_test_spark()
+    got = _asof_recipe(spark, rows)
+    pdf = pd.DataFrame(
+        [(i, u, float(t), et, float(v)) for i, (u, t, et, v) in enumerate(rows)],
+        columns=["event_id", "user_id", "ts", "event_type", "value"],
+    )
+    left = pdf[pdf.event_type == "purchase"].sort_values(["ts", "event_id"])
+    right = pdf[pdf.event_type == "click"].sort_values(["ts", "event_id"])
+    if left.empty:
+        assert got.empty
+        return
+    # pandas reference: backward (<=) as-of per user; on duplicate right
+    # timestamps merge_asof takes the LAST row in sort order — matching
+    # the recipe's largest-event_id tie-break
+    ref = pd.merge_asof(
+        left,
+        right[["user_id", "ts", "value"]].rename(columns={"value": "last_click_value"}),
+        on="ts",
+        by="user_id",
+        direction="backward",
+    ).sort_values("event_id")[["event_id", "user_id", "ts", "last_click_value"]].reset_index(
+        drop=True
+    )
+    pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+
+
+GROUP_ROW = st.tuples(
+    st.sampled_from(["AAPL", "MSFT", "GOOG"]),
+    st.integers(min_value=-1000, max_value=1000),
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=st.lists(GROUP_ROW, min_size=1, max_size=60), n_salts=st.sampled_from([1, 4, 16]))
+def test_salted_agg_equals_plain_groupby(rows, n_salts):
+    spark = get_test_spark()
+    df = spark.createDataFrame(rows, "sym string, x long")
+    got = {
+        (r["sym"],): (r["total"], r["n"], r["mx"])
+        for r in salted_agg(
+            df,
+            ["sym"],
+            {"total": ("sum", F.col("x")), "n": ("count", F.col("x")), "mx": ("max", F.col("x"))},
+            n_salts=n_salts,
+        ).collect()
+    }
+    want = {
+        (r["sym"],): (r["total"], r["n"], r["mx"])
+        for r in df.groupBy("sym")
+        .agg(F.sum("x").alias("total"), F.count("x").alias("n"), F.max("x").alias("mx"))
+        .collect()
+    }
+    assert got == want
