@@ -418,3 +418,20 @@ def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderpriority").asc_nulls_first(),
         )
     )
+
+
+@query("hll_sketch_users", tags=("A4",))
+def hll_sketch_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A4] Distinct users per event type via a mergeable HLL sketch
+    (``hll_sketch_agg``, Datasketches-compatible binary). At 100 TB this is
+    how distinct-count works: per-partition sketches shuffle as ~KB blobs
+    (not raw keys), merge associatively (``hll_union_agg``), persist as a
+    rollup column, and re-aggregate across any dimension without rescanning
+    raw data. Estimate is engine-specific → rows-only oracle; the exact
+    counterpart is ``distinct_count``, mergeability is unit-tested."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("approx_users"))
+        .orderBy("event_type")
+    )

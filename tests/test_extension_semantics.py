@@ -251,3 +251,36 @@ def test_multi_resolution_matches_direct(spark, sf_dir):
         for r in multi_resolution_bars(spark, sf_dir).collect()
     }
     assert rolled == direct
+
+
+def test_hll_sketches_merge_associatively(spark, sf_dir):
+    """Sketch-of-whole equals union-of-partial-sketches (the property
+    that lets rollup tables answer distinct-counts without raw data),
+    and the estimate tracks the exact count."""
+    from finance_data_ingestion_pipeline_with_kafka_spark.catalog import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    whole = {
+        r["event_type"]: r["est"]
+        for r in e.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"))
+        .collect()
+    }
+    merged = {
+        r["event_type"]: r["est"]
+        for r in e.withColumn("half", F.col("user_id") % 2)
+        .groupBy("event_type", "half")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .collect()
+    }
+    assert whole == merged
+    exact = {
+        r["event_type"]: r["n"]
+        for r in e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for et, est in whole.items():
+        assert abs(est - exact[et]) / max(exact[et], 1) < 0.05
