@@ -27,8 +27,8 @@ TOKEN_SPLIT = r"\s+"
 
 
 def tokens(col: str = "text") -> F.Column:
-    """Whitespace tokenization of trimmed text (BPE-ish regex splits live in
-    ``token_stats``)."""
+    """Whitespace tokenization of trimmed text (the BPE-ish piece counter
+    lives in ``bpe_token_count``)."""
     return F.split(F.trim(F.col(col)), TOKEN_SPLIT)
 
 
@@ -245,4 +245,93 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "term", F.round(tfidf, 6).alias("tfidf"))
         .orderBy("doc_id")
+    )
+
+
+#: GPT-2-ish pre-tokenizer shape: letter runs | digit runs | single
+#: punctuation marks. Portable between Java regex (Spark) and DuckDB's RE2.
+BPE_PIECE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+@query(
+    "bpe_token_count",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_pieces,
+           len(string_split_regex(trim(text), '\\s+')) AS n_whitespace_tokens
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("U6",),
+)
+def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U6] BPE-ish token counting: pre-tokenizer pieces (letter runs,
+    digit runs, punctuation marks) as the LLM-token-budget estimator, next
+    to the plain whitespace count. Pure per-row regexp work inside
+    codegen — the cheap first-pass budget filter a training pipeline runs
+    before real tokenization."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(BPE_PIECE), F.lit(0))).alias("n_pieces"),
+        F.size(tokens()).alias("n_whitespace_tokens"),
+    ).orderBy("doc_id")
+
+
+WINNOW_K = 3  # tokens per k-gram
+WINNOW_W = 4  # grams per winnowing window
+
+
+@query(
+    "winnow_fingerprints",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, pos, tok FROM (
+        SELECT doc_id,
+               generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) - 1 AS pos,
+               unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM documents
+      )
+    ), grams AS (
+      SELECT doc_id, pos,
+             md5(tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w) AS gh,
+             lead(tok, 2) OVER w AS tail
+      FROM tok
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+      QUALIFY tail IS NOT NULL
+    )
+    SELECT DISTINCT doc_id,
+           MIN(gh) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+    FROM grams
+    ORDER BY doc_id, fp
+    """,
+    tags=("U4", "U6",),
+)
+def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U4/U6] Winnowing document fingerprints (the MOSS rolling-hash
+    scheme): hash every 3-token k-gram, slide a 4-gram window, keep each
+    window's minimum hash. Guarantees any shared run of ≥ k+w-1 tokens
+    between two documents shares a fingerprint — the substring-overlap
+    detector that pairwise comparison can't give you at corpus scale.
+    Two window passes over the same (doc_id, pos) sort → one shuffle;
+    fingerprints join against themselves bucket-wise for overlap mining."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.posexplode(F.split(F.trim(F.col("text")), TOKEN_SPLIT)).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    gram = F.concat_ws(" ", F.col("tok"), F.lead("tok", 1).over(w), F.lead("tok", 2).over(w))
+    grams = (
+        tok.select("doc_id", "pos", F.md5(gram).alias("gh"), F.lead("tok", 2).over(w).alias("tail"))
+        .filter(F.col("tail").isNotNull())
+        .drop("tail")
+    )
+    ww = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WINNOW_W - 1)
+    return (
+        grams.select("doc_id", F.min("gh").over(ww).alias("fp"))
+        .distinct()
+        .orderBy("doc_id", "fp")
     )
