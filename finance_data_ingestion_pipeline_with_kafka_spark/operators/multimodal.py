@@ -143,3 +143,98 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("features", 2), 6).alias("bin1"),
         F.size("features").alias("n_bins"),
     ).orderBy("doc_id")
+
+
+FRAME_CHARS = 64  # frame size (chars stand in for pixel rows)
+FRAME_STRIDE = 4  # keep every 4th frame
+
+
+@query(
+    "frame_sample",
+    oracle=f"""
+    SELECT doc_id,
+           UNNEST(range(0, len(text) // {FRAME_CHARS}, {FRAME_STRIDE})) AS frame_idx,
+           len(text) // {FRAME_CHARS} AS n_frames,
+           UNNEST(list_transform(range(0, len(text) // {FRAME_CHARS}, {FRAME_STRIDE}),
+                  i -> md5(substring(text, i * {FRAME_CHARS} + 1, {FRAME_CHARS}))))
+             AS frame_md5
+    FROM documents
+    WHERE len(text) >= {FRAME_CHARS}
+    ORDER BY doc_id, frame_idx
+    """,
+    tags=("U7",),
+)
+def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U7] Deterministic frame sampling — the video-keyframe shape: the
+    payload is a sequence of fixed-size frames; keep every
+    ``FRAME_STRIDE``-th complete frame. Pure expression work (sequence →
+    explode → substring), no Python: sampling runs at scan speed and the
+    frame decode (the expensive kernel) happens only on the sampled ~25%.
+    Frames are identified by content hash so the oracle compares bytes."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= FRAME_CHARS)
+    n_frames = (F.length("text") / FRAME_CHARS).cast("long")
+    idx = F.explode(
+        F.sequence(F.lit(0), (n_frames - 1).cast("long"), F.lit(FRAME_STRIDE))
+    ).alias("frame_idx")
+    framed = d.select("doc_id", n_frames.alias("n_frames"), idx)
+    frame = F.substring(
+        F.col("text"), F.col("frame_idx").cast("int") * FRAME_CHARS + 1, FRAME_CHARS
+    )
+    return (
+        framed.join(load_table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
+        .select("doc_id", "frame_idx", "n_frames", F.md5(F.encode(frame, "utf-8")).alias("frame_md5"))
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
+RESIZE_STRIDE = 8  # keep every 8th byte
+
+
+def resize_media(df: DataFrame, stride: int = RESIZE_STRIDE) -> DataFrame:
+    """Arrow-batched payload downsampling (the image-resize shape): keep
+    every ``stride``-th byte of the decoded payload. Swap the stride slice
+    for a real resampling kernel; the Spark plumbing — binary in, smaller
+    binary out, metadata preserved — is the production shape."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload, meta in zip(pdf["doc_id"], pdf["payload"], pdf["meta"]):
+                raw = decode_media(bytes(payload), meta["mime"])
+                small = raw[::stride]
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "mime": meta["mime"],
+                        "n_bytes_in": len(raw),
+                        "n_bytes_out": len(small),
+                        "thumb": small,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "mime", "n_bytes_in", "n_bytes_out", "thumb"]
+            )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("mime", StringType()),
+            StructField("n_bytes_in", LongType()),
+            StructField("n_bytes_out", LongType()),
+            StructField("thumb", BinaryType()),
+        ]
+    )
+    return df.mapInPandas(_resize, schema=schema)
+
+
+@query("media_resize", tags=("U7", "U1"))
+def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U7] Resize/downsample over the multimodal table (rows-only oracle;
+    the exact stride kernel is pinned in unit tests)."""
+    out = resize_media(media_table(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        "n_bytes_in",
+        "n_bytes_out",
+        F.md5("thumb").alias("thumb_md5"),
+    ).orderBy("doc_id")

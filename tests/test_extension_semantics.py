@@ -284,3 +284,47 @@ def test_hll_sketches_merge_associatively(spark, sf_dir):
     }
     for et, est in whole.items():
         assert abs(est - exact[et]) / max(exact[et], 1) < 0.05
+
+
+def test_resize_media_exact_stride(spark):
+    """The resize kernel is an exact stride slice: bytes, length, and
+    metadata all pinned."""
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.multimodal import (
+        resize_media,
+    )
+
+    text = "abcdefghijklmnopqrstuvwxyz0123456789"
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"]).select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.lit(len(text)).alias("n_bytes"),
+            F.lit("t").alias("origin"),
+        ).alias("meta"),
+    )
+    row = resize_media(df, stride=8).collect()[0]
+    assert bytes(row["thumb"]) == text.encode()[::8]
+    assert row["n_bytes_in"] == len(text)
+    assert row["n_bytes_out"] == len(text.encode()[::8])
+
+
+def test_frame_sample_counts(spark, sf_dir):
+    """Every sampled frame index is a multiple of the stride and within
+    n_frames; every eligible doc appears."""
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.multimodal import (
+        FRAME_CHARS,
+        FRAME_STRIDE,
+        frame_sample,
+    )
+    from finance_data_ingestion_pipeline_with_kafka_spark.catalog import load_table
+
+    rows = frame_sample(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["frame_idx"] % FRAME_STRIDE == 0
+        assert 0 <= r["frame_idx"] < r["n_frames"]
+    eligible = (
+        load_table(spark, sf_dir, "documents").filter(F.length("text") >= FRAME_CHARS).count()
+    )
+    assert len({r["doc_id"] for r in rows}) == eligible
