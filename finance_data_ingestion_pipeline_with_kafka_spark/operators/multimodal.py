@@ -176,15 +176,14 @@ def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = F.explode(
         F.sequence(F.lit(0), (n_frames - 1).cast("long"), F.lit(FRAME_STRIDE))
     ).alias("frame_idx")
-    framed = d.select("doc_id", n_frames.alias("n_frames"), idx)
+    # text rides through the explode — no self-join back to the table
+    framed = d.select("doc_id", "text", n_frames.alias("n_frames"), idx)
     frame = F.substring(
         F.col("text"), F.col("frame_idx").cast("int") * FRAME_CHARS + 1, FRAME_CHARS
     )
-    return (
-        framed.join(load_table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
-        .select("doc_id", "frame_idx", "n_frames", F.md5(F.encode(frame, "utf-8")).alias("frame_md5"))
-        .orderBy("doc_id", "frame_idx")
-    )
+    return framed.select(
+        "doc_id", "frame_idx", "n_frames", F.md5(F.encode(frame, "utf-8")).alias("frame_md5")
+    ).orderBy("doc_id", "frame_idx")
 
 
 RESIZE_STRIDE = 8  # keep every 8th byte

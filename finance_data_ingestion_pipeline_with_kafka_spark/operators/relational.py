@@ -300,3 +300,55 @@ def variant_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "table_profile",
+    oracle="""
+    SELECT 'o_custkey' AS column_name,
+           CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_custkey) AS VARCHAR) AS min_value,
+           CAST(MAX(o_custkey) AS VARCHAR) AS max_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus',
+           CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+           MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority',
+           CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+           MIN(o_orderpriority), MAX(o_orderpriority)
+    FROM orders
+    ORDER BY column_name
+    """,
+    tags=("A1", "A4"),
+)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling: per-column null count, distinct count, min/max —
+    the ingest-validation pass a training pipeline runs before trusting a
+    new drop. ONE scan computes every column's metrics as a wide
+    aggregate, then unpivots to long form (the oracle's UNION ALL rescans
+    instead; same values) — at 100 TB the single-pass shape is the only
+    affordable one."""
+    o = load_table(spark, sf_dir, "orders")
+    cols = ["o_custkey", "o_orderstatus", "o_orderpriority"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nnulls"),
+            F.countDistinct(c).alias(f"{c}__ndistinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nnulls, {c}__ndistinct, {c}__min, {c}__max" for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(column_name, n_nulls, n_distinct, min_value, max_value)"
+    ).orderBy("column_name")

@@ -88,3 +88,33 @@ def write_training_shards(
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+def compact_small_files(
+    spark: SparkSession, path: str, target_file_bytes: int = 128 * 1024 * 1024
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into
+    ceil(total_bytes / target) files. Streaming appends and fine-grained
+    partitions accumulate KB-sized files whose open/footer overhead
+    dominates scans at lake scale; periodic compaction restores
+    ~target-sized files. Returns the new file count. (Rewrite is
+    all-or-nothing into a temp dir then swapped, so readers never see a
+    half-compacted directory.)"""
+    import math
+    import os
+    import shutil
+
+    total = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    tmp = path.rstrip("/") + ".compacting"
+    spark.read.parquet(path).repartition(n_files).write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + ".old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return n_files

@@ -94,3 +94,21 @@ def test_training_shards_balanced_and_deterministic(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(out2).select("doc_id", "shard").collect()
     }
     assert a == b
+
+
+def test_compaction_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
+    from finance_data_ingestion_pipeline_with_kafka_spark.sources.lake import (
+        compact_small_files,
+    )
+
+    out = str(tmp_path / "fragmented")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.repartition(40).write.parquet(out)  # 40 tiny files
+    n_before = len([f for f in os.listdir(out) if f.endswith(".parquet")])
+    assert n_before == 40
+    n_target = compact_small_files(spark, out)
+    n_after = len([f for f in os.listdir(out) if f.endswith(".parquet")])
+    assert n_after == n_target < n_before
+    back = spark.read.parquet(out)
+    assert back.count() == orders.count()
+    assert sorted(back.columns) == sorted(orders.columns)
