@@ -284,3 +284,69 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return pairs.filter(F.col("hamming") <= 3).orderBy("doc_a", "doc_b")
+
+
+def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components by iterative min-label propagation (the
+    union-find step that turns pairwise near-dup matches into dedup
+    clusters). ``edges``: (src, dst) undirected. Returns (id, component)
+    with component = smallest member id.
+
+    Each iteration is one shuffle (neighbor-min aggregation); labels
+    converge in O(diameter) rounds — near-dup graphs are dense clusters
+    with tiny diameters, so 3-4 rounds in practice. The driver loop only
+    checks a scalar convergence count per round; all data work is
+    distributed. Caching the label table per round keeps lineage bounded
+    (no exponential plan growth)."""
+    both = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    labels = (
+        both.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("component"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            both.join(labels, both["src"] == labels["id"])
+            .select(F.col("dst").alias("id"), "component")
+            .groupBy("id")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                ).alias("component"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+@query("near_dup_clusters", tags=("U4",))
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U4] Dedup cluster assignment: MinHash-verified near-dup pairs →
+    connected components → keeper = smallest doc_id per cluster. This is
+    the actionable dedup output (drop everything where doc_id !=
+    keeper_doc_id). Iterative → rows-only oracle; transitivity is pinned
+    by a chain-graph unit test."""
+    pairs = minhash_near_dup(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    comp = connected_components(pairs)
+    return (
+        comp.select(F.col("id").alias("doc_id"), F.col("component").alias("keeper_doc_id"))
+        .orderBy("doc_id")
+    )

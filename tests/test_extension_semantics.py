@@ -328,3 +328,17 @@ def test_frame_sample_counts(spark, sf_dir):
         load_table(spark, sf_dir, "documents").filter(F.length("text") >= FRAME_CHARS).count()
     )
     assert len({r["doc_id"] for r in rows}) == eligible
+
+
+def test_connected_components_transitive(spark):
+    """A chain a-b, b-c, plus an isolated pair, resolves transitively to
+    min-id components."""
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)], ["src", "dst"]
+    )
+    comp = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
