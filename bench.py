@@ -44,9 +44,9 @@ def main() -> None:
         t0 = time.perf_counter()
         assert spec.fn(spark, sf_dir).count() >= 0
         cold[name] = round(time.perf_counter() - t0, 4)
-    # warm = best of two steady-state runs per query (single-JVM local mode
-    # has ~100 ms scheduling/GC jitter per run; min-of-2 reads through it)
-    for _pass in range(2):
+    # warm = best of three steady-state runs per query (single-JVM local
+    # mode has ~100 ms scheduling/GC jitter per run; min reads through it)
+    for _pass in range(3):
         for name, spec in bench_specs.items():
             t0 = time.perf_counter()
             df = spec.fn(spark, sf_dir)
