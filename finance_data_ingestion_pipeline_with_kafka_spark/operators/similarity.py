@@ -265,6 +265,9 @@ def ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max_by("cid", F.struct(F.round("csim", 9), (-F.col("cid")).alias("tb"))).alias(
                 "cell"
             ),
+            # label/v/norm are constant within each vec_id group (they come
+            # from the corpus row, fanned out once per centroid), so first()
+            # is deterministic here despite the engine's usual min_by rule
             F.first("label").alias("label"),
             F.first("v").alias("v"),
             F.first("norm").alias("norm"),
