@@ -435,3 +435,40 @@ def hll_sketch_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("approx_users"))
         .orderBy("event_type")
     )
+
+
+@query(
+    "unpivot_metrics",
+    oracle="""
+    SELECT l_returnflag, metric, CAST(value AS DOUBLE) AS value
+    FROM (
+      SELECT l_returnflag,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price,
+             CAST(COUNT(*) AS DOUBLE) AS n_rows
+      FROM lineitem GROUP BY l_returnflag
+    ) UNPIVOT (value FOR metric IN (sum_qty, sum_price, n_rows))
+    ORDER BY l_returnflag, metric
+    """,
+    tags=("A8",),
+)
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A8] Unpivot (melt) — wide metrics to long (metric, value) rows,
+    the inverse of pivot and the shape reporting/metric stores want.
+    ``DataFrame.unpivot`` is a narrow expression-level expansion (an
+    Expand node), no shuffle beyond the aggregation that feeds it."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_price"),
+        F.count(F.lit(1)).cast("double").alias("n_rows"),
+    )
+    return (
+        wide.unpivot(
+            ids=["l_returnflag"],
+            values=["sum_qty", "sum_price", "n_rows"],
+            variableColumnName="metric",
+            valueColumnName="value",
+        )
+        .orderBy("l_returnflag", "metric")
+    )
