@@ -77,14 +77,15 @@ def _sign_flips(pdf: pd.DataFrame) -> pd.DataFrame:
     oracle="""
     WITH events_us AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
     diffs AS (
-      SELECT user_id,
+      SELECT user_id, ts, event_id,
              value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS d
       FROM events_us
     ), signs AS (
-      SELECT user_id, CASE WHEN d > 0 THEN 1 ELSE -1 END AS s,
-             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn) AS srn
-      FROM (SELECT user_id, d, ROW_NUMBER() OVER (PARTITION BY user_id) AS rn
-            FROM diffs WHERE d IS NOT NULL AND d <> 0)
+      -- keep (ts, event_id) as the explicit sequence key: a bare
+      -- ROW_NUMBER() with no ORDER BY is nondeterministic under parallel
+      -- DuckDB execution (surfaced at sf0.1)
+      SELECT user_id, ts, event_id, CASE WHEN d > 0 THEN 1 ELSE -1 END AS s
+      FROM diffs WHERE d IS NOT NULL AND d <> 0
     )
     SELECT e.user_id,
            COUNT(*) AS n_events,
@@ -92,7 +93,8 @@ def _sign_flips(pdf: pd.DataFrame) -> pd.DataFrame:
     FROM events_us e
     LEFT JOIN (
       SELECT user_id, COUNT(*) AS n_flips
-      FROM (SELECT user_id, s, LAG(s) OVER (PARTITION BY user_id ORDER BY srn) AS prev_s
+      FROM (SELECT user_id, s,
+                   LAG(s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_s
             FROM signs)
       WHERE prev_s IS NOT NULL AND s <> prev_s
       GROUP BY user_id
