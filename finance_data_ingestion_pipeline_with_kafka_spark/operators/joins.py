@@ -335,3 +335,93 @@ def part_supplier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+@query(
+    "null_safe_join",
+    oracle="""
+    WITH a AS (SELECT DISTINCT CASE WHEN o_orderstatus = 'P' THEN NULL
+                                    ELSE o_orderstatus END AS status_key
+               FROM orders),
+         b AS (SELECT DISTINCT CASE WHEN o_orderstatus = 'P' THEN NULL
+                                    ELSE o_orderstatus END AS status_key
+               FROM orders)
+    SELECT a.status_key AS status_key, COUNT(*) AS n_matches
+    FROM a JOIN b ON a.status_key IS NOT DISTINCT FROM b.status_key
+    GROUP BY a.status_key
+    ORDER BY a.status_key NULLS FIRST
+    """,
+    tags=("J1",),
+)
+def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[J1] Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM):
+    NULL keys match each other instead of dropping out — the semantics
+    needed when a join key is legitimately absent. Catalyst still plans
+    a hash join (null-safe equality is hashable)."""
+    o = load_table(spark, sf_dir, "orders")
+    key = F.when(F.col("o_orderstatus") == "P", None).otherwise(F.col("o_orderstatus"))
+    a = o.select(key.alias("status_key")).distinct()
+    b = o.select(key.alias("status_key")).distinct()
+    return (
+        a.join(b, a["status_key"].eqNullSafe(b["status_key"]))
+        .groupBy(a["status_key"])
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+        .orderBy(F.col("status_key").asc_nulls_first())
+    )
+
+
+@query(
+    "correlated_exists",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      AND c_acctbal > 9000
+    ORDER BY c_custkey
+    """,
+    tags=("J4",),
+)
+def correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[J4] Correlated NOT EXISTS via spark.sql — Catalyst decorrelates
+    the subquery into the same anti-join the DataFrame form produces;
+    this pins the SQL-subquery entry path."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("_ce_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_ce_orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM _ce_customer c
+        WHERE NOT EXISTS (SELECT 1 FROM _ce_orders o WHERE o.o_custkey = c.c_custkey)
+          AND c_acctbal > 9000
+        ORDER BY c_custkey
+        """
+    )
+
+
+@query(
+    "scalar_subquery",
+    oracle="""
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS total_price
+    FROM orders o
+    WHERE o_totalprice > 3 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+                                     / COUNT(*)
+                              FROM orders i WHERE i.o_custkey = o.o_custkey)
+    ORDER BY o_orderkey
+    """,
+    tags=("J4", "A1"),
+)
+def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[J4/A1] Correlated scalar subquery (orders 3x above the customer's
+    own average) — decorrelated by Catalyst into an aggregate + join;
+    decimal-accumulated average keeps both engines bit-identical."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_ss_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS total_price
+        FROM _ss_orders o
+        WHERE o_totalprice > 3 * (
+            SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*)
+            FROM _ss_orders i WHERE i.o_custkey = o.o_custkey)
+        ORDER BY o_orderkey
+        """
+    )

@@ -225,3 +225,37 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_totalprice").over(w).alias("first_spend"),
         F.last("o_totalprice").over(wfull).alias("last_spend"),
     ).orderBy("o_custkey", "o_orderdate", "o_orderkey")
+
+
+@query(
+    "window_cume_nth",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(CUME_DIST() OVER w, 6) AS price_cume,
+           CAST(NTH_VALUE(o_totalprice, 2) OVER
+                (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                AS DOUBLE) AS second_order_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    ORDER BY o_custkey, o_orderkey
+    """,
+    tags=("W6", "W7"),
+)
+def window_cume_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[W6/W7] cume_dist (fraction of peers at-or-below) and nth_value
+    over the full-partition frame — rounding guards cume_dist's division
+    against cross-engine ULP noise."""
+    o = load_table(spark, sf_dir, "orders")
+    w_price = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    w_full = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.cume_dist().over(w_price), 6).alias("price_cume"),
+        F.nth_value("o_totalprice", 2).over(w_full).cast("double").alias("second_order_price"),
+    ).orderBy("o_custkey", "o_orderkey")
