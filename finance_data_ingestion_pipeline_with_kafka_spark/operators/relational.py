@@ -352,3 +352,37 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(cols)}, {stack_args}) AS "
         "(column_name, n_nulls, n_distinct, min_value, max_value)"
     ).orderBy("column_name")
+
+
+@query(
+    "date_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+           date_diff('day', DATE '1996-01-01', o_orderdate) AS days_since_epoch_start,
+           strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+           strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d') AS quarter_start,
+           CAST(EXTRACT(dow FROM o_orderdate) AS INT) AS day_of_week
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+    tags=("F5",),
+)
+def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F5] Date arithmetic family: offset, difference, boundary snapping
+    (last_day / quarter trunc), day-of-week. Date results are formatted
+    ISO strings — pandas has no date dtype, so raw DATE columns compare
+    as datetime.date vs datetime64 across engines. DuckDB EXTRACT(dow)
+    is 0=Sunday; Spark dayofweek is 1=Sunday → aligned with -1."""
+    o = load_table(spark, sf_dir, "orders")
+    iso = "yyyy-MM-dd"
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.date_add(F.col("o_orderdate"), 30), iso).alias("due_date"),
+        F.datediff(F.col("o_orderdate"), F.lit("1996-01-01").cast("date")).alias(
+            "days_since_epoch_start"
+        ),
+        F.date_format(F.last_day("o_orderdate"), iso).alias("month_end"),
+        F.date_format(F.date_trunc("quarter", "o_orderdate"), iso).alias("quarter_start"),
+        (F.dayofweek("o_orderdate") - 1).cast("int").alias("day_of_week"),
+    ).orderBy("o_orderkey")

@@ -125,3 +125,53 @@ def sql_entry_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderpriority
         """
     )
+
+
+_MULTI_A = "SELECT o_orderstatus AS status FROM orders WHERE o_custkey < 200"
+_MULTI_B = "SELECT o_orderstatus AS status FROM orders WHERE o_custkey < 100"
+
+
+@query(
+    "except_all_multiset",
+    oracle=f"""
+    SELECT status, COUNT(*) AS n FROM (
+      ({_MULTI_A}) EXCEPT ALL ({_MULTI_B})
+    ) GROUP BY status ORDER BY status
+    """,
+    tags=("SET",),
+)
+def except_all_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — multiset difference (each duplicate counts), the
+    feed-divergence check that preserves volumes instead of collapsing
+    to distinct rows."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_custkey") < 200).select(F.col("o_orderstatus").alias("status"))
+    b = o.filter(F.col("o_custkey") < 100).select(F.col("o_orderstatus").alias("status"))
+    return (
+        a.exceptAll(b)
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("status")
+    )
+
+
+@query(
+    "intersect_all_multiset",
+    oracle=f"""
+    SELECT status, COUNT(*) AS n FROM (
+      ({_MULTI_A}) INTERSECT ALL ({_MULTI_B})
+    ) GROUP BY status ORDER BY status
+    """,
+    tags=("SET",),
+)
+def intersect_all_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — multiset intersection (min of per-side counts)."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_custkey") < 200).select(F.col("o_orderstatus").alias("status"))
+    b = o.filter(F.col("o_custkey") < 100).select(F.col("o_orderstatus").alias("status"))
+    return (
+        a.intersectAll(b)
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("status")
+    )
