@@ -386,3 +386,27 @@ def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.date_trunc("quarter", "o_orderdate"), iso).alias("quarter_start"),
         (F.dayofweek("o_orderdate") - 1).cast("int").alias("day_of_week"),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "explode_outer_numbers",
+    oracle="""
+    SELECT d.doc_id, u.number
+    FROM documents d
+    LEFT JOIN LATERAL (SELECT unnest(regexp_extract_all(d.text, '[0-9]+')) AS number) u
+           ON TRUE
+    ORDER BY doc_id, number NULLS FIRST
+    """,
+    tags=("F8",),
+)
+def explode_outer_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F8] explode_outer — rows with an empty/NULL array survive as a
+    single NULL row (unlike plain explode, which drops them). Extracted
+    digit runs make a naturally sparse array column to demonstrate on."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.explode_outer(F.regexp_extract_all("text", F.lit(r"[0-9]+"), F.lit(0))).alias(
+            "number"
+        ),
+    ).orderBy("doc_id", F.col("number").asc_nulls_first())
