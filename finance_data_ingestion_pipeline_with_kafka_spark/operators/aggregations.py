@@ -472,3 +472,28 @@ def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "metric")
     )
+
+
+@query("approx_percentiles", tags=("A7",))
+def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A7] Approximate percentiles via the KLL/GK-style sketch behind
+    ``percentile_approx`` — mergeable partial sketches shuffle instead of
+    raw values, the scale path next to the exact ``percentiles`` query.
+    Estimates are engine-specific → rows-only oracle; the rank-error
+    bound (≤ n/accuracy) is pinned in unit tests."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", [0.5, 0.9, 0.99], 1000).alias("p50_p90_p99"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "event_type",
+            F.element_at("p50_p90_p99", 1).alias("p50"),
+            F.element_at("p50_p90_p99", 2).alias("p90"),
+            F.element_at("p50_p90_p99", 3).alias("p99"),
+            "n",
+        )
+        .orderBy("event_type")
+    )

@@ -342,3 +342,29 @@ def test_connected_components_transitive(spark):
     )
     comp = {r["id"]: r["component"] for r in connected_components(edges).collect()}
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_approx_percentile_rank_error_bound(spark, sf_dir):
+    """percentile_approx guarantees rank error <= n/accuracy: the returned
+    value's true rank must sit within that window of the target rank."""
+    from finance_data_ingestion_pipeline_with_kafka_spark.catalog import load_table
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.aggregations import (
+        approx_percentiles,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    vals = {}
+    for r in e.select("event_type", "value").collect():
+        vals.setdefault(r["event_type"], []).append(r["value"])
+    for row in approx_percentiles(spark, sf_dir).collect():
+        sorted_vals = sorted(vals[row["event_type"]])
+        n = len(sorted_vals)
+        tol = max(1, n // 1000)  # accuracy=1000 -> rank error <= n/1000
+        for q, got in ((0.5, row["p50"]), (0.9, row["p90"]), (0.99, row["p99"])):
+            assert got in vals[row["event_type"]]  # a real data value
+            import bisect
+
+            lo = bisect.bisect_left(sorted_vals, got)
+            hi = bisect.bisect_right(sorted_vals, got) - 1
+            target = q * (n - 1)
+            assert lo - tol <= target <= hi + tol, (row["event_type"], q, got)
