@@ -6,15 +6,18 @@ Runs the headline catalog queries (``bench=True`` specs) at
 ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
 ``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}``.
 
-Each query is forced with a count-style action (``df.write.format("noop")``
-is avoided to keep Spark-version independence; ``_collect_to_python`` isn't
-used — ``count()`` after a cache-free pipeline measures the full plan).
+Each query is forced with ``df.write.format("noop")`` — a full
+materialization of every output column, so Catalyst cannot prune
+projections or eliminate final sorts the way a bare ``count()`` allows
+(the round-1 numbers measured some scan+filter-only plans; these measure
+the advertised plan).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -22,6 +25,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from finance_data_ingestion_pipeline_with_kafka_spark.registry import load_all
 from finance_data_ingestion_pipeline_with_kafka_spark.session import get_spark
+
+
+def _force(df) -> None:
+    """Materialize every column of every row (noop DSv2 sink)."""
+    df.write.format("noop").mode("overwrite").save()
 
 
 def main() -> None:
@@ -35,25 +43,25 @@ def main() -> None:
 
     # Two-phase measurement. Cold pass: first execution at the bench SF,
     # including plan + codegen compile (recorded as cold_queries). Warm
-    # pass: steady-state re-execution — the number that scales with data
-    # volume and the one `value` reports; production clusters run
-    # long-lived sessions where compile cost is amortized to zero.
+    # passes: steady-state re-execution — the number that scales with data
+    # volume; production clusters run long-lived sessions where compile
+    # cost is amortized to zero. Both min-of-3 (jitter floor) and
+    # median-of-3 (robust central estimate) are reported; `value` is the
+    # min total for round-over-round continuity, `median_total_sec` is the
+    # honest companion.
     cold: dict[str, float] = {}
-    timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     for name, spec in bench_specs.items():
         t0 = time.perf_counter()
-        assert spec.fn(spark, sf_dir).count() >= 0
+        _force(spec.fn(spark, sf_dir))
         cold[name] = round(time.perf_counter() - t0, 4)
-    # warm = best of three steady-state runs per query (single-JVM local
-    # mode has ~100 ms scheduling/GC jitter per run; min reads through it)
     for _pass in range(3):
         for name, spec in bench_specs.items():
             t0 = time.perf_counter()
-            df = spec.fn(spark, sf_dir)
-            n = df.count()
-            dt = round(time.perf_counter() - t0, 4)
-            timings[name] = min(timings.get(name, dt), dt)
-            assert n >= 0
+            _force(spec.fn(spark, sf_dir))
+            samples.setdefault(name, []).append(time.perf_counter() - t0)
+    timings = {n: round(min(ts), 4) for n, ts in samples.items()}
+    medians = {n: round(statistics.median(ts), 4) for n, ts in samples.items()}
 
     print(
         json.dumps(
@@ -62,6 +70,8 @@ def main() -> None:
                 "value": round(sum(timings.values()), 4),
                 "unit": "sec",
                 "queries": timings,
+                "queries_median": medians,
+                "median_total_sec": round(sum(medians.values()), 4),
                 "sf": sf,
                 "cold_total_sec": round(sum(cold.values()), 4),
                 "cold_queries": cold,

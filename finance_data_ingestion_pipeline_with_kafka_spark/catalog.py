@@ -32,18 +32,22 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
 
-#: Memoized unresolved scans keyed by (session id, sf_dir, table). A
+#: Memoized unresolved scans keyed by (session, sf_dir, table). A
 #: DataFrame is an immutable logical plan, so reuse is safe — and it skips
 #: the driver-side file listing + parquet footer/schema read that
 #: ``spark.read.parquet`` repeats on every call (~100 ms per table, the
 #: dominant cost of multi-table plan construction at small SF).
-_SCAN_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+#: The SparkSession object itself is the key component (not ``id(spark)``,
+#: which CPython can reuse after a stopped session is GC'd): entries for a
+#: dead session can never alias a new one. Bounded in practice — a process
+#: holds a handful of sessions × ~10 tables × few sf dirs.
+_SCAN_CACHE: dict[tuple[SparkSession, str, str], DataFrame] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    key = (id(spark), sf_dir, name)
+    key = (spark, sf_dir, name)
     cached = _SCAN_CACHE.get(key)
     if cached is not None:
         return cached
@@ -51,8 +55,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # events.ts is parquet TIMESTAMP(NANOS), which Spark rejects by
         # default. Read nanos as long and truncate to microseconds — the
         # same truncation DuckDB applies casting TIMESTAMP_NS → TIMESTAMP,
-        # so both engines see identical µs values.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # so both engines see identical µs values. The engine's own builder
+        # (session.get_spark) sets this conf at build time; this guarded
+        # set only covers externally built sessions (the driver's vanilla
+        # session). Value is a constant "true", so concurrent setters
+        # cannot race to different states.
+        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         df = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     else:

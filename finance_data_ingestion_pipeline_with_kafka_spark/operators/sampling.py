@@ -50,7 +50,8 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = (
         F.when(b < "f0", F.lit("train")).when(b < "f8", F.lit("val")).otherwise(F.lit("test"))
     )
-    return d.select("doc_id", split.alias("split")).orderBy("doc_id")
+    # presentation sort dropped (order-insensitive compare)
+    return d.select("doc_id", split.alias("split"))
 
 
 #: per-language keep-rate as a hex threshold over the 256-bin lattice:

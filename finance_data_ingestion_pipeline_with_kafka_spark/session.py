@@ -47,6 +47,11 @@ def get_spark(
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # events.parquet carries TIMESTAMP(NANOS), which Spark rejects by
+        # default; read nanos as long (catalog.load_table truncates to µs).
+        # Set here once at build; load_table re-asserts it defensively for
+        # externally built sessions (e.g. the driver's vanilla session).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("ENGINE_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )

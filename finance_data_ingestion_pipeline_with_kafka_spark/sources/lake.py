@@ -97,9 +97,16 @@ def compact_small_files(
     ceil(total_bytes / target) files. Streaming appends and fine-grained
     partitions accumulate KB-sized files whose open/footer overhead
     dominates scans at lake scale; periodic compaction restores
-    ~target-sized files. Returns the new file count. (Rewrite is
-    all-or-nothing into a temp dir then swapped, so readers never see a
-    half-compacted directory.)"""
+    ~target-sized files. Returns the new file count.
+
+    Concurrency contract: SINGLE WRITER, NO CONCURRENT READERS during the
+    swap. The swap is two ``os.rename`` calls — between them the path does
+    not exist (a concurrent reader errors), a crash between them leaves
+    only ``<path>.old``, and rename fails across filesystems (the temp dir
+    is created alongside ``path`` so both live on one filesystem). When
+    readers must never block, use a table format whose commit is atomic —
+    Delta/Iceberg ``rewrite_data_files`` — instead of raw-directory
+    compaction; this helper is for maintenance windows on plain parquet."""
     import math
     import os
     import shutil

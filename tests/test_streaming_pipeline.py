@@ -21,6 +21,7 @@ from finance_data_ingestion_pipeline_with_kafka_spark.streaming.pipeline import 
     yfinance_pipeline,
 )
 from finance_data_ingestion_pipeline_with_kafka_spark.streaming.sinks import (
+    PARTITION_COL,
     start_idempotent_parquet_sink,
 )
 
@@ -63,7 +64,8 @@ def run_to_sink(spark, tmp_path):
         once("cp1")
         if run_twice:
             once("cp2")  # fresh checkpoint → full re-read → replays every message
-        return spark.read.parquet(sink)
+        # sink_date is the sink's storage partitioning, not pipeline output
+        return spark.read.parquet(sink).drop(PARTITION_COL)
 
     return _run
 
@@ -132,3 +134,34 @@ class TestFinnhubPipeline:
         )
         q.awaitTermination(120)
         assert spark.read.parquet(sink).count() == 2
+
+    def test_sink_antijoin_scan_is_partition_bounded(self, spark, tmp_path):
+        """The anti-join's existing-keys scan must touch only the event-date
+        partitions spanned by the incoming batch — never all sink history."""
+        import datetime
+
+        from finance_data_ingestion_pipeline_with_kafka_spark.streaming.sinks import (
+            existing_keys_in_range,
+        )
+
+        sink = str(tmp_path / "sink_bounded")
+        # seed 10 days of history directly in the sink layout
+        rows = [
+            (f"id{d}_{i}", datetime.datetime(2024, 1, 1 + d, 12, 0))
+            for d in range(10)
+            for i in range(3)
+        ]
+        (
+            spark.createDataFrame(rows, ["id", "datetime"])
+            .withColumn(PARTITION_COL, F.to_date("datetime"))
+            .write.partitionBy(PARTITION_COL)
+            .parquet(sink)
+        )
+        scan = existing_keys_in_range(
+            spark, sink, "id", datetime.date(2024, 1, 9), datetime.date(2024, 1, 10)
+        )
+        plan = scan._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "sink_date" in plan.split("PartitionFilters")[1].split("]")[0], (
+            "existing-keys scan has no partition filter on sink_date:\n" + plan[:2000]
+        )
+        assert scan.count() == 6  # 2 days x 3 rows, not 30
