@@ -32,6 +32,28 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
 
+#: Surrogate-key columns shifted per replica when a table is replicated
+#: for the scale-crossover bench (TPC-H-style scaling: more orders/
+#: customers/parts/documents, not N copies of the same keys — preserves
+#: join selectivity so work scales linearly like real data growth).
+#: region/nation are true fixed-size dims: never replicated.
+KEY_SHIFT_COLS: dict[str, tuple[str, ...]] = {
+    "customer": ("c_custkey",),
+    "supplier": ("s_suppkey",),
+    "part": ("p_partkey",),
+    "orders": ("o_orderkey", "o_custkey"),
+    "lineitem": ("l_orderkey", "l_partkey", "l_suppkey"),
+    "events": ("event_id", "user_id"),
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+    "region": (),
+    "nation": (),
+}
+
+#: Key-shift stride — far above any fixture key, far below int64 overflow
+#: even at 1000 replicas.
+KEY_SHIFT = 10**12
+
 #: Memoized unresolved scans keyed by (session, sf_dir, table). A
 #: DataFrame is an immutable logical plan, so reuse is safe — and it skips
 #: the driver-side file listing + parquet footer/schema read that
@@ -44,10 +66,20 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
 _SCAN_CACHE: dict[tuple[SparkSession, str, str], DataFrame] = {}
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(spark: SparkSession, sf_dir: str, name: str, replicate: int = 1) -> DataFrame:
+    """Columnar scan of a fixture table. ``replicate > 1`` unions N
+    key-shifted copies (see ``KEY_SHIFT_COLS``) — TPC-H-style N× data
+    growth with preserved join selectivity, used by the bench's
+    scale-crossover measurement. Fixed dims (region/nation) never grow."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    key = (spark, sf_dir, name)
+    if replicate == 1:
+        # env override lets the bench scale-crossover run the unmodified
+        # catalog queries against an N×-replicated scan
+        replicate = int(os.environ.get("ENGINE_SCAN_REPLICATE", "1"))
+    if not KEY_SHIFT_COLS.get(name, ()):  # fixed-size dims don't grow
+        replicate = 1
+    key = (spark, sf_dir, name, replicate)
     cached = _SCAN_CACHE.get(key)
     if cached is not None:
         return cached
@@ -63,11 +95,36 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        df = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if dict(raw.dtypes).get("ts") == "bigint":
+            df = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:  # engine-written lake copies already store ts as TIMESTAMP(µs)
+            df = raw
     else:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if replicate > 1:
+        df = _replicate_shifted(df, name, replicate)
     _SCAN_CACHE[key] = df
     return df
+
+
+def _replicate_shifted(df: DataFrame, name: str, replicate: int) -> DataFrame:
+    """Union ``replicate`` copies with surrogate keys shifted by
+    k·KEY_SHIFT per copy — new entities, same distributions."""
+    shift_cols = set(KEY_SHIFT_COLS[name])
+    copies = [df]
+    for k in range(1, replicate):
+        copies.append(
+            df.select(
+                *[
+                    (F.col(c) + k * KEY_SHIFT).alias(c) if c in shift_cols else F.col(c)
+                    for c in df.columns
+                ]
+            )
+        )
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.union(c)
+    return out
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
