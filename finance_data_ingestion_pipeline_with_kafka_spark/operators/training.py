@@ -1,0 +1,275 @@
+"""Training-data pipeline operators over ``documents`` (north-star
+extension surface next to U4/U6 — the curation passes an LLM data
+pipeline runs between raw crawl and tokenizer: PII scrubbing, repetition
+filtering, benchmark-contamination checks, token-budget sampling, and
+domain mixture weighting).
+
+The reference stops at ingestion (its analytics stubs:
+``scripts/spark_streaming_processing/yfinance_processing.py:30-31``);
+these are the batch passes its promised "analysis" layer would need at
+corpus scale. Everything is built-in expression work — JVM-side, linear
+in document bytes, no Python in the hot path; the only joins are
+broadcast (probe sets, 1-row totals) or per-document aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+from .dedup import shingle_rows
+from .text import tokens
+
+#: Redaction patterns — written in the regex subset Java (Spark) and RE2
+#: (DuckDB) interpret identically: no lookaround, no backrefs.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://\S+"
+LONG_NUM_RE = r"\d{9,}"
+
+TOKEN_BUDGET = 2000  # tokens per language for the budget sampler
+CONTAM_N = 5  # n-gram width for the contamination probe
+CONTAM_MOD = 97  # doc_id % CONTAM_MOD == 0 -> held-out probe set
+
+
+@query(
+    "pii_redaction",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(text, '{URL_RE}')) AS n_urls,
+           len(regexp_extract_all(text, '{LONG_NUM_RE}')) AS n_long_numbers,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+               '{URL_RE}', '<URL>', 'g'),
+             '{LONG_NUM_RE}', '<NUM>', 'g') AS clean_text
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("U6",),
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: redact emails, URLs and long digit runs, and count
+    each class (the audit columns a curation run reports). Pure per-row
+    regexp work inside codegen — linear in bytes at any scale. Patterns
+    are deliberately in the Java∩RE2 regex subset so the oracle computes
+    the identical redaction."""
+    d = load_table(spark, sf_dir, "documents")
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("text", EMAIL_RE, "<EMAIL>"), URL_RE, "<URL>"
+        ),
+        LONG_NUM_RE,
+        "<NUM>",
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(EMAIL_RE), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(URL_RE), F.lit(0))).alias("n_urls"),
+        F.size(F.regexp_extract_all("text", F.lit(LONG_NUM_RE), F.lit(0))).alias(
+            "n_long_numbers"
+        ),
+        clean.alias("clean_text"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "repetition_filter",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ), base AS (
+      SELECT doc_id, len(t) AS n, len(list_distinct(t)) AS d,
+             list_transform(list_zip(t[:len(t)-1], t[2:]),
+                            s -> s[1] || ' ' || s[2]) AS bgs
+      FROM toks WHERE len(t) >= 2
+    ), bg AS (
+      SELECT doc_id, unnest(bgs) AS b FROM base
+    ), cnt AS (
+      SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b
+    ), agg AS (
+      SELECT doc_id, MAX(c) AS top, SUM(c) AS tot FROM cnt GROUP BY doc_id
+    )
+    SELECT base.doc_id,
+           ROUND(1 - CAST(d AS DOUBLE) / n, 6) AS dup_word_frac,
+           ROUND(CAST(top AS DOUBLE) / tot, 6) AS top_bigram_frac,
+           ROUND(1 - CAST(d AS DOUBLE) / n, 6) <= 0.5
+             AND ROUND(CAST(top AS DOUBLE) / tot, 6) <= 0.18 AS keep
+    FROM base JOIN agg USING (doc_id)
+    ORDER BY doc_id
+    """,
+    tags=("U6",),
+)
+def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality gate: duplicate-word fraction and
+    most-frequent-bigram fraction per document, with the keep decision
+    (thresholds 0.5 / 0.18). One explode + two per-doc aggregations —
+    the groupBys share the doc_id hash partitioning, and partial
+    aggregation keeps the shuffle at one row per (doc, bigram)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens()
+    base = d.filter(F.size(toks) >= 2).select(
+        "doc_id",
+        F.size(toks).alias("n"),
+        F.size(F.array_distinct(toks)).alias("d"),
+    )
+    bg = shingle_rows(d, n=2).withColumnRenamed("sh", "b")
+    agg = (
+        bg.groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top"), F.sum("c").alias("tot"))
+    )
+    dup_frac = F.round(1 - F.col("d").cast("double") / F.col("n"), 6)
+    top_frac = F.round(F.col("top").cast("double") / F.col("tot"), 6)
+    return (
+        base.join(agg, "doc_id")
+        .select(
+            "doc_id",
+            dup_frac.alias("dup_word_frac"),
+            top_frac.alias("top_bigram_frac"),
+            ((dup_frac <= 0.5) & (top_frac <= 0.18)).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "contamination_check",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               list_zip(t[:len(t)-4], t[2:len(t)-3], t[3:len(t)-2],
+                        t[4:len(t)-1], t[5:]),
+               s -> s[1] || ' ' || s[2] || ' ' || s[3] || ' ' || s[4] || ' ' || s[5]
+             ))) AS g
+      FROM toks WHERE len(t) >= 5
+    ), probe AS (
+      SELECT DISTINCT g FROM grams WHERE doc_id % {CONTAM_MOD} = 0
+    ), train AS (
+      SELECT doc_id, g FROM grams WHERE doc_id % {CONTAM_MOD} <> 0
+    )
+    SELECT t.doc_id, COUNT(DISTINCT t.g) AS n_shared_grams
+    FROM train t JOIN probe p ON t.g = p.g
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+    tags=("U4", "U6"),
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: training documents sharing any
+    {CONTAM_N}-gram with a held-out probe set (here: doc_id %
+    {CONTAM_MOD} == 0 stands in for the benchmark corpus). The probe
+    gram set is small by construction → broadcast to the training-side
+    gram stream, so the corpus never shuffles; at 100 TB this is the
+    standard decontamination pass shape (probe set ≪ corpus)."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = shingle_rows(d, n=CONTAM_N).distinct()
+    probe = (
+        grams.filter(F.col("doc_id") % CONTAM_MOD == 0).select("sh").distinct()
+    )
+    train = grams.filter(F.col("doc_id") % CONTAM_MOD != 0)
+    return (
+        train.join(F.broadcast(probe), "sh")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("sh").alias("n_shared_grams"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "token_budget_sample",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+             substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS ok
+      FROM documents
+    ), c AS (
+      SELECT doc_id, lang, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY ok, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM t
+    )
+    SELECT lang, doc_id, n_tokens, cum_tokens
+    FROM c WHERE cum_tokens <= {TOKEN_BUDGET}
+    ORDER BY lang, cum_tokens
+    """,
+    tags=("U6",),
+)
+def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic token-budget sampling per language: order documents
+    by a content-independent hash (md5 of doc_id — reproducible across
+    engines and rebuilds), take the running-token-sum prefix up to
+    {TOKEN_BUDGET} tokens. The window cumsum is one shuffle on lang; at
+    corpus scale the same query caps each language's contribution to a
+    training mix without a global sort."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "lang",
+        F.size(tokens()).alias("n_tokens"),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8).alias("ok"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("ok", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        t.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= TOKEN_BUDGET)
+        .select("lang", "doc_id", "n_tokens", "cum_tokens")
+        .orderBy("lang", "cum_tokens")
+    )
+
+
+@query(
+    "domain_mix_weights",
+    oracle="""
+    WITH lt AS (
+      SELECT lang, COUNT(*) AS n_docs,
+             SUM(len(string_split_regex(trim(text), '\\s+'))) AS n_tokens
+      FROM documents GROUP BY lang
+    ), tot AS (
+      SELECT SUM(n_tokens) AS tot, COUNT(*) AS n_langs FROM lt
+    )
+    SELECT lang, n_docs, n_tokens,
+           ROUND(CAST(n_tokens AS DOUBLE) / tot, 6) AS token_share,
+           ROUND((1.0 / n_langs) / (CAST(n_tokens AS DOUBLE) / tot), 6) AS mix_weight
+    FROM lt CROSS JOIN tot
+    ORDER BY lang
+    """,
+    tags=("U6", "A1"),
+)
+def domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain/language mixture planning: per-language doc and token
+    counts, token share, and the up/down-sampling weight that would
+    equalize the mix (target = uniform across observed languages). Token
+    sums are exact integer aggregation; the grand total rides along as a
+    broadcast 1-row aggregate (in-plan, no driver action)."""
+    d = load_table(spark, sf_dir, "documents")
+    lt = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens())).alias("n_tokens"),
+    )
+    tot = lt.agg(
+        F.sum("n_tokens").alias("tot"), F.count(F.lit(1)).alias("n_langs")
+    )
+    share = F.col("n_tokens").cast("double") / F.col("tot")
+    return (
+        lt.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            F.round(share, 6).alias("token_share"),
+            F.round((1.0 / F.col("n_langs")) / share, 6).alias("mix_weight"),
+        )
+        .orderBy("lang")
+    )

@@ -64,7 +64,18 @@ _MODULE_PRIORITY = (
     "similarity",
     "sampling",
 )
+#: After the never-verified modules: (a) the new round-2 training-data
+#: operators (no driver row yet), (b) the three round-1 ``no_oracle``
+#: rows upgraded to real oracles this round. Together with the 42
+#: module-priority queries these fill the driver's 50-row window; the
+#: remaining round-1 rows-only queries (minhash/simhash/clusters/media)
+#: already carry r1 driver rows and fall below the fold.
 _VERIFY_NEXT = (
+    "pii_redaction",
+    "repetition_filter",
+    "contamination_check",
+    "token_budget_sample",
+    "domain_mix_weights",
     "approx_distinct",
     "approx_percentiles",
     "hll_sketch_users",
@@ -92,6 +103,7 @@ def load_all() -> dict[str, QuerySpec]:
         similarity,
         text,
         timeseries,
+        training,
         windows,
     )
 

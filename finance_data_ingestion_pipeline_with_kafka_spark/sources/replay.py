@@ -20,6 +20,25 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def kafka_source_options(
+    topic: str,
+    bootstrap_servers: str,
+    starting_offsets: str = "earliest",
+    fail_on_data_loss: bool = False,
+) -> dict[str, str]:
+    """The Kafka source option set, mirroring the reference's live wiring
+    (plugins/Operators/SparkProcessOperator.py:96-101: subscribe + earliest,
+    with failOnDataLoss=false from its config dict at :23). Factored out so
+    the wiring contract is assertable in tests even when no broker or
+    connector jar is present (tests/test_kafka_live.py)."""
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+        "failOnDataLoss": str(fail_on_data_loss).lower(),
+    }
+
+
 def kafka_stream(
     spark: SparkSession,
     topic: str,
@@ -30,14 +49,12 @@ def kafka_stream(
     """Kafka streaming source → ``value: string``. The reference's config
     dict says ``latest`` while its live code hardcodes ``earliest``
     (SURVEY §4 offset conflict) — here it is an explicit, tested option."""
-    raw = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
-        .option("failOnDataLoss", str(fail_on_data_loss).lower())
-        .load()
-    )
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_source_options(
+        topic, bootstrap_servers, starting_offsets, fail_on_data_loss
+    ).items():
+        reader = reader.option(k, v)
+    raw = reader.load()
     # P1: raw Kafka value bytes → string (dags/...yfinance...py:254)
     return raw.selectExpr("CAST(value AS STRING) AS value")
 

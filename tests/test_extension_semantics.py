@@ -380,3 +380,92 @@ def test_approx_percentile_rank_error_bound(spark, sf_dir):
     # the catalog query emits the same guarantee as in-plan booleans
     for row in approx_percentiles(spark, sf_dir).collect():
         assert row["p50_within_bound"] and row["p90_within_bound"] and row["p99_within_bound"]
+
+
+def test_pii_redaction_on_crafted_text(spark):
+    """Redaction semantics pinned on inputs the fixture corpus lacks."""
+    from pyspark.sql import functions as F
+
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.training import (
+        EMAIL_RE,
+        LONG_NUM_RE,
+        URL_RE,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "contact bob.smith+x@example.co.uk or visit https://a.example/path?q=1 now"),
+            (2, "card 1234567890123456 ok, short 12345 stays"),
+            (3, "plain text, nothing to redact"),
+        ],
+        ["doc_id", "text"],
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(F.regexp_replace("text", EMAIL_RE, "<EMAIL>"), URL_RE, "<URL>"),
+        LONG_NUM_RE,
+        "<NUM>",
+    )
+    rows = {r["doc_id"]: r["c"] for r in df.select("doc_id", clean.alias("c")).collect()}
+    assert rows[1] == "contact <EMAIL> or visit <URL> now"
+    assert rows[2] == "card <NUM> ok, short 12345 stays"
+    assert rows[3] == "plain text, nothing to redact"
+
+
+def test_repetition_filter_flags_degenerate_doc(spark, sf_dir, monkeypatch):
+    """A document that is one phrase repeated must be rejected; a normal
+    document must be kept."""
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators import training
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.training import (
+        repetition_filter,
+    )
+
+    crafted = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam spam spam", "en", "s", 40),
+            (2, "the quick brown fox jumps over one lazy dog", "en", "s", 43),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    monkeypatch.setattr(training, "load_table", lambda spark, sf_dir, name: crafted)
+    rows = {r["doc_id"]: r for r in repetition_filter(spark, sf_dir).collect()}
+    assert rows[1]["keep"] is False and rows[1]["dup_word_frac"] > 0.8
+    assert rows[2]["keep"] is True and rows[2]["dup_word_frac"] == 0.0
+
+
+def test_contamination_check_detects_injected_overlap(spark, sf_dir, monkeypatch):
+    """A training doc sharing a 5-gram run with a probe doc is flagged;
+    unrelated docs are not."""
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators import training
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.training import (
+        CONTAM_MOD,
+        contamination_check,
+    )
+
+    probe_text = "alpha beta gamma delta epsilon zeta eta"
+    crafted = spark.createDataFrame(
+        [
+            (0, probe_text, "en", "s", 10),  # doc_id % CONTAM_MOD == 0 -> probe
+            (1, "prefix alpha beta gamma delta epsilon suffix", "en", "s", 10),
+            (2, "totally different words with no shared runs here", "en", "s", 10),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    assert 1 % CONTAM_MOD != 0 and 2 % CONTAM_MOD != 0
+    monkeypatch.setattr(training, "load_table", lambda spark, sf_dir, name: crafted)
+    rows = {r["doc_id"]: r["n_shared_grams"] for r in contamination_check(spark, sf_dir).collect()}
+    assert rows == {1: 1}  # "alpha beta gamma delta epsilon" is the one shared 5-gram
+
+
+def test_token_budget_sample_respects_budget_and_determinism(spark, sf_dir):
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.training import (
+        TOKEN_BUDGET,
+        token_budget_sample,
+    )
+
+    a = token_budget_sample(spark, sf_dir).collect()
+    b = token_budget_sample(spark, sf_dir).collect()
+    assert a == b  # deterministic under re-execution
+    per_lang = {}
+    for r in a:
+        per_lang[r["lang"]] = max(per_lang.get(r["lang"], 0), r["cum_tokens"])
+    assert per_lang and all(v <= TOKEN_BUDGET for v in per_lang.values())
