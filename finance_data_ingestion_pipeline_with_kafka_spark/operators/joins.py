@@ -11,7 +11,7 @@ Scale notes baked into each query:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -424,4 +424,66 @@ def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM _ss_orders i WHERE i.o_custkey = o.o_custkey)
         ORDER BY o_orderkey
         """
+    )
+
+
+@query(
+    "min_cost_supplier",
+    oracle="""
+    WITH unit AS (
+      SELECT l_partkey, l_suppkey,
+             ROUND(l_extendedprice / l_quantity, 6) AS unit_price
+      FROM lineitem
+    ), best AS (
+      SELECT l_partkey, l_suppkey, unit_price
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY l_partkey
+                                     ORDER BY unit_price, l_suppkey) AS rn
+        FROM unit
+      ) WHERE rn = 1
+    )
+    SELECT p.p_partkey, p.p_brand, s.s_name, n.n_name AS nation,
+           b.unit_price AS best_unit_price
+    FROM best b
+    JOIN part p     ON b.l_partkey = p.p_partkey AND p.p_size >= 40
+    JOIN supplier s ON b.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    ORDER BY p_partkey
+    """,
+    tags=("J1", "J2", "W1"),
+)
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[J1/J2] TPC-H-Q2-shaped "cheapest supplier per part": per-part
+    argmin over unit price (window with a rounded-price + suppkey total
+    order — ULP-stable across engines), then enrich through broadcast
+    part/supplier/nation dims. The window shuffles lineitem once on
+    l_partkey; every dim join is broadcast so the fact side never
+    reshuffles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    unit = li.select(
+        "l_partkey",
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") / F.col("l_quantity"), 6).alias("unit_price"),
+    )
+    w = Window.partitionBy("l_partkey").orderBy("unit_price", "l_suppkey")
+    best = (
+        unit.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    p = F.broadcast(load_table(spark, sf_dir, "part").filter(F.col("p_size") >= 40))
+    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    return (
+        best.join(p, best["l_partkey"] == p["p_partkey"])
+        .join(s, best["l_suppkey"] == s["s_suppkey"])
+        .join(n, s["s_nationkey"] == n["n_nationkey"])
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            F.col("n_name").alias("nation"),
+            F.col("unit_price").alias("best_unit_price"),
+        )
+        .orderBy("p_partkey")
     )

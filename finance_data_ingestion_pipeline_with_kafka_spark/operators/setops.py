@@ -175,3 +175,50 @@ def intersect_all_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("status")
     )
+
+
+@query(
+    "scd_upsert",
+    oracle="""
+    WITH upd AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             ROUND(o_totalprice * 1.1, 4) AS o_totalprice
+      FROM orders WHERE o_orderkey % 10 = 0
+    ), kept AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             ROUND(o_totalprice, 4) AS o_totalprice
+      FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = o.o_orderkey)
+    )
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 'updated' AS src
+    FROM upd
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 'kept' AS src
+    FROM kept
+    ORDER BY o_orderkey
+    """,
+    tags=("SET", "J4"),
+)
+def scd_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert semantics on plain parquet tables: an incoming change
+    feed (here: a 10% slice of orders with adjusted prices) replaces
+    matching keys and the rest of the base survives — expressed as
+    change-feed ∪ (base ANTI-JOIN change-feed). This is exactly the
+    engine's idempotent-sink contract generalized to batch: at lake scale
+    the same statement is a Delta/Iceberg ``MERGE INTO`` keyed on the
+    deterministic id, and the anti-join shuffles only the base keys
+    (Catalyst plans a hash anti-join; the change feed is typically the
+    small broadcast side)."""
+    o = load_table(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus"]
+    upd = (
+        o.filter(F.col("o_orderkey") % 10 == 0)
+        .select(*cols, F.round(F.col("o_totalprice") * 1.1, 4).alias("o_totalprice"))
+        .withColumn("src", F.lit("updated"))
+    )
+    kept = (
+        o.join(upd.select("o_orderkey"), "o_orderkey", "left_anti")
+        .select(*cols, F.round("o_totalprice", 4).alias("o_totalprice"))
+        .withColumn("src", F.lit("kept"))
+    )
+    return upd.unionByName(kept).orderBy("o_orderkey")

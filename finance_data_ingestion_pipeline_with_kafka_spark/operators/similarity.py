@@ -149,13 +149,22 @@ def hyperplane(seed: int, dim: int) -> list[float]:
 N_PLANES = 8  # 256 buckets over the corpus
 
 
-def lsh_bucket(vcol: str, planes: list[list[float]]) -> Column:
-    """Random-hyperplane LSH bucket id: bit i = sign(v · plane_i)."""
-    acc = F.lit(0)
+def with_lsh_bucket(df: DataFrame, vcol: str, planes: list[list[float]], out: str = "bucket") -> DataFrame:
+    """Random-hyperplane LSH bucket id: bit i = sign(v · plane_i).
+
+    Per-plane dot products are kept as separate projected columns rather
+    than one combined expression — a single expression holding all
+    N_PLANES × dim unrolled terms was observed to exceed janino's method
+    limits and fall back to interpreted evaluation (~4× slower); the
+    HOF-fold ``dot_lit`` plus per-column assembly keeps each generated
+    method JIT-able."""
+    sign_cols = [f"_s{i}" for i in range(len(planes))]
     for i, p in enumerate(planes):
-        d = dot_lit(vcol, p)
-        acc = acc + F.when(d > 0, F.lit(1 << i)).otherwise(F.lit(0))
-    return acc
+        df = df.withColumn(sign_cols[i], F.when(dot_lit(vcol, p) > 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    acc = F.col(sign_cols[0])
+    for c in sign_cols[1:]:
+        acc = acc + F.col(c)
+    return df.withColumn(out, acc).drop(*sign_cols)
 
 
 @query("ann_lsh_bucketed", tags=("U5",))
@@ -171,7 +180,7 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").alias("v")
     )
-    bucketed = e.withColumn("bucket", lsh_bucket("v", planes)).withColumn(
+    bucketed = with_lsh_bucket(e, "v", planes).withColumn(
         "norm", F.sqrt(dot("v", "v"))
     )
     q = F.broadcast(
