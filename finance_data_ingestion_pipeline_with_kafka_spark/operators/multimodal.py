@@ -130,17 +130,41 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@query("media_features", tags=("U7", "U1"))
+@query(
+    "media_features",
+    oracle="""
+    WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
+                      octet_length(encode(text)) AS n
+               FROM documents)
+    SELECT doc_id, n AS n_bytes,
+           len(list_filter(range(0, n), i -> hx[CAST(i*2+1 AS INT)] = '0'))
+             AS bin0_count,
+           len(list_filter(range(0, n), i -> hx[CAST(i*2+1 AS INT)] = '1'))
+             AS bin1_count,
+           16 AS n_bins
+    FROM h ORDER BY doc_id
+    """,
+    tags=("U7", "U1"),
+)
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[U7] Binary → feature-vector extraction via mapInPandas (the
-    image/audio embedding shape). Deterministic fake kernel → rows-only
-    oracle; exact values asserted in unit tests."""
+    image/audio embedding shape). Deterministic fake kernel (16-bin byte
+    histogram); the byte-histogram bin of byte b is b>>4 — its high hex
+    nibble — so the oracle recomputes the first two bins from
+    ``hex(encode(text))``. The projection multiplies the normalized
+    feature back by n_bytes and rounds to an integer count: the quotient
+    c/n is within 1 ULP of exact, so round(c/n*n) recovers c exactly —
+    an integer compare instead of a float-rounding compare."""
     feats = featurize_media(media_table(spark, sf_dir))
     return feats.select(
         "doc_id",
         "n_bytes",
-        F.round(F.element_at("features", 1), 6).alias("bin0"),
-        F.round(F.element_at("features", 2), 6).alias("bin1"),
+        F.round(F.element_at("features", 1) * F.col("n_bytes"), 0)
+        .cast("long")
+        .alias("bin0_count"),
+        F.round(F.element_at("features", 2) * F.col("n_bytes"), 0)
+        .cast("long")
+        .alias("bin1_count"),
         F.size("features").alias("n_bins"),
     ).orderBy("doc_id")
 
@@ -226,14 +250,33 @@ def resize_media(df: DataFrame, stride: int = RESIZE_STRIDE) -> DataFrame:
     return df.mapInPandas(_resize, schema=schema)
 
 
-@query("media_resize", tags=("U7", "U1"))
+@query(
+    "media_resize",
+    oracle=f"""
+    WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
+                      octet_length(encode(text)) AS n
+               FROM documents)
+    SELECT doc_id, n AS n_bytes_in,
+           (n + {RESIZE_STRIDE - 1}) // {RESIZE_STRIDE} AS n_bytes_out,
+           md5(COALESCE(list_aggregate(list_transform(
+                 range(0, (n + {RESIZE_STRIDE - 1}) // {RESIZE_STRIDE}),
+                 i -> hx[CAST(i*{2 * RESIZE_STRIDE}+1 AS INT):CAST(i*{2 * RESIZE_STRIDE}+2 AS INT)]),
+               'string_agg', ''), '')) AS thumb_md5
+    FROM h ORDER BY doc_id
+    """,
+    tags=("U7", "U1"),
+)
 def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[U7] Resize/downsample over the multimodal table (rows-only oracle;
-    the exact stride kernel is pinned in unit tests)."""
+    """[U7] Resize/downsample over the multimodal table. The stride
+    kernel keeps every ``RESIZE_STRIDE``-th byte; byte j of the payload is
+    chars [2j+1, 2j+2] of ``hex(payload)``, so the oracle reassembles the
+    thumb's hex image from the document text and both sides compare
+    ``md5(hex(thumb))`` — hex is injective, so this pins the exact thumb
+    bytes without DuckDB needing blob indexing."""
     out = resize_media(media_table(spark, sf_dir))
     return out.select(
         "doc_id",
         "n_bytes_in",
         "n_bytes_out",
-        F.md5("thumb").alias("thumb_md5"),
+        F.md5(F.hex("thumb")).alias("thumb_md5"),
     ).orderBy("doc_id")
