@@ -248,27 +248,42 @@ def range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[J1/J2] TPC-H-Q5-shaped 6-way join: local-supplier revenue per
-    nation in one region. Three fact-side joins shuffle on their keys;
-    nation/region ride along broadcast. Catalyst reorders freely because
-    the whole query is declarative."""
-    c = load_table(spark, sf_dir, "customer")
+    nation in one region.
+
+    Join order is written selective-first: the region→nation broadcast
+    filters CUSTOMER (and supplier) down to the one region (~1/5 of rows)
+    BEFORE the two fact shuffles, so customer⋈orders and ⋈lineitem carry
+    only region-local rows. Catalyst does not reorder shuffle joins
+    without CBO stats, so the as-written order IS the executed order —
+    at 100 TB the difference is shuffling 20 TB instead of 100 TB."""
+    # ASIA nations: 5 rows — broadcast twice (to customer and supplier)
+    n_asia = (
+        load_table(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    c = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(n_asia), F.col("c_nationkey") == F.col("n_nationkey")
+    )
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
     )
     l = load_table(spark, sf_dir, "lineitem")
-    # supplier is ~10 rows per SF-unit — broadcast like the other dims so
-    # the only shuffles are customer⋈orders and ⋈lineitem
+    # supplier broadcasts whole: the in-join s_nationkey = c_nationkey
+    # condition already restricts matches to ASIA suppliers, and a
+    # pre-filter semi-join would add a build stage for no shuffle savings
     s = F.broadcast(load_table(spark, sf_dir, "supplier"))
-    n = F.broadcast(load_table(spark, sf_dir, "nation"))
-    r = F.broadcast(load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         c.join(o, c["c_custkey"] == o["o_custkey"])
         .join(l, l["l_orderkey"] == o["o_orderkey"])
         .join(s, (l["l_suppkey"] == s["s_suppkey"]) & (s["s_nationkey"] == c["c_nationkey"]))
-        .join(n, c["c_nationkey"] == n["n_nationkey"])
-        .join(r, n["n_regionkey"] == r["r_regionkey"])
         .groupBy(F.col("n_name").alias("nation"))
         .agg(dsum(revenue).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
         # presentation sort dropped (order-insensitive compare)
