@@ -201,22 +201,69 @@ def with_lsh_bucket(df: DataFrame, vcol: str, planes: list[list[float]], out: st
     method JIT-able."""
     sign_cols = [f"_s{i}" for i in range(len(planes))]
     for i, p in enumerate(planes):
-        df = df.withColumn(sign_cols[i], F.when(dot_lit(vcol, p) > 0, F.lit(1 << i)).otherwise(F.lit(0)))
+        # sign of the ROUNDED projection — same 6-digit robustness
+        # contract as every cosine compare in this module, so the oracle
+        # can recompute identical buckets
+        df = df.withColumn(
+            sign_cols[i],
+            F.when(F.round(dot_lit(vcol, p), 6) > 0, F.lit(1 << i)).otherwise(F.lit(0)),
+        )
     acc = F.col(sign_cols[0])
     for c in sign_cols[1:]:
         acc = acc + F.col(c)
     return df.withColumn(out, acc).drop(*sign_cols)
 
 
-@query("ann_lsh_bucketed", tags=("U5",))
+def _lsh_oracle() -> str:
+    """Oracle twin of ``ann_lsh_bucketed``: the hyperplanes are
+    deterministic module constants, so they embed in the SQL as literal
+    double arrays and DuckDB recomputes the same buckets
+    (``list_dot_product`` folds in array order, matching ``dot``'s
+    left-to-right accumulation — the same identity every cosine oracle in
+    this module already relies on)."""
+    planes = [hyperplane(s, EMBED_DIM) for s in range(N_PLANES)]
+    bucket_terms = " + ".join(
+        f"(CASE WHEN ROUND(list_dot_product(v, [{', '.join(repr(x) for x in p)}]), 6)"
+        f" > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+    WITH vecs AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), b AS (
+      SELECT vec_id, label, v, {bucket_terms} AS bucket FROM vecs
+    ), q AS (
+      SELECT vec_id AS query_id, v AS qv, bucket AS qbucket
+      FROM b WHERE vec_id < {N_QUERY_VECS}
+    ), scored AS (
+      SELECT q.query_id, b.vec_id, b.label,
+             ROUND(list_dot_product(q.qv, b.v)
+                   / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(b.v, b.v))),
+                   6) AS cosine_sim
+      FROM q JOIN b ON b.bucket = q.qbucket AND b.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, label, cosine_sim FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, vec_id) AS rn
+      FROM scored
+    ) WHERE rn <= {TOP_K}
+    ORDER BY query_id, cosine_sim DESC, vec_id
+    """
+
+
+@query("ann_lsh_bucketed", oracle=_lsh_oracle(), tags=("U5",))
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[U5] Approximate NN via random-hyperplane LSH: bucket the corpus by
     sign-pattern (8 deterministic hyperplanes → 256 buckets), search only
     the query's bucket. At 100 TB the corpus is written bucketed-by
     ``bucket`` so a query touches 1/256th of the data with no shuffle.
-    Approximate by design → rows-only oracle; recall vs the brute-force
-    baseline is asserted in unit tests."""
-    dim = 64
+    Approximate relative to exact knn, but DETERMINISTIC given the fixed
+    planes — the oracle recomputes the identical buckets from the same
+    plane constants, so the driver hash-compares it like any exact query;
+    recall vs the brute-force baseline is additionally asserted in unit
+    tests."""
+    dim = EMBED_DIM
     planes = [hyperplane(s, dim) for s in range(N_PLANES)]
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").alias("v")
