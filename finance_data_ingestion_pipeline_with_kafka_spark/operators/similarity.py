@@ -14,6 +14,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.core import davg
 from ..registry import query
 
 N_QUERY_VECS = 5  # vec_id 0..4 serve as the query set
@@ -350,7 +351,54 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_PROBE = 3  # clusters searched per query
 
 
-@query("ivf_ann", tags=("U5",))
+_IVF_ORACLE = f"""
+    WITH vecs AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), cd AS (
+      SELECT label AS cid, i,
+             CAST(SUM(CAST(v[i] AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS m
+      FROM vecs, (SELECT unnest(range(1, {EMBED_DIM + 1})) AS i) dims
+      GROUP BY label, i
+    ), cents AS (
+      SELECT cid, list(m ORDER BY i) AS cv FROM cd GROUP BY cid
+    ), c2 AS (
+      SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cnorm FROM cents
+    ), assigned AS (
+      SELECT vec_id, label, v, cell FROM (
+        SELECT vecs.vec_id, vecs.label, vecs.v, c.cid AS cell,
+               ROW_NUMBER() OVER (PARTITION BY vecs.vec_id
+                 ORDER BY ROUND(list_dot_product(vecs.v, c.cv)
+                         / (sqrt(list_dot_product(vecs.v, vecs.v)) * c.cnorm), 9) DESC,
+                          c.cid) AS rn
+        FROM vecs CROSS JOIN c2 c
+      ) WHERE rn = 1
+    ), probes AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT q.vec_id AS query_id, q.v AS qv, c.cid AS cell,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY ROUND(list_dot_product(q.v, c.cv)
+                         / (sqrt(list_dot_product(q.v, q.v)) * c.cnorm), 9) DESC,
+                          c.cid) AS rn
+        FROM vecs q CROSS JOIN c2 c WHERE q.vec_id < {N_QUERY_VECS}
+      ) WHERE rn <= {N_PROBE}
+    ), scored AS (
+      SELECT p.query_id, a.vec_id, a.label,
+             ROUND(list_dot_product(p.qv, a.v)
+                   / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.v, a.v))),
+                   6) AS cosine_sim
+      FROM probes p JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.query_id
+    )
+    SELECT query_id, vec_id, label, cosine_sim FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, vec_id) AS rn
+      FROM scored
+    ) WHERE rn <= {TOP_K}
+    ORDER BY query_id, cosine_sim DESC, vec_id
+"""
+
+
+@query("ivf_ann", oracle=_IVF_ORACLE, tags=("U5",))
 def ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[U5] IVF (inverted-file) ANN: "train" a coarse quantizer (centroid =
     per-cluster mean vector — one hash aggregation over the corpus, the
@@ -362,18 +410,25 @@ def ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     (KB-sized) broadcasts everywhere. The cluster seed here is the fixture's
     ``label`` column; a production build would iterate k-means from random
     seeds — placement changes recall, not the plan shape.
-    Approximate by design → rows-only oracle; recall vs ``knn_bruteforce``
-    is asserted in tests/test_extension_semantics.py."""
+    Approximate relative to exact knn but DETERMINISTIC end-to-end:
+    centroid means accumulate in DECIMAL (``davg`` — order-independent,
+    so Spark's partial-aggregation order can't perturb them and DuckDB
+    recomputes bit-identical centroids), every later dot product folds
+    left-to-right, and cell/probe ranking uses rounded scores with id
+    tie-breaks. The driver hash-compares it like any exact query; recall
+    vs ``knn_bruteforce`` is additionally asserted in
+    tests/test_extension_semantics.py."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").alias("v")
     )
     e = e.withColumn("norm", F.sqrt(dot("v", "v")))
     # centroid training: element-wise mean per cluster via posexplode →
-    # avg per (cluster, dim) → re-assemble in dim order
+    # decimal-deterministic mean per (cluster, dim) → re-assemble in dim
+    # order. posexplode's dim is 0-based; the oracle's range is 1-based.
     cent_dims = (
         e.select("label", F.posexplode("v").alias("dim", "x"))
         .groupBy("label", "dim")
-        .agg(F.avg("x").alias("m"))
+        .agg(davg("x").alias("m"))
     )
     cents = F.broadcast(
         cent_dims.groupBy("label")
