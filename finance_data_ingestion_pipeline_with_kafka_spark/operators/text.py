@@ -233,23 +233,32 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(tokens()).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    # document frequency falls out of the tf table (one row per doc×term)
-    # as a window count over term — no second tokenization pass, no
-    # countDistinct, and no dictionary join to shuffle-build.
+    # document frequency: groupBy(term) over the tf table — partial
+    # aggregation shrinks the shuffle to (distinct terms per map task),
+    # then the vocab-sized df table broadcasts back onto tf. This
+    # replaced a count() window over term, which re-shuffled the ENTIRE
+    # tf table with no map-side combine (measured slower at sf0.1 and
+    # strictly worse at corpus scale where vocab ≪ doc×term rows).
     # n_docs stays IN-PLAN: a 1-row aggregate broadcast-cross-joined onto
     # the tf table — no driver-side action, no extra scan job; the 1-row
     # side is a BroadcastNestedLoopJoin costing nothing per tf row.
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
-    with_df = (
-        tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
-        .crossJoin(F.broadcast(n))
-    )
+    df_tbl = F.broadcast(tf.groupBy("term").agg(F.count(F.lit(1)).alias("df")))
+    with_df = tf.join(df_tbl, "term").crossJoin(F.broadcast(n))
     tfidf = F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
-    w = Window.partitionBy("doc_id").orderBy(F.desc(tfidf), "term")
+    # argmax term per doc via min_by over (-tfidf, term): max tfidf, ties
+    # to the lexicographically first term — same order as the previous
+    # row_number window, but with partial aggregation (one candidate row
+    # per doc per map task crosses the wire, not every doc×term row)
     return (
-        with_df.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "term", F.round(tfidf, 6).alias("tfidf"))
+        with_df.groupBy("doc_id")
+        .agg(
+            F.min_by(
+                F.struct(F.col("term"), tfidf.alias("tfidf")),
+                F.struct((-tfidf).alias("neg"), F.col("term")),
+            ).alias("top")
+        )
+        .select("doc_id", F.col("top.term").alias("term"), F.round("top.tfidf", 6).alias("tfidf"))
         # presentation sort dropped (order-insensitive compare)
     )
 
