@@ -40,6 +40,11 @@ def _force(df) -> None:
 
 
 def main() -> None:
+    # Ingest large fixture tables into the engine's own lake layout once
+    # (the fixtures are single-row-group parquet — one scan task no matter
+    # how many cores; see catalog._lake_cached_scan). The rewrite happens
+    # during the cold pass and is billed there.
+    os.environ.setdefault("ENGINE_LAKE_CACHE", "1")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
     catalog = load_all()
@@ -103,6 +108,7 @@ def main() -> None:
         "cold_queries": cold,
         "concurrent_total_sec": concurrent_total,
         "forcing": "arrow_toPandas",
+        "lake_cache": os.environ.get("ENGINE_LAKE_CACHE") == "1",
         "streaming_msgs_per_sec": _streaming_throughput(spark),
     }
     if os.environ.get("SPARK_GRAFT_SKIP_CROSSOVER") != "1":

