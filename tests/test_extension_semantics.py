@@ -345,6 +345,20 @@ def test_connected_components_transitive(spark):
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
 
 
+def test_connected_components_long_chain_converges(spark):
+    """A path graph far longer than max_iter converges thanks to pointer
+    jumping (O(log diameter) rounds) — plain min-label propagation would
+    need one round per hop and raise."""
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.dedup import (
+        connected_components,
+    )
+
+    n = 80  # diameter 79 ≫ max_iter=20
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n)], ["src", "dst"])
+    comp = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    assert comp == {i: 0 for i in range(n + 1)}
+
+
 def test_approx_percentile_rank_error_bound(spark, sf_dir):
     """percentile_approx guarantees rank error <= n/accuracy: the returned
     value's true rank must sit within that window of the target rank."""
