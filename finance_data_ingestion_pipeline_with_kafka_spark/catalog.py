@@ -144,6 +144,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str, replicate: int = 1) 
     src_path = os.path.join(sf_dir, f"{name}.parquet")
     if (
         lake_cache
+        and replicate == 1  # N-way replication already yields N parallel
+        # scan tasks; stacking the 16-way layout on top multiplies task
+        # counts (16×N per table) past the scheduling sweet spot
         and os.path.exists(src_path)
         and os.path.getsize(src_path) >= _LAKE_CACHE_MIN_BYTES
     ):
