@@ -70,6 +70,15 @@ _MODULE_PRIORITY = (
 #: module-priority queries these fill the driver's 50-row window; the
 #: remaining round-1 rows-only queries (minhash/simhash/clusters/media)
 #: already carry r1 driver rows and fall below the fold.
+#: Order within this tier decides who falls below a 50-row driver fold:
+#: first the round-2 training-data operators and the approx-sketch rows
+#: upgraded to real oracles (the round-1 verdict asked to see these
+#: driver-green), then queries whose driver evidence would be NEW
+#: (media_features/media_resize gained real oracles after their r1
+#: no_oracle rows; scd_upsert/min_cost_supplier have no row yet), and
+#: last the three queries that remain rows-only by design AND already
+#: carry r1 driver rows (minhash/simhash/clusters) — re-verifying them
+#: teaches the least. Rotates as rounds accumulate coverage.
 _VERIFY_NEXT = (
     "pii_redaction",
     "repetition_filter",
@@ -79,21 +88,14 @@ _VERIFY_NEXT = (
     "approx_distinct",
     "approx_percentiles",
     "hll_sketch_users",
+    "media_features",
+    "media_resize",
     "scd_upsert",
     "min_cost_supplier",
     "minhash_near_dup",
     "simhash_near_dup",
     "near_dup_clusters",
-    "media_features",
-    "media_resize",
 )
-
-#: Round-2 additions deliberately held OUT of the driver's 50-row window
-#: (they are locally oracle-green; the window's marginal slots go to the
-#: three round-1 no_oracle rows upgraded to real oracles, which the
-#: round-1 verdict explicitly asked to see driver-green). Rotates next
-#: round.
-_VERIFY_LATER = frozenset({"scd_upsert", "min_cost_supplier"})
 
 
 def load_all() -> dict[str, QuerySpec]:
@@ -123,12 +125,13 @@ def load_all() -> dict[str, QuerySpec]:
     def rank(item: tuple[str, QuerySpec]) -> tuple[int, int, int]:
         name, spec = item
         mod = spec.fn.__module__.rsplit(".", 1)[-1]
-        if name in _VERIFY_LATER:
-            return (1, next_rank.get(name, 99), reg_order[name])
-        if mod in mod_rank:
-            return (0, mod_rank[mod], reg_order[name])
+        # an explicit _VERIFY_NEXT position overrides module priority
+        # (e.g. scd_upsert lives in a tier-0 module but is deliberately
+        # sequenced below the approx-sketch upgrades)
         if name in next_rank:
             return (1, next_rank[name], reg_order[name])
+        if mod in mod_rank:
+            return (0, mod_rank[mod], reg_order[name])
         return (2, 0, reg_order[name])
 
     return dict(sorted(QUERIES.items(), key=rank))
