@@ -86,17 +86,26 @@ def shingle_rows(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
 
 
 def minhash_signatures(docs: DataFrame, perms: int = MINHASH_PERMS) -> DataFrame:
-    """MinHash signatures as one ``array<long>`` column: per permutation
-    ``i``, the min of ``xxhash64(i, base)`` over the document's shingles,
-    where ``base = xxhash64(shingle)`` is computed ONCE per shingle. The
-    seeded re-hash runs over a fixed 12-byte input instead of re-hashing
-    the shingle's string bytes ``perms`` times — same permutation-family
-    semantics (any hash of an injective base hash is a valid permutation),
-    measured ~2× faster on the signature stage at sf0.1. One shuffle
-    total for the signature table; signature width is ``perms`` longs per
+    """MinHash signatures as one ``array<string>`` column: per
+    permutation ``i``, the lexicographic min of ``md5(i || ":" || base)``
+    over the document's shingles, where ``base = md5(shingle)`` is
+    computed ONCE per shingle (the seeded re-hash runs over a fixed
+    35-byte input instead of re-hashing the shingle's string bytes
+    ``perms`` times — any hash of an injective base hash is an equally
+    valid permutation family). md5 rather than xxhash64 deliberately:
+    both engines implement md5, and lexicographic min over lowercase-hex
+    ASCII agrees between Spark's and DuckDB's string comparison, so the
+    ENTIRE minhash pipeline has an exact DuckDB twin and the driver
+    hash-compares it like any deterministic query (~20% slower than the
+    xxhash64 variant at sf0.1 — the cost of checkability on the one
+    query family seeded hashing used to exempt). One shuffle total for
+    the signature table; signature width is ``perms`` hex strings per
     doc regardless of document size."""
-    rows = shingle_rows(docs).withColumn("base", F.xxhash64(F.col("sh")))
-    aggs = [F.min(F.xxhash64(F.lit(i), F.col("base"))).alias(f"mh{i}") for i in range(perms)]
+    rows = shingle_rows(docs).withColumn("base", F.md5(F.col("sh")))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("base")))).alias(f"mh{i}")
+        for i in range(perms)
+    ]
     grouped = rows.groupBy("doc_id").agg(*aggs)
     return grouped.select(
         "doc_id", F.array(*[F.col(f"mh{i}") for i in range(perms)]).alias("minhash")
@@ -104,17 +113,20 @@ def minhash_signatures(docs: DataFrame, perms: int = MINHASH_PERMS) -> DataFrame
 
 
 def minhash_candidates(sigs: DataFrame) -> DataFrame:
-    """LSH banding: band hash = xxhash64 of the band's row minhashes;
-    docs sharing any (band_id, band_hash) bucket become candidate pairs."""
+    """LSH banding: band hash = md5 of the band's concatenated row
+    minhashes (fixed 32-char pieces — no separator ambiguity); docs
+    sharing any (band_id, band_hash) bucket become candidate pairs."""
     bands = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band_id"),
-                F.xxhash64(
-                    *[
-                        F.element_at("minhash", b * MINHASH_ROWS + r + 1)
-                        for r in range(MINHASH_ROWS)
-                    ]
+                F.md5(
+                    F.concat(
+                        *[
+                            F.element_at("minhash", b * MINHASH_ROWS + r + 1)
+                            for r in range(MINHASH_ROWS)
+                        ]
+                    )
                 ).alias("band_hash"),
             )
             for b in range(MINHASH_BANDS)
@@ -137,13 +149,63 @@ def minhash_candidates(sigs: DataFrame) -> DataFrame:
     )
 
 
-@query("minhash_near_dup", tags=("U4",), bench=True)
+def _minhash_cte() -> str:
+    """Shared oracle CTE chain reproducing the full MinHash pipeline in
+    DuckDB — same shingles, same ``md5(i || ":" || md5(shingle))``
+    permutations, same banded candidates, same exact-Jaccard verify —
+    terminating in a ``near_dup`` relation of verified pairs."""
+    mh_cols = ", ".join(
+        f"MIN(md5('{i}:' || base)) AS mh{i}" for i in range(MINHASH_PERMS)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_id, md5({parts}) AS band_hash FROM sigs".format(
+            b=b,
+            parts="||".join(f"mh{b * MINHASH_ROWS + r}" for r in range(MINHASH_ROWS)),
+        )
+        for b in range(MINHASH_BANDS)
+    )
+    n = SHINGLE_N
+    gram = " || ' ' || ".join(f"t[i+{j}]" if j else "t[i]" for j in range(n))
+    return f"""
+    toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ), grams AS (
+      SELECT doc_id, unnest(list_transform(range(1, greatest(len(t)-{n - 1}, 0)+1),
+              i -> {gram})) AS sh
+      FROM toks WHERE len(t) >= {n}
+    ), hashed AS (SELECT doc_id, md5(sh) AS base FROM grams),
+    sigs AS (SELECT doc_id, {mh_cols} FROM hashed GROUP BY doc_id),
+    bands AS ({band_selects}),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band_id = b.band_id
+                                AND a.band_hash = b.band_hash
+                                AND a.doc_id < b.doc_id
+    ), sets AS (SELECT doc_id, list_distinct(list(sh)) AS shset FROM grams GROUP BY doc_id),
+    near_dup AS (
+      SELECT doc_a, doc_b, jaccard FROM (
+        SELECT c.doc_a, c.doc_b,
+               ROUND(CAST(len(list_intersect(sa.shset, sb.shset)) AS DOUBLE)
+                     / len(list_distinct(list_concat(sa.shset, sb.shset))), 6) AS jaccard
+        FROM cands c JOIN sets sa ON sa.doc_id = c.doc_a
+                     JOIN sets sb ON sb.doc_id = c.doc_b
+      ) WHERE jaccard >= 0.8
+    )"""
+
+
+@query(
+    "minhash_near_dup",
+    oracle=f"WITH {_minhash_cte()} SELECT doc_a, doc_b, jaccard FROM near_dup",
+    tags=("U4",),
+    bench=True,
+)
 def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[U4] MinHash + LSH near-duplicate detection (shingle → minhash →
-    band → bucket-join → exact-Jaccard verify). Deterministic via seeded
-    xxhash64, so results are stable across runs/partitionings; xxhash64 has
-    no DuckDB equivalent → rows-only oracle (candidates are verified with
-    exact Jaccard below, and tests inject known near-dups)."""
+    band → bucket-join → exact-Jaccard verify). Hashing is md5-based and
+    engine-portable (see ``minhash_signatures``), so the whole pipeline —
+    including which candidate pairs the banding surfaces — has an exact
+    DuckDB twin and the driver hash-compares it; injected-near-dup tests
+    additionally pin recall behavior."""
     docs = load_table(spark, sf_dir, "documents")
     # Persist the signature table: it is read by both sides of the bucket
     # self-join. At lake scale this persist is "write the signature table
@@ -397,13 +459,34 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     )
 
 
-@query("near_dup_clusters", tags=("U4",))
+@query(
+    "near_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_minhash_cte()},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM near_dup
+      UNION ALL SELECT doc_b, doc_a FROM near_dup
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r
+    )
+    SELECT id AS doc_id, MIN(r) AS keeper_doc_id
+    FROM reach GROUP BY id ORDER BY doc_id
+    """,
+    tags=("U4",),
+)
 def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[U4] Dedup cluster assignment: MinHash-verified near-dup pairs →
     connected components → keeper = smallest doc_id per cluster. This is
     the actionable dedup output (drop everything where doc_id !=
-    keeper_doc_id). Iterative → rows-only oracle; transitivity is pinned
-    by a chain-graph unit test."""
+    keeper_doc_id). The oracle recomputes the same md5 minhash pairs and
+    resolves components with a recursive transitive-closure CTE (min
+    reachable id) — fine at oracle SF, while the Spark side's pointer-
+    jumping loop is the shape that scales; transitivity is additionally
+    pinned by chain-graph unit tests."""
     pairs = minhash_near_dup(spark, sf_dir).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
