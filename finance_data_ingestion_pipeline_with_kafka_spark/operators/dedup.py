@@ -320,23 +320,34 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: SimHash width: 60 bits = 15 hex chars of md5 — the widest slice both
+#: engines parse to the same non-negative BIGINT (16 chars could set the
+#: sign bit and overflow DuckDB's hex cast).
+SIMHASH_BITS = 60
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
+SIMHASH_HAMMING = 3
+
+
 def simhash_column(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash per document: per-token xxhash64, signed bit votes,
-    reassembled sign vector. Pure expression work — one explode + one
-    groupBy, no UDF."""
+    """60-bit SimHash per document: per-token hash = first 15 hex chars
+    of md5 parsed as an integer (engine-portable — DuckDB's
+    ``CAST('0x'||… AS BIGINT)`` yields the identical value), signed bit
+    votes, reassembled sign vector. Pure expression work — one explode +
+    one groupBy, no UDF."""
     tok = docs.select(id_col, F.explode(F.array_distinct(tokens())).alias("tok"))
-    h = F.xxhash64("tok")
+    h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
     votes = tok.groupBy(id_col).agg(
         *[
             F.sum(F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(
                 f"v{i}"
             )
-            for i in range(64)
+            for i in range(SIMHASH_BITS)
         ]
     )
     bits = [
         F.shiftleft(F.when(F.col(f"v{i}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"), i)
-        for i in range(64)
+        for i in range(SIMHASH_BITS)
     ]
     acc = bits[0]
     for b in bits[1:]:
@@ -344,20 +355,61 @@ def simhash_column(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return votes.select(id_col, acc.alias("simhash"))
 
 
-@query("simhash_near_dup", tags=("U4",))
+def _simhash_oracle() -> str:
+    """DuckDB twin of ``simhash_near_dup``: same md5-derived 60-bit token
+    hashes, same sign votes, same band blocking and Hamming verify."""
+    votes = ", ".join(
+        f"SUM(CASE WHEN ((h >> {i}) & 1) = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    sim = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN (1::BIGINT << {i}) ELSE 0::BIGINT END)"
+        for i in range(SIMHASH_BITS)
+    )
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    banded = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {k} AS band_id,"
+        f" ((simhash >> {SIMHASH_BAND_BITS * k}) & {mask}) AS band_val FROM sims"
+        for k in range(SIMHASH_BANDS)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS tok
+      FROM documents
+    ), hashed AS (
+      SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM toks
+    ), votes AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id),
+    sims AS (SELECT doc_id, {sim} AS simhash FROM votes),
+    banded AS ({banded})
+    SELECT doc_a, doc_b, hamming FROM (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             bit_count(xor(a.simhash, b.simhash)) AS hamming
+      FROM banded a JOIN banded b ON a.band_id = b.band_id
+                                  AND a.band_val = b.band_val
+                                  AND a.doc_id < b.doc_id
+    ) WHERE hamming <= {SIMHASH_HAMMING}
+    ORDER BY doc_a, doc_b
+    """
+
+
+@query("simhash_near_dup", oracle=_simhash_oracle(), tags=("U4",))
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[U4] SimHash near-dup: 4×16-bit band blocking, then Hamming distance
-    ≤ 3 via ``bit_count(a XOR b)``. Rows-only oracle (xxhash64-based);
-    behavior verified in unit tests with injected near-duplicates."""
+    """[U4] SimHash near-dup: 4×15-bit band blocking, then Hamming
+    distance ≤ 3 via ``bit_count(a XOR b)``. md5-derived hashes make the
+    whole pipeline engine-portable — the oracle recomputes identical
+    simhashes, bands, and Hamming distances in DuckDB; injected-near-dup
+    unit tests additionally pin separation behavior."""
     docs = load_table(spark, sf_dir, "documents")
     sims = simhash_column(docs)
     bands = F.array(
         *[
             F.struct(
                 F.lit(k).alias("band_id"),
-                F.shiftright("simhash", 16 * k).bitwiseAND(F.lit(0xFFFF)).alias("band_val"),
+                F.shiftright("simhash", SIMHASH_BAND_BITS * k)
+                .bitwiseAND(F.lit((1 << SIMHASH_BAND_BITS) - 1))
+                .alias("band_val"),
             )
-            for k in range(4)
+            for k in range(SIMHASH_BANDS)
         ]
     )
     banded = sims.select("doc_id", "simhash", F.explode(bands).alias("b")).select(
@@ -378,7 +430,7 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return pairs.filter(F.col("hamming") <= 3).orderBy("doc_a", "doc_b")
+    return pairs.filter(F.col("hamming") <= SIMHASH_HAMMING).orderBy("doc_a", "doc_b")
 
 
 def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:

@@ -73,12 +73,12 @@ _MODULE_PRIORITY = (
 #: Order within this tier decides who falls below a 50-row driver fold:
 #: first the round-2 training-data operators and the approx-sketch rows
 #: upgraded to real oracles (the round-1 verdict asked to see these
-#: driver-green), then queries whose driver evidence would be NEW
-#: (media_features/media_resize gained real oracles after their r1
-#: no_oracle rows; scd_upsert/min_cost_supplier have no row yet), and
-#: last the three queries that remain rows-only by design AND already
-#: carry r1 driver rows (minhash/simhash/clusters) — re-verifying them
-#: teaches the least. Rotates as rounds accumulate coverage.
+#: driver-green), then queries whose driver evidence would be NEW —
+#: media_features/media_resize, minhash/simhash/clusters (all five
+#: gained real oracles in round 2 after r1 no_oracle rows) and
+#: scd_upsert/min_cost_supplier (no row yet). With these upgrades the
+#: catalog has ZERO rows-only queries: every entry carries an exact
+#: DuckDB oracle. Rotates as rounds accumulate coverage.
 _VERIFY_NEXT = (
     "pii_redaction",
     "repetition_filter",
