@@ -135,8 +135,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str, replicate: int = 1) 
         if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        if dict(raw.dtypes).get("ts") == "bigint":
+        ts_type = dict(raw.dtypes).get("ts")
+        if ts_type == "bigint":
             df = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # Plain parquet TIMESTAMP(µs, isAdjustedToUTC=false) infers as
+            # TIMESTAMP_NTZ under Spark 4. The session runs in UTC, so the
+            # NTZ→LTZ cast is value-preserving and restores the single
+            # TimestampType the operators (epoch casts, windows,
+            # watermarks) are written against.
+            df = raw.withColumn("ts", F.col("ts").cast("timestamp"))
         else:  # engine-written lake copies already store ts as TIMESTAMP(µs)
             df = raw
     else:

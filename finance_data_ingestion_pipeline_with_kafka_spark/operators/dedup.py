@@ -383,7 +383,7 @@ def _simhash_oracle() -> str:
     banded AS ({banded})
     SELECT doc_a, doc_b, hamming FROM (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             bit_count(xor(a.simhash, b.simhash)) AS hamming
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
       FROM banded a JOIN banded b ON a.band_id = b.band_id
                                   AND a.band_val = b.band_val
                                   AND a.doc_id < b.doc_id
@@ -426,7 +426,9 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+            .cast("int")
+            .alias("hamming"),
         )
         .distinct()
     )

@@ -192,8 +192,9 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ), c AS (
       SELECT doc_id, lang, n_tokens,
-             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY ok, doc_id
-                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+             CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY ok, doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_tokens
       FROM t
     )
     SELECT lang, doc_id, n_tokens, cum_tokens
@@ -234,7 +235,8 @@ def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH lt AS (
       SELECT lang, COUNT(*) AS n_docs,
-             SUM(len(string_split_regex(trim(text), '\\s+'))) AS n_tokens
+             CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+               AS n_tokens
       FROM documents GROUP BY lang
     ), tot AS (
       SELECT SUM(n_tokens) AS tot, COUNT(*) AS n_langs FROM lt
