@@ -213,6 +213,12 @@ def _scale_crossover(spark, sf_dir: str, factor: int = 10) -> dict:
             f"spark_{factor}x": round(spark_nx[name], 4),
             f"duckdb_{factor}x": round(duck_nx[name], 4),
             f"ratio_{factor}x": round(rn, 2),
+            # how each engine's wall-clock grew for factor× data; a Spark
+            # value far below `factor` = fixed overhead amortizing (the
+            # scale story), and sub-ms DuckDB denominators make the raw
+            # ratio columns noise-dominated — this column is the stable one
+            "spark_scaling": round(spark_nx[name] / max(spark_1x.get(name, 1e-6), 1e-6), 2),
+            "duckdb_scaling": round(duck_nx[name] / max(duck_1x[name], 1e-6), 2),
         }
     n_improving = sum(
         1 for v in table.values() if v[f"ratio_{factor}x"] < v["ratio_1x"]

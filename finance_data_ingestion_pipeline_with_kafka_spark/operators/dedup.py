@@ -198,6 +198,7 @@ def _minhash_cte() -> str:
     oracle=f"WITH {_minhash_cte()} SELECT doc_a, doc_b, jaccard FROM near_dup",
     tags=("U4",),
     bench=True,
+    prepared=False,  # localCheckpoint materializes rows at construction
 )
 def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[U4] MinHash + LSH near-duplicate detection (shingle → minhash →
@@ -531,6 +532,7 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     FROM reach GROUP BY id ORDER BY doc_id
     """,
     tags=("U4",),
+    prepared=False,  # iterative loop materializes per-round checkpoints
 )
 def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[U4] Dedup cluster assignment: MinHash-verified near-dup pairs →
