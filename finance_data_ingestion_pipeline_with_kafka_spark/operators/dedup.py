@@ -276,6 +276,10 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY doc_a, doc_b
     """,
     tags=("U4",),
+    bench=True,
+    crossover=False,  # pair-verification kernel: work grows with block
+    # occupancy squared in BOTH engines; at 10x its DuckDB twin would be
+    # the crossover phase's wall-clock, not its signal
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[U4] Exact word-bigram Jaccard with (lang, length-bucket) blocking —
@@ -393,7 +397,7 @@ def _simhash_oracle() -> str:
     """
 
 
-@query("simhash_near_dup", oracle=_simhash_oracle(), tags=("U4",))
+@query("simhash_near_dup", oracle=_simhash_oracle(), tags=("U4",), bench=True)
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[U4] SimHash near-dup: 4×15-bit band blocking, then Hamming
     distance ≤ 3 via ``bit_count(a XOR b)``. md5-derived hashes make the
@@ -532,7 +536,10 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     FROM reach GROUP BY id ORDER BY doc_id
     """,
     tags=("U4",),
+    bench=True,
     prepared=False,  # iterative loop materializes per-round checkpoints
+    crossover=False,  # iterates to convergence; the RECURSIVE DuckDB twin
+    # is super-linear at 10x
 )
 def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[U4] Dedup cluster assignment: MinHash-verified near-dup pairs →

@@ -96,6 +96,7 @@ def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY user_id, session_start
     """,
     tags=("T9",),
+    bench=True,
 )
 def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[T9] Session windows (30-minute inactivity gap) — trading-burst

@@ -33,6 +33,11 @@ class QuerySpec:
     oracle: str | None = None
     tags: tuple[str, ...] = field(default_factory=tuple)
     bench: bool = False  # include in bench.py headline set
+    #: include in bench.py's 10× scale-crossover phase. Off for queries
+    #: whose work grows super-linearly in block occupancy (pair
+    #: verification kernels) or that iterate to convergence — at 10×
+    #: their DuckDB twins become the phase's wall-clock, not its signal.
+    crossover: bool = True
 
 
 QUERIES: dict[str, QuerySpec] = {}
@@ -65,6 +70,7 @@ def query(
     tags: tuple[str, ...] = (),
     bench: bool = False,
     prepared: bool = True,
+    crossover: bool = True,
 ):
     """Decorator registering a query in the catalog. The registered
     callable memoizes the constructed DataFrame per (session, sf_dir,
@@ -81,7 +87,8 @@ def query(
             raise ValueError(f"duplicate query name {name!r}")
         if not prepared:
             QUERIES[name] = QuerySpec(
-                name=name, fn=fn, oracle=oracle, tags=tags, bench=bench
+                name=name, fn=fn, oracle=oracle, tags=tags, bench=bench,
+                crossover=crossover,
             )
             return fn
 
@@ -114,7 +121,8 @@ def query(
         cached.__doc__ = fn.__doc__
         cached.__wrapped__ = fn
         QUERIES[name] = QuerySpec(
-            name=name, fn=cached, oracle=oracle, tags=tags, bench=bench
+            name=name, fn=cached, oracle=oracle, tags=tags, bench=bench,
+            crossover=crossover,
         )
         return fn
 
