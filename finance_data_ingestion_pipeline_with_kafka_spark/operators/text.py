@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.core import DEC
 from ..registry import query
 
 # Tiny per-language stopword anchors for the n-gram/stopword language-ID
@@ -349,4 +350,56 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         grams.select("doc_id", F.min("gh").over(ww).alias("fp"))
         .distinct()
         .orderBy("doc_id", "fp")
+    )
+
+
+@query(
+    "word_entropy",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+      FROM documents
+    ), wc AS (
+      SELECT doc_id, w, COUNT(*) AS c FROM toks GROUP BY doc_id, w
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           ROUND(log2(CAST(SUM(c) AS DOUBLE))
+                 - CAST(SUM(CAST(c * log2(CAST(c AS DOUBLE)) AS DECIMAL(30,6)))
+                        AS DOUBLE) / SUM(c), 6) AS entropy
+    FROM wc GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("U6",),
+)
+def word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U6] Per-document Shannon entropy over the word distribution —
+    the vocabulary-diversity quality signal (low entropy = repetitive /
+    template text, a standard LLM-curation filter alongside the Gopher
+    ratios in ``quality_score``).
+
+    H = log2(N) − (Σ c·log2 c)/N over per-word counts c. The Σ term is
+    per-term rounded to 6 digits and summed exactly (decimal
+    accumulation) so distributed partial aggregation is order-independent
+    and matches the oracle bit-for-bit; log2 drift between engines is
+    ~1e-12 absolute, far below the rounding grain. Two key-bounded
+    shuffles: (doc_id, word) count, then per-doc aggregation."""
+    d = load_table(spark, sf_dir, "documents")
+    wc = (
+        d.select("doc_id", F.explode(tokens()).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = F.sum("c")
+    term = (F.col("c") * F.log2(F.col("c").cast("double"))).cast(DEC)
+    return (
+        wc.groupBy("doc_id")
+        .agg(
+            n.cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+            F.round(
+                F.log2(n.cast("double")) - F.sum(term).cast("double") / n, 6
+            ).alias("entropy"),
+        )
+        .orderBy("doc_id")
     )

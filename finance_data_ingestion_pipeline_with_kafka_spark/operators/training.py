@@ -275,3 +275,70 @@ def domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+BOILERPLATE_N = 8  # chunk width (words) for the shared-run detector
+BOILERPLATE_MIN_DOCS = 2  # a chunk in >= this many docs counts as shared
+
+
+@query(
+    "boilerplate_ngrams",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ), grams AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, greatest(len(t)-{BOILERPLATE_N - 1}, 0)+1),
+                    i -> {" || ' ' || ".join(f"t[i+{j}]" if j else "t[i]" for j in range(BOILERPLATE_N))})) AS g
+      FROM toks WHERE len(t) >= {BOILERPLATE_N}
+    ), shared AS (
+      SELECT g FROM grams GROUP BY g
+      HAVING COUNT(DISTINCT doc_id) >= {BOILERPLATE_MIN_DOCS}
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COUNT(*) FILTER (s.g IS NOT NULL) AS BIGINT) AS n_shared,
+           ROUND(COUNT(*) FILTER (s.g IS NOT NULL)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS shared_frac
+    FROM grams LEFT JOIN shared s USING (g)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("U6", "U4"),
+)
+def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate detection (the C4/RefinedWeb-style
+    shared-run filter): fraction of a document's distinct 8-word chunks
+    that also appear in other documents. High ``shared_frac`` marks
+    navigation chrome / license banners / templated text that inflates
+    token counts without adding signal.
+
+    Shape at scale: chunk rows are one narrow explode (work ∝ corpus
+    tokens), the shared set is a (chunk)-keyed aggregation whose output
+    is bounded by distinct chunks, and attribution back to documents is
+    an equi-join on the chunk hash — every stage key-bounded, no pair
+    space anywhere (contrast ``ngram_jaccard_pairs``, which verifies
+    candidate PAIRS)."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = (
+        shingle_rows(d, n=BOILERPLATE_N)
+        .select("doc_id", F.col("sh").alias("g"))
+        .distinct()
+    )
+    shared = (
+        grams.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= BOILERPLATE_MIN_DOCS)
+        .select("g")
+    )
+    flagged = grams.join(shared.withColumn("is_shared", F.lit(1)), "g", "left")
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.count("is_shared").cast("bigint").alias("n_shared"),
+            F.round(
+                F.count("is_shared") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("shared_frac"),
+        )
+        .orderBy("doc_id")
+    )

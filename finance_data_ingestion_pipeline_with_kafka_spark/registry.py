@@ -159,6 +159,8 @@ _MODULE_PRIORITY = (
 #: catalog has ZERO rows-only queries: every entry carries an exact
 #: DuckDB oracle. Rotates as rounds accumulate coverage.
 _VERIFY_NEXT = (
+    "word_entropy",
+    "boilerplate_ngrams",
     "pii_redaction",
     "repetition_filter",
     "contamination_check",

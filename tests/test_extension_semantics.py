@@ -483,3 +483,49 @@ def test_token_budget_sample_respects_budget_and_determinism(spark, sf_dir):
     for r in a:
         per_lang[r["lang"]] = max(per_lang.get(r["lang"], 0), r["cum_tokens"])
     assert per_lang and all(v <= TOKEN_BUDGET for v in per_lang.values())
+
+
+def test_word_entropy_known_distributions(spark, sf_dir, monkeypatch):
+    """Uniform distribution → log2(k); single repeated word → 0."""
+    import math
+
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators import text as text_mod
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.text import word_entropy
+
+    crafted = spark.createDataFrame(
+        [
+            (1, "a b c d", "en", "s", 7),        # uniform over 4 -> H = 2.0
+            (2, "x x x x x", "en", "s", 9),      # single word -> H = 0.0
+            (3, "a a b b", "en", "s", 7),        # uniform over 2 -> H = 1.0
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    monkeypatch.setattr(text_mod, "load_table", lambda spark, sf_dir, name: crafted)
+    rows = {r["doc_id"]: r for r in word_entropy(spark, sf_dir).collect()}
+    assert math.isclose(rows[1]["entropy"], 2.0, abs_tol=1e-6)
+    assert rows[1]["n_tokens"] == 4 and rows[1]["n_distinct"] == 4
+    assert math.isclose(rows[2]["entropy"], 0.0, abs_tol=1e-6)
+    assert math.isclose(rows[3]["entropy"], 1.0, abs_tol=1e-6)
+
+
+def test_boilerplate_ngrams_flags_shared_chunks(spark, sf_dir, monkeypatch):
+    """A doc sharing its 8-gram with another is flagged; unique text is not."""
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators import training
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.training import (
+        boilerplate_ngrams,
+    )
+
+    banner = "all rights reserved contact us terms of service"  # 8 words
+    crafted = spark.createDataFrame(
+        [
+            (1, banner + " unique tail one", "en", "s", 10),
+            (2, banner + " different ending here", "en", "s", 10),
+            (3, "totally original body with no repeated chunks at all", "en", "s", 10),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    monkeypatch.setattr(training, "load_table", lambda spark, sf_dir, name: crafted)
+    rows = {r["doc_id"]: r for r in boilerplate_ngrams(spark, sf_dir).collect()}
+    assert rows[1]["n_shared"] >= 1 and rows[2]["n_shared"] >= 1
+    assert rows[3]["n_shared"] == 0 and rows[3]["shared_frac"] == 0.0
+    assert all(0.0 <= rows[i]["shared_frac"] <= 1.0 for i in rows)
