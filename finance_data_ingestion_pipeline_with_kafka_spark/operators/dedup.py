@@ -85,28 +85,47 @@ def shingle_rows(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
     )
 
 
+#: Permutations per seeded md5: one 128-bit digest yields four 32-bit
+#: (8 hex char) pieces, each an independent hash function — the standard
+#: split-one-digest-into-k-pieces construction.
+_PERMS_PER_SEED = 4
+
+
 def minhash_signatures(docs: DataFrame, perms: int = MINHASH_PERMS) -> DataFrame:
-    """MinHash signatures as one ``array<string>`` column: per
-    permutation ``i``, the lexicographic min of ``md5(i || ":" || base)``
-    over the document's shingles, where ``base = md5(shingle)`` is
-    computed ONCE per shingle (the seeded re-hash runs over a fixed
-    35-byte input instead of re-hashing the shingle's string bytes
-    ``perms`` times — any hash of an injective base hash is an equally
-    valid permutation family). md5 rather than xxhash64 deliberately:
-    both engines implement md5, and lexicographic min over lowercase-hex
-    ASCII agrees between Spark's and DuckDB's string comparison, so the
-    ENTIRE minhash pipeline has an exact DuckDB twin and the driver
-    hash-compares it like any deterministic query (~20% slower than the
-    xxhash64 variant at sf0.1 — the cost of checkability on the one
-    query family seeded hashing used to exempt). One shuffle total for
+    """MinHash signatures as one ``array<string>`` column: permutation
+    ``i = 4s + r`` is the lexicographic min over the document's shingles
+    of hex chars ``[8r+1, 8r+8]`` of ``md5(s || ":" || base)``, where
+    ``base = md5(shingle)`` is computed ONCE per shingle. Two hashing
+    economies vs the naive ``perms`` seeded hashes per shingle: the
+    seeded re-hash runs over a fixed 35-byte input (not the shingle's
+    string bytes), and each 128-bit seeded digest is split into four
+    32-bit pieces that act as four independent permutations — 5 md5
+    calls per shingle instead of 17. At sf0.1 the Spark side is
+    orchestration-bound (stage scheduling, not hashing) and measures
+    roughly flat; the hashing reduction pays where hashing dominates —
+    large documents and cluster scale, where signature computation is
+    the linear-cost term. md5 rather than xxhash64 deliberately: both
+    engines implement
+    md5, and lexicographic min over fixed-width lowercase-hex ASCII
+    agrees between Spark's and DuckDB's string comparison, so the ENTIRE
+    minhash pipeline has an exact DuckDB twin and the driver
+    hash-compares it like any deterministic query. One shuffle total for
     the signature table; signature width is ``perms`` hex strings per
     doc regardless of document size."""
+    n_seeds = (perms + _PERMS_PER_SEED - 1) // _PERMS_PER_SEED
     rows = shingle_rows(docs).withColumn("base", F.md5(F.col("sh")))
+    seeded = rows.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.lit(f"{s}:"), F.col("base"))).alias(f"h{s}")
+            for s in range(n_seeds)
+        ],
+    )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("base")))).alias(f"mh{i}")
+        F.min(F.substring(F.col(f"h{i // _PERMS_PER_SEED}"), 8 * (i % _PERMS_PER_SEED) + 1, 8)).alias(f"mh{i}")
         for i in range(perms)
     ]
-    grouped = rows.groupBy("doc_id").agg(*aggs)
+    grouped = seeded.groupBy("doc_id").agg(*aggs)
     return grouped.select(
         "doc_id", F.array(*[F.col(f"mh{i}") for i in range(perms)]).alias("minhash")
     )
@@ -154,8 +173,11 @@ def _minhash_cte() -> str:
     DuckDB — same shingles, same ``md5(i || ":" || md5(shingle))``
     permutations, same banded candidates, same exact-Jaccard verify —
     terminating in a ``near_dup`` relation of verified pairs."""
+    n_seeds = (MINHASH_PERMS + _PERMS_PER_SEED - 1) // _PERMS_PER_SEED
+    seed_cols = ", ".join(f"md5('{s}:' || base) AS h{s}" for s in range(n_seeds))
     mh_cols = ", ".join(
-        f"MIN(md5('{i}:' || base)) AS mh{i}" for i in range(MINHASH_PERMS)
+        f"MIN(substring(h{i // _PERMS_PER_SEED}, {8 * (i % _PERMS_PER_SEED) + 1}, 8)) AS mh{i}"
+        for i in range(MINHASH_PERMS)
     )
     band_selects = " UNION ALL ".join(
         "SELECT doc_id, {b} AS band_id, md5({parts}) AS band_hash FROM sigs".format(
@@ -174,7 +196,8 @@ def _minhash_cte() -> str:
               i -> {gram})) AS sh
       FROM toks WHERE len(t) >= {n}
     ), hashed AS (SELECT doc_id, md5(sh) AS base FROM grams),
-    sigs AS (SELECT doc_id, {mh_cols} FROM hashed GROUP BY doc_id),
+    seeded AS (SELECT doc_id, {seed_cols} FROM hashed),
+    sigs AS (SELECT doc_id, {mh_cols} FROM seeded GROUP BY doc_id),
     bands AS ({band_selects}),
     cands AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
