@@ -148,7 +148,9 @@ def _scale_crossover(spark, sf_dir: str, factor: int = 10) -> dict:
     )
 
     specs = {
-        n: s for n, s in sorted(load_all().items()) if s.bench and s.oracle is not None
+        n: s
+        for n, s in sorted(load_all().items())
+        if s.bench and s.oracle is not None and s.crossover
     }
 
     def duck_times(rep: int) -> dict[str, float]:
@@ -176,12 +178,9 @@ def _scale_crossover(spark, sf_dir: str, factor: int = 10) -> dict:
         out = {}
         for name, spec in specs.items():
             con.sql(spec.oracle).df()  # warm
-            ts = []
-            for _ in range(2):
-                t0 = time.perf_counter()
-                con.sql(spec.oracle).df()
-                ts.append(time.perf_counter() - t0)
-            out[name] = min(ts)
+            t0 = time.perf_counter()
+            con.sql(spec.oracle).df()
+            out[name] = time.perf_counter() - t0
         con.close()
         return out
 
@@ -194,12 +193,9 @@ def _scale_crossover(spark, sf_dir: str, factor: int = 10) -> dict:
             out = {}
             for name, spec in specs.items():
                 _force(spec.fn(spark, sf_dir))  # warm (plan + codegen at N×)
-                ts = []
-                for _ in range(2):
-                    t0 = time.perf_counter()
-                    _force(spec.fn(spark, sf_dir))
-                    ts.append(time.perf_counter() - t0)
-                out[name] = min(ts)
+                t0 = time.perf_counter()
+                _force(spec.fn(spark, sf_dir))
+                out[name] = time.perf_counter() - t0
         finally:
             os.environ.pop("ENGINE_SCAN_REPLICATE", None)
         return out
