@@ -502,6 +502,7 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         .select("id", F.col("id").alias("component"))
         .localCheckpoint(eager=True)
     )
+    prev_sum = None  # label sum of the previous round (monotone decreasing)
     for _ in range(max_iter):
         neighbor_min = (
             both.join(labels, both["src"] == labels["id"])
@@ -536,19 +537,22 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
+        # Convergence check without a labels⋈labels join: component
+        # labels only ever DECREASE (both steps take min/least), so the
+        # label sum is strictly monotone — equal sums ⇔ no label moved.
+        # One aggregation on the fresh checkpoint per round.
+        # decimal(38) sum: id sums at corpus scale can exceed int64
+        new_sum = new_labels.agg(
+            F.sum(F.col("component").cast("decimal(38,0)"))
+        ).collect()[0][0]
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             return labels
+        prev_sum = new_sum
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds "
-        f"({changed} labels still changing); raise max_iter — min-label "
-        "propagation needs O(graph diameter) rounds"
+        "(label sum still decreasing); raise max_iter — pointer-jumping "
+        "min-label propagation needs O(log graph diameter) rounds"
     )
 
 
