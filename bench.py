@@ -105,6 +105,7 @@ def main() -> None:
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
+        "n_queries": len(bench_specs),
         "queries": timings,
         "queries_median": medians,
         "median_total_sec": round(sum(medians.values()), 4),
@@ -116,12 +117,48 @@ def main() -> None:
         "lake_cache": os.environ.get("ENGINE_LAKE_CACHE") == "1",
         "streaming_msgs_per_sec": streaming_rate,
     }
+    try:
+        # Same-host DuckDB wall for the SAME headline oracles (warm,
+        # min-of-2, .df() materialization) — the self-contained
+        # denominator for BASELINE.md's "within 2x DuckDB" bar.
+        duck = _duckdb_headline_total(sf_dir, bench_specs)
+        payload["duckdb_headline_total_sec"] = duck
+        payload["vs_duckdb_ratio"] = round(payload["value"] / max(duck, 1e-6), 2)
+    except Exception as ex:
+        payload["duckdb_headline_total_sec"] = f"error: {str(ex)[:120]}"
     if os.environ.get("SPARK_GRAFT_SKIP_CROSSOVER") != "1":
         try:
             payload["scale_crossover_10x"] = _scale_crossover(spark, sf_dir)
         except Exception as ex:  # crossover is diagnostic — never fail the bench
             payload["scale_crossover_10x"] = {"error": str(ex)[:200]}
     print(json.dumps(payload))
+
+
+def _duckdb_headline_total(sf_dir: str, bench_specs: dict) -> float:
+    """Total warm DuckDB wall-clock (min of 2 after one warm pass) for
+    every oracle-expressible headline query over the same parquet."""
+    import duckdb
+
+    from finance_data_ingestion_pipeline_with_kafka_spark.catalog import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    total = 0.0
+    for _name, spec in bench_specs.items():
+        if spec.oracle is None:
+            continue
+        con.sql(spec.oracle).df()  # warm
+        ts = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            con.sql(spec.oracle).df()
+            ts.append(time.perf_counter() - t0)
+        total += min(ts)
+    con.close()
+    return round(total, 4)
 
 
 def _scale_crossover(spark, sf_dir: str, factor: int = 10) -> dict:
