@@ -130,59 +130,56 @@ def query(
 
 
 #: Catalog emission order. The driver's correctness sweep processes
-#: ``queries()`` in dict order and round 1 verified only the first 50
-#: entries — so queries with no driver row yet must register FIRST.
-#: Order: (a) the six modules with zero CORRECTNESS_r01 rows (42 queries),
-#: (b) the eight round-1 ``no_oracle`` rows (three now upgraded to real
-#: oracles), (c) everything already hash-green in round 1.
-_MODULE_PRIORITY = (
-    "timeseries",
-    "windows",
-    "relational",
-    "setops",
-    "similarity",
-    "sampling",
-)
-#: After the never-verified modules: (a) the new round-2 training-data
-#: operators (no driver row yet), (b) the three round-1 ``no_oracle``
-#: rows upgraded to real oracles this round. Together with the 42
-#: module-priority queries these fill the driver's 50-row window; the
-#: remaining round-1 rows-only queries (minhash/simhash/clusters/media)
-#: already carry r1 driver rows and fall below the fold.
-#: Order within this tier decides who falls below a 50-row driver fold:
-#: first the round-2 training-data operators and the approx-sketch rows
-#: upgraded to real oracles (the round-1 verdict asked to see these
-#: driver-green), then queries whose driver evidence would be NEW —
-#: media_features/media_resize, minhash/simhash/clusters (all five
-#: gained real oracles in round 2 after r1 no_oracle rows) and
-#: scd_upsert/min_cost_supplier (no row yet). With these upgrades the
-#: catalog has ZERO rows-only queries: every entry carries an exact
-#: DuckDB oracle. Rotates as rounds accumulate coverage.
+#: ``queries()`` in dict order and verifies only the FIRST ~50 entries
+#: per round (round 1 verified positions 0-49 of its ordering, round 2
+#: likewise) — so queries with no driver row yet must register FIRST.
+#:
+#: Round-3 ordering, three tiers:
+#:   (0) ``_VERIFY_NEXT`` — the 9 queries with no green driver row in
+#:       either CORRECTNESS_r01 or CORRECTNESS_r02 (all judge-verified
+#:       OK at sf0.01 in round 2; the dedup trio is the flagship
+#:       LLM-pipeline surface), plus any query added this round.
+#:   (1) everything verified in round 1 but NOT round 2 — oldest
+#:       evidence, worth refreshing inside the window.
+#:   (2) ``_VERIFIED_R2`` — the 50 rows already green in
+#:       CORRECTNESS_r02 (freshest evidence, below the fold).
 _VERIFY_NEXT = (
-    "word_entropy",
-    "boilerplate_ngrams",
-    "pii_redaction",
-    "repetition_filter",
-    "contamination_check",
-    "token_budget_sample",
-    "domain_mix_weights",
-    "approx_distinct",
+    "minhash_near_dup",
+    "simhash_near_dup",
+    "near_dup_clusters",
     "approx_percentiles",
     "hll_sketch_users",
     "media_features",
     "media_resize",
     "scd_upsert",
     "min_cost_supplier",
-    "minhash_near_dup",
-    "simhash_near_dup",
-    "near_dup_clusters",
 )
+#: Names with a green row in CORRECTNESS_r02.json (driver round 2) —
+#: exactly the first 50 entries of round 2's emission order.
+_VERIFIED_R2 = frozenset((
+    "tumbling_window_agg", "sliding_window_agg", "session_window_agg",
+    "asof_join", "ohlcv_bars", "vwap", "last_closed_bar",
+    "multi_resolution_bars", "window_rank_topk", "window_lag_returns",
+    "window_moving_avg", "window_cumulative", "window_range_frame",
+    "window_ntile_pctrank", "window_first_last", "window_cume_nth",
+    "filter_project", "membership_predicate", "null_conditional",
+    "string_functions", "datetime_functions", "json_extraction",
+    "hash_functions", "array_functions", "map_functions",
+    "variant_json_agg", "table_profile", "date_arithmetic",
+    "explode_outer_numbers", "union_feeds", "intersect_feeds",
+    "except_feeds", "union_by_name_missing", "sql_entry_revenue",
+    "except_all_multiset", "intersect_all_multiset", "knn_bruteforce",
+    "ann_lsh_bucketed", "embedding_near_dup", "ivf_ann", "dataset_split",
+    "stratified_sample", "word_entropy", "boilerplate_ngrams",
+    "pii_redaction", "repetition_filter", "contamination_check",
+    "token_budget_sample", "domain_mix_weights", "approx_distinct",
+))
 
 
 def load_all() -> dict[str, QuerySpec]:
     """Import every operator module so its queries register, then return
     the catalog ordered by verification priority (never-driver-verified
-    queries first — see ``_MODULE_PRIORITY``)."""
+    queries first, then stalest evidence — see ``_VERIFY_NEXT``)."""
     from .operators import (  # noqa: F401
         aggregations,
         dedup,
@@ -199,20 +196,41 @@ def load_all() -> dict[str, QuerySpec]:
         windows,
     )
 
-    mod_rank = {m: i for i, m in enumerate(_MODULE_PRIORITY)}
     next_rank = {n: i for i, n in enumerate(_VERIFY_NEXT)}
     reg_order = {n: i for i, n in enumerate(QUERIES)}
 
     def rank(item: tuple[str, QuerySpec]) -> tuple[int, int, int]:
         name, spec = item
-        mod = spec.fn.__module__.rsplit(".", 1)[-1]
-        # an explicit _VERIFY_NEXT position overrides module priority
-        # (e.g. scd_upsert lives in a tier-0 module but is deliberately
-        # sequenced below the approx-sketch upgrades)
         if name in next_rank:
-            return (1, next_rank[name], reg_order[name])
-        if mod in mod_rank:
-            return (0, mod_rank[mod], reg_order[name])
-        return (2, 0, reg_order[name])
+            return (0, next_rank[name], reg_order[name])
+        if name in _VERIFIED_R2:
+            return (2, 0, reg_order[name])
+        # tier 0 catch-all for brand-new queries (registered after the
+        # last CORRECTNESS file was written): no driver row yet, so they
+        # belong inside the window with the other never-verified names
+        if name not in _VERIFIED_R1:
+            return (0, len(next_rank), reg_order[name])
+        return (1, 0, reg_order[name])
 
     return dict(sorted(QUERIES.items(), key=rank))
+
+
+#: Names HASH-green in CORRECTNESS_r01.json (driver round 1; the file's
+#: 8 ``no_oracle`` rows-only rows are deliberately excluded — those
+#: queries have since gained exact oracles and need a fresh window slot).
+#: Anything in neither _VERIFIED_R1 nor _VERIFIED_R2 has no driver
+#: evidence at all and sorts into tier 0 automatically.
+_VERIFIED_R1 = frozenset((
+    "anti_join", "argmax_order", "bpe_token_count", "broadcast_dim_join",
+    "correlated_exists", "correlation", "cross_join_pairs",
+    "cube_subtotals", "distinct_count", "distinct_rows", "doc_fingerprint",
+    "exact_dedup", "frame_sample", "grouped_pandas_sign_flips",
+    "grouped_stats", "grouping_sets", "language_id", "multimodal_metadata",
+    "ngram_jaccard_pairs", "null_safe_join", "order_count_histogram",
+    "outer_join_counts", "pandas_udf_token_count", "part_supplier_stats",
+    "percentiles", "pivot_matrix", "pricing_summary", "quality_score",
+    "range_join", "regional_revenue", "rollup_subtotals",
+    "scalar_subquery", "semi_join", "stddev_variance", "tfidf_top_terms",
+    "token_stats", "top_revenue_orders", "udtf_bigrams", "udtf_tokenize",
+    "unpivot_metrics", "winnow_fingerprints", "word_frequency",
+))
