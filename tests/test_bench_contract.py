@@ -1,0 +1,146 @@
+"""Driver-contract tests for bench.py's stdout line.
+
+The driver captures only the TAIL (~2000 chars) of bench stdout and
+parses the last line as JSON. Round 2's line carried per-query dicts and
+the full crossover table, outgrew the window, and the driver recorded
+``parsed: null`` — every round-2 bench metric was lost. These tests pin
+the compact-line contract so that can't regress.
+"""
+
+from __future__ import annotations
+
+import json
+
+import bench
+from finance_data_ingestion_pipeline_with_kafka_spark.registry import load_all
+
+DRIVER_TAIL_CHARS = 2000
+
+
+def _bench_specs():
+    return {n: s for n, s in sorted(load_all().items()) if s.bench}
+
+
+def _full_detail(specs) -> dict:
+    """Worst-case-shaped detail payload: every optional section present,
+    every float at an unfavorably wide repr."""
+    queries = {n: 123.4567 for n in specs}
+    xo_names = [n for n, s in specs.items() if s.oracle and s.crossover]
+    return {
+        "metric": "headline_queries_total_wall",
+        "value": 12345.6789,
+        "unit": "sec",
+        "n_queries": len(specs),
+        "queries": queries,
+        "queries_median": queries,
+        "median_total_sec": 12345.6789,
+        "sf": 0.1,
+        "cold_total_sec": 12345.6789,
+        "cold_queries": queries,
+        "concurrent_total_sec": 12345.6789,
+        "forcing": "arrow_toPandas",
+        "lake_cache": True,
+        "streaming_msgs_per_sec": 123456.0,
+        "duckdb_queries": {n: 123.4567 for n in queries},
+        "scale_crossover_10x": {
+            "factor": 10,
+            "queries": {
+                n: {
+                    "spark_1x": 123.4567,
+                    "duckdb_1x": 123.4567,
+                    "ratio_1x": 123.45,
+                    "spark_10x": 123.4567,
+                    "duckdb_10x": 123.4567,
+                    "ratio_10x": 123.45,
+                    "spark_scaling": 123.45,
+                    "duckdb_scaling": 123.45,
+                }
+                for n in xo_names
+            },
+            "spark_total_1x": 12345.678,
+            "duckdb_total_1x": 12345.678,
+            "spark_total_10x": 12345.678,
+            "duckdb_total_10x": 12345.678,
+            "ratio_total_1x": 123.45,
+            "ratio_total_10x": 123.45,
+            "n_queries_ratio_improving": 14,
+        },
+        "deep_crossover_30x": {
+            n: {
+                "spark_1x": 123.4567,
+                "duckdb_1x": 123.4567,
+                "ratio_1x": 123.45,
+                "spark_30x": 123.4567,
+                "duckdb_30x": 123.4567,
+                "ratio_30x": 123.45,
+                "spark_scaling": 123.45,
+                "duckdb_scaling": 123.45,
+            }
+            for n in bench.FLOOR_BOUND
+        },
+    }
+
+
+def test_compact_line_fits_driver_tail():
+    specs = _bench_specs()
+    line = json.dumps(bench._compact_line(_full_detail(specs), specs))
+    assert len(line) < DRIVER_TAIL_CHARS - 100, (
+        f"compact bench line is {len(line)} chars; must stay comfortably "
+        f"under the driver's {DRIVER_TAIL_CHARS}-char tail capture"
+    )
+
+
+def test_compact_line_carries_headline_scalars():
+    specs = _bench_specs()
+    out = bench._compact_line(_full_detail(specs), specs)
+    for key in (
+        "metric",
+        "value",
+        "median_total_sec",
+        "n_queries",
+        "sf",
+        "cold_total_sec",
+        "concurrent_total_sec",
+        "streaming_msgs_per_sec",
+        "duckdb_headline_total_sec",
+        "vs_duckdb_ratio",
+        "vs_duckdb_ratio_median",
+        "vs_duckdb_ratio_dedup",
+        "vs_duckdb_ratio_scanagg",
+        "crossover_ratio_total_1x",
+        "crossover_ratio_total_10x",
+        "crossover_n_improving",
+        "deep_crossover_30x",
+    ):
+        assert key in out, key
+    # no per-query dicts may sneak back into the compact line
+    assert "queries" not in out
+    assert "cold_queries" not in out
+    assert "scale_crossover_10x" not in out
+
+
+def test_compact_line_survives_duckdb_error():
+    specs = _bench_specs()
+    detail = _full_detail(specs)
+    detail["duckdb_queries"] = {"error": "boom"}
+    detail["scale_crossover_10x"] = {"error": "boom"}
+    detail["deep_crossover_30x"] = {"error": "boom"}
+    out = bench._compact_line(detail, specs)
+    assert out["duckdb_error"] == "boom"
+    assert "vs_duckdb_ratio" not in out
+    assert "crossover_ratio_total_1x" not in out
+    line = json.dumps(out)
+    assert len(line) < DRIVER_TAIL_CHARS - 100
+
+
+def test_family_split_covers_all_headline_queries():
+    specs = _bench_specs()
+    fams = {n: bench._family(s) for n, s in specs.items()}
+    assert set(fams.values()) <= {"dedup", "scanagg"}
+    # the dedup family is exactly the dedup-module queries — the
+    # Spark-favorable side the round-2 verdict asked to report separately
+    dedup = {n for n, f in fams.items() if f == "dedup"}
+    assert dedup == {
+        n for n, s in specs.items() if s.fn.__module__.endswith(".dedup")
+    }
+    assert dedup, "headline set should contain dedup-family queries"
