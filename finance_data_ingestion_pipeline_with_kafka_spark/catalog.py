@@ -9,6 +9,7 @@ partition pruning applies; nothing in the query layer changes.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -54,16 +55,17 @@ KEY_SHIFT_COLS: dict[str, tuple[str, ...]] = {
 #: even at 1000 replicas.
 KEY_SHIFT = 10**12
 
-#: Memoized unresolved scans keyed by (session, sf_dir, table). A
+#: Memoized unresolved scans: session → {(sf_dir, table, …): DataFrame}. A
 #: DataFrame is an immutable logical plan, so reuse is safe — and it skips
 #: the driver-side file listing + parquet footer/schema read that
 #: ``spark.read.parquet`` repeats on every call (~100 ms per table, the
 #: dominant cost of multi-table plan construction at small SF).
-#: The SparkSession object itself is the key component (not ``id(spark)``,
-#: which CPython can reuse after a stopped session is GC'd): entries for a
-#: dead session can never alias a new one. Bounded in practice — a process
-#: holds a handful of sessions × ~10 tables × few sf dirs.
-_SCAN_CACHE: dict[tuple, DataFrame] = {}
+#: The outer map is WEAKLY keyed by the live session object (not
+#: ``id(spark)``, which CPython can reuse after a stopped session is
+#: GC'd): a collected session releases its scans and the JVM objects they
+#: pin. The inner map is capped, evicting oldest-first.
+_SCAN_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+_SCAN_CACHE_MAX = 256  # per session: ~10 tables × few sf dirs × env combos
 
 #: Lake-layout ingest (opt-in via ENGINE_LAKE_CACHE=1). The driver's
 #: fixtures are written as ONE parquet row group per table, which caps
@@ -119,10 +121,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str, replicate: int = 1) 
     if not KEY_SHIFT_COLS.get(name, ()):  # fixed-size dims don't grow
         replicate = 1
     lake_cache = os.environ.get("ENGINE_LAKE_CACHE") == "1"
-    key = (spark, sf_dir, name, replicate, lake_cache)
-    cached = _SCAN_CACHE.get(key)
+    per_session = _SCAN_CACHE.get(spark)
+    if per_session is None:
+        per_session = _SCAN_CACHE.setdefault(spark, {})
+    key = (sf_dir, name, replicate, lake_cache)
+    cached = per_session.get(key)
     if cached is not None:
         return cached
+    # Timestamp determinism on externally built sessions (the driver's
+    # vanilla session inherits the HOST timezone): every events-derived
+    # epoch/window/watermark result — and the TIMESTAMP_NTZ→TIMESTAMP cast
+    # below — is only oracle-exact when the session runs in UTC. The
+    # engine's own builder (session.get_spark) already pins this.
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark rejects by
         # default. Read nanos as long and truncate to microseconds — the
@@ -161,7 +173,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str, replicate: int = 1) 
         df = _lake_cached_scan(spark, df, src_path, _lake_cache_dir(sf_dir, name))
     if replicate > 1:
         df = _replicate_shifted(df, name, replicate)
-    _SCAN_CACHE[key] = df
+    while len(per_session) >= _SCAN_CACHE_MAX:
+        per_session.pop(next(iter(per_session)))
+    per_session[key] = df
     return df
 
 

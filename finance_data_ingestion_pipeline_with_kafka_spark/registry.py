@@ -20,6 +20,7 @@ Determinism rules enforced across the catalog (SURVEY §7 hard parts):
 
 from __future__ import annotations
 
+import weakref
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -43,16 +44,18 @@ class QuerySpec:
 QUERIES: dict[str, QuerySpec] = {}
 
 
-#: Prepared-plan cache: (session, sf_dir, name, env fingerprint) → DataFrame.
+#: Prepared-plan cache: session → {(sf_dir, name, env fingerprint): DataFrame}.
 #: Building a catalog query's DataFrame costs 30-300 ms of Python→JVM
 #: expression construction (hundreds of py4j round trips for the wider
 #: plans) before Spark ever sees an action — the classic prepared-statement
 #: cost. DataFrames are immutable descriptions of a plan, so re-executing a
 #: cached one is a full re-run of the query (results are NOT cached; only
-#: the parsed plan is). Keyed by the live session object (a dead session's
-#: entries can't collide — the key holds the session itself) and by the env
-#: knobs that change what load_table returns.
-_PLAN_CACHE: dict[tuple, DataFrame] = {}
+#: the parsed plan is). The outer map is WEAKLY keyed by the live session:
+#: when a session is dropped/stopped and garbage-collected, every plan it
+#: owned (and the JVM objects those plans pin) is released with it. The
+#: inner map is capped — stale (sf_dir, env) combos evict oldest-first.
+_PLAN_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+_PLAN_CACHE_MAX = 512  # per session: |catalog| × a few sf_dirs × env combos
 
 
 def _env_fingerprint() -> tuple:
@@ -93,11 +96,16 @@ def query(
             return fn
 
         def cached(spark: SparkSession, sf_dir: str) -> DataFrame:
-            key = (spark, sf_dir, name, _env_fingerprint())
-            df = _PLAN_CACHE.get(key)
+            per_session = _PLAN_CACHE.get(spark)
+            if per_session is None:
+                per_session = _PLAN_CACHE.setdefault(spark, {})
+            key = (sf_dir, name, _env_fingerprint())
+            df = per_session.get(key)
             if df is None:
                 df = fn(spark, sf_dir)
-                _PLAN_CACHE[key] = df
+                while len(per_session) >= _PLAN_CACHE_MAX:
+                    per_session.pop(next(iter(per_session)))
+                per_session[key] = df
                 return df
             # Re-wrap the cached ANALYZED plan in a fresh Dataset rather
             # than returning the same object: repeated actions on one

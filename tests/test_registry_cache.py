@@ -6,8 +6,10 @@ every stage — never replay materialized rows or already-built shuffle
 stages. See registry._PLAN_CACHE.
 """
 
+import gc
 import os
 
+from finance_data_ingestion_pipeline_with_kafka_spark import catalog, registry
 from finance_data_ingestion_pipeline_with_kafka_spark.registry import load_all
 
 
@@ -53,3 +55,44 @@ def test_env_knobs_bust_the_cache(spark, sf_dir):
         assert doubled.count() == 2 * base.count()
     finally:
         os.environ.pop("ENGINE_SCAN_REPLICATE", None)
+
+
+class _FakeSession:
+    """Stand-in session object for cache-lifecycle tests (weak-refable,
+    hashable — the two properties the cache keys rely on)."""
+
+
+def test_dead_session_entries_are_released():
+    """A stopped/dropped session must not pin its plans (and their JVM
+    objects) in the process-lifetime caches — the round-2 advice item."""
+    for cache in (registry._PLAN_CACHE, catalog._SCAN_CACHE):
+        fake = _FakeSession()
+        cache[fake] = {("sf", "name"): object()}
+        assert fake in cache
+        del fake
+        gc.collect()
+        # the weak outer key released the per-session map with the session
+        assert len([k for k in cache.keys() if isinstance(k, _FakeSession)]) == 0
+
+
+def test_plan_cache_is_bounded(spark, sf_dir):
+    spec = _catalog()["filter_project"]
+    spec.fn(spark, sf_dir)
+    per_session = registry._PLAN_CACHE[spark]
+    # flood with synthetic entries well past the cap; the real insert path
+    # must evict oldest-first rather than grow without bound
+    for i in range(registry._PLAN_CACHE_MAX + 10):
+        per_session[("synthetic", str(i))] = object()
+    spec.fn(spark, f"{sf_dir}/")  # distinct sf_dir key → fresh insert
+    assert len(registry._PLAN_CACHE[spark]) <= registry._PLAN_CACHE_MAX
+
+
+def test_scan_cache_is_bounded(spark, sf_dir):
+    from finance_data_ingestion_pipeline_with_kafka_spark.catalog import load_table
+
+    load_table(spark, sf_dir, "region")
+    per_session = catalog._SCAN_CACHE[spark]
+    for i in range(catalog._SCAN_CACHE_MAX + 10):
+        per_session[("synthetic", str(i))] = object()
+    load_table(spark, f"{sf_dir}/", "region")
+    assert len(catalog._SCAN_CACHE[spark]) <= catalog._SCAN_CACHE_MAX
