@@ -487,3 +487,36 @@ def ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id", "label", "cosine_sim")
         .orderBy("query_id", F.desc("cosine_sim"), "vec_id")
     )
+
+
+@query(
+    "embedding_normalize",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    )
+    SELECT vec_id,
+           CAST(len(v) AS INT) AS n_dims,
+           ROUND(sqrt(list_dot_product(v, v)), 6) AS l2_norm,
+           ROUND(v[1] / sqrt(list_dot_product(v, v)), 6) AS unit_x0
+    FROM v ORDER BY vec_id
+    """,
+    tags=("U5",),
+)
+def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U5] L2 norm + unit-scaled first component per embedding — the
+    normalization pass that turns dot products into cosine similarity
+    (normalize once, then every downstream scorer is a plain dot).
+    Narrow, shuffle-free: one projection over the vector column; the
+    ``dot(v, v)`` fold matches DuckDB's ``list_dot_product`` order
+    bit-for-bit (see ``dot``)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", as_double("embedding").alias("v"))
+    norm = F.sqrt(dot("v", "v"))
+    return v.select(
+        "vec_id",
+        F.size("v").cast("int").alias("n_dims"),
+        F.round(norm, 6).alias("l2_norm"),
+        F.round(F.element_at("v", 1) / norm, 6).alias("unit_x0"),
+    ).orderBy("vec_id")

@@ -1,0 +1,219 @@
+"""Mergeable probabilistic sketches as first-class relational operators
+(SURVEY §2.4 A4 family; LLM-pipeline scale instruments).
+
+Both sketches here are DETERMINISTIC (md5-derived hash functions — the
+engine-portable idiom established by ``dedup.simhash_column``), so each
+carries an exact DuckDB oracle: the same bit/bucket arithmetic in SQL
+produces the identical sketch, estimate for estimate.
+
+Scale posture: a Count-Min sketch is a (rows × width) count matrix built
+by one key-bounded groupBy — the matrix IS the mergeable summary (union
+of corpora = cell-wise sum), so a 100 TB corpus streams through partial
+aggregation with no state beyond rows×width cells per task. A Bloom
+filter is a distinct-bit set over the build side — thousands of rows —
+broadcast to the probe side: the declarative form of the runtime bloom
+filter Spark injects into shuffle joins (session.py enables that too;
+this operator makes the mechanism inspectable and oracle-checkable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+from .text import tokens
+
+#: Count-Min geometry. Width 256 on a ~31-token fixture vocabulary keeps
+#: collisions rare but possible — the CMS overestimate guarantee
+#: (est >= exact) is part of what the oracle pins.
+CMS_ROWS = 4
+CMS_WIDTH = 256
+#: Fixed probe set: high/low-frequency fixture words plus one absent
+#: token (its estimate is pure collision mass — the sketch's error term).
+CMS_PROBES = ("data", "spark", "value", "window", "zzz-absent")
+
+
+def _bucket(col: F.Column, salt: F.Column) -> F.Column:
+    """md5-derived bucket in [0, CMS_WIDTH): first 15 md5 hex chars parsed
+    as a non-negative int64 — identical in DuckDB as
+    ``CAST('0x' || substr(md5(...), 1, 15) AS BIGINT)``."""
+    h = F.conv(F.substring(F.md5(F.concat(salt.cast("string"), F.lit("|"), col)), 1, 15), 16, 10)
+    return (h.cast("long") % CMS_WIDTH).alias("bucket")
+
+
+def _cms_probe_values() -> str:
+    return ", ".join(f"'{t}'" for t in CMS_PROBES)
+
+
+@query(
+    "count_min_freq",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents
+    ), hashrows AS (
+      SELECT unnest(range({CMS_ROWS})) AS r
+    ), sketch AS (
+      SELECT r,
+             CAST('0x' || substr(md5(r || '|' || w), 1, 15) AS BIGINT) % {CMS_WIDTH} AS bucket,
+             COUNT(*) AS c
+      FROM toks CROSS JOIN hashrows
+      GROUP BY r, bucket
+    ), probes AS (
+      SELECT unnest([{_cms_probe_values()}]) AS token
+    ), probe_buckets AS (
+      SELECT token, r,
+             CAST('0x' || substr(md5(r || '|' || token), 1, 15) AS BIGINT) % {CMS_WIDTH} AS bucket
+      FROM probes CROSS JOIN hashrows
+    ), est AS (
+      SELECT pb.token, CAST(MIN(COALESCE(s.c, 0)) AS BIGINT) AS est_count
+      FROM probe_buckets pb LEFT JOIN sketch s ON pb.r = s.r AND pb.bucket = s.bucket
+      GROUP BY pb.token
+    ), exact AS (
+      SELECT w AS token, CAST(COUNT(*) AS BIGINT) AS exact_count FROM toks GROUP BY w
+    )
+    SELECT e.token, e.est_count, COALESCE(x.exact_count, 0) AS exact_count
+    FROM est e LEFT JOIN exact x ON e.token = x.token
+    ORDER BY e.token
+    """,
+    tags=("A4",),
+)
+def count_min_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A4] Count-Min frequency sketch over the document token stream.
+
+    The sketch is the (r, bucket) count matrix — built with ONE explode
+    (×CMS_ROWS) + one partial-aggregated groupBy, bounded at
+    CMS_ROWS×CMS_WIDTH cells regardless of corpus size, and mergeable by
+    cell-wise addition (union two corpora's sketches = sum the matrices).
+    Estimates read the matrix with the same md5 bucket arithmetic; the
+    absent probe token's nonzero estimate (if any) is the collision mass
+    the CMS overestimate bound promises. est >= exact always.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(tokens()).alias("w"))
+    hashrows = F.explode(F.array(*[F.lit(r) for r in range(CMS_ROWS)])).alias("r")
+    sketch = (
+        tok.select("w", hashrows)
+        .select("r", _bucket(F.col("w"), F.col("r")))
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    probes = spark.range(1).select(
+        F.explode(F.array(*[F.lit(t) for t in CMS_PROBES])).alias("token")
+    )
+    probe_buckets = probes.select("token", hashrows).select(
+        "token", "r", _bucket(F.col("token"), F.col("r"))
+    )
+    est = (
+        probe_buckets.join(F.broadcast(sketch), ["r", "bucket"], "left")
+        .groupBy("token")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("est_count"))
+    )
+    exact = tok.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("exact_count"))
+    return (
+        est.join(exact, est["token"] == exact["w"], "left")
+        .select(
+            "token",
+            "est_count",
+            F.coalesce(F.col("exact_count"), F.lit(0).cast("long")).alias("exact_count"),
+        )
+        .orderBy("token")
+    )
+
+
+#: Bloom geometry: 4096 bits / 3 hashes. The build side (BUILDING-segment
+#: customers) sets ~3·n bits; the false-positive count the query reports
+#: is the filter's actual error at this geometry.
+BLOOM_BITS = 4096
+BLOOM_K = 3
+
+
+def _bloom_bit_sql(expr: str, h: str) -> str:
+    return f"CAST('0x' || substr(md5({h} || '#' || {expr}), 1, 15) AS BIGINT) % {BLOOM_BITS}"
+
+
+@query(
+    "bloom_join_prune",
+    oracle=f"""
+    WITH hashes AS (SELECT unnest(range({BLOOM_K})) AS h),
+    build AS (
+      SELECT DISTINCT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+    ), bits AS (
+      SELECT DISTINCT {_bloom_bit_sql('k', 'h')} AS bit FROM build CROSS JOIN hashes
+    ), probe AS (
+      SELECT o.o_orderkey, o.o_custkey, h.h, {_bloom_bit_sql('o.o_custkey', 'h.h')} AS bit
+      FROM orders o CROSS JOIN hashes h
+    ), candidates AS (
+      SELECT o_orderkey, o_custkey
+      FROM probe JOIN bits USING (bit)
+      GROUP BY o_orderkey, o_custkey
+      HAVING COUNT(*) = {BLOOM_K}
+    ), truth AS (
+      SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT k FROM build)
+    )
+    SELECT CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_orders,
+           CAST((SELECT COUNT(*) FROM candidates) AS BIGINT) AS n_candidates,
+           CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true_matches,
+           CAST((SELECT COUNT(*) FROM candidates) - (SELECT COUNT(*) FROM truth)
+                AS BIGINT) AS n_false_positives
+    """,
+    tags=("A4", "J4"),
+)
+def bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A4/J4] Declarative Bloom-filter join pruning, error-audited.
+
+    Build side: distinct BUILDING-segment customer keys → k md5-derived
+    bit positions each → a DISTINCT bit set of at most BLOOM_BITS rows,
+    broadcast to the probe side (orders). An order is a candidate iff all
+    BLOOM_K of its key's bits are present. The query reports the filter's
+    own confusion summary (candidates vs exact semi-join truth) — the
+    measurable form of the runtime bloom pruning Spark's optimizer
+    injects into shuffle joins at scale. Every join here is broadcast
+    (bit set ≤ 4096 rows); the probe side is never shuffled.
+    """
+    hashes = F.explode(F.array(*[F.lit(h) for h in range(BLOOM_K)])).alias("h")
+
+    def bloom_bit(col: F.Column) -> F.Column:
+        raw = F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("h").cast("string"), F.lit("#"), col.cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        return (raw.cast("long") % BLOOM_BITS).alias("bit")
+
+    build = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("k"))
+        .distinct()
+    )
+    bits = build.select(hashes, "k").select(bloom_bit(F.col("k"))).distinct()
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    probe = orders.select("o_orderkey", "o_custkey", hashes).select(
+        "o_orderkey", "o_custkey", "h", bloom_bit(F.col("o_custkey"))
+    )
+    candidates = (
+        probe.join(F.broadcast(bits), "bit")
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(F.count(F.lit(1)).alias("nbits"))
+        .filter(F.col("nbits") == BLOOM_K)
+    )
+    truth = orders.join(F.broadcast(build), orders["o_custkey"] == build["k"], "left_semi")
+    n_orders = orders.agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    n_cand = candidates.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    n_true = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true_matches"))
+    return (
+        n_orders.crossJoin(n_cand)
+        .crossJoin(n_true)
+        .select(
+            "n_orders",
+            "n_candidates",
+            "n_true_matches",
+            (F.col("n_candidates") - F.col("n_true_matches")).alias("n_false_positives"),
+        )
+    )

@@ -342,3 +342,126 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+PSI_BINS = 10  # equal-width bins over the observed value range
+VOCAB_K = 16  # vocabulary size for the coverage probe (fixture corpus ~31 words)
+
+
+@query(
+    "psi_value_drift",
+    oracle=f"""
+    WITH stats AS (SELECT MIN(value) AS mn, MAX(value) AS mx FROM events),
+    binned AS (
+      SELECT LEAST(CAST(FLOOR((value - mn) * {PSI_BINS}.0 / (mx - mn)) AS BIGINT),
+                   {PSI_BINS - 1}) AS bin,
+             user_id % 2 AS grp
+      FROM events, stats
+    ), counts AS (
+      SELECT bin,
+             CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      FROM binned GROUP BY bin
+    ), tot AS (
+      SELECT bin, n_a, n_b,
+             CAST(SUM(n_a) OVER () AS DOUBLE) AS ta,
+             CAST(SUM(n_b) OVER () AS DOUBLE) AS tb
+      FROM counts
+    )
+    SELECT bin, n_a, n_b,
+           ROUND(CASE WHEN n_a > 0 AND n_b > 0 THEN
+                   (CAST(n_a AS DOUBLE) / ta - CAST(n_b AS DOUBLE) / tb)
+                   * ln((CAST(n_a AS DOUBLE) / ta) / (CAST(n_b AS DOUBLE) / tb))
+                 ELSE NULL END, 6) AS psi_term
+    FROM tot ORDER BY bin
+    """,
+    tags=("A7",),
+)
+def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A7-adjacent] Population Stability Index between two event cohorts
+    (user_id parity) over equal-width value bins — the standard
+    distribution-drift monitor a data pipeline runs between ingest
+    batches or dataset versions. Per-bin PSI terms
+    ``(p_a - p_b)·ln(p_a/p_b)``; Σ terms = the PSI statistic (>0.2 is the
+    classic "investigate" threshold). Empty-on-either-side bins yield
+    NULL terms in both engines.
+
+    Scale: one scalar min/max aggregation broadcast to the binning pass,
+    one PSI_BINS-row aggregation — two linear passes, no wide shuffle.
+    ln-drift between engines is ~1e-15 relative, far below the 6-digit
+    rounding grain (the ``word_entropy`` precedent)."""
+    e = load_table(spark, sf_dir, "events")
+    stats = F.broadcast(e.agg(F.min("value").alias("mn"), F.max("value").alias("mx")))
+    binned = e.crossJoin(stats).select(
+        F.least(
+            F.floor((F.col("value") - F.col("mn")) * F.lit(float(PSI_BINS)) / (F.col("mx") - F.col("mn"))).cast("long"),
+            F.lit(PSI_BINS - 1).cast("long"),
+        ).alias("bin"),
+        (F.col("user_id") % 2).alias("grp"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).cast("bigint").alias("n_b"),
+    )
+    w = Window.partitionBy()
+    tot = counts.select(
+        "bin",
+        "n_a",
+        "n_b",
+        F.sum("n_a").over(w).cast("double").alias("ta"),
+        F.sum("n_b").over(w).cast("double").alias("tb"),
+    )
+    ra = F.col("n_a").cast("double") / F.col("ta")
+    rb = F.col("n_b").cast("double") / F.col("tb")
+    term = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0), (ra - rb) * F.log(ra / rb)
+    ).otherwise(F.lit(None))
+    return tot.select("bin", "n_a", "n_b", F.round(term, 6).alias("psi_term")).orderBy("bin")
+
+
+@query(
+    "vocab_coverage",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+      FROM documents
+    ), wc AS (
+      SELECT w, COUNT(*) AS c FROM toks GROUP BY w
+    ), vocab AS (
+      SELECT w FROM wc ORDER BY c DESC, w LIMIT {VOCAB_K}
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           ROUND(CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS oov_rate
+    FROM toks t LEFT JOIN vocab v ON t.w = v.w
+    GROUP BY t.doc_id ORDER BY t.doc_id
+    """,
+    tags=("U6",),
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U6] Per-document out-of-vocabulary rate against a corpus top-K
+    vocabulary — the tokenizer-fit probe a training pipeline runs before
+    committing to a vocab (high OOV = wasted UNK mass).
+
+    The vocabulary is a global top-K by (count DESC, token ASC) computed
+    with ``orderBy().limit()`` — Spark plans that as
+    TakeOrderedAndProject (per-partition top-K then a K-row merge), never
+    a global sort; the K-row vocab then broadcasts to the per-token
+    membership join. Deterministic tie-break by token."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens()).alias("w"))
+    wc = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    vocab = wc.orderBy(F.desc("c"), "w").limit(VOCAB_K).select(F.col("w").alias("vw"))
+    joined = toks.join(F.broadcast(vocab), toks["w"] == F.col("vw"), "left")
+    n_oov = F.sum(F.when(F.col("vw").isNull(), 1).otherwise(0))
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            n_oov.cast("bigint").alias("n_oov"),
+            F.round(n_oov.cast("double") / F.count(F.lit(1)), 6).alias("oov_rate"),
+        )
+        .orderBy("doc_id")
+    )

@@ -198,6 +198,7 @@ def load_all() -> dict[str, QuerySpec]:
         sampling,
         setops,
         similarity,
+        sketches,
         text,
         timeseries,
         training,
