@@ -47,6 +47,20 @@ def _cms_probe_values() -> str:
     return ", ".join(f"'{t}'" for t in CMS_PROBES)
 
 
+def cms_sketch(tok: DataFrame, col: str = "w") -> DataFrame:
+    """(r, bucket, c) Count-Min matrix over a token column — the
+    mergeable summary: ``cms_sketch(A ∪ B)`` equals the cell-wise sum of
+    the two sketches (unit-tested), so per-shard sketches combine with a
+    (r, bucket) groupBy at any scale."""
+    hashrows = F.explode(F.array(*[F.lit(r) for r in range(CMS_ROWS)])).alias("r")
+    return (
+        tok.select(col, hashrows)
+        .select("r", _bucket(F.col(col), F.col("r")))
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
 @query(
     "count_min_freq",
     oracle=f"""
@@ -92,16 +106,11 @@ def count_min_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(F.explode(tokens()).alias("w"))
-    hashrows = F.explode(F.array(*[F.lit(r) for r in range(CMS_ROWS)])).alias("r")
-    sketch = (
-        tok.select("w", hashrows)
-        .select("r", _bucket(F.col("w"), F.col("r")))
-        .groupBy("r", "bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    sketch = cms_sketch(tok)
     probes = spark.range(1).select(
         F.explode(F.array(*[F.lit(t) for t in CMS_PROBES])).alias("token")
     )
+    hashrows = F.explode(F.array(*[F.lit(r) for r in range(CMS_ROWS)])).alias("r")
     probe_buckets = probes.select("token", hashrows).select(
         "token", "r", _bucket(F.col("token"), F.col("r"))
     )

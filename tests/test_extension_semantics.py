@@ -529,3 +529,138 @@ def test_boilerplate_ngrams_flags_shared_chunks(spark, sf_dir, monkeypatch):
     assert rows[1]["n_shared"] >= 1 and rows[2]["n_shared"] >= 1
     assert rows[3]["n_shared"] == 0 and rows[3]["shared_frac"] == 0.0
     assert all(0.0 <= rows[i]["shared_frac"] <= 1.0 for i in rows)
+
+
+def test_cms_overestimates_and_merges(spark, sf_dir):
+    """CMS guarantees est >= exact for every probe; the sketch matrix is
+    mergeable (sketch of the union == cell-wise sum of shard sketches)."""
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.sketches import (
+        cms_sketch,
+        count_min_freq,
+    )
+
+    rows = count_min_freq(spark, sf_dir).collect()
+    assert rows, "probe set must produce output"
+    for r in rows:
+        assert r["est_count"] >= r["exact_count"], r
+    absent = {r["token"]: r for r in rows}["zzz-absent"]
+    assert absent["exact_count"] == 0
+
+    tok = spark.createDataFrame(
+        [("a",), ("a",), ("b",), ("c",), ("b",), ("a",)], ["w"]
+    )
+    whole = {(r["r"], r["bucket"]): r["c"] for r in cms_sketch(tok).collect()}
+    # deterministic content-based split (limit() picks arbitrary rows and
+    # would re-evaluate differently per branch)
+    half1 = cms_sketch(tok.filter(F.col("w") == "a"))
+    half2 = cms_sketch(tok.filter(F.col("w") != "a"))
+    merged = {}
+    for part in (half1, half2):
+        for r in part.collect():
+            merged[(r["r"], r["bucket"])] = merged.get((r["r"], r["bucket"]), 0) + r["c"]
+    assert merged == whole
+
+
+def test_bloom_has_no_false_negatives(spark, sf_dir, monkeypatch):
+    """Every true join partner must survive Bloom pruning (the filter may
+    only over-approximate); the confusion summary must be consistent."""
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators import sketches
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.sketches import (
+        bloom_join_prune,
+    )
+
+    customers = spark.createDataFrame(
+        [(1, "BUILDING"), (2, "BUILDING"), (3, "MACHINERY")],
+        ["c_custkey", "c_mktsegment"],
+    )
+    orders = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 3), (13, 999), (14, 1)],
+        ["o_orderkey", "o_custkey"],
+    )
+    tables = {"customer": customers, "orders": orders}
+    monkeypatch.setattr(
+        sketches, "load_table", lambda spark, sf_dir, name: tables[name]
+    )
+    row = bloom_join_prune(spark, sf_dir).collect()[0]
+    assert row["n_orders"] == 5
+    assert row["n_true_matches"] == 3  # orders 10, 11, 14
+    assert row["n_candidates"] >= row["n_true_matches"]  # no false negatives
+    assert row["n_false_positives"] == row["n_candidates"] - row["n_true_matches"]
+    assert row["n_false_positives"] >= 0
+
+
+def test_psi_zero_on_identical_cohorts(spark, sf_dir, monkeypatch):
+    """Mirrored cohorts (every value present once per user-parity) must
+    give psi_term == 0.0 in every bin; a drifted cohort must not."""
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators import training
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.training import (
+        psi_value_drift,
+    )
+
+    mirrored = spark.createDataFrame(
+        [(u, float(v)) for v in range(1, 21) for u in (0, 1)],
+        ["user_id", "value"],
+    )
+    monkeypatch.setattr(training, "load_table", lambda spark, sf_dir, name: mirrored)
+    terms = [r["psi_term"] for r in psi_value_drift(spark, sf_dir).collect()]
+    assert terms and all(t == 0.0 for t in terms)
+
+    drifted = spark.createDataFrame(
+        # both cohorts cover the full range (no NULL terms), cohort 0
+        # over-weights the low half and cohort 1 the high half
+        [(0, float(v)) for v in range(1, 21)]
+        + [(0, float(v)) for v in range(1, 11)] * 2
+        + [(1, float(v)) for v in range(1, 21)]
+        + [(1, float(v)) for v in range(11, 21)] * 2,
+        ["user_id", "value"],
+    )
+    monkeypatch.setattr(training, "load_table", lambda spark, sf_dir, name: drifted)
+    terms = [
+        r["psi_term"]
+        for r in psi_value_drift(spark, sf_dir).collect()
+        if r["psi_term"] is not None
+    ]
+    assert sum(terms) > 0.2  # classic "significant drift" threshold
+
+
+def test_vocab_coverage_flags_rare_tokens(spark, sf_dir, monkeypatch):
+    """With >VOCAB_K distinct tokens, the rarest fall out of the vocab and
+    only docs containing them get n_oov > 0."""
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators import training
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.training import (
+        VOCAB_K,
+        vocab_coverage,
+    )
+
+    common = [f"w{i}" for i in range(VOCAB_K)]
+    # every common token appears twice; 'rare' appears once -> out of vocab
+    crafted = spark.createDataFrame(
+        [
+            (1, " ".join(common), "en", "s", 10),
+            (2, " ".join(common) + " rare", "en", "s", 10),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    monkeypatch.setattr(training, "load_table", lambda spark, sf_dir, name: crafted)
+    rows = {r["doc_id"]: r for r in vocab_coverage(spark, sf_dir).collect()}
+    assert rows[1]["n_oov"] == 0 and rows[1]["oov_rate"] == 0.0
+    assert rows[2]["n_oov"] == 1
+    assert rows[2]["n_tokens"] == VOCAB_K + 1
+
+
+def test_embedding_normalize_known_norm(spark, sf_dir, monkeypatch):
+    """(3,4) has L2 norm 5 and unit first component 0.6."""
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators import similarity
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.similarity import (
+        embedding_normalize,
+    )
+
+    crafted = spark.createDataFrame(
+        [(1, [3.0, 4.0], 0), (2, [0.0, 2.0], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    monkeypatch.setattr(similarity, "load_table", lambda spark, sf_dir, name: crafted)
+    rows = {r["vec_id"]: r for r in embedding_normalize(spark, sf_dir).collect()}
+    assert rows[1]["l2_norm"] == 5.0 and rows[1]["unit_x0"] == 0.6
+    assert rows[2]["l2_norm"] == 2.0 and rows[2]["unit_x0"] == 0.0
+    assert rows[1]["n_dims"] == 2
