@@ -465,3 +465,76 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "bigram_lm_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ), pairs AS (
+      SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i + 1] AS b
+      FROM toks, UNNEST(range(1, len(t))) AS r(i)
+      WHERE len(t) >= 2
+    ), c2 AS (
+      SELECT b, COUNT(*) AS cb FROM pairs GROUP BY b
+    ), c1 AS (
+      SELECT w1, COUNT(*) AS cw FROM pairs GROUP BY w1
+    )
+    SELECT p.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(-CAST(SUM(CAST(ln(CAST(c2.cb AS DOUBLE) / c1.cw) AS DECIMAL(30,6)))
+                       AS DOUBLE) / COUNT(*), 6) AS avg_nll
+    FROM pairs p JOIN c2 ON p.b = c2.b JOIN c1 ON p.w1 = c1.w1
+    GROUP BY p.doc_id ORDER BY p.doc_id
+    """,
+    tags=("U6",),
+)
+def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U6] Corpus-bigram language-model score per document — the
+    KenLM-style perplexity proxy curation pipelines use as a fluency /
+    formulaicity filter (CCNet's perplexity bucketing, shallow-model
+    edition). Model: MLE P(w2|w1) = count(w1 w2) / count(w1 ·) from the
+    corpus itself (every document bigram therefore has nonzero count — no
+    smoothing needed); score = average negative log-likelihood per
+    bigram. Low = predictable/templated text, high = unusual token
+    sequences; both tails are curation candidates.
+
+    Scale: bigram and head-count tables are key-bounded aggregations; the
+    scoring joins shuffle on those same keys (no broadcast assumption —
+    a 100 TB corpus's bigram table is itself large). Per-term
+    DEC-rounding before the exact sum keeps distributed partial
+    aggregation order-independent (the ``word_entropy`` precedent)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens()
+    pairs = (
+        d.filter(F.size(toks) >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice(toks, 1, F.size(toks) - 1),
+                    F.slice(toks, 2, F.size(toks) - 1),
+                    lambda a, b: F.struct(
+                        a.alias("w1"), F.concat(a, F.lit(" "), b).alias("b")
+                    ),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.b").alias("b"))
+    )
+    c2 = pairs.groupBy("b").agg(F.count(F.lit(1)).alias("cb"))
+    c1 = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("cw"))
+    term = F.log(F.col("cb").cast("double") / F.col("cw")).cast("decimal(30,6)")
+    return (
+        pairs.join(c2, "b")
+        .join(c1, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(
+                -F.sum(term).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_nll"),
+        )
+        .orderBy("doc_id")
+    )

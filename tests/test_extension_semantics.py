@@ -664,3 +664,33 @@ def test_embedding_normalize_known_norm(spark, sf_dir, monkeypatch):
     assert rows[1]["l2_norm"] == 5.0 and rows[1]["unit_x0"] == 0.6
     assert rows[2]["l2_norm"] == 2.0 and rows[2]["unit_x0"] == 0.0
     assert rows[1]["n_dims"] == 2
+
+
+def test_bigram_lm_score_known_probabilities(spark, sf_dir, monkeypatch):
+    """Hand-computable corpus: a doc whose bigrams are all deterministic
+    continuations scores avg_nll = 0; mixed continuations score ln(2)."""
+    import math
+
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators import training
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.training import (
+        bigram_lm_score,
+    )
+
+    crafted = spark.createDataFrame(
+        [
+            # corpus bigrams: "a b" x2, "a c" x2 -> P(b|a) = P(c|a) = 1/2
+            (1, "a b", "en", "s", 3),
+            (2, "a b", "en", "s", 3),
+            (3, "a c", "en", "s", 3),
+            (4, "a c", "en", "s", 3),
+            # "x y" only -> P(y|x) = 1 -> nll 0
+            (5, "x y", "en", "s", 3),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    monkeypatch.setattr(training, "load_table", lambda spark, sf_dir, name: crafted)
+    rows = {r["doc_id"]: r for r in bigram_lm_score(spark, sf_dir).collect()}
+    assert rows[5]["avg_nll"] == 0.0
+    for i in (1, 2, 3, 4):
+        assert math.isclose(rows[i]["avg_nll"], math.log(2), abs_tol=1e-5), rows[i]
+    assert rows[1]["n_bigrams"] == 1
