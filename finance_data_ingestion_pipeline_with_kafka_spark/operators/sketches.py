@@ -35,12 +35,21 @@ CMS_WIDTH = 256
 CMS_PROBES = ("data", "spark", "value", "window", "zzz-absent")
 
 
-def _bucket(col: F.Column, salt: F.Column) -> F.Column:
-    """md5-derived bucket in [0, CMS_WIDTH): first 15 md5 hex chars parsed
-    as a non-negative int64 — identical in DuckDB as
-    ``CAST('0x' || substr(md5(...), 1, 15) AS BIGINT)``."""
-    h = F.conv(F.substring(F.md5(F.concat(salt.cast("string"), F.lit("|"), col)), 1, 15), 16, 10)
-    return (h.cast("long") % CMS_WIDTH).alias("bucket")
+def _bucket_array(col: F.Column) -> F.Column:
+    """All CMS_ROWS buckets from ONE md5: the 32-hex digest is sliced into
+    CMS_ROWS disjoint 7-hex (28-bit) windows, each parsed as a
+    non-negative int64 and reduced mod CMS_WIDTH — the
+    one-digest-many-hashes economy ``dedup.minhash_signatures`` uses
+    (4 hashes for the price of 1 md5; hashing dominated the sketch build
+    when measured per-salt). DuckDB twin:
+    ``CAST('0x' || substr(md5(w), 1+7r, 7) AS BIGINT) % width``."""
+    h = F.md5(col)
+    return F.array(
+        *[
+            F.conv(F.substring(h, 1 + 7 * r, 7), 16, 10).cast("long") % CMS_WIDTH
+            for r in range(CMS_ROWS)
+        ]
+    )
 
 
 def _cms_probe_values() -> str:
@@ -52,10 +61,8 @@ def cms_sketch(tok: DataFrame, col: str = "w") -> DataFrame:
     mergeable summary: ``cms_sketch(A ∪ B)`` equals the cell-wise sum of
     the two sketches (unit-tested), so per-shard sketches combine with a
     (r, bucket) groupBy at any scale."""
-    hashrows = F.explode(F.array(*[F.lit(r) for r in range(CMS_ROWS)])).alias("r")
     return (
-        tok.select(col, hashrows)
-        .select("r", _bucket(F.col(col), F.col("r")))
+        tok.select(F.posexplode(_bucket_array(F.col(col))).alias("r", "bucket"))
         .groupBy("r", "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -70,7 +77,7 @@ def cms_sketch(tok: DataFrame, col: str = "w") -> DataFrame:
       SELECT unnest(range({CMS_ROWS})) AS r
     ), sketch AS (
       SELECT r,
-             CAST('0x' || substr(md5(r || '|' || w), 1, 15) AS BIGINT) % {CMS_WIDTH} AS bucket,
+             CAST('0x' || substr(md5(w), 1 + 7 * r, 7) AS BIGINT) % {CMS_WIDTH} AS bucket,
              COUNT(*) AS c
       FROM toks CROSS JOIN hashrows
       GROUP BY r, bucket
@@ -78,7 +85,7 @@ def cms_sketch(tok: DataFrame, col: str = "w") -> DataFrame:
       SELECT unnest([{_cms_probe_values()}]) AS token
     ), probe_buckets AS (
       SELECT token, r,
-             CAST('0x' || substr(md5(r || '|' || token), 1, 15) AS BIGINT) % {CMS_WIDTH} AS bucket
+             CAST('0x' || substr(md5(token), 1 + 7 * r, 7) AS BIGINT) % {CMS_WIDTH} AS bucket
       FROM probes CROSS JOIN hashrows
     ), est AS (
       SELECT pb.token, CAST(MIN(COALESCE(s.c, 0)) AS BIGINT) AS est_count
@@ -110,9 +117,8 @@ def count_min_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = spark.range(1).select(
         F.explode(F.array(*[F.lit(t) for t in CMS_PROBES])).alias("token")
     )
-    hashrows = F.explode(F.array(*[F.lit(r) for r in range(CMS_ROWS)])).alias("r")
-    probe_buckets = probes.select("token", hashrows).select(
-        "token", "r", _bucket(F.col("token"), F.col("r"))
+    probe_buckets = probes.select(
+        "token", F.posexplode(_bucket_array(F.col("token"))).alias("r", "bucket")
     )
     est = (
         probe_buckets.join(F.broadcast(sketch), ["r", "bucket"], "left")
