@@ -619,3 +619,53 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         comp.select(F.col("id").alias("doc_id"), F.col("component").alias("keeper_doc_id"))
         .orderBy("doc_id")
     )
+
+
+@query(
+    "dedup_survivors",
+    oracle=f"""
+    WITH RECURSIVE {_minhash_cte()},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM near_dup
+      UNION ALL SELECT doc_b, doc_a FROM near_dup
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r
+    ),
+    clusters AS (
+      SELECT id AS doc_id, MIN(r) AS keeper FROM reach GROUP BY id
+    )
+    SELECT d.doc_id,
+           COALESCE(c.keeper, d.doc_id) AS keeper_doc_id,
+           COALESCE(c.keeper, d.doc_id) = d.doc_id AS keep
+    FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+    ORDER BY d.doc_id
+    """,
+    tags=("U4",),
+    prepared=False,  # builds on the iterative components loop
+)
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U4] Full-corpus dedup decision — the artifact a pipeline actually
+    ships: every document with its cluster keeper (itself when
+    unclustered) and a keep/drop verdict. ``filter(keep)`` IS the
+    deduplicated corpus; the drop set plus keeper pointer is the
+    provenance record. One broadcast-or-key-bounded left join from the
+    corpus to the (small) cluster table on top of
+    ``near_dup_clusters``'s pointer-jumping components."""
+    clusters = near_dup_clusters(spark, sf_dir).withColumnRenamed(
+        "keeper_doc_id", "cluster_keeper"
+    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    keeper = F.coalesce(F.col("cluster_keeper"), F.col("doc_id"))
+    return (
+        d.join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            keeper.alias("keeper_doc_id"),
+            (keeper == F.col("doc_id")).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
