@@ -54,3 +54,41 @@ def salted_agg(
         _COMBINE[kind](F.col(name)).alias(name) for name, (kind, _) in aggs.items()
     ]
     return stage1.groupBy(*keys).agg(*stage2_aggs)
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe fact⋈dim equi-join by salt replication — the join-side
+    twin of :func:`salted_agg`, for when the dim is too large to
+    broadcast and one hot fact key would otherwise pin a single reducer.
+
+    Fact rows get a per-row salt in [0, n_salts) (hash of the key plus
+    the physical partition id — deterministic within a run, spreading a
+    hot key's rows across ``n_salts`` reducers); the dim is replicated
+    ``n_salts``× with an exploded salt column; the join runs on
+    (key, salt). Result is row-identical to the unsalted join (asserted
+    in tests) at the price of shuffling ``n_salts``× the dim — the right
+    trade precisely when dim ≪ fact and the fact is skewed.
+
+    AQE's ``skewJoin`` does this automatically from runtime stats
+    (enabled in session.py); this explicit form exists for plans AQE
+    can't rewrite (e.g. under ``mapInPandas`` barriers) and as the
+    pinned, testable shape of the technique.
+    """
+    if key not in fact.columns or key not in dim.columns:
+        raise ValueError(f"join key {key!r} must exist on both sides")
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"):
+        # right/full-outer would emit each unmatched dim row once PER
+        # REPLICA (n_salts copies) — silently wrong; refuse.
+        raise ValueError(f"salted_join supports inner/left-side joins, not {how!r}")
+    salt = F.pmod(F.xxhash64(F.col(key), F.spark_partition_id()), F.lit(n_salts))
+    salted_fact = fact.withColumn("__salt", salt)
+    salted_dim = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<bigint>"))
+    )
+    return salted_fact.join(salted_dim, [key, "__salt"], how).drop("__salt")

@@ -694,3 +694,54 @@ def test_bigram_lm_score_known_probabilities(spark, sf_dir, monkeypatch):
     for i in (1, 2, 3, 4):
         assert math.isclose(rows[i]["avg_nll"], math.log(2), abs_tol=1e-5), rows[i]
     assert rows[1]["n_bigrams"] == 1
+
+
+def test_salted_join_equals_direct(spark, sf_dir):
+    """Salt-replicated join must be row-identical to the plain join."""
+    from pyspark.sql import functions as F
+
+    from finance_data_ingestion_pipeline_with_kafka_spark.catalog import load_table
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.skew import salted_join
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    salted = salted_join(orders, cust, "o_custkey", n_salts=8)
+    direct = orders.join(cust, "o_custkey")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, direct.collect()))
+    # hot-key spread: the salted fact side occupies >1 salt for a hot key
+    hot = orders.limit(1).collect()[0]["o_custkey"]
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators import skew as skew_mod
+
+    salt = F.pmod(
+        F.xxhash64(F.col("o_custkey"), F.spark_partition_id()), F.lit(8)
+    )
+    n = (
+        orders.filter(F.col("o_custkey").isNotNull())
+        .withColumn("s", salt)
+        .select("s")
+        .distinct()
+        .count()
+    )
+    assert n > 1  # salts actually spread rows
+
+
+def test_salted_join_rejects_missing_key(spark, sf_dir):
+    from finance_data_ingestion_pipeline_with_kafka_spark.catalog import load_table
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.skew import salted_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    with pytest.raises(ValueError, match="join key"):
+        salted_join(orders, orders, "nope")
+
+
+def test_salted_join_refuses_right_outer(spark, sf_dir):
+    """Right/full-outer under replication would duplicate unmatched dim
+    rows once per replica — must refuse, not corrupt."""
+    from finance_data_ingestion_pipeline_with_kafka_spark.catalog import load_table
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.skew import salted_join
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(orders, orders, "o_custkey", how="full_outer")
