@@ -87,3 +87,28 @@ def test_ivf_centroids_broadcast(spark, sf_dir):
     """The IVF centroid table must ride a broadcast join — the corpus
     side is never shuffled for the probe."""
     assert has_broadcast_hash_join(q(spark, sf_dir, "ivf_ann"))
+
+
+def test_bloom_bits_broadcast_probe_never_shuffled(spark, sf_dir):
+    """The Bloom bit set must broadcast; the orders probe side must not
+    SortMergeJoin (its only wide op is the per-order bit-count agg)."""
+    df = q(spark, sf_dir, "bloom_join_prune")
+    p = executed_plan(df)
+    assert has_broadcast_hash_join(df)
+    assert "SortMergeJoin" not in p
+
+
+def test_cms_sketch_is_partial_aggregated(spark, sf_dir):
+    """The CMS matrix build must map-side combine: the shuffle carries
+    (r, bucket) partials — bounded at rows x width per task — never raw
+    token rows."""
+    p = executed_plan(q(spark, sf_dir, "count_min_freq"), run=True)
+    assert "partial_count" in p
+    assert p.count("HashAggregate") >= 2
+
+
+def test_vocab_is_top_k_not_global_sort(spark, sf_dir):
+    """The vocabulary must plan as TakeOrderedAndProject (per-partition
+    top-K + K-row merge), not a full global sort of the word counts."""
+    p = executed_plan(q(spark, sf_dir, "vocab_coverage"))
+    assert "TakeOrderedAndProject" in p
