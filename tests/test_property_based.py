@@ -118,3 +118,56 @@ def test_salted_agg_equals_plain_groupby(rows, n_salts):
         .collect()
     }
     assert got == want
+
+
+FLOATS = st.lists(
+    st.integers(min_value=-10**9, max_value=10**9).map(lambda n: n / 1000.0),
+    min_size=1,
+    max_size=80,
+)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(xs=FLOATS, parts=st.sampled_from([1, 3, 7]))
+def test_dsum_matches_serial_decimal_reference(xs, parts):
+    """dsum over ANY partitioning equals the serial fixed-point reference:
+    per-element round-half-away-from-zero at 6 digits (in double
+    arithmetic, mirroring the plan), exact integer total, one double
+    division."""
+    import math
+
+    spark = get_test_spark()
+    from finance_data_ingestion_pipeline_with_kafka_spark.functions.core import dsum
+
+    df = spark.createDataFrame([(float(x),) for x in xs], "v double").repartition(parts)
+    got = df.agg(dsum("v").alias("s")).collect()[0]["s"]
+
+    def scaled(x: float) -> int:
+        return math.floor(x * 1e6 + 0.5) if x >= 0 else -math.floor(-x * 1e6 + 0.5)
+
+    want = float(sum(scaled(x) for x in xs)) / 1e6
+    assert got == want  # bit-exact, not approximately
+
+
+JOIN_FACT = st.lists(
+    st.tuples(st.integers(0, 6), st.integers(0, 100)), min_size=1, max_size=60
+)
+JOIN_DIM = st.lists(
+    st.tuples(st.integers(0, 6), st.sampled_from(["x", "y", "z"])),
+    min_size=1,
+    max_size=10,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(fact=JOIN_FACT, dim=JOIN_DIM, n_salts=st.sampled_from([1, 4, 8]))
+def test_salted_join_equals_plain_join(fact, dim, n_salts):
+    spark = get_test_spark()
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.skew import salted_join
+
+    f = spark.createDataFrame(fact, "k long, v long")
+    d = spark.createDataFrame(dim, "k long, tag string")
+    got = sorted(map(tuple, salted_join(f, d, "k", n_salts=n_salts).collect()))
+    want = sorted(map(tuple, f.join(d, "k").collect()))
+    assert got == want
