@@ -669,3 +669,82 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def _est_sql() -> str:
+    return "(" + " + ".join(
+        f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END" for i in range(MINHASH_PERMS)
+    ) + f") / {MINHASH_PERMS}.0"
+
+
+@query(
+    "minhash_jaccard_estimate",
+    oracle=f"""
+    WITH {_minhash_cte()}
+    SELECT c.doc_a, c.doc_b,
+           ROUND({_est_sql()}, 6) AS est_jaccard,
+           ROUND(CAST(len(list_intersect(sa.shset, sb.shset)) AS DOUBLE)
+                 / len(list_distinct(list_concat(sa.shset, sb.shset))), 6) AS exact_jaccard,
+           ROUND(ABS({_est_sql()}
+                     - CAST(len(list_intersect(sa.shset, sb.shset)) AS DOUBLE)
+                       / len(list_distinct(list_concat(sa.shset, sb.shset)))), 6) AS abs_err
+    FROM cands c
+    JOIN sigs a ON a.doc_id = c.doc_a
+    JOIN sigs b ON b.doc_id = c.doc_b
+    JOIN sets sa ON sa.doc_id = c.doc_a
+    JOIN sets sb ON sb.doc_id = c.doc_b
+    ORDER BY c.doc_a, c.doc_b
+    """,
+    tags=("U4", "A4"),
+)
+def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U4/A4] Sketch-accuracy audit for the MinHash signatures: for every
+    banded candidate pair, the signature-based Jaccard estimate (fraction
+    of agreeing minhash slots — the E[match] = J identity) next to the
+    exact shingle-set Jaccard and the absolute error. This is the query a
+    pipeline runs to validate its signature width before trusting banding
+    at corpus scale (16 perms → stderr ≈ sqrt(J(1-J)/16) ≈ 0.1 near the
+    0.8 threshold). Estimation is pure signature arithmetic (no shingle
+    sets touched); the exact side is semi-join-pruned to candidate docs
+    like the production verify."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs)
+    cands = minhash_candidates(sigs)
+    matches = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+            lambda m: m,
+        )
+    )
+    est = matches / F.lit(float(MINHASH_PERMS))
+    cand_ids = cands.select(F.col("doc_a").alias("doc_id")).union(
+        cands.select(F.col("doc_b").alias("doc_id"))
+    )
+    sh = (
+        shingle_rows(docs.join(cand_ids.distinct(), "doc_id", "left_semi"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("sh").alias("sh"))
+    )
+    exact = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        cands.join(
+            sigs.select(F.col("doc_id").alias("doc_a"), F.col("minhash").alias("sig_a")),
+            "doc_a",
+        )
+        .join(
+            sigs.select(F.col("doc_id").alias("doc_b"), F.col("minhash").alias("sig_b")),
+            "doc_b",
+        )
+        .join(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(est, 6).alias("est_jaccard"),
+            F.round(exact, 6).alias("exact_jaccard"),
+            F.round(F.abs(est - exact), 6).alias("abs_err"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
