@@ -538,3 +538,111 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+#: Iglewicz-Hoaglin robust outlier threshold on the modified z-score.
+MAD_Z_CUTOFF = 3.5
+MAD_CONSISTENCY = 0.6745  # Φ⁻¹(0.75): makes MAD estimate σ under normality
+
+
+@query(
+    "length_outliers",
+    oracle=f"""
+    WITH med AS (
+      SELECT quantile_cont(n_chars, 0.5) AS med FROM documents
+    ), mad AS (
+      SELECT quantile_cont(ABS(n_chars - med), 0.5) AS mad FROM documents, med
+    ), z AS (
+      SELECT doc_id, n_chars, mad,
+             {MAD_CONSISTENCY} * (n_chars - med) / mad AS zr
+      FROM documents, med, mad
+    )
+    SELECT doc_id, n_chars,
+           CASE WHEN mad = 0 THEN NULL
+                ELSE floor(zr * 10000 + 0.5) / 10000 END AS robust_z,
+           CASE WHEN mad = 0 THEN NULL
+                ELSE ABS(zr) > {MAD_Z_CUTOFF} END AS is_outlier
+    FROM z
+    ORDER BY doc_id
+    """,
+    tags=("U6", "A7"),
+)
+def length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U6/A7] Robust (median/MAD) document-length outlier flags — the
+    curation filter that survives the very outliers it hunts (mean/std
+    would be dragged by them). Modified z-score
+    ``0.6745·(x − median)/MAD``; |z| > 3.5 is the Iglewicz-Hoaglin
+    cutoff. Two scalar aggregations broadcast back to one linear pass —
+    no shuffle of the corpus itself; degenerate MAD = 0 (majority-equal
+    lengths) yields NULL flags rather than division blowups.
+
+    Rounding note: z is a small-denominator rational here (integer
+    lengths, half-integer median/MAD), so 4-digit ROUND ties are COMMON —
+    and engine ROUND internals differ on representation ties (Spark
+    rounds the shortest decimal repr half-up, DuckDB rounds the binary
+    value). Both sides therefore round with pure IEEE arithmetic,
+    ``floor(z·10⁴ + 0.5)/10⁴`` — identical doubles in, identical doubles
+    out."""
+    d = load_table(spark, sf_dir, "documents")
+    med = F.broadcast(d.agg(F.expr("percentile(n_chars, 0.5)").alias("med")))
+    mad = F.broadcast(
+        d.crossJoin(med).agg(
+            F.expr("percentile(abs(n_chars - med), 0.5)").alias("mad")
+        )
+    )
+    z = F.lit(MAD_CONSISTENCY) * (F.col("n_chars") - F.col("med")) / F.col("mad")
+    return (
+        d.crossJoin(med)
+        .crossJoin(mad)
+        .select(
+            "doc_id",
+            "n_chars",
+            F.when(
+                F.col("mad") != 0, F.floor(z * 10000 + F.lit(0.5)) / 10000
+            ).alias("robust_z"),
+            F.when(F.col("mad") != 0, F.abs(z) > MAD_Z_CUTOFF).alias("is_outlier"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "zscore_by_group",
+    oracle="""
+    WITH s AS (
+      SELECT lang, COUNT(*) AS n,
+             CAST(SUM(CAST(n_chars AS DECIMAL(30,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(n_chars * n_chars AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+      FROM documents GROUP BY lang
+    )
+    SELECT d.doc_id, d.lang, d.n_chars,
+           ROUND((d.n_chars - s.sx / s.n)
+                 / sqrt((s.n * s.sxx - s.sx * s.sx) / (s.n * (s.n - 1))), 4) AS z
+    FROM documents d JOIN s ON d.lang = s.lang
+    ORDER BY d.doc_id
+    """,
+    tags=("U6", "A7"),
+)
+def zscore_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U6/A7] Per-language z-score standardization of document length —
+    the grouped feature-scaling pass (normalize within stratum, not
+    across: a 200-char doc is short for English, long for a CJK
+    corpus). Group moments via exact decimal sums (the ``correlation``
+    formulation) so the distributed stats are bit-stable; the tiny
+    per-group stats table broadcasts back onto the corpus scan."""
+    d = load_table(spark, sf_dir, "documents")
+    x = F.col("n_chars")
+    s = F.broadcast(
+        d.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x.cast("decimal(30,6)")).cast("double").alias("sx"),
+            F.sum((x * x).cast("decimal(38,6)")).cast("double").alias("sxx"),
+        )
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    z = (x - sx / n) / F.sqrt((n * sxx - sx * sx) / (n * (n - 1)))
+    return (
+        d.join(s, "lang")
+        .select("doc_id", "lang", "n_chars", F.round(z, 4).alias("z"))
+        .orderBy("doc_id")
+    )
