@@ -131,6 +131,12 @@ def main() -> None:
         detail["duckdb_queries"] = _duckdb_headline_times(sf_dir, bench_specs)
     except Exception as ex:
         detail["duckdb_queries"] = {"error": str(ex)[:120]}
+    # Safety line BEFORE the (long) crossover phases: the harness
+    # captures the tail of stdout and parses the LAST line — if this
+    # process is killed mid-crossover on a slow host, this line is what
+    # survives, carrying the headline totals, streaming rate, and the
+    # DuckDB ratio. On a completed run the final line below supersedes it.
+    print(json.dumps(_compact_line(detail, bench_specs)), flush=True)
     if os.environ.get("SPARK_GRAFT_SKIP_CROSSOVER") != "1":
         try:
             detail["scale_crossover_10x"] = _scale_crossover(spark, sf_dir)
