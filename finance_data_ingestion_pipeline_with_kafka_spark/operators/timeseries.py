@@ -358,3 +358,50 @@ def multi_resolution_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # presentation sort dropped (order-insensitive compare)
     )
+
+
+@query(
+    "twap",
+    oracle="""
+    WITH events_us AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    seq AS (
+      SELECT event_type, value,
+             epoch_us(LEAD(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id) - ts)
+               AS dur_us
+      FROM events_us
+    )
+    SELECT event_type,
+           CAST(SUM(CAST(value * dur_us AS DECIMAL(38,6))) AS DOUBLE)
+             / CAST(SUM(dur_us) AS DOUBLE) AS twap,
+           CAST(SUM(dur_us) AS BIGINT) AS total_duration_us,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals
+    FROM seq WHERE dur_us IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("A3", "W2"),
+)
+def twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A3] Time-weighted average price — VWAP's sibling for thin/bursty
+    markets: each tick's price is weighted by how long it remained the
+    prevailing price (time to the next tick in its stream), so a quiet
+    hour at one price counts as an hour, not as one tick. Last tick per
+    stream carries no interval and drops out. One (event_type)-keyed
+    window for the lead + one grouped aggregation; the price×duration
+    products are exactly representable doubles (2-dp price × integer µs
+    within 2^53), so the DECIMAL accumulation is engine-exact."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    dur = F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))
+    seq = e.select("event_type", "value", dur.alias("dur_us")).filter(
+        F.col("dur_us").isNotNull()
+    )
+    pd_ = (F.col("value") * F.col("dur_us")).cast("decimal(38,6)")
+    return (
+        seq.groupBy("event_type")
+        .agg(
+            (F.sum(pd_).cast("double") / F.sum("dur_us").cast("double")).alias("twap"),
+            F.sum("dur_us").cast("bigint").alias("total_duration_us"),
+            F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+        )
+        .orderBy("event_type")
+    )
