@@ -405,3 +405,80 @@ def twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "gapfill_bars",
+    oracle="""
+    WITH events_us AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    ranked AS (
+      SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS h, ts, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type, time_bucket(INTERVAL '1 hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_close
+      FROM events_us
+    ), bars AS (
+      SELECT event_type, h,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             MAX(CASE WHEN rn_close = 1 THEN value END) AS close
+      FROM ranked GROUP BY event_type, h
+    ), bounds AS (
+      SELECT MIN(h) AS mn, MAX(h) AS mx FROM bars
+    ), spine AS (
+      SELECT t.event_type, g.h
+      FROM (SELECT DISTINCT event_type FROM events_us) t
+      CROSS JOIN (SELECT unnest(generate_series(mn, mx, INTERVAL '1 hour')) AS h
+                  FROM bounds) g
+    )
+    SELECT s.event_type, s.h AS bar_start,
+           COALESCE(b.n_events, 0) AS n_events,
+           b.close AS close,
+           LAST_VALUE(b.close IGNORE NULLS) OVER (
+             PARTITION BY s.event_type ORDER BY s.h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close_filled
+    FROM spine s LEFT JOIN bars b ON s.event_type = b.event_type AND s.h = b.h
+    ORDER BY s.event_type, bar_start
+    """,
+    tags=("A2", "W7"),
+)
+def gapfill_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A2/W7] Gap-filled hourly bars — the ``time_bucket_gapfill`` /
+    calendar-spine operation every charting or model-training consumer
+    needs: a DENSE (event_type × hour) grid over the observed range, with
+    empty hours carrying n_events = 0 and the last known close carried
+    forward (leading gaps stay NULL — there is nothing to carry).
+
+    Shape at scale: the bar table is already aggregated (tiny vs ticks);
+    the spine is a broadcast-sized sequence cross-joined with the
+    distinct-keys dim; the forward fill is one keyed window over bars,
+    never over raw ticks."""
+    e = load_table(spark, sf_dir, "events")
+    tiebreak = F.struct(F.col("ts"), F.col("event_id"))
+    bars = (
+        e.groupBy("event_type", F.window("ts", "1 hour").start.alias("h"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.max_by("value", tiebreak).alias("close"),
+        )
+    )
+    bounds = bars.agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+    hours = bounds.select(
+        F.explode(F.sequence("mn", "mx", F.expr("interval 1 hour"))).alias("h")
+    )
+    types = e.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(hours))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(bars, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            F.col("h").alias("bar_start"),
+            F.coalesce(F.col("n_events"), F.lit(0).cast("bigint")).alias("n_events"),
+            "close",
+            F.last("close", ignorenulls=True).over(w).alias("close_filled"),
+        )
+        .orderBy("event_type", "bar_start")
+    )
