@@ -745,3 +745,61 @@ def test_salted_join_refuses_right_outer(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     with pytest.raises(ValueError, match="inner/left"):
         salted_join(orders, orders, "o_custkey", how="full_outer")
+
+
+def test_twap_hand_computed(spark, sf_dir, monkeypatch):
+    """Three ticks at t=0s,10s,40s with prices 10,20,30: TWAP =
+    (10*10 + 20*30)/40 = 17.5; the last tick carries no interval."""
+    from datetime import datetime
+
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators import timeseries
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.timeseries import twap
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, "trade", datetime(2024, 1, 1, 0, 0, 0), 10.0, 1),
+        (2, "trade", datetime(2024, 1, 1, 0, 0, 10), 20.0, 1),
+        (3, "trade", datetime(2024, 1, 1, 0, 0, 40), 30.0, 1),
+    ]
+    crafted = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp, value double, user_id long"
+    )
+    monkeypatch.setattr(timeseries, "load_table", lambda spark, sf_dir, name: crafted)
+    out = twap(spark, sf_dir).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["twap"] == 17.5
+    assert r["n_intervals"] == 2
+    assert r["total_duration_us"] == 40_000_000
+
+
+def test_gapfill_bars_fills_and_leaves_leading_nulls(spark, sf_dir, monkeypatch):
+    """Ticks in hours 0 and 3 of one stream -> hours 1,2 are gap rows
+    carrying hour-0's close; a second stream starting at hour 2 has NULL
+    fills for its leading hours."""
+    from datetime import datetime
+
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators import timeseries
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.timeseries import (
+        gapfill_bars,
+    )
+
+    rows = [
+        (1, "a", datetime(2024, 1, 1, 0, 30), 10.0, 1),
+        (2, "a", datetime(2024, 1, 1, 3, 15), 40.0, 1),
+        (3, "b", datetime(2024, 1, 1, 2, 0), 99.0, 1),
+    ]
+    crafted = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp, value double, user_id long"
+    )
+    monkeypatch.setattr(timeseries, "load_table", lambda spark, sf_dir, name: crafted)
+    out = {(r["event_type"], r["bar_start"].hour): r for r in gapfill_bars(spark, sf_dir).collect()}
+    assert len(out) == 8  # 2 streams x 4-hour spine
+    assert out[("a", 1)]["n_events"] == 0 and out[("a", 1)]["close_filled"] == 10.0
+    assert out[("a", 2)]["n_events"] == 0 and out[("a", 2)]["close_filled"] == 10.0
+    assert out[("a", 3)]["close_filled"] == 40.0
+    # stream b: leading gaps (hours 0,1) have nothing to carry
+    assert out[("b", 0)]["close_filled"] is None
+    assert out[("b", 1)]["close_filled"] is None
+    assert out[("b", 2)]["close_filled"] == 99.0
+    assert out[("b", 3)]["n_events"] == 0 and out[("b", 3)]["close_filled"] == 99.0
