@@ -9,6 +9,7 @@ partition pruning applies; nothing in the query layer changes.
 from __future__ import annotations
 
 import os
+import threading
 import weakref
 
 from pyspark.sql import DataFrame, SparkSession
@@ -66,6 +67,7 @@ KEY_SHIFT = 10**12
 #: pin. The inner map is capped, evicting oldest-first.
 _SCAN_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 _SCAN_CACHE_MAX = 256  # per session: ~10 tables × few sf dirs × env combos
+_SCAN_CACHE_LOCK = threading.Lock()  # bench's concurrent phase shares one session
 
 #: Lake-layout ingest (opt-in via ENGINE_LAKE_CACHE=1). The driver's
 #: fixtures are written as ONE parquet row group per table, which caps
@@ -173,9 +175,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str, replicate: int = 1) 
         df = _lake_cached_scan(spark, df, src_path, _lake_cache_dir(sf_dir, name))
     if replicate > 1:
         df = _replicate_shifted(df, name, replicate)
-    while len(per_session) >= _SCAN_CACHE_MAX:
-        per_session.pop(next(iter(per_session)))
-    per_session[key] = df
+    with _SCAN_CACHE_LOCK:
+        while len(per_session) >= _SCAN_CACHE_MAX:
+            try:
+                per_session.pop(next(iter(per_session)))
+            except (KeyError, StopIteration):
+                break
+        per_session[key] = df
     return df
 
 

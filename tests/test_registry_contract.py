@@ -8,9 +8,9 @@ load-bearing, not cosmetic.
 import pytest
 
 from finance_data_ingestion_pipeline_with_kafka_spark.registry import (
-    _VERIFIED_R1,
-    _VERIFIED_R2,
-    _VERIFY_NEXT,
+    _STALE_R1,
+    _STALE_R2,
+    _VERIFIED_R3,
     load_all,
     query,
 )
@@ -27,32 +27,38 @@ def test_bench_specs_are_oracle_checked():
     assert all(s.oracle is not None for s in cat.values() if s.bench)
 
 
-def test_never_hash_green_queries_lead_the_window():
+def test_stalest_evidence_leads_the_window():
     """The driver verifies only the first ~50 catalog entries per round.
-    Round-3 contract: the 9 queries with no hash-green row in either
-    CORRECTNESS file rank 0-8; the rest of the window is round-1 evidence
-    (stalest); round-2-green rows sit below the fold."""
+    Round-4 contract: brand-new queries (no driver row) rank first, then
+    the 13 rows whose latest green evidence is round 1, then round-2
+    evidence; CORRECTNESS_r03 greens sit below the fold."""
     order = list(load_all())
-    assert order[: len(_VERIFY_NEXT)] == list(_VERIFY_NEXT)
+    tiers = set(_STALE_R1) | set(_STALE_R2) | set(_VERIFIED_R3)
+    new = [n for n in order if n not in tiers]
+    # tier sets partition cleanly
+    assert _STALE_R1 & _STALE_R2 == frozenset()
+    assert _STALE_R1 & _VERIFIED_R3 == frozenset()
+    assert _STALE_R2 & _VERIFIED_R3 == frozenset()
+    # new queries lead, then stale-r1, then stale-r2, then r3 greens
+    n_new, n1, n2 = len(new), len(_STALE_R1), len(_STALE_R2)
+    assert set(order[:n_new]) == set(new)
+    assert set(order[n_new : n_new + n1]) == set(_STALE_R1)
+    assert set(order[n_new + n1 : n_new + n1 + n2]) == set(_STALE_R2)
+    assert set(order[n_new + n1 + n2 :]) == set(_VERIFIED_R3)
+    # the ~50-entry window must contain no row already green in r3
     window = set(order[:50])
-    # the window after tier 0 holds only round-1-verified (or brand-new)
-    # names — never round-2-green rows, whose evidence is freshest
-    r2_in_window = window & _VERIFIED_R2
-    assert r2_in_window == set(), sorted(r2_in_window)
-    # tier sets must partition cleanly: a name in _VERIFY_NEXT claims to
-    # lack a hash-green row, so it may not also claim round-2 evidence
-    assert set(_VERIFY_NEXT) & _VERIFIED_R2 == set()
-    assert set(_VERIFY_NEXT) & _VERIFIED_R1 == set()
+    r3_in_window = window & _VERIFIED_R3
+    assert r3_in_window == set(), sorted(r3_in_window)
 
 
 def test_brand_new_queries_sort_into_the_window():
-    """A query in neither verified set nor _VERIFY_NEXT (i.e. added after
-    the last driver round) must rank ahead of all verified rows."""
+    """A query in no verified tier (i.e. added after the last driver
+    round) must rank ahead of all verified rows."""
     order = list(load_all())
-    known = set(_VERIFY_NEXT) | _VERIFIED_R1 | _VERIFIED_R2
-    first_verified_r2 = min(order.index(n) for n in _VERIFIED_R2)
+    known = set(_STALE_R1) | set(_STALE_R2) | set(_VERIFIED_R3)
+    first_known = min(order.index(n) for n in known)
     for name in set(order) - known:
-        assert order.index(name) < first_verified_r2, name
+        assert order.index(name) < first_known, name
 
 
 def test_duplicate_registration_rejected():

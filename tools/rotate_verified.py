@@ -13,7 +13,7 @@ Prints the three pieces the ordering needs:
   * names with NO hash-green row anywhere (must rank FIRST, inside the
     driver's ~50-entry verification window).
 
-Paste-ready frozenset literals are emitted for `_VERIFIED_R1`-style tiers;
+Paste-ready frozenset literals are emitted for `_STALE_R1`-style tiers;
 adapt the tier variable names to the round. The driver verifies queries()
 dict order, so this rotation is what decides which queries get fresh
 driver evidence each round.
