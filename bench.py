@@ -396,6 +396,12 @@ def _duck_connect_replicated(sf_dir: str, rep: int):
                 f"DESCRIBE SELECT * FROM read_parquet('{path}')"
             ).fetchall()
         ]
+        # rep-way key-shifted UNION ALL — DuckDB's artifact-free shape
+        # for N× data (its streaming unions scale ~linearly; a cross-join
+        # range spine measured 24× scaling at 30× — a planner artifact,
+        # not per-row work). The Spark side uses the generator shape for
+        # the mirror-image reason (catalog._replicate_shifted). Identical
+        # multisets either way; each engine gets its idiomatic layout.
         selects = []
         for k in range(rep):
             exprs = ", ".join(

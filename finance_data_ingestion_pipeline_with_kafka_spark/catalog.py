@@ -166,9 +166,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str, replicate: int = 1) 
     src_path = os.path.join(sf_dir, f"{name}.parquet")
     if (
         lake_cache
-        and replicate == 1  # N-way replication already yields N parallel
-        # scan tasks; stacking the 16-way layout on top multiplies task
-        # counts (16×N per table) past the scheduling sweet spot
+        # replicate>1 composes with the 16-file layout: replication is a
+        # per-row generator (single scan branch), so scan parallelism
+        # comes entirely from file splits — 16 tasks each decoding its
+        # split ONCE and generating N key-shifted copies
         and os.path.exists(src_path)
         and os.path.getsize(src_path) >= _LAKE_CACHE_MIN_BYTES
     ):
@@ -186,23 +187,35 @@ def load_table(spark: SparkSession, sf_dir: str, name: str, replicate: int = 1) 
 
 
 def _replicate_shifted(df: DataFrame, name: str, replicate: int) -> DataFrame:
-    """Union ``replicate`` copies with surrogate keys shifted by
-    k·KEY_SHIFT per copy — new entities, same distributions."""
+    """``replicate`` key-shifted copies of every row (shift k·KEY_SHIFT,
+    k = 0..replicate-1) — new entities, same distributions.
+
+    Emitted as a single scan branch crossed with a broadcast
+    ``range(replicate)`` spine, NOT an N-way plan union: a union of N
+    branches re-decodes the same parquet bytes N times AND splits
+    execution across N separate codegen stages, each of which must reach
+    JIT heat independently — at N=30 that made the scale-crossover
+    measure JVM warm-up, not the plan (bimodal 6 s/14 s runs). One
+    branch decodes each file split once, generates N copies per row, and
+    keeps ONE hot codegen loop; scan parallelism comes from file splits
+    (the lake layout), exactly like a real N×-sized lake.
+
+    The spine is a cross JOIN (row-multiplying) rather than an
+    ``explode`` generator deliberately: Catalyst's size estimate for
+    ``Generate`` is its child's, so an exploded fact table is estimated
+    at 1/N its true size and downstream joins mis-plan BROADCAST on an
+    N×-fact side (observed driver OOM at N=30). Join stats multiply, so
+    the crossed plan is estimated ≥N× — never mis-broadcast."""
     shift_cols = set(KEY_SHIFT_COLS[name])
-    copies = [df]
-    for k in range(1, replicate):
-        copies.append(
-            df.select(
-                *[
-                    (F.col(c) + k * KEY_SHIFT).alias(c) if c in shift_cols else F.col(c)
-                    for c in df.columns
-                ]
-            )
-        )
-    out = copies[0]
-    for c in copies[1:]:
-        out = out.union(c)
-    return out
+    spine = df.sparkSession.range(replicate).select(F.col("id").alias("__rep"))
+    return df.crossJoin(F.broadcast(spine)).select(
+        *[
+            (F.col(c) + F.col("__rep") * F.lit(KEY_SHIFT)).alias(c)
+            if c in shift_cols
+            else F.col(c)
+            for c in df.columns
+        ]
+    )
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

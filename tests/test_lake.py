@@ -112,3 +112,54 @@ def test_compaction_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == orders.count()
     assert sorted(back.columns) == sorted(orders.columns)
+
+
+def test_replicate_shifted_matches_union_semantics(spark, sf_dir):
+    """Generator-based replication (explode over a single scan branch)
+    must produce exactly the multiset a rep-way key-shifted UNION ALL
+    would: every row appears rep times, copy k with its surrogate keys
+    shifted by k*KEY_SHIFT and all other columns untouched."""
+    from finance_data_ingestion_pipeline_with_kafka_spark.catalog import (
+        KEY_SHIFT,
+        load_table,
+    )
+
+    rep = 3
+    base = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    got = (
+        load_table(spark, sf_dir, "orders", replicate=rep)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .toPandas()
+        .sort_values(["o_orderkey", "o_custkey"])
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    b = base.toPandas()
+    copies = []
+    for k in range(rep):
+        c = b.copy()
+        c["o_orderkey"] = c["o_orderkey"] + k * KEY_SHIFT
+        c["o_custkey"] = c["o_custkey"] + k * KEY_SHIFT
+        copies.append(c)
+    want = (
+        pd.concat(copies)
+        .sort_values(["o_orderkey", "o_custkey"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_replicate_keeps_single_scan_branch(spark, sf_dir):
+    """The replicated plan must contain exactly ONE parquet scan of the
+    table (generator replication), not N union branches — N branches
+    means N decodes of the same bytes and N cold codegen stages."""
+    from finance_data_ingestion_pipeline_with_kafka_spark.catalog import load_table
+
+    df = load_table(spark, sf_dir, "lineitem", replicate=30).filter(
+        "l_quantity > 0"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # one lineitem scan + the tiny Range spine; never N union branches
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Union" not in plan, plan
