@@ -571,3 +571,70 @@ def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cols.append(ok.alias(f"{name}_within_bound"))
     return counted.select(*cols).orderBy("event_type")
+
+
+#: Hash-sample rate for the mergeable quantile sketch: keep rows whose
+#: md5(event_id) starts with one of 2 of the 16 hex digits -> 1/8.
+QSKETCH_KEEP = ("0", "1")
+
+
+@query(
+    "quantile_sketch_merge",
+    oracle="""
+    WITH sampled AS (
+      SELECT event_type, value
+      FROM events
+      WHERE substring(md5(CAST(event_id AS VARCHAR)), 1, 1) IN ('0', '1')
+    ), sk AS (
+      SELECT event_type,
+             list(value ORDER BY value) AS sample,
+             COUNT(*) AS sketch_size
+      FROM sampled GROUP BY event_type
+    )
+    SELECT event_type, sketch_size,
+           sample[CAST(FLOOR(0.5 * (sketch_size - 1)) AS INT) + 1] AS p50_est,
+           sample[CAST(FLOOR(0.9 * (sketch_size - 1)) AS INT) + 1] AS p90_est,
+           sample[CAST(FLOOR(0.99 * (sketch_size - 1)) AS INT) + 1] AS p99_est
+    FROM sk
+    ORDER BY event_type
+    """,
+    tags=("A7",),
+)
+def quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A7] Mergeable quantile sketch — the deterministic sibling of
+    ``approx_percentiles``. The sketch for any slice of the data is the
+    subset of rows whose ``md5(event_id)`` falls in a fixed 1/8 hash
+    range; merging sketches is set union, trivially associative and
+    commutative (the property KLL buys with compaction, bought here with
+    uniform hash sampling instead — KLL's size is O(log n) vs O(n/8)
+    here, but its merge-order-dependent compactions cannot be replayed
+    bit-exactly by a SQL oracle, and the sample rate is a knob: at 100 TB
+    pick 1/2^k for a target sketch size and the plan is unchanged).
+    Quantile estimates are order statistics of the sorted sample —
+    actual data values, so the driver compare is byte-exact with no
+    float-interpolation convention to match. Statistical rank error is
+    O(sqrt(q(1-q)/m)) for sample size m; asserted against the exact
+    percentiles in tests/test_extension_semantics.py.
+
+    Plan shape: the sample predicate evaluates scan-side (an md5 over
+    the key column, then a literal prefix test), so 7/8 of the data
+    never reaches the shuffle; the per-group sorted sample builds via
+    partial aggregation (collect_list merges map-side)."""
+    e = load_table(spark, sf_dir, "events")
+    sampled = e.filter(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 1).isin(*QSKETCH_KEEP)
+    )
+    sk = sampled.groupBy("event_type").agg(
+        F.array_sort(F.collect_list("value")).alias("sample"),
+        F.count(F.lit(1)).alias("sketch_size"),
+    )
+    def est(q: float):
+        idx = F.floor(F.lit(q) * (F.col("sketch_size") - 1)).cast("int") + 1
+        return F.element_at("sample", idx)
+    return sk.select(
+        "event_type",
+        "sketch_size",
+        est(0.5).alias("p50_est"),
+        est(0.9).alias("p90_est"),
+        est(0.99).alias("p99_est"),
+    ).orderBy("event_type")

@@ -748,3 +748,109 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+@query(
+    "url_domain_dedup",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id, n_chars,
+        (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END) || '://' ||
+        (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+        source || '.Example.COM' ||
+        '/' || lang || '/page' || CAST(doc_id % 97 AS VARCHAR) ||
+        (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END) ||
+        (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed' ELSE '' END) ||
+        (CASE WHEN doc_id % 5 = 0 THEN '#section' ELSE '' END) AS url
+      FROM documents
+    ), stripped AS (
+      SELECT doc_id, n_chars,
+             regexp_replace(regexp_replace(url, '^[A-Za-z]+://', ''),
+                            '[?#].*$', '') AS u2
+      FROM u
+    ), parts AS (
+      SELECT doc_id, n_chars,
+             regexp_replace(lower(split_part(u2, '/', 1)), '^www\\.', '') AS domain,
+             regexp_replace(lower(split_part(u2, '/', 1)), '^www\\.', '')
+               || regexp_replace(substring(u2, length(split_part(u2, '/', 1)) + 1),
+                                 '/$', '') AS canonical_url
+      FROM stripped
+    ), keepers AS (
+      SELECT domain, doc_id AS keeper_doc_id FROM (
+        SELECT domain, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY domain
+                                  ORDER BY n_chars DESC, doc_id) AS rn
+        FROM parts
+      ) WHERE rn = 1
+    )
+    SELECT p.domain, k.keeper_doc_id,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT p.canonical_url) AS n_unique_urls
+    FROM parts p JOIN keepers k ON p.domain = k.domain
+    GROUP BY p.domain, k.keeper_doc_id
+    ORDER BY p.domain
+    """,
+    tags=("U4",),
+)
+def url_domain_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U4] URL canonicalization + domain-level keep-one — the web-crawl
+    dedup pass that runs BEFORE content dedup: strip scheme, query string
+    and fragment, lowercase the host, drop a ``www.`` prefix and any
+    trailing slash, then collapse each domain to one representative (the
+    longest document, ties to the smallest doc_id) while counting distinct
+    canonical URLs per domain. The fixture has no URL column, so a noisy
+    URL (mixed-case scheme/host, optional www/query/fragment/trailing
+    slash) is synthesized deterministically per document in BOTH engines —
+    the canonicalizer, not the synthesis, is under test.
+
+    Scale: one shuffle on ``domain`` (the classic crawl partitioning key);
+    keeper choice is an order-independent ``max_by`` so partial
+    aggregation applies. A pathologically hot domain would take the
+    ``salted_agg`` path (operators/skew.py); COUNT(DISTINCT url) at 100 TB
+    becomes the two-stage exact distinct of ``distinct_count`` or the HLL
+    sketch — same contract, mergeable."""
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.when(did % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("http")),
+        F.lit("://"),
+        F.when(did % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit(".Example.COM/"),
+        F.col("lang"),
+        F.lit("/page"),
+        (did % 97).cast("string"),
+        F.when(did % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(did % 3 == 0, F.lit("?utm_source=feed")).otherwise(F.lit("")),
+        F.when(did % 5 == 0, F.lit("#section")).otherwise(F.lit("")),
+    )
+    stripped = d.select("doc_id", "n_chars", url.alias("url")).withColumn(
+        "u2",
+        F.regexp_replace(F.regexp_replace("url", "^[A-Za-z]+://", ""), "[?#].*$", ""),
+    )
+    host = F.split_part(F.col("u2"), F.lit("/"), F.lit(1))
+    parts = (
+        stripped.withColumn("host", host)
+        .withColumn("domain", F.regexp_replace(F.lower("host"), r"^www\.", ""))
+        .withColumn(
+            "canonical_url",
+            F.concat(
+                F.col("domain"),
+                F.regexp_replace(
+                    F.expr("substring(u2, length(host) + 1)"), "/$", ""
+                ),
+            ),
+        )
+    )
+    return (
+        parts.groupBy("domain")
+        .agg(
+            F.max_by(
+                "doc_id",
+                F.struct(F.col("n_chars").alias("len"), (-did).alias("tb")),
+            ).alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("canonical_url").alias("n_unique_urls"),
+        )
+        .orderBy("domain")
+    )

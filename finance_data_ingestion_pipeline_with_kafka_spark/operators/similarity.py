@@ -520,3 +520,108 @@ def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(norm, 6).alias("l2_norm"),
         F.round(F.element_at("v", 1) / norm, 6).alias("unit_x0"),
     ).orderBy("vec_id")
+
+
+_SEMANTIC_DEDUP_ORACLE = f"""
+    WITH vecs AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), cd AS (
+      SELECT label AS cid, i,
+             CAST(SUM(CAST(v[i] AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS m
+      FROM vecs, (SELECT unnest(range(1, {EMBED_DIM + 1})) AS i) dims
+      GROUP BY label, i
+    ), cents AS (
+      SELECT cid, list(m ORDER BY i) AS cv FROM cd GROUP BY cid
+    ), c2 AS (
+      SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cnorm FROM cents
+    ), assigned AS (
+      SELECT vec_id, cell, s9 FROM (
+        SELECT vecs.vec_id, c.cid AS cell,
+               ROUND(list_dot_product(vecs.v, c.cv)
+                     / (sqrt(list_dot_product(vecs.v, vecs.v)) * c.cnorm), 9) AS s9,
+               ROW_NUMBER() OVER (PARTITION BY vecs.vec_id
+                 ORDER BY ROUND(list_dot_product(vecs.v, c.cv)
+                         / (sqrt(list_dot_product(vecs.v, vecs.v)) * c.cnorm), 9) DESC,
+                          c.cid) AS rn
+        FROM vecs CROSS JOIN c2 c
+      ) WHERE rn = 1
+    ), keepers AS (
+      SELECT cell, vec_id AS keeper_vec_id FROM (
+        SELECT cell, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY cell ORDER BY s9 DESC, vec_id) AS rn
+        FROM assigned
+      ) WHERE rn = 1
+    )
+    SELECT a.vec_id, a.cell, k.keeper_vec_id,
+           a.vec_id <> k.keeper_vec_id AS is_dup,
+           ROUND(a.s9, 6) AS centroid_sim
+    FROM assigned a JOIN keepers k ON a.cell = k.cell
+    ORDER BY a.vec_id
+"""
+
+
+@query("semantic_dedup", oracle=_SEMANTIC_DEDUP_ORACLE, tags=("U5", "U4"))
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U5+U4] Semantic dedup via embedding-cluster representatives: every
+    vector is assigned to its nearest decimal-deterministic centroid (the
+    ``ivf_ann`` coarse quantizer), each cluster elects ONE representative
+    — the member most similar to its centroid, ties to the smallest
+    vec_id — and every other member is marked a semantic duplicate with
+    keeper provenance (the ``dedup_survivors`` verdict shape). This is
+    the embedding-space sibling of MinHash dedup: near-identical meaning
+    collapses even when the surface text shares no shingles.
+
+    Scale: the centroid table (cells × dim doubles, KB) broadcasts; cell
+    assignment is a broadcast nested-loop over the corpus — the big side
+    never shuffles. Representative election is one shuffle on ``cell``
+    (at 100 TB the corpus would be written partitioned by cell — see
+    ``ivf_ann`` — making the election shuffle-free too). Determinism:
+    centroid means accumulate in DECIMAL, ranking keys are rounded with
+    id tie-breaks."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").alias("v")
+    )
+    e = e.withColumn("norm", F.sqrt(dot("v", "v")))
+    cent_dims = (
+        e.select("label", F.posexplode("v").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(davg("x").alias("m"))
+    )
+    cents = F.broadcast(
+        cent_dims.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+        .select(
+            F.col("label").alias("cid"),
+            F.transform("dm", lambda s: s["m"]).alias("cv"),
+        )
+        .withColumn("cnorm", F.sqrt(dot("cv", "cv")))
+    )
+    csim9 = F.round(dot("v", "cv") / (F.col("norm") * F.col("cnorm")), 9)
+    assigned = (
+        e.join(cents)
+        .select("vec_id", "cid", csim9.alias("s9"))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by("cid", F.struct(F.col("s9"), (-F.col("cid")).alias("tb"))).alias("cell"),
+            F.max(F.struct(F.col("s9"), (-F.col("cid")).alias("tb"))).getField("s9").alias("s9"),
+        )
+    )
+    keepers = F.broadcast(
+        assigned.groupBy("cell").agg(
+            F.max_by(
+                "vec_id", F.struct(F.col("s9"), (-F.col("vec_id")).alias("tb"))
+            ).alias("keeper_vec_id")
+        )
+    )
+    return (
+        assigned.join(keepers, "cell")
+        .select(
+            "vec_id",
+            "cell",
+            "keeper_vec_id",
+            (F.col("vec_id") != F.col("keeper_vec_id")).alias("is_dup"),
+            F.round("s9", 6).alias("centroid_sim"),
+        )
+        .orderBy("vec_id")
+    )

@@ -803,3 +803,86 @@ def test_gapfill_bars_fills_and_leaves_leading_nulls(spark, sf_dir, monkeypatch)
     assert out[("b", 1)]["close_filled"] is None
     assert out[("b", 2)]["close_filled"] == 99.0
     assert out[("b", 3)]["n_events"] == 0 and out[("b", 3)]["close_filled"] == 99.0
+
+
+def test_quantile_sketch_rank_error_bound(spark, sf_dir):
+    """The hash-sample quantile sketch's estimates must sit within a
+    few percentile ranks of the exact order statistics (statistical
+    bound ~ 1/sqrt(m); the fixture is deterministic so this cannot
+    flake)."""
+    from finance_data_ingestion_pipeline_with_kafka_spark.registry import load_all
+
+    est = {
+        r["event_type"]: r
+        for r in load_all()["quantile_sketch_merge"].fn(spark, sf_dir).collect()
+    }
+    from finance_data_ingestion_pipeline_with_kafka_spark.catalog import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    for event_type, row in est.items():
+        vals = sorted(
+            v["value"]
+            for v in e.filter(F.col("event_type") == event_type).select("value").collect()
+        )
+        n = len(vals)
+        m = row["sketch_size"]
+        assert m > 0
+        tol = max(3, int(3.0 * n / (m ** 0.5)))  # ~3 sigma of rank error
+        for q, key in ((0.5, "p50_est"), (0.9, "p90_est"), (0.99, "p99_est")):
+            target = int(q * (n - 1))
+            # the estimate must be an actual data value...
+            import bisect
+
+            lo = bisect.bisect_left(vals, row[key])
+            hi = bisect.bisect_right(vals, row[key]) - 1
+            assert lo <= hi, f"{event_type}/{key} not a data value"
+            # ...whose rank range overlaps the target within tolerance
+            assert lo - tol <= target <= hi + tol, (
+                f"{event_type}/{key}: rank [{lo},{hi}] vs target {target} ± {tol}"
+            )
+
+
+def test_quantile_sketch_merge_is_union(spark, sf_dir):
+    """Sketching two halves and unioning must equal sketching the whole —
+    the mergeability contract (hash-sample membership is per-row, so
+    slicing cannot change it)."""
+    from finance_data_ingestion_pipeline_with_kafka_spark.catalog import load_table
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.aggregations import (
+        QSKETCH_KEEP,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    pred = F.substring(F.md5(F.col("event_id").cast("string")), 1, 1).isin(*QSKETCH_KEEP)
+    whole = e.filter(pred).select("event_id")
+    halves = (
+        e.filter(F.col("event_id") % 2 == 0).filter(pred).select("event_id")
+        .union(e.filter(F.col("event_id") % 2 == 1).filter(pred).select("event_id"))
+    )
+    a = sorted(r["event_id"] for r in whole.collect())
+    b = sorted(r["event_id"] for r in halves.collect())
+    assert a == b
+
+
+def test_semantic_dedup_one_keeper_per_cell(spark, sf_dir):
+    """Every cluster elects exactly one keeper; the keeper is its own
+    keeper; every member's keeper shares its cell."""
+    from finance_data_ingestion_pipeline_with_kafka_spark.registry import load_all
+
+    rows = load_all()["semantic_dedup"].fn(spark, sf_dir).collect()
+    by_cell = {}
+    by_vec = {}
+    for r in rows:
+        by_cell.setdefault(r["cell"], []).append(r)
+        by_vec[r["vec_id"]] = r
+    for cell, members in by_cell.items():
+        keepers = {m["keeper_vec_id"] for m in members}
+        assert len(keepers) == 1, f"cell {cell} has {len(keepers)} keepers"
+        keeper_id = keepers.pop()
+        keeper = by_vec[keeper_id]
+        assert keeper["cell"] == cell
+        assert not keeper["is_dup"]
+        # keeper maximizes centroid similarity (ties to smallest vec_id)
+        best = max(members, key=lambda m: (m["centroid_sim"], -m["vec_id"]))
+        assert best["centroid_sim"] <= keeper["centroid_sim"] or best["vec_id"] == keeper_id
+        for m in members:
+            assert m["is_dup"] == (m["vec_id"] != keeper_id)
