@@ -499,7 +499,9 @@ def ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id,
            CAST(len(v) AS INT) AS n_dims,
            ROUND(sqrt(list_dot_product(v, v)), 6) AS l2_norm,
-           ROUND(v[1] / sqrt(list_dot_product(v, v)), 6) AS unit_x0
+           CASE WHEN list_dot_product(v, v) > 0
+                THEN ROUND(v[1] / sqrt(list_dot_product(v, v)), 6)
+                ELSE NULL END AS unit_x0
     FROM v ORDER BY vec_id
     """,
     tags=("U5",),
@@ -514,11 +516,14 @@ def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     v = e.select("vec_id", as_double("embedding").alias("v"))
     norm = F.sqrt(dot("v", "v"))
+    # zero-vector guard: 0/0 is NULL under Spark's non-ANSI divide but
+    # NaN under DuckDB's IEEE divide — make it NULL in both engines
+    unit_x0 = F.when(dot("v", "v") > 0, F.round(F.element_at("v", 1) / norm, 6))
     return v.select(
         "vec_id",
         F.size("v").cast("int").alias("n_dims"),
         F.round(norm, 6).alias("l2_norm"),
-        F.round(F.element_at("v", 1) / norm, 6).alias("unit_x0"),
+        unit_x0.alias("unit_x0"),
     ).orderBy("vec_id")
 
 

@@ -67,13 +67,18 @@ def salted_join(
     twin of :func:`salted_agg`, for when the dim is too large to
     broadcast and one hot fact key would otherwise pin a single reducer.
 
-    Fact rows get a per-row salt in [0, n_salts) (hash of the key plus
-    the physical partition id — deterministic within a run, spreading a
-    hot key's rows across ``n_salts`` reducers); the dim is replicated
-    ``n_salts``× with an exploded salt column; the join runs on
-    (key, salt). Result is row-identical to the unsalted join (asserted
-    in tests) at the price of shuffling ``n_salts``× the dim — the right
-    trade precisely when dim ≪ fact and the fact is skewed.
+    Fact rows get a per-row salt in [0, n_salts): a hash over the WHOLE
+    row's columns, never ``spark_partition_id()`` — a partition-id salt
+    is recomputed differently when a stage retry reshuffles input order
+    (SPARK-23207 class), which on a real cluster can duplicate or lose
+    join rows against partially-fetched shuffle output. A row-content
+    hash is retry-stable; the cost is that fully-identical hot rows land
+    on one salt (weaker spread), which only matters for a key that is
+    hot through exact duplicate rows — rare, and still correct. The dim
+    is replicated ``n_salts``× with an exploded salt column; the join
+    runs on (key, salt). Result is row-identical to the unsalted join
+    (asserted in tests) at the price of shuffling ``n_salts``× the dim —
+    the right trade precisely when dim ≪ fact and the fact is skewed.
 
     AQE's ``skewJoin`` does this automatically from runtime stats
     (enabled in session.py); this explicit form exists for plans AQE
@@ -86,7 +91,7 @@ def salted_join(
         # right/full-outer would emit each unmatched dim row once PER
         # REPLICA (n_salts copies) — silently wrong; refuse.
         raise ValueError(f"salted_join supports inner/left-side joins, not {how!r}")
-    salt = F.pmod(F.xxhash64(F.col(key), F.spark_partition_id()), F.lit(n_salts))
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(n_salts))
     salted_fact = fact.withColumn("__salt", salt)
     salted_dim = dim.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<bigint>"))

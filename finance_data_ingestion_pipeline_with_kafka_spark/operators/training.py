@@ -353,8 +353,10 @@ VOCAB_K = 16  # vocabulary size for the coverage probe (fixture corpus ~31 words
     oracle=f"""
     WITH stats AS (SELECT MIN(value) AS mn, MAX(value) AS mx FROM events),
     binned AS (
-      SELECT LEAST(CAST(FLOOR((value - mn) * {PSI_BINS}.0 / (mx - mn)) AS BIGINT),
-                   {PSI_BINS - 1}) AS bin,
+      SELECT CASE WHEN mx > mn THEN
+               LEAST(CAST(FLOOR((value - mn) * {PSI_BINS}.0 / (mx - mn)) AS BIGINT),
+                     {PSI_BINS - 1})
+             ELSE CAST(0 AS BIGINT) END AS bin,
              user_id % 2 AS grp
       FROM events, stats
     ), counts AS (
@@ -392,11 +394,18 @@ def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounding grain (the ``word_entropy`` precedent)."""
     e = load_table(spark, sf_dir, "events")
     stats = F.broadcast(e.agg(F.min("value").alias("mn"), F.max("value").alias("mx")))
-    binned = e.crossJoin(stats).select(
+    # degenerate-range guard: mx == mn makes the bin divisor 0 — Spark's
+    # non-ANSI divide would NULL the bin while DuckDB's IEEE divide gives
+    # NaN/inf; both engines pin everything to bin 0 instead
+    bin_expr = F.when(
+        F.col("mx") > F.col("mn"),
         F.least(
             F.floor((F.col("value") - F.col("mn")) * F.lit(float(PSI_BINS)) / (F.col("mx") - F.col("mn"))).cast("long"),
             F.lit(PSI_BINS - 1).cast("long"),
-        ).alias("bin"),
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+    binned = e.crossJoin(stats).select(
+        bin_expr.alias("bin"),
         (F.col("user_id") % 2).alias("grp"),
     )
     counts = binned.groupBy("bin").agg(
@@ -616,8 +625,10 @@ def length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents GROUP BY lang
     )
     SELECT d.doc_id, d.lang, d.n_chars,
-           ROUND((d.n_chars - s.sx / s.n)
-                 / sqrt((s.n * s.sxx - s.sx * s.sx) / (s.n * (s.n - 1))), 4) AS z
+           CASE WHEN s.n > 1 AND (s.n * s.sxx - s.sx * s.sx) > 0
+                THEN ROUND((d.n_chars - s.sx / s.n)
+                     / sqrt((s.n * s.sxx - s.sx * s.sx) / (s.n * (s.n - 1))), 4)
+                ELSE NULL END AS z
     FROM documents d JOIN s ON d.lang = s.lang
     ORDER BY d.doc_id
     """,
@@ -641,8 +652,13 @@ def zscore_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
     z = (x - sx / n) / F.sqrt((n * sxx - sx * sx) / (n * (n - 1)))
+    # degenerate-group guard (mirrors length_outliers' mad=0 CASE): a
+    # singleton or all-equal group has zero variance — Spark's non-ANSI
+    # divide yields NULL there but DuckDB's IEEE ops yield NaN/inf, an
+    # oracle divergence waiting for a testdata regeneration. NULL in both.
+    z_guarded = F.when((n > 1) & ((n * sxx - sx * sx) > 0), F.round(z, 4))
     return (
         d.join(s, "lang")
-        .select("doc_id", "lang", "n_chars", F.round(z, 4).alias("z"))
+        .select("doc_id", "lang", "n_chars", z_guarded.alias("z"))
         .orderBy("doc_id")
     )

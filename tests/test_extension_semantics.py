@@ -886,3 +886,46 @@ def test_semantic_dedup_one_keeper_per_cell(spark, sf_dir):
         assert best["centroid_sim"] <= keeper["centroid_sim"] or best["vec_id"] == keeper_id
         for m in members:
             assert m["is_dup"] == (m["vec_id"] != keeper_id)
+
+
+def test_embedding_normalize_zero_vector_null(spark, sf_dir, monkeypatch):
+    """A zero vector's unit component is NULL (not NaN): 0/0 diverges
+    between Spark's non-ANSI divide and DuckDB's IEEE divide, so the
+    query pins NULL in both engines."""
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators import similarity
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.similarity import (
+        embedding_normalize,
+    )
+
+    crafted = spark.createDataFrame(
+        [(1, [0.0, 0.0], 0)], "vec_id long, embedding array<float>, label int"
+    )
+    monkeypatch.setattr(similarity, "load_table", lambda spark, sf_dir, name: crafted)
+    row = embedding_normalize(spark, sf_dir).collect()[0]
+    assert row["l2_norm"] == 0.0
+    assert row["unit_x0"] is None
+
+
+def test_zscore_degenerate_groups_null(spark, sf_dir, monkeypatch):
+    """Singleton and zero-variance language groups yield NULL z (the
+    length_outliers mad=0 pattern), never NaN/inf."""
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators import training
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.training import (
+        zscore_by_group,
+    )
+
+    crafted = spark.createDataFrame(
+        [
+            (1, "x", "solo", "s", 100),       # singleton group
+            (2, "x", "flat", "s", 50),        # all-equal group
+            (3, "x", "flat", "s", 50),
+            (4, "x", "ok", "s", 10),          # healthy group
+            (5, "x", "ok", "s", 30),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    monkeypatch.setattr(training, "load_table", lambda spark, sf_dir, name: crafted)
+    rows = {r["doc_id"]: r["z"] for r in zscore_by_group(spark, sf_dir).collect()}
+    assert rows[1] is None
+    assert rows[2] is None and rows[3] is None
+    assert rows[4] is not None and rows[5] is not None
