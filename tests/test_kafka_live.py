@@ -112,3 +112,46 @@ def test_kafka_end_to_end_live(spark, tmp_path):
     out = spark.read.parquet(sink)
     assert out.count() == 5
     assert out.filter(F.col("symbol") == "AAPL").count() == 5
+
+
+def test_kafka_sink_wiring_reaches_datasource_resolution(spark, tmp_path):
+    """Environment finding (round 4): no spark-sql-kafka jar exists
+    anywhere on this box and there is no network to fetch one, so NO
+    fake broker — however protocol-complete — can be driven through
+    Spark's Kafka source/sink. The strongest in-sandbox assertion is
+    therefore the classpath boundary: the passthrough sink must build a
+    syntactically valid kafka sink spec that Spark's data-source
+    resolution ACCEPTS up to provider lookup — i.e. startup fails with
+    the missing-provider error (DATA_SOURCE_NOT_FOUND), never with an
+    option/shape error. With the jar on the classpath the same code runs
+    live (test above)."""
+    import pytest as _pytest
+
+    from finance_data_ingestion_pipeline_with_kafka_spark.sources import (
+        kafka_shaped_file_stream,
+        write_json_fixture,
+    )
+    from finance_data_ingestion_pipeline_with_kafka_spark.streaming.pipeline import (
+        finnhub_pipeline,
+    )
+    from finance_data_ingestion_pipeline_with_kafka_spark.streaming.sinks import (
+        start_kafka_passthrough_sink,
+    )
+
+    if _kafka_connector_available(spark):
+        _pytest.skip("connector present: the live e2e test covers this path")
+
+    src = str(tmp_path / "src")
+    write_json_fixture(
+        src,
+        [json.dumps({"c": ["1"], "p": 1.0, "s": "A", "t": 1704205200000, "v": 1})],
+        "part-0.json",
+    )
+    stream = finnhub_pipeline(kafka_shaped_file_stream(spark, src))
+    with _pytest.raises(Exception) as exc:
+        start_kafka_passthrough_sink(
+            stream, "t", "localhost:9092", str(tmp_path / "cp")
+        )
+    msg = str(exc.value)
+    assert "kafka" in msg.lower()
+    assert "DATA_SOURCE_NOT_FOUND" in msg or "Failed to find" in msg, msg
