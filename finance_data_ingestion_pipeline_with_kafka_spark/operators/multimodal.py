@@ -57,16 +57,20 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def decode_media(payload: bytes, mime: str) -> bytes:
-    """Decode kernel: text passthrough, plus a real (dependency-free)
-    uncompressed-BMP decoder — header parse, bottom-up row order, 4-byte
-    row padding, per-pixel BGR→RGB. Codecs needing native libraries
-    (JPEG/PNG/audio/video) still raise; the surrounding Spark plumbing
+    """Decode kernel: text passthrough, plus real (dependency-free)
+    codecs for uncompressed 24-bit BMP (header parse, bottom-up row
+    order, 4-byte row padding, BGR→RGB) and 16-bit PCM RIFF/WAVE
+    (chunk-walking parser). Codecs needing native libraries
+    (JPEG/PNG/MP3/video) still raise; the surrounding Spark plumbing
     (schema, batching, partitioning) is decoder-agnostic."""
     if mime == "text/plain":
         return payload
     if mime == "image/bmp":
         _w, _h, pixels = decode_bmp(payload)
         return pixels
+    if mime in ("audio/wav", "audio/x-wav", "audio/wave"):
+        _rate, _ch, pcm = decode_wav(payload)
+        return pcm
     raise NotImplementedError(
         f"decoder for {mime!r} requires media libraries not present in this "
         "environment; plug a real decoder in here — the surrounding Spark "
@@ -432,4 +436,130 @@ def bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "height",
         "n_pixel_bytes",
         F.md5(F.hex("pixels")).alias("pixel_md5"),
+    ).orderBy("doc_id")
+
+
+WAV_MAX_SAMPLES = 200
+
+
+def encode_wav(pcm: bytes, sample_rate: int, n_channels: int = 1) -> bytes:
+    """Minimal RIFF/WAVE writer for 16-bit PCM: fmt chunk, a LIST
+    metadata chunk (so decoders must WALK chunks, not assume data at a
+    fixed offset), then the data chunk."""
+    import struct
+
+    bits = 16
+    block_align = n_channels * bits // 8
+    byte_rate = sample_rate * block_align
+    fmt = struct.pack("<HHIIHH", 1, n_channels, sample_rate, byte_rate, block_align, bits)
+    meta = b"INFOICMT" + struct.pack("<I", 4) + b"eng\x00"
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"LIST" + struct.pack("<I", len(meta)) + meta
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+        + (b"\x00" if len(pcm) % 2 else b"")  # RIFF chunks pad to even
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, bytes]:
+    """Real RIFF/WAVE parser → (sample_rate, n_channels, PCM bytes).
+
+    Walks the chunk list (fmt may be followed by LIST/fact/etc. before
+    data), honors per-chunk even-byte padding, rejects non-PCM or
+    non-16-bit — the honest boundary of a dependency-free decoder."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)  # chunks are even-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    audio_format, n_channels, sample_rate, _br, _ba, bits = struct.unpack_from(
+        "<HHIIHH", fmt, 0
+    )
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError(
+            f"only 16-bit PCM supported (format={audio_format}, bits={bits})"
+        )
+    return sample_rate, n_channels, data
+
+
+@query(
+    "wav_decode",
+    oracle=f"""
+    WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
+                      octet_length(encode(text)) AS n
+               FROM documents)
+    SELECT doc_id,
+           CAST(8000 + (doc_id % 4) * 4000 AS BIGINT) AS sample_rate,
+           CAST(1 AS BIGINT) AS n_channels,
+           CAST(LEAST({WAV_MAX_SAMPLES}, n // 2) AS BIGINT) AS n_samples,
+           md5(substring(hx, 1,
+               CAST(LEAST({WAV_MAX_SAMPLES}, n // 2) * 4 AS INT))) AS pcm_md5
+    FROM h WHERE n >= 2 ORDER BY doc_id
+    """,
+    tags=("U7",),
+)
+def wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U7] REAL audio codec decode: each document's leading bytes are
+    framed as 16-bit PCM inside a RIFF/WAVE container (fmt + LIST + data
+    chunks, even-byte padding — ``encode_wav``) and decoded back by the
+    dependency-free chunk-walking parser (``decode_wav``). The recovered
+    PCM must be byte-identical to the original prefix and the sample
+    rate must round-trip through the fmt header (it varies per doc, so a
+    decoder that hardcodes it fails). Arrow-batched ``mapInPandas`` —
+    the audio-ingest shape with the same kernel signature at 100 TB."""
+    m = media_table(spark, sf_dir).filter(F.col("meta.n_bytes") >= 2)
+
+    def _roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                n_samples = min(WAV_MAX_SAMPLES, len(raw) // 2)
+                pcm = raw[: n_samples * 2]
+                rate = 8000 + (doc_id % 4) * 4000
+                wav = encode_wav(pcm, rate)
+                got_rate, got_ch, got_pcm = decode_wav(wav)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "sample_rate": got_rate,
+                        "n_channels": got_ch,
+                        "n_samples": len(got_pcm) // 2,
+                        "pcm": got_pcm,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "sample_rate", "n_channels", "n_samples", "pcm"]
+            )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("sample_rate", LongType()),
+            StructField("n_channels", LongType()),
+            StructField("n_samples", LongType()),
+            StructField("pcm", BinaryType()),
+        ]
+    )
+    out = m.select("doc_id", "payload").mapInPandas(_roundtrip, schema)
+    return out.select(
+        "doc_id",
+        "sample_rate",
+        "n_channels",
+        "n_samples",
+        F.md5(F.hex("pcm")).alias("pcm_md5"),
     ).orderBy("doc_id")

@@ -485,3 +485,143 @@ def gapfill_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bar_start")
     )
+
+
+EWMA_WINDOW = 50  # truncation length; weight below 0.25^49 ~ 1e-30 is noise
+EWMA_DECAY = 0.25  # dyadic: 2^-2, so every weight is an EXACT power of two
+
+
+@query(
+    "ewma",
+    oracle=f"""
+    WITH events_us AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+    SELECT event_id, event_type, ts, value,
+           ROUND(0.75 * list_reduce(
+                   list(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                                     ROWS BETWEEN {EWMA_WINDOW - 1} PRECEDING AND CURRENT ROW),
+                   (acc, x) -> acc * {EWMA_DECAY} + x), 6) AS ewma
+    FROM events_us
+    ORDER BY event_id
+    """,
+    tags=("W2", "A2"),
+)
+def ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average per event_type — the
+    standard smoothing pass of a trading signal pipeline (alpha = 0.75,
+    window-truncated at 50 samples where the remaining weight is
+    ~1e-30). Determinism by construction rather than tolerance: the
+    decay 0.25 is DYADIC (2^-2), so every weight is an exact power of
+    two and each multiply is exact scaling; the only roundings are the
+    adds of the Horner fold ``acc*q + x``, which both engines execute in
+    identical frame order (Spark ``F.aggregate`` and DuckDB
+    ``list_reduce`` are both left folds, and a left fold with init 0
+    equals DuckDB's first-element init since 0*q + x1 = x1). A non-dyadic
+    alpha via ``pow()`` would instead inherit libm-vs-StrictMath ULP
+    drift.
+
+    Scale: one shuffle on event_type, then a bounded 50-element frame
+    per row — no unbounded state, no recursion; the same plan is the
+    streaming ``withWatermark`` + sliding-window shape."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(EWMA_WINDOW - 1), Window.currentRow)
+    )
+    arr = F.collect_list("value").over(w)
+    horner = F.aggregate(
+        arr, F.lit(0.0), lambda acc, x: acc * F.lit(EWMA_DECAY) + x
+    )
+    return e.select(
+        "event_id",
+        "event_type",
+        "ts",
+        "value",
+        F.round(F.lit(1 - EWMA_DECAY) * horner, 6).alias("ewma"),
+    ).orderBy("event_id")
+
+
+@query(
+    "running_drawdown",
+    oracle="""
+    WITH events_us AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+    SELECT event_id, event_type, ts, value,
+           peak,
+           CASE WHEN peak > 0 THEN ROUND((value - peak) / peak, 6)
+                ELSE NULL END AS drawdown
+    FROM (
+      SELECT event_id, event_type, ts, value,
+             MAX(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS peak
+      FROM events_us
+    )
+    ORDER BY event_id
+    """,
+    tags=("W4",),
+)
+def running_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running peak and drawdown-from-peak per event_type — the
+    risk-monitoring window (max drawdown is the worst of these). The
+    running MAX is exact (no float accumulation), the single divide is
+    identically rounded in both engines, and non-positive peaks yield
+    NULL (the degenerate-divide rule)."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    peak = F.max("value").over(w)
+    dd = F.when(F.col("peak") > 0, F.round((F.col("value") - F.col("peak")) / F.col("peak"), 6))
+    return (
+        e.select("event_id", "event_type", "ts", "value", peak.alias("peak"))
+        .select("event_id", "event_type", "ts", "value", "peak", dd.alias("drawdown"))
+        .orderBy("event_id")
+    )
+
+
+DONCHIAN_WINDOW = 20
+
+
+@query(
+    "donchian_channel",
+    oracle=f"""
+    WITH events_us AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+    SELECT event_id, event_type, ts, value, ch_hi, ch_lo,
+           CASE WHEN ch_hi > ch_lo
+                THEN ROUND((value - ch_lo) / (ch_hi - ch_lo), 6)
+                ELSE NULL END AS channel_pos
+    FROM (
+      SELECT event_id, event_type, ts, value,
+             MAX(value) OVER w AS ch_hi,
+             MIN(value) OVER w AS ch_lo
+      FROM events_us
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN {DONCHIAN_WINDOW - 1} PRECEDING AND CURRENT ROW)
+    )
+    ORDER BY event_id
+    """,
+    tags=("W4",),
+)
+def donchian_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Donchian channel: trailing-window high/low band and the value's
+    position inside it — the breakout-detection primitive. Channel
+    bounds are exact order statistics (no float accumulation); the
+    position divide is NULL when the band is degenerate (all equal in
+    the window), identically in both engines."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(DONCHIAN_WINDOW - 1), Window.currentRow)
+    )
+    hi, lo = F.max("value").over(w), F.min("value").over(w)
+    pos = F.when(
+        F.col("ch_hi") > F.col("ch_lo"),
+        F.round((F.col("value") - F.col("ch_lo")) / (F.col("ch_hi") - F.col("ch_lo")), 6),
+    )
+    return (
+        e.select("event_id", "event_type", "ts", "value", hi.alias("ch_hi"), lo.alias("ch_lo"))
+        .select("event_id", "event_type", "ts", "value", "ch_hi", "ch_lo", pos.alias("channel_pos"))
+        .orderBy("event_id")
+    )

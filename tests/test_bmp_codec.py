@@ -73,3 +73,68 @@ def test_rejects_non_bmp_and_unsupported():
         decode_bmp(_bmp_bytes(4, 2, [bytes(12)]))  # claims 2 rows, has 1
     with pytest.raises(NotImplementedError):
         decode_media(b"\xff\xd8\xff", "image/jpeg")  # still-stubbed codec
+
+
+# --- WAV (16-bit PCM RIFF/WAVE) ---
+
+from finance_data_ingestion_pipeline_with_kafka_spark.operators.multimodal import (  # noqa: E402
+    decode_wav,
+    encode_wav,
+)
+
+
+def test_wav_roundtrip_and_header_fields():
+    pcm = bytes(range(10))  # 5 samples
+    rate, ch, back = decode_wav(encode_wav(pcm, 12000))
+    assert (rate, ch, back) == (12000, 1, pcm)
+
+
+def test_wav_odd_data_chunk_padding():
+    """A 3-byte data chunk forces the even-alignment pad; a chunk after
+    data (handcrafted) must still be walkable."""
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    data = b"\x01\x02\x03"
+    body = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data + b"\x00"  # pad
+        + b"LIST" + struct.pack("<I", 4) + b"INFO"
+    )
+    wav = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    rate, ch, pcm = decode_wav(wav)
+    assert (rate, ch, pcm) == (8000, 1, data)
+
+
+def test_wav_chunk_walk_skips_list_before_data():
+    wav = encode_wav(b"\x10\x20", 16000)  # encoder emits LIST before data
+    assert b"LIST" in wav
+    _r, _c, pcm = decode_wav(wav)
+    assert pcm == b"\x10\x20"
+
+
+def test_wav_rejections():
+    import struct
+
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"OggS" + bytes(20))
+    # 8-bit PCM refused
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt + b"data" + struct.pack("<I", 0)
+    wav = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    with pytest.raises(NotImplementedError, match="16-bit"):
+        decode_wav(wav)
+    # missing data chunk
+    body = b"fmt " + struct.pack("<I", len(struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16))) + struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    wav = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    with pytest.raises(ValueError, match="missing"):
+        decode_wav(wav)
+
+
+def test_decode_media_dispatches_wav():
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.multimodal import (
+        decode_media as dm,
+    )
+
+    pcm = b"\x01\x00\x02\x00"
+    assert dm(encode_wav(pcm, 8000), "audio/wav") == pcm
