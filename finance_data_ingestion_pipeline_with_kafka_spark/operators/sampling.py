@@ -91,3 +91,47 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang")
         .orderBy("doc_id")
     )
+
+
+RESERVOIR_K = 10
+
+
+@query(
+    "reservoir_sample",
+    oracle=f"""
+    SELECT lang, doc_id, sample_rank FROM (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS sample_rank
+      FROM documents
+    ) WHERE sample_rank <= {RESERVOIR_K}
+    ORDER BY lang, sample_rank
+    """,
+    tags=("O4",),
+)
+def reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size uniform sample per stratum — the deterministic twin of
+    reservoir sampling: rank rows by a uniform hash of their key and
+    keep the K smallest per language. Unlike ``stratified_sample``
+    (fraction-based), the output size is EXACTLY min(K, n) per stratum
+    regardless of stratum size — the "give me 10k examples per language"
+    shape of training-data curation. Hash-rank selection is mergeable
+    (K smallest of a union = K smallest of each part's K smallest) and
+    rerun-stable, where classic reservoir sampling is RNG- and
+    order-dependent.
+
+    Scale: the per-stratum rank is a window sort today; at 100 TB the
+    same selection runs as per-partition top-K + merge (the
+    ``vocab_coverage`` top-k pattern) with identical output."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("lang", "doc_id", F.row_number().over(w).alias("sample_rank"))
+        .filter(F.col("sample_rank") <= RESERVOIR_K)
+        .orderBy("lang", "sample_rank")
+    )

@@ -232,3 +232,107 @@ def bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_candidates") - F.col("n_true_matches")).alias("n_false_positives"),
         )
     )
+
+
+#: KMV (k-minimum-values / theta-style) sketch size. 64 keeps relative
+#: error ~ 1/sqrt(K-1) ≈ 13% — small enough to exercise the estimator
+#: (not degenerate-exact) on the fixture's distinct counts.
+KMV_K = 64
+KMV_FRAC_DIV = float(16 ** 13)  # first 13 hex chars → fraction of [0,1)
+
+
+@query(
+    "kmv_distinct",
+    oracle=f"""
+    WITH dh AS (
+      SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM events
+    ), ranked AS (
+      SELECT event_type, h,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM dh
+    ), sk AS (SELECT event_type, h FROM ranked WHERE rn <= {KMV_K}),
+    per AS (
+      SELECT event_type, MAX(h) AS kth, COUNT(*) AS n_sketch FROM sk GROUP BY event_type
+    ), exact_per AS (
+      SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct FROM events GROUP BY event_type
+    ), merged_sk AS (
+      SELECT h FROM (
+        SELECT DISTINCT h FROM sk
+      ) ORDER BY h LIMIT {KMV_K}
+    ), merged AS (
+      SELECT 'ALL' AS event_type, MAX(h) AS kth, COUNT(*) AS n_sketch FROM merged_sk
+    ), exact_all AS (
+      SELECT 'ALL' AS event_type, COUNT(DISTINCT user_id) AS exact_distinct FROM events
+    ), unioned AS (
+      SELECT p.event_type, p.kth, p.n_sketch, x.exact_distinct
+      FROM per p JOIN exact_per x USING (event_type)
+      UNION ALL
+      SELECT m.event_type, m.kth, m.n_sketch, a.exact_distinct
+      FROM merged m JOIN exact_all a USING (event_type)
+    )
+    SELECT event_type,
+           CAST(n_sketch AS BIGINT) AS n_sketch,
+           CASE WHEN n_sketch < {KMV_K} THEN CAST(n_sketch AS DOUBLE)
+                ELSE ROUND(({KMV_K} - 1) /
+                     (CAST('0x' || substr(kth, 1, 13) AS BIGINT) / {KMV_FRAC_DIV!r}), 4)
+           END AS est_distinct,
+           CAST(exact_distinct AS BIGINT) AS exact_distinct
+    FROM unioned
+    ORDER BY event_type
+    """,
+    tags=("A4",),
+)
+def kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A4] KMV (k-minimum-values, the theta-sketch core) distinct-count
+    sketch with a SET-OPERATION merge: per event_type the sketch is the
+    K smallest md5(user_id) values; |distinct| ≈ (K-1)/kth-hash-fraction.
+    Sketches MERGE by taking the K smallest of the union of sketch
+    sets — the 'ALL' row here is estimated purely from the five per-type
+    sketches (union semantics: a user hashing identically in two cohorts
+    dedups), never from re-reading the data: exactly how a 100 TB
+    corpus' per-shard sketches roll up. Deterministic md5 hashing means
+    the estimate itself is oracle-exact — no tolerance band.
+
+    Scale note: the relational K-smallest (row_number over per-type
+    distinct hashes) sorts each type's distinct-hash set; at extreme
+    cardinalities an implementation would pre-filter h < θ for a static
+    θ or carry a bounded heap in an Aggregator — the sketch contract
+    (merge = k-smallest-of-union) is unchanged. Accuracy
+    ~1/sqrt(K-1) ≈ 13% at K=64; the exact column sits beside the
+    estimate so the error is visible and pinned."""
+    e = load_table(spark, sf_dir, "events")
+    dh = e.select("event_type", F.md5(F.col("user_id").cast("string")).alias("h")).distinct()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("h")
+    sk = dh.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= KMV_K)
+    per = sk.groupBy("event_type").agg(
+        F.max("h").alias("kth"), F.count(F.lit(1)).alias("n_sketch")
+    )
+    exact_per = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    )
+    merged = (
+        sk.select("h")
+        .distinct()
+        .orderBy("h")
+        .limit(KMV_K)
+        .agg(F.max("h").alias("kth"), F.count(F.lit(1)).alias("n_sketch"))
+        .select(F.lit("ALL").alias("event_type"), "kth", "n_sketch")
+    )
+    exact_all = e.agg(F.count_distinct("user_id").alias("exact_distinct")).select(
+        F.lit("ALL").alias("event_type"), "exact_distinct"
+    )
+    unioned = per.join(exact_per, "event_type").unionByName(
+        merged.join(exact_all, "event_type")
+    )
+    frac = F.conv(F.substring("kth", 1, 13), 16, 10).cast("double") / F.lit(KMV_FRAC_DIV)
+    est = F.when(
+        F.col("n_sketch") < KMV_K, F.col("n_sketch").cast("double")
+    ).otherwise(F.round(F.lit(KMV_K - 1) / frac, 4))
+    return unioned.select(
+        "event_type",
+        F.col("n_sketch").cast("long").alias("n_sketch"),
+        est.alias("est_distinct"),
+        F.col("exact_distinct").cast("long").alias("exact_distinct"),
+    ).orderBy("event_type")

@@ -929,3 +929,31 @@ def test_zscore_degenerate_groups_null(spark, sf_dir, monkeypatch):
     assert rows[1] is None
     assert rows[2] is None and rows[3] is None
     assert rows[4] is not None and rows[5] is not None
+
+
+def test_kmv_merge_equals_direct_sketch(spark, sf_dir):
+    """The 'ALL' row is built by merging the five per-type sketches
+    (k-smallest-of-union); it must equal the sketch built directly over
+    all distinct user hashes — the KMV merge law."""
+    from finance_data_ingestion_pipeline_with_kafka_spark.catalog import load_table
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.sketches import (
+        KMV_K,
+    )
+    from finance_data_ingestion_pipeline_with_kafka_spark.registry import load_all
+
+    rows = {r["event_type"]: r for r in load_all()["kmv_distinct"].fn(spark, sf_dir).collect()}
+    e = load_table(spark, sf_dir, "events")
+    direct = sorted(
+        r["h"]
+        for r in e.select(F.md5(F.col("user_id").cast("string")).alias("h"))
+        .distinct()
+        .collect()
+    )[:KMV_K]
+    if len(direct) >= KMV_K:
+        want = round((KMV_K - 1) / (int(direct[-1][:13], 16) / float(16**13)), 4)
+    else:
+        want = float(len(direct))
+    assert rows["ALL"]["est_distinct"] == want
+    # and the estimate is in the right ballpark of the exact count
+    exact = rows["ALL"]["exact_distinct"]
+    assert 0.5 * exact <= rows["ALL"]["est_distinct"] <= 2.0 * exact

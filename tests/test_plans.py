@@ -112,3 +112,52 @@ def test_vocab_is_top_k_not_global_sort(spark, sf_dir):
     top-K + K-row merge), not a full global sort of the word counts."""
     p = executed_plan(q(spark, sf_dir, "vocab_coverage"))
     assert "TakeOrderedAndProject" in p
+
+
+def test_url_domain_dedup_single_shuffle_partial_agg(spark, sf_dir):
+    """One exchange on domain; keeper max_by partial-aggregates map-side.
+    (count(DISTINCT url) adds an Expand, not an extra exchange pass over
+    the raw table.)"""
+    p = executed_plan(q(spark, sf_dir, "url_domain_dedup"), run=True)
+    assert "partial_max_by" in p
+    # the documents table is scanned exactly once (non-run plan: the
+    # AQE-run toString would repeat nodes in its Initial Plan section)
+    p0 = executed_plan(q(spark, sf_dir, "url_domain_dedup"))
+    assert p0.count("Scan parquet") == 1
+
+
+def test_semantic_dedup_centroids_and_keepers_broadcast(spark, sf_dir):
+    """Centroid table and keeper table broadcast — the corpus-side join
+    never shuffles the big side for them."""
+    df = q(spark, sf_dir, "semantic_dedup")
+    assert has_broadcast_hash_join(df) or "BroadcastNestedLoopJoin" in executed_plan(df)
+
+
+def test_quantile_sketch_sample_filter_before_shuffle(spark, sf_dir):
+    """The 1/8 hash-sample predicate must evaluate below the exchange —
+    7/8 of rows never shuffle."""
+    p = executed_plan(q(spark, sf_dir, "quantile_sketch_merge"))
+    # Filter appears before (deeper than) the Exchange in the plan tree:
+    # the scan-side section after the last Exchange line mentions the md5
+    # sample filter
+    ex = p.index("Exchange")
+    assert "md5" in p[ex:], "sample filter not below the shuffle"
+
+
+def test_ewma_single_window_exchange(spark, sf_dir):
+    """EWMA is one hash exchange on event_type + one in-partition sorted
+    window — no extra shuffles, no unbounded frame."""
+    p = executed_plan(q(spark, sf_dir, "ewma"))
+    # one exchange for the window partition, one (optional) for the
+    # presentation sort
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Window" in p
+
+
+def test_bmp_wav_decode_prune_to_payload_columns(spark, sf_dir):
+    """The codec roundtrip queries read only doc_id + text (payload
+    source) from the scan — metadata columns are pruned."""
+    for name in ("bmp_decode", "wav_decode"):
+        rs = read_schema(q(spark, sf_dir, name))
+        assert "text" in rs and "doc_id" in rs
+        assert "lang" not in rs, name
