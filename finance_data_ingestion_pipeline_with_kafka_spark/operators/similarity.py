@@ -630,3 +630,122 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+def _kmeans_centroid_cte(src: str, out_prefix: str) -> str:
+    """One Lloyd update in SQL: per-cell decimal-mean centroids from an
+    assignment relation ``src(cell, v)``."""
+    return f"""
+    {out_prefix}_cd AS (
+      SELECT cell AS cid, i,
+             CAST(SUM(CAST(v[i] AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS m
+      FROM {src}, (SELECT unnest(range(1, {EMBED_DIM + 1})) AS i) dims
+      GROUP BY cell, i
+    ), {out_prefix} AS (
+      SELECT cid, list(m ORDER BY i) AS cv,
+             sqrt(list_dot_product(list(m ORDER BY i), list(m ORDER BY i))) AS cnorm
+      FROM {out_prefix}_cd GROUP BY cid
+    )"""
+
+
+def _kmeans_assign_cte(cents: str, out: str) -> str:
+    """One Lloyd assignment in SQL: nearest centroid by rounded cosine."""
+    return f"""
+    {out} AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT vecs.vec_id, vecs.v, c.cid AS cell,
+               ROW_NUMBER() OVER (PARTITION BY vecs.vec_id
+                 ORDER BY ROUND(list_dot_product(vecs.v, c.cv)
+                         / (sqrt(list_dot_product(vecs.v, vecs.v)) * c.cnorm), 9) DESC,
+                          c.cid) AS rn
+        FROM vecs CROSS JOIN {cents} c
+      ) WHERE rn = 1
+    )"""
+
+
+_KMEANS_ORACLE = f"""
+    WITH vecs AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), seed AS (SELECT label AS cell, v FROM vecs),
+    {_kmeans_centroid_cte("seed", "c0")},
+    {_kmeans_assign_cte("c0", "a1")},
+    {_kmeans_centroid_cte("a1", "c1")},
+    {_kmeans_assign_cte("c1", "a2")}
+    SELECT a.cell,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           ROUND(c.cnorm, 6) AS centroid_norm,
+           ROUND(c.cv[1], 6) AS centroid_x0
+    FROM a2 a JOIN c1 c ON a.cell = c.cid
+    GROUP BY a.cell, c.cnorm, c.cv[1]
+    ORDER BY a.cell
+"""
+
+
+@query("kmeans_refine", oracle=_KMEANS_ORACLE, tags=("U5",))
+def kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U5] Two Lloyd iterations of k-means over the embedding corpus —
+    the ITERATIVE-algorithm shape (assign → decimal-mean update →
+    re-assign), still oracle-exact: every centroid mean accumulates in
+    DECIMAL, every assignment ranks by a rounded cosine with cid
+    tie-break, so DuckDB replays the identical two iterations as chained
+    CTEs. Seeded from the fixture's label column (the ``ivf_ann``
+    quantizer-training step, iterated).
+
+    Scale: each iteration is one broadcast of the KB-sized centroid
+    table + one nested-loop argmax over the corpus (big side never
+    shuffles) + one (cell, dim)-grouped partial-aggregated mean. The
+    iteration count is a fixed pipeline depth, not a driver-side loop:
+    the whole refinement is ONE declarative plan with no collect() in
+    the loop (convergence-looped variants would localCheckpoint per
+    round like ``near_dup_clusters``)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double("embedding").alias("v")
+    )
+
+    def centroids(assigned: DataFrame) -> DataFrame:
+        cd = (
+            assigned.select("cell", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(davg("x").alias("m"))
+        )
+        return F.broadcast(
+            cd.groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+            .select(
+                F.col("cell").alias("cid"),
+                F.transform("dm", lambda s: s["m"]).alias("cv"),
+            )
+            .withColumn("cnorm", F.sqrt(dot("cv", "cv")))
+        )
+
+    def assign(cents: DataFrame) -> DataFrame:
+        s9 = F.round(
+            dot("v", "cv") / (F.sqrt(dot("v", "v")) * F.col("cnorm")), 9
+        )
+        return (
+            e.join(cents)
+            .select("vec_id", "v", "cid", s9.alias("s9"))
+            .groupBy("vec_id")
+            .agg(
+                F.max_by("cid", F.struct(F.col("s9"), (-F.col("cid")).alias("tb"))).alias(
+                    "cell"
+                ),
+                F.first("v").alias("v"),  # constant within vec_id group
+            )
+        )
+
+    c0 = centroids(e.select(F.col("label").alias("cell"), "v"))
+    a1 = assign(c0)
+    c1 = centroids(a1)
+    a2 = assign(c1)
+    return (
+        a2.join(c1, a2["cell"] == c1["cid"])
+        .groupBy(a2["cell"])
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(F.first("cnorm"), 6).alias("centroid_norm"),
+            F.round(F.first(F.element_at("cv", 1)), 6).alias("centroid_x0"),
+        )
+        .orderBy("cell")
+    )
