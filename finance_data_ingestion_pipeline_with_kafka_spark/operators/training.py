@@ -662,3 +662,82 @@ def zscore_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "n_chars", z_guarded.alias("z"))
         .orderBy("doc_id")
     )
+
+
+#: Target mixture weights for dataset interleaving. Dyadic (powers of
+#: two) so the stride positions rank/weight are EXACT doubles — the
+#: cross-engine compare needs no rounding tolerance.
+INTERLEAVE_WEIGHTS = {"en": 4, "zh": 2, "es": 2, "de": 1, "fr": 1}
+INTERLEAVE_N = 300
+
+
+def _interleave_weight_sql() -> str:
+    return " ".join(
+        f"WHEN '{lang}' THEN {w}" for lang, w in sorted(INTERLEAVE_WEIGHTS.items())
+    )
+
+
+@query(
+    "dataset_interleave",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS lang_rank,
+             CASE lang {_interleave_weight_sql()} ELSE 1 END AS w
+      FROM documents
+    ), positioned AS (
+      SELECT doc_id, lang, lang_rank,
+             CAST(lang_rank AS DOUBLE) / w AS position
+      FROM ranked
+    )
+    SELECT mix_idx, doc_id, lang, lang_rank, position FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY position, lang, doc_id) AS mix_idx
+      FROM positioned
+    ) WHERE mix_idx <= {INTERLEAVE_N}
+    ORDER BY mix_idx
+    """,
+    tags=("O4",),
+)
+def dataset_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture materialization — interleave per-language
+    corpora at fixed ratios (stride scheduling: a language with weight w
+    emits its rank-r document at position r/w, so the merged prefix
+    holds languages in ~w proportion). This is the step that turns
+    ``domain_mix_weights``' plan into an actual training order;
+    hash-ranking within language makes the schedule rerun-stable with
+    no RNG. Weights are dyadic so positions are exact doubles — the
+    compare needs no tolerance.
+
+    Scale: per-language rank is a partitioned window; the global merge
+    is a top-N by (position) — orderBy+limit (TakeOrdered, the top-k
+    plan), never a full global sort, and the final index numbers only
+    the N-row prefix."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    wlang = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    weight = F.coalesce(
+        *[
+            F.when(F.col("lang") == lang, F.lit(w))
+            for lang, w in sorted(INTERLEAVE_WEIGHTS.items())
+        ],
+        F.lit(1),
+    )
+    positioned = d.select(
+        "doc_id",
+        "lang",
+        F.row_number().over(wlang).alias("lang_rank"),
+    ).withColumn("position", F.col("lang_rank").cast("double") / weight)
+    top = positioned.orderBy("position", "lang", "doc_id").limit(INTERLEAVE_N)
+    widx = Window.orderBy("position", "lang", "doc_id")
+    return top.select(
+        F.row_number().over(widx).alias("mix_idx"),
+        "doc_id",
+        "lang",
+        "lang_rank",
+        "position",
+    ).orderBy("mix_idx")

@@ -260,3 +260,137 @@ def window_cume_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w_price), 6).alias("price_cume"),
         F.nth_value("o_totalprice", 2).over(w_full).cast("double").alias("second_order_price"),
     ).orderBy("o_custkey", "o_orderkey")
+
+
+@query(
+    "funnel_analysis",
+    oracle="""
+    WITH events_us AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    s1 AS (
+      SELECT user_id, MIN(ts) AS view_ts FROM events_us
+      WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS click_ts
+      FROM events_us e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.view_ts
+      GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS purchase_ts
+      FROM events_us e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.click_ts
+      GROUP BY e.user_id
+    )
+    SELECT s1.user_id, s1.view_ts, s2.click_ts, s3.purchase_ts,
+           CAST(1 + (s2.user_id IS NOT NULL)::INT + (s3.user_id IS NOT NULL)::INT
+                AS INT) AS funnel_stage
+    FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+            LEFT JOIN s3 ON s1.user_id = s3.user_id
+    ORDER BY s1.user_id
+    """,
+    tags=("W1", "A1"),
+)
+def funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis (view → click → purchase with strictly
+    increasing timestamps) — the product-analytics sequence-matching
+    operator. Each stage is the MIN event time AFTER the previous
+    stage's time, so out-of-order events never count; a user's
+    funnel_stage is how far they progressed in order.
+
+    Scale: three per-user scalar aggregations chained by user_id equi-
+    joins — every intermediate is one row per qualifying user (never a
+    row-level blowup), all joins are on the same key so one partitioning
+    serves the whole chain (co-partitioned in a bucketed lake)."""
+    e = load_table(spark, sf_dir, "events")
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("view_ts"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("view_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    stage = (
+        F.lit(1)
+        + F.col("click_ts").isNotNull().cast("int")
+        + F.col("purchase_ts").isNotNull().cast("int")
+    )
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id",
+            "view_ts",
+            "click_ts",
+            "purchase_ts",
+            stage.cast("int").alias("funnel_stage"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "retention_cohorts",
+    oracle="""
+    WITH events_us AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    firsts AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      FROM events_us GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS activity_week
+      FROM events_us
+    )
+    SELECT f.cohort_week, a.activity_week,
+           CAST((epoch(a.activity_week) - epoch(f.cohort_week)) / 604800 AS BIGINT)
+             AS week_offset,
+           COUNT(*) AS n_active
+    FROM firsts f JOIN activity a ON f.user_id = a.user_id
+    GROUP BY f.cohort_week, a.activity_week
+    ORDER BY f.cohort_week, a.activity_week
+    """,
+    tags=("A1", "F5"),
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention-cohort matrix: users grouped by first-seen week
+    (the cohort), counted in every week they were active — the
+    engagement-retention report. Week buckets are Monday-start
+    ``date_trunc('week', ...)`` in both engines; the offset is an exact
+    integer because week-truncated UTC timestamps differ by multiples of
+    604800 s.
+
+    Scale: one per-user MIN (cohort), one distinct (user, week) pass,
+    one user_id join, one (cohort, week) aggregation — the distinct
+    bounds state at users × weeks, and every shuffle key is either
+    user_id or the output grain."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", "ts").alias("activity_week")
+    ).distinct()
+    offset = (
+        (F.unix_timestamp("activity_week") - F.unix_timestamp("cohort_week")) / 604800
+    ).cast("long")
+    return (
+        firsts.join(activity, "user_id")
+        .groupBy("cohort_week", "activity_week")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .select(
+            "cohort_week",
+            "activity_week",
+            offset.alias("week_offset"),
+            "n_active",
+        )
+        .orderBy("cohort_week", "activity_week")
+    )
