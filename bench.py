@@ -456,41 +456,40 @@ def _deep_crossover(spark, sf_dir: str, factor: int = 30) -> dict:
         n: s for n, s in load_all().items() if n in FLOOR_BOUND and s.oracle
     }
 
-    def duck_times(rep: int) -> dict[str, float]:
+    # Per (query, rep): DuckDB then Spark BACK TO BACK. This box carries
+    # co-tenant load (load avg ~10 observed with nothing of ours running);
+    # a spike that lands on only one engine's measurement window skews the
+    # ratio arbitrarily, so both sides of each ratio must share load
+    # conditions. Within each side: warm passes (first execution of a plan
+    # at N× runs 2-4× steady state — codegen+JIT), then min-of-3.
+    def measure(rep: int) -> tuple[dict[str, float], dict[str, float]]:
         con = _duck_connect_replicated(sf_dir, rep)
-        out = {}
-        for name, spec in specs.items():
-            con.sql(spec.oracle).df()  # warm
-            ts = []
-            for _ in range(3):
-                t0 = time.perf_counter()
-                con.sql(spec.oracle).df()
-                ts.append(time.perf_counter() - t0)
-            out[name] = min(ts)
-        con.close()
-        return out
-
-    def spark_times(rep: int) -> dict[str, float]:
+        duck, spk = {}, {}
         os.environ["ENGINE_SCAN_REPLICATE"] = str(rep)
         try:
-            out = {}
             for name, spec in specs.items():
-                _force(spec.fn(spark, sf_dir))  # warm (plan + codegen at N×)
-                # min-of-2 (not 3): the 30× Spark runs are seconds each and
-                # the bench must fit the driver's wall-clock budget; two
-                # warm samples suffice once the GC hint removed the outliers
+                con.sql(spec.oracle).df()  # warm
                 ts = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    con.sql(spec.oracle).df()
+                    ts.append(time.perf_counter() - t0)
+                duck[name] = min(ts)
                 for _ in range(2):
+                    _force(spec.fn(spark, sf_dir))
+                ts = []
+                for _ in range(3):
                     t0 = time.perf_counter()
                     _force(spec.fn(spark, sf_dir))
                     ts.append(time.perf_counter() - t0)
-                out[name] = min(ts)
+                spk[name] = min(ts)
         finally:
             os.environ.pop("ENGINE_SCAN_REPLICATE", None)
-        return out
+            con.close()
+        return duck, spk
 
-    duck_1x, duck_nx = duck_times(1), duck_times(factor)
-    spark_1x, spark_nx = spark_times(1), spark_times(factor)
+    duck_1x, spark_1x = measure(1)
+    duck_nx, spark_nx = measure(factor)
     return {
         name: {
             "spark_1x": round(spark_1x[name], 4),

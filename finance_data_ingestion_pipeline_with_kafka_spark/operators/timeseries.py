@@ -625,3 +625,93 @@ def donchian_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type", "ts", "value", "ch_hi", "ch_lo", pos.alias("channel_pos"))
         .orderBy("event_id")
     )
+
+
+VOL_WINDOW = 20
+
+
+@query(
+    "rolling_volatility",
+    oracle=f"""
+    WITH events_us AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    rets AS (
+      SELECT event_id, event_type, ts,
+             ln(value / LAG(value) OVER (PARTITION BY event_type
+                                         ORDER BY ts, event_id)) AS r
+      FROM events_us
+    ), framed AS (
+      SELECT event_id, event_type, ts, r,
+             list(r) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                           ROWS BETWEEN {VOL_WINDOW - 1} PRECEDING AND CURRENT ROW)
+               AS win
+      FROM rets WHERE r IS NOT NULL
+    ), sums AS (
+      SELECT event_id, event_type, ts, r,
+             len(win) AS n_obs,
+             list_reduce(win, (a, x) -> a + x) AS s1,
+             list_reduce(list_transform(win, x -> x * x), (a, x) -> a + x) AS s2
+      FROM framed
+    )
+    SELECT event_id, event_type, ts, ROUND(r, 6) AS log_return,
+           CAST(n_obs AS INT) AS n_obs,
+           CASE WHEN n_obs > 1 AND (s2 - s1 * s1 / n_obs) > 0
+                THEN ROUND(sqrt((s2 - s1 * s1 / n_obs) / (n_obs - 1)), 6)
+                ELSE NULL END AS volatility
+    FROM sums
+    ORDER BY event_id
+    """,
+    tags=("W2", "A7"),
+)
+def rolling_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling log-return volatility (trailing-20 sample stddev) — the
+    risk metric every trading pipeline computes next to VWAP/EWMA.
+    Determinism discipline: the frame's sums are EXPLICIT left folds
+    over the ordered frame list (Spark ``F.aggregate`` / DuckDB
+    ``list_reduce`` — identical add order), never the engines' native
+    windowed SUM whose segment-tree accumulation order differs; rows
+    with no prior value are filtered BEFORE windowing because Spark's
+    ``collect_list`` drops NULLs while DuckDB's ``list()`` keeps them;
+    the variance is guarded against cancellation-negative and n=1
+    (NULL in both engines). ln's cross-engine ULP drift is ~1e-15
+    relative — far below the 6-digit rounding grain (the
+    ``word_entropy`` precedent)."""
+    e = load_table(spark, sf_dir, "events")
+    wlag = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    rets = e.select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.log(F.col("value") / F.lag("value").over(wlag)).alias("r"),
+    ).filter(F.col("r").isNotNull())
+    wframe = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(VOL_WINDOW - 1), Window.currentRow)
+    )
+    framed = rets.select(
+        "event_id", "event_type", "ts", "r", F.collect_list("r").over(wframe).alias("win")
+    )
+    s1 = F.aggregate("win", F.lit(0.0), lambda a, x: a + x)
+    s2 = F.aggregate(
+        F.transform("win", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+    sums = framed.select(
+        "event_id",
+        "event_type",
+        "ts",
+        "r",
+        F.size("win").alias("n_obs"),
+        s1.alias("s1"),
+        s2.alias("s2"),
+    )
+    n = F.col("n_obs").cast("double")
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / n) / (n - 1)
+    vol = F.when((F.col("n_obs") > 1) & (var > 0), F.round(F.sqrt(var), 6))
+    return sums.select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.round("r", 6).alias("log_return"),
+        F.col("n_obs").cast("int").alias("n_obs"),
+        vol.alias("volatility"),
+    ).orderBy("event_id")
