@@ -303,35 +303,31 @@ def _scale_crossover(spark, sf_dir: str, factor: int = 10) -> dict:
         if s.bench and s.oracle is not None and s.crossover
     }
 
-    def duck_times(rep: int) -> dict[str, float]:
+    # DuckDB then Spark BACK TO BACK per (query, rep): this box carries
+    # co-tenant load (see SCALE.md), and a spike landing on only one
+    # engine's separated measurement window skews the ratio arbitrarily —
+    # back-to-back keeps both sides of each ratio under shared conditions.
+    def measure(rep: int) -> tuple[dict[str, float], dict[str, float]]:
         con = _duck_connect_replicated(sf_dir, rep)
-        out = {}
-        for name, spec in specs.items():
-            con.sql(spec.oracle).df()  # warm
-            t0 = time.perf_counter()
-            con.sql(spec.oracle).df()
-            out[name] = time.perf_counter() - t0
-        con.close()
-        return out
-
-    duck_1x = duck_times(1)
-    duck_nx = duck_times(factor)
-
-    def spark_times(rep: int) -> dict[str, float]:
+        duck, spk = {}, {}
         os.environ["ENGINE_SCAN_REPLICATE"] = str(rep)
         try:
-            out = {}
             for name, spec in specs.items():
+                con.sql(spec.oracle).df()  # warm
+                t0 = time.perf_counter()
+                con.sql(spec.oracle).df()
+                duck[name] = time.perf_counter() - t0
                 _force(spec.fn(spark, sf_dir))  # warm (plan + codegen at N×)
                 t0 = time.perf_counter()
                 _force(spec.fn(spark, sf_dir))
-                out[name] = time.perf_counter() - t0
+                spk[name] = time.perf_counter() - t0
         finally:
             os.environ.pop("ENGINE_SCAN_REPLICATE", None)
-        return out
+            con.close()
+        return duck, spk
 
-    spark_1x = spark_times(1)
-    spark_nx = spark_times(factor)
+    duck_1x, spark_1x = measure(1)
+    duck_nx, spark_nx = measure(factor)
 
     table = {}
     for name in specs:
