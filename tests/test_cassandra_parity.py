@@ -100,3 +100,24 @@ def test_cassandra_live_sink(spark, tmp_path):
         str(tmp_path / "cp"),
     )
     q.awaitTermination(120)
+
+
+def test_cassandra_read_reaches_datasource_resolution(spark):
+    """Classpath-boundary assertion (the Kafka-sink pattern,
+    tests/test_kafka_live.py): with no spark-cassandra-connector jar in
+    this environment, `read_cassandra_table` must build a spec Spark's
+    data-source resolution accepts up to provider lookup — failing with
+    the missing-provider error, never an option/shape error. With the
+    jar present the live test above covers the same path."""
+    from finance_data_ingestion_pipeline_with_kafka_spark.streaming.cassandra import (
+        cassandra_connector_available,
+        read_cassandra_table,
+    )
+
+    if cassandra_connector_available(spark):
+        pytest.skip("connector present: the live test covers this path")
+    with pytest.raises(Exception) as exc:
+        read_cassandra_table(spark, "finance", "stock_data").collect()
+    msg = str(exc.value)
+    assert "cassandra" in msg.lower()
+    assert "DATA_SOURCE_NOT_FOUND" in msg or "Failed to find" in msg, msg
