@@ -715,3 +715,62 @@ def rolling_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_obs").cast("int").alias("n_obs"),
         vol.alias("volatility"),
     ).orderBy("event_id")
+
+
+@query(
+    "asof_join_tolerance",
+    oracle="""
+    WITH events_us AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+    SELECT l.event_id, l.user_id, l.ts, l.value AS purchase_value,
+           CASE WHEN r.ts >= l.ts - INTERVAL '1 hour' THEN r.ts END AS last_click_ts,
+           CASE WHEN r.ts >= l.ts - INTERVAL '1 hour' THEN r.value END AS last_click_value
+    FROM (SELECT * FROM events_us WHERE event_type = 'purchase') l
+    ASOF LEFT JOIN (SELECT * FROM events_us WHERE event_type = 'click') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    ORDER BY l.user_id, l.ts, l.event_id
+    """,
+    tags=("J5",),
+)
+def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[J5] As-of join with a lookback TOLERANCE (1 hour): the matched
+    click must be at-or-before the purchase AND no older than the
+    tolerance — the market-data variant ("last quote, but only if it's
+    fresh") that pandas ``merge_asof(tolerance=...)`` and kdb ``wj``
+    express. Same union + carry-forward single-shuffle shape as
+    ``asof_join``; staleness is a post-carry NULL-out, so the tolerance
+    costs zero extra shuffles or state. The oracle applies the identical
+    CASE to DuckDB's native ASOF match."""
+    e = load_table(spark, sf_dir, "events")
+    left = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value", F.lit(1).alias("side")
+    )
+    right = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value", F.lit(0).alias("side")
+    )
+    unioned = left.unionByName(right)
+    w = Window.partitionBy("user_id").orderBy("ts", "side", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r_ts = F.when(F.col("side") == 0, F.col("ts"))
+    r_val = F.when(F.col("side") == 0, F.col("value"))
+    carried = unioned.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        "side",
+        F.last(r_ts, ignorenulls=True).over(w).alias("click_ts"),
+        F.last(r_val, ignorenulls=True).over(w).alias("click_value"),
+    )
+    fresh = F.col("click_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR")
+    return (
+        carried.filter(F.col("side") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("value").alias("purchase_value"),
+            F.when(fresh, F.col("click_ts")).alias("last_click_ts"),
+            F.when(fresh, F.col("click_value")).alias("last_click_value"),
+        )
+    )
