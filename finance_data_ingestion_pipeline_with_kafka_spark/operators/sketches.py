@@ -273,6 +273,7 @@ KMV_FRAC_DIV = float(16 ** 13)  # first 13 hex chars → fraction of [0,1)
     SELECT event_type,
            CAST(n_sketch AS BIGINT) AS n_sketch,
            CASE WHEN n_sketch < {KMV_K} THEN CAST(n_sketch AS DOUBLE)
+                WHEN CAST('0x' || substr(kth, 1, 13) AS BIGINT) = 0 THEN NULL
                 ELSE ROUND(({KMV_K} - 1) /
                      (CAST('0x' || substr(kth, 1, 13) AS BIGINT) / {KMV_FRAC_DIV!r}), 4)
            END AS est_distinct,
@@ -327,9 +328,11 @@ def kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged.join(exact_all, "event_type")
     )
     frac = F.conv(F.substring("kth", 1, 13), 16, 10).cast("double") / F.lit(KMV_FRAC_DIV)
-    est = F.when(
-        F.col("n_sketch") < KMV_K, F.col("n_sketch").cast("double")
-    ).otherwise(F.round(F.lit(KMV_K - 1) / frac, 4))
+    # frac == 0 needs an astronomically unlikely all-zero 13-hex prefix,
+    # but under ANSI mode an unguarded divide would be query-fatal
+    est = F.when(F.col("n_sketch") < KMV_K, F.col("n_sketch").cast("double")).when(
+        frac > 0, F.round(F.lit(KMV_K - 1) / frac, 4)
+    )
     return unioned.select(
         "event_type",
         F.col("n_sketch").cast("long").alias("n_sketch"),

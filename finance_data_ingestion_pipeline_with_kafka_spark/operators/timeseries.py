@@ -636,8 +636,12 @@ VOL_WINDOW = 20
     WITH events_us AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
     rets AS (
       SELECT event_id, event_type, ts,
-             ln(value / LAG(value) OVER (PARTITION BY event_type
-                                         ORDER BY ts, event_id)) AS r
+             CASE WHEN value > 0
+                   AND LAG(value) OVER (PARTITION BY event_type
+                                        ORDER BY ts, event_id) > 0
+                  THEN ln(value / LAG(value) OVER (PARTITION BY event_type
+                                                   ORDER BY ts, event_id))
+             END AS r
       FROM events_us
     ), framed AS (
       SELECT event_id, event_type, ts, r,
@@ -677,11 +681,16 @@ def rolling_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``word_entropy`` precedent)."""
     e = load_table(spark, sf_dir, "events")
     wlag = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    prev = F.lag("value").over(wlag)
+    # non-positive prices (sf0.1 carries value=0 rows) would make the
+    # divide throw under ANSI mode / ln produce ±inf — the CASE guard
+    # short-circuits the divide identically in both engines
+    r = F.when((F.col("value") > 0) & (prev > 0), F.log(F.col("value") / prev))
     rets = e.select(
         "event_id",
         "event_type",
         "ts",
-        F.log(F.col("value") / F.lag("value").over(wlag)).alias("r"),
+        r.alias("r"),
     ).filter(F.col("r").isNotNull())
     wframe = (
         Window.partitionBy("event_type")
