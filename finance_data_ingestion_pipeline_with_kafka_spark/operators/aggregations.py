@@ -584,7 +584,8 @@ QSKETCH_KEEP = ("0", "1")
     WITH sampled AS (
       SELECT event_type, value
       FROM events
-      WHERE substring(md5(CAST(event_id AS VARCHAR)), 1, 1) IN ('0', '1')
+      WHERE value IS NOT NULL
+        AND substring(md5(CAST(event_id AS VARCHAR)), 1, 1) IN ('0', '1')
     ), sk AS (
       SELECT event_type,
              list(value ORDER BY value) AS sample,
@@ -621,7 +622,9 @@ def quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     never reaches the shuffle; the per-group sorted sample builds via
     partial aggregation (collect_list merges map-side)."""
     e = load_table(spark, sf_dir, "events")
-    sampled = e.filter(
+    # NULL filter is parity-critical: collect_list skips NULLs, DuckDB's
+    # list() keeps them — drop NULL values identically in both engines
+    sampled = e.filter(F.col("value").isNotNull()).filter(
         F.substring(F.md5(F.col("event_id").cast("string")), 1, 1).isin(*QSKETCH_KEEP)
     )
     sk = sampled.groupBy("event_type").agg(

@@ -501,6 +501,7 @@ EWMA_DECAY = 0.25  # dyadic: 2^-2, so every weight is an EXACT power of two
                                      ROWS BETWEEN {EWMA_WINDOW - 1} PRECEDING AND CURRENT ROW),
                    (acc, x) -> acc * {EWMA_DECAY} + x), 6) AS ewma
     FROM events_us
+    WHERE value IS NOT NULL
     ORDER BY event_id
     """,
     tags=("W2", "A2"),
@@ -522,7 +523,10 @@ def ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one shuffle on event_type, then a bounded 50-element frame
     per row — no unbounded state, no recursion; the same plan is the
     streaming ``withWatermark`` + sliding-window shape."""
-    e = load_table(spark, sf_dir, "events")
+    # NULL guard is parity-critical: Spark's collect_list SKIPS NULLs
+    # while DuckDB's windowed list() keeps them — one NULL value row
+    # would silently shift every downstream frame between engines
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     w = (
         Window.partitionBy("event_type")
         .orderBy("ts", "event_id")
