@@ -246,6 +246,7 @@ KMV_FRAC_DIV = float(16 ** 13)  # first 13 hex chars → fraction of [0,1)
     oracle=f"""
     WITH dh AS (
       SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM events
+      WHERE user_id IS NOT NULL
     ), ranked AS (
       SELECT event_type, h,
              ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
@@ -302,7 +303,13 @@ def kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~1/sqrt(K-1) ≈ 13% at K=64; the exact column sits beside the
     estimate so the error is visible and pinned."""
     e = load_table(spark, sf_dir, "events")
-    dh = e.select("event_type", F.md5(F.col("user_id").cast("string")).alias("h")).distinct()
+    # NULL user_id guard: a NULL hash would rank NULLS FIRST in Spark's
+    # ascending sort but NULLS LAST in DuckDB's — filter identically
+    dh = (
+        e.filter(F.col("user_id").isNotNull())
+        .select("event_type", F.md5(F.col("user_id").cast("string")).alias("h"))
+        .distinct()
+    )
     from pyspark.sql import Window
 
     w = Window.partitionBy("event_type").orderBy("h")
