@@ -289,14 +289,6 @@ def _scale_crossover(spark, sf_dir: str, factor: int = 10) -> dict:
     re-measured inside this phase so both scale points share identical
     JVM/GC conditions (a long-lived session measures slower than a fresh
     one — comparing fresh-1× to aged-10× would overstate scaling cost)."""
-    import duckdb
-
-    from finance_data_ingestion_pipeline_with_kafka_spark.catalog import (
-        KEY_SHIFT,
-        KEY_SHIFT_COLS,
-        TABLES,
-    )
-
     specs = {
         n: s
         for n, s in sorted(load_all().items())
