@@ -31,7 +31,6 @@ from ..registry import query
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-09-02'
     GROUP BY l_returnflag, l_linestatus
-    ORDER BY l_returnflag, l_linestatus
     """,
     tags=("A1",),
     bench=True,

@@ -37,7 +37,6 @@ SHINGLE_N = 3
            COUNT(*) AS n_copies
     FROM fp
     GROUP BY fingerprint
-    ORDER BY keeper_doc_id
     """,
     tags=("U4", "A5"),
     bench=True,

@@ -73,7 +73,6 @@ def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
     GROUP BY r_name, n_name
-    ORDER BY region, nation
     """,
     tags=("J2", "A1"),
     bench=True,
@@ -241,7 +240,6 @@ def range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND o.o_orderdate >= TIMESTAMP '1996-01-01'
       AND o.o_orderdate <  TIMESTAMP '1998-01-01'
     GROUP BY n_name
-    ORDER BY revenue DESC, nation
     """,
     tags=("J1", "J2", "A1"),
     bench=True,

@@ -26,7 +26,6 @@ from ..registry import query
       AND l_shipdate <  TIMESTAMP '1997-01-01'
       AND l_discount BETWEEN 0.05 AND 0.07
       AND l_quantity < 24
-    ORDER BY l_orderkey, l_linenumber
     """,
     tags=("P8", "F6"),
     bench=True,

@@ -34,7 +34,6 @@ _HASH_BUCKET_SQL = "substr(md5(CAST({key} AS VARCHAR)), 1, 2)"
                 WHEN {_HASH_BUCKET_SQL.format(key="doc_id")} < 'f8' THEN 'val'
                 ELSE 'test' END AS split
     FROM documents
-    ORDER BY doc_id
     """,
     tags=("U6",),
     bench=True,

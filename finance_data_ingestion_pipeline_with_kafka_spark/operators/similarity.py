@@ -69,10 +69,47 @@ def cosine(a: str, b: str) -> Column:
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
+def nonzero(e, vcol: str = "v"):
+    """Drop zero-norm vectors before any cosine math: 0/0 is NaN in
+    DuckDB (which ranks GREATEST under ORDER BY DESC) but NULL in Spark
+    (ranked last) — an unrankable score either way, and a cross-engine
+    keeper-election flip waiting for a testdata regeneration. Every
+    similarity-family oracle applies the identical
+    ``list_dot_product(v, v) > 0`` predicate; ``embedding_normalize``
+    deliberately KEEPS zero vectors (reporting them is its job)."""
+    return e.filter(dot(vcol, vcol) > 0)
+
+
+def decimal_centroids(assigned, cell_col: str):
+    """Broadcastable centroid table (cid, cv, cnorm) from an assignment
+    relation: per-(cell, dim) DECIMAL-accumulated mean (order-independent
+    under partial aggregation — DuckDB recomputes bit-identical values),
+    re-assembled in dim order. The ONE copy of the parity-critical
+    centroid arithmetic shared by ``ivf_ann``, ``semantic_dedup`` and
+    ``kmeans_refine`` — a numeric or tie-break change here is the single
+    place all three (and their oracles) must track."""
+    cd = (
+        assigned.select(F.col(cell_col).alias("cell"), F.posexplode("v").alias("dim", "x"))
+        .groupBy("cell", "dim")
+        .agg(davg("x").alias("m"))
+    )
+    return F.broadcast(
+        cd.groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+        .select(
+            F.col("cell").alias("cid"),
+            F.transform("dm", lambda s: s["m"]).alias("cv"),
+        )
+        .withColumn("cnorm", F.sqrt(dot("cv", "cv")))
+    )
+
+
 _ORACLE_COSINE = """
     WITH vecs AS (
       SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings
+      WHERE list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                             list_transform(embedding, x -> CAST(x AS DOUBLE))) > 0
     ), q AS (SELECT vec_id AS query_id, v AS qv FROM vecs WHERE vec_id < {nq}),
     scored AS (
       SELECT q.query_id, vecs.vec_id, vecs.label,
@@ -86,7 +123,6 @@ _ORACLE_COSINE = """
                                    ORDER BY cosine_sim DESC, vec_id) AS rn
       FROM scored
     ) WHERE rn <= {k}
-    ORDER BY query_id, cosine_sim DESC, vec_id
 """
 
 
@@ -122,8 +158,10 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", F.col("embedding").alias("v")
+    e = nonzero(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", F.col("embedding").alias("v")
+        )
     )
     qrows = sorted(
         e.filter(F.col("vec_id") < N_QUERY_VECS).collect(),
@@ -232,6 +270,8 @@ def _lsh_oracle() -> str:
     WITH vecs AS (
       SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings
+      WHERE list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                             list_transform(embedding, x -> CAST(x AS DOUBLE))) > 0
     ), b AS (
       SELECT vec_id, label, v, {bucket_terms} AS bucket FROM vecs
     ), q AS (
@@ -266,8 +306,10 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests."""
     dim = EMBED_DIM
     planes = [hyperplane(s, dim) for s in range(N_PLANES)]
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", F.col("embedding").alias("v")
+    e = nonzero(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", F.col("embedding").alias("v")
+        )
     )
     bucketed = with_lsh_bucket(e, "v", planes).withColumn(
         "norm", F.sqrt(dot("v", "v"))
@@ -306,6 +348,8 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH vecs AS (
       SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings
+      WHERE list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                             list_transform(embedding, x -> CAST(x AS DOUBLE))) > 0
     )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            ROUND(list_dot_product(a.v, b.v)
@@ -322,8 +366,10 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[U4/U5] Embedding-cosine near-duplicate pairs, blocked by ``label``
     (the cluster/blocking key) so the pair space is per-block, not global —
     the standard semantic-dedup shape for training corpora."""
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", F.col("embedding").alias("v")
+    e = nonzero(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", F.col("embedding").alias("v")
+        )
     )
     e = e.withColumn("norm", F.sqrt(dot("v", "v")))
     a = e.select(
@@ -355,6 +401,8 @@ _IVF_ORACLE = f"""
     WITH vecs AS (
       SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings
+      WHERE list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                             list_transform(embedding, x -> CAST(x AS DOUBLE))) > 0
     ), cd AS (
       SELECT label AS cid, i,
              CAST(SUM(CAST(v[i] AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS m
@@ -418,27 +466,16 @@ def ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-breaks. The driver hash-compares it like any exact query; recall
     vs ``knn_bruteforce`` is additionally asserted in
     tests/test_extension_semantics.py."""
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", F.col("embedding").alias("v")
+    e = nonzero(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", F.col("embedding").alias("v")
+        )
     )
     e = e.withColumn("norm", F.sqrt(dot("v", "v")))
-    # centroid training: element-wise mean per cluster via posexplode →
-    # decimal-deterministic mean per (cluster, dim) → re-assemble in dim
-    # order. posexplode's dim is 0-based; the oracle's range is 1-based.
-    cent_dims = (
-        e.select("label", F.posexplode("v").alias("dim", "x"))
-        .groupBy("label", "dim")
-        .agg(davg("x").alias("m"))
-    )
-    cents = F.broadcast(
-        cent_dims.groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
-        .select(
-            F.col("label").alias("cid"),
-            F.transform("dm", lambda s: s["m"]).alias("cv"),
-        )
-        .withColumn("cnorm", F.sqrt(dot("cv", "cv")))
-    )
+    # centroid training: decimal-deterministic per-cluster means (see
+    # decimal_centroids — posexplode's dim is 0-based; the oracle's
+    # range is 1-based)
+    cents = decimal_centroids(e, "label")
     # cell assignment: argmax cosine(corpus vec, centroid) — one broadcast
     # nested-loop pass over the corpus, no shuffle of the big side
     csim = dot("v", "cv") / (F.col("norm") * F.col("cnorm"))
@@ -531,6 +568,8 @@ _SEMANTIC_DEDUP_ORACLE = f"""
     WITH vecs AS (
       SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings
+      WHERE list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                             list_transform(embedding, x -> CAST(x AS DOUBLE))) > 0
     ), cd AS (
       SELECT label AS cid, i,
              CAST(SUM(CAST(v[i] AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS m
@@ -584,24 +623,13 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``ivf_ann`` — making the election shuffle-free too). Determinism:
     centroid means accumulate in DECIMAL, ranking keys are rounded with
     id tie-breaks."""
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", F.col("embedding").alias("v")
+    e = nonzero(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", F.col("embedding").alias("v")
+        )
     )
     e = e.withColumn("norm", F.sqrt(dot("v", "v")))
-    cent_dims = (
-        e.select("label", F.posexplode("v").alias("dim", "x"))
-        .groupBy("label", "dim")
-        .agg(davg("x").alias("m"))
-    )
-    cents = F.broadcast(
-        cent_dims.groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
-        .select(
-            F.col("label").alias("cid"),
-            F.transform("dm", lambda s: s["m"]).alias("cv"),
-        )
-        .withColumn("cnorm", F.sqrt(dot("cv", "cv")))
-    )
+    cents = decimal_centroids(e, "label")
     csim9 = F.round(dot("v", "cv") / (F.col("norm") * F.col("cnorm")), 9)
     assigned = (
         e.join(cents)
@@ -667,6 +695,8 @@ _KMEANS_ORACLE = f"""
     WITH vecs AS (
       SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings
+      WHERE list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                             list_transform(embedding, x -> CAST(x AS DOUBLE))) > 0
     ), seed AS (SELECT label AS cell, v FROM vecs),
     {_kmeans_centroid_cte("seed", "c0")},
     {_kmeans_assign_cte("c0", "a1")},
@@ -699,25 +729,14 @@ def kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole refinement is ONE declarative plan with no collect() in
     the loop (convergence-looped variants would localCheckpoint per
     round like ``near_dup_clusters``)."""
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", as_double("embedding").alias("v")
+    e = nonzero(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", as_double("embedding").alias("v")
+        )
     )
 
     def centroids(assigned: DataFrame) -> DataFrame:
-        cd = (
-            assigned.select("cell", F.posexplode("v").alias("dim", "x"))
-            .groupBy("cell", "dim")
-            .agg(davg("x").alias("m"))
-        )
-        return F.broadcast(
-            cd.groupBy("cell")
-            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
-            .select(
-                F.col("cell").alias("cid"),
-                F.transform("dm", lambda s: s["m"]).alias("cv"),
-            )
-            .withColumn("cnorm", F.sqrt(dot("cv", "cv")))
-        )
+        return decimal_centroids(assigned, "cell")
 
     def assign(cents: DataFrame) -> DataFrame:
         s9 = F.round(

@@ -43,7 +43,6 @@ def tokens(col: str = "text") -> F.Column:
            ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE)
                  / len(string_split_regex(trim(text), '\\s+')), 6) AS avg_token_len
     FROM documents
-    ORDER BY doc_id
     """,
     tags=("U6",),
     bench=True,

@@ -30,7 +30,6 @@ from ..registry import query
            CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
     FROM events_us
     GROUP BY event_type, window_start
-    ORDER BY event_type, window_start
     """,
     tags=("T7", "A2"),
     bench=True,
@@ -56,7 +55,6 @@ def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_events
     FROM events_us CROSS JOIN (VALUES (0), (1)) k(k)
     GROUP BY event_type, window_start
-    ORDER BY event_type, window_start
     """,
     tags=("T8",),
 )
@@ -94,7 +92,6 @@ def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
     FROM numbered
     GROUP BY user_id, session_id
-    ORDER BY user_id, session_start
     """,
     tags=("T9",),
     bench=True,
@@ -129,7 +126,6 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (SELECT * FROM events_us WHERE event_type = 'purchase') l
     ASOF LEFT JOIN (SELECT * FROM events_us WHERE event_type = 'click') r
       ON l.user_id = r.user_id AND l.ts >= r.ts
-    ORDER BY l.user_id, l.ts, l.event_id
     """,
     tags=("J5",),
     bench=True,
@@ -160,16 +156,18 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "side", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    r_ts = F.when(F.col("side") == 0, F.col("ts"))
-    r_val = F.when(F.col("side") == 0, F.col("value"))
+    # carry ts+value as ONE struct: carrying them as two separate
+    # last(ignorenulls) columns would let a NULL click VALUE be skipped
+    # while its ts is kept, pairing the latest ts with an OLDER value —
+    # DuckDB ASOF returns the matched row's fields intact, NULLs included
+    r_row = F.when(F.col("side") == 0, F.struct("ts", "value"))
     carried = unioned.select(
         "event_id",
         "user_id",
         "ts",
         "value",
         "side",
-        F.last(r_ts, ignorenulls=True).over(w).alias("last_click_ts"),
-        F.last(r_val, ignorenulls=True).over(w).alias("last_click_value"),
+        F.last(r_row, ignorenulls=True).over(w).alias("click"),
     )
     return (
         carried.filter(F.col("side") == 1)
@@ -178,8 +176,8 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "ts",
             F.col("value").alias("purchase_value"),
-            "last_click_ts",
-            "last_click_value",
+            F.col("click.ts").alias("last_click_ts"),
+            F.col("click.value").alias("last_click_value"),
         )
         # presentation sort dropped (order-insensitive compare)
     )
@@ -325,7 +323,6 @@ def last_closed_bar(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(volume_proxy AS DECIMAL(30,6))) AS DOUBLE) AS volume_proxy
     FROM fine
     GROUP BY event_type, time_bucket(INTERVAL '6 hours', bar_start)
-    ORDER BY event_type, bar_start
     """,
     tags=("A2",),
     bench=True,
@@ -740,7 +737,6 @@ def rolling_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (SELECT * FROM events_us WHERE event_type = 'purchase') l
     ASOF LEFT JOIN (SELECT * FROM events_us WHERE event_type = 'click') r
       ON l.user_id = r.user_id AND l.ts >= r.ts
-    ORDER BY l.user_id, l.ts, l.event_id
     """,
     tags=("J5",),
 )
@@ -764,18 +760,18 @@ def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "side", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    r_ts = F.when(F.col("side") == 0, F.col("ts"))
-    r_val = F.when(F.col("side") == 0, F.col("value"))
+    # struct carry, same rationale as asof_join: a NULL click value must
+    # ride with its own ts, never be skipped in favor of an older value
+    r_row = F.when(F.col("side") == 0, F.struct("ts", "value"))
     carried = unioned.select(
         "event_id",
         "user_id",
         "ts",
         "value",
         "side",
-        F.last(r_ts, ignorenulls=True).over(w).alias("click_ts"),
-        F.last(r_val, ignorenulls=True).over(w).alias("click_value"),
+        F.last(r_row, ignorenulls=True).over(w).alias("click"),
     )
-    fresh = F.col("click_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR")
+    fresh = F.col("click.ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR")
     return (
         carried.filter(F.col("side") == 1)
         .select(
@@ -783,7 +779,7 @@ def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "ts",
             F.col("value").alias("purchase_value"),
-            F.when(fresh, F.col("click_ts")).alias("last_click_ts"),
-            F.when(fresh, F.col("click_value")).alias("last_click_value"),
+            F.when(fresh, F.col("click.ts")).alias("last_click_ts"),
+            F.when(fresh, F.col("click.value")).alias("last_click_value"),
         )
     )

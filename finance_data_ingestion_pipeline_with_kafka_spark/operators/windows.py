@@ -28,7 +28,6 @@ from ..registry import query
       FROM orders
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
     ) WHERE rn <= 3
-    ORDER BY o_custkey, rn
     """,
     tags=("W1", "O1"),
     bench=True,

@@ -820,9 +820,14 @@ def test_quantile_sketch_rank_error_bound(spark, sf_dir):
 
     e = load_table(spark, sf_dir, "events")
     for event_type, row in est.items():
+        # mirror the operator's NULL filter: the sketch samples only
+        # non-NULL values, so the exact-percentile population must too
         vals = sorted(
             v["value"]
-            for v in e.filter(F.col("event_type") == event_type).select("value").collect()
+            for v in e.filter(F.col("event_type") == event_type)
+            .filter(F.col("value").isNotNull())
+            .select("value")
+            .collect()
         )
         n = len(vals)
         m = row["sketch_size"]
@@ -943,9 +948,12 @@ def test_kmv_merge_equals_direct_sketch(spark, sf_dir):
 
     rows = {r["event_type"]: r for r in load_all()["kmv_distinct"].fn(spark, sf_dir).collect()}
     e = load_table(spark, sf_dir, "events")
+    # mirror the operator's NULL user_id filter (NULLS FIRST/LAST order
+    # differs between engines, so the operator excludes them)
     direct = sorted(
         r["h"]
-        for r in e.select(F.md5(F.col("user_id").cast("string")).alias("h"))
+        for r in e.filter(F.col("user_id").isNotNull())
+        .select(F.md5(F.col("user_id").cast("string")).alias("h"))
         .distinct()
         .collect()
     )[:KMV_K]
@@ -957,3 +965,52 @@ def test_kmv_merge_equals_direct_sketch(spark, sf_dir):
     # and the estimate is in the right ballpark of the exact count
     exact = rows["ALL"]["exact_distinct"]
     assert 0.5 * exact <= rows["ALL"]["est_distinct"] <= 2.0 * exact
+
+
+def test_asof_join_carries_null_click_value_with_its_ts(spark, sf_dir, monkeypatch):
+    """A NULL-valued latest click must ride with its own ts (DuckDB ASOF
+    returns the matched row's fields intact) — never be skipped in favor
+    of an OLDER value by per-column last(ignorenulls)."""
+    import datetime as dt
+
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators import timeseries
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.timeseries import (
+        asof_join,
+    )
+
+    t = lambda m: dt.datetime(2024, 1, 1, 9, m)
+    crafted = spark.createDataFrame(
+        [
+            (1, 7, t(0), "click", 5.0),
+            (2, 7, t(30), "click", None),  # latest click, NULL value
+            (3, 7, t(45), "purchase", 9.0),
+        ],
+        "event_id long, user_id long, ts timestamp, event_type string, value double",
+    )
+    monkeypatch.setattr(timeseries, "load_table", lambda spark, sf_dir, name: crafted)
+    row = asof_join(spark, sf_dir).collect()[0]
+    assert row["last_click_ts"] == t(30)
+    assert row["last_click_value"] is None  # NOT 5.0 from the older click
+
+
+def test_similarity_family_excludes_zero_vectors(spark, sf_dir, monkeypatch):
+    """A zero-norm embedding must not participate in cosine ranking
+    (0/0 is NaN in DuckDB — ranked GREATEST desc — but NULL in Spark):
+    the family-wide nonzero() filter drops it in both engines."""
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators import similarity
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    crafted = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [0.9, 0.1], 0),
+            (3, [0.0, 0.0], 0),  # zero vector — must be excluded
+            (4, [0.0, 1.0], 1),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    monkeypatch.setattr(similarity, "load_table", lambda spark, sf_dir, name: crafted)
+    rows = semantic_dedup(spark, sf_dir).collect()
+    assert sorted(r["vec_id"] for r in rows) == [1, 2, 4]
