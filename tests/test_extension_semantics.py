@@ -1014,3 +1014,90 @@ def test_similarity_family_excludes_zero_vectors(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(similarity, "load_table", lambda spark, sf_dir, name: crafted)
     rows = semantic_dedup(spark, sf_dir).collect()
     assert sorted(r["vec_id"] for r in rows) == [1, 2, 4]
+
+
+def test_funnel_requires_strict_temporal_order(spark, sf_dir, monkeypatch):
+    """A purchase BEFORE the first view (or a click before the view)
+    must not advance the funnel — sequence order, not mere presence."""
+    import datetime as dt
+
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators import windows as wmod
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.windows import (
+        funnel_analysis,
+    )
+
+    t = lambda m: dt.datetime(2024, 1, 1, 9, m)
+    crafted = spark.createDataFrame(
+        [
+            # user 1: proper view -> click -> purchase
+            (1, 1, t(0), "view", 1.0),
+            (2, 1, t(10), "click", 1.0),
+            (3, 1, t(20), "purchase", 1.0),
+            # user 2: purchase BEFORE view -> stage stops at view
+            (4, 2, t(5), "purchase", 1.0),
+            (5, 2, t(10), "view", 1.0),
+            # user 3: click at the same instant as view (not strictly
+            # after) -> does not count
+            (6, 3, t(0), "view", 1.0),
+            (7, 3, t(0), "click", 1.0),
+        ],
+        "event_id long, user_id long, ts timestamp, event_type string, value double",
+    )
+    monkeypatch.setattr(wmod, "load_table", lambda spark, sf_dir, name: crafted)
+    stages = {r["user_id"]: r["funnel_stage"] for r in funnel_analysis(spark, sf_dir).collect()}
+    assert stages == {1: 3, 2: 1, 3: 1}
+
+
+def test_retention_cohort_offsets(spark, sf_dir, monkeypatch):
+    """First-seen week defines the cohort; week offsets are exact."""
+    import datetime as dt
+
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators import windows as wmod
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.windows import (
+        retention_cohorts,
+    )
+
+    # 2024-01-01 is a Monday
+    crafted = spark.createDataFrame(
+        [
+            (1, 1, dt.datetime(2024, 1, 2), "view", 1.0),   # wk0
+            (2, 1, dt.datetime(2024, 1, 9), "view", 1.0),   # wk1
+            (3, 2, dt.datetime(2024, 1, 10), "view", 1.0),  # cohort wk1
+        ],
+        "event_id long, user_id long, ts timestamp, event_type string, value double",
+    )
+    monkeypatch.setattr(wmod, "load_table", lambda spark, sf_dir, name: crafted)
+    rows = {
+        (r["cohort_week"], r["activity_week"]): (r["week_offset"], r["n_active"])
+        for r in retention_cohorts(spark, sf_dir).collect()
+    }
+    wk0 = dt.datetime(2024, 1, 1)
+    wk1 = dt.datetime(2024, 1, 8)
+    assert rows[(wk0, wk0)] == (0, 1)
+    assert rows[(wk0, wk1)] == (1, 1)  # user 1 retained into week 1
+    assert rows[(wk1, wk1)] == (0, 1)  # user 2's own cohort week
+
+
+def test_dataset_interleave_respects_ratios(spark, sf_dir):
+    """The merged prefix must hold languages in ~weight proportion: a
+    weight-4 language appears ~4x as often as a weight-1 language in any
+    sufficiently deep prefix (exact stride schedule, fixture data)."""
+    from collections import Counter
+
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.training import (
+        INTERLEAVE_WEIGHTS,
+        dataset_interleave,
+    )
+    from finance_data_ingestion_pipeline_with_kafka_spark.registry import load_all
+
+    rows = load_all()["dataset_interleave"].fn(spark, sf_dir).collect()
+    # positions must be non-decreasing in mix order
+    positions = [r["position"] for r in sorted(rows, key=lambda r: r["mix_idx"])]
+    assert positions == sorted(positions)
+    counts = Counter(r["lang"] for r in rows)
+    total_w = sum(INTERLEAVE_WEIGHTS.get(lang, 1) for lang in counts)
+    n = len(rows)
+    for lang, c in counts.items():
+        w = INTERLEAVE_WEIGHTS.get(lang, 1)
+        expected = n * w / total_w
+        assert 0.6 * expected <= c <= 1.4 * expected, (lang, c, expected)
