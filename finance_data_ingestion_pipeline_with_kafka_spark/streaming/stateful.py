@@ -76,3 +76,59 @@ def running_position(fills: DataFrame, watermark: str = "10 minutes") -> DataFra
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+EWMA_ALPHA = 0.75  # dyadic, matching the batch operator (operators/timeseries.py)
+
+EWMA_SCHEMA = StructType(
+    [
+        StructField("symbol", StringType()),
+        StructField("ewma", DoubleType()),
+        StructField("n_obs", LongType()),
+    ]
+)
+
+_EWMA_STATE_SCHEMA = StructType(
+    [
+        StructField("ewma", DoubleType()),
+        StructField("n_obs", LongType()),
+    ]
+)
+
+
+def _update_ewma(
+    key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Recursive EWMA fold: y ← α·x + (1-α)·y. The streaming-native form
+    of the batch operator's truncated Horner (identical fixed point; the
+    batch form truncates at weight (1-α)^50 ≈ 1e-30 purely so a SQL
+    oracle can replay it — one scalar of state needs no truncation)."""
+    if state.exists:
+        y, n = state.get
+    else:
+        y, n = None, 0
+    for pdf in pdf_iter:
+        pdf = pdf.sort_values(["datetime"])
+        for x in pdf["last_price"]:
+            if x is None or pd.isna(x):
+                continue
+            y = float(x) if y is None else EWMA_ALPHA * float(x) + (1 - EWMA_ALPHA) * y
+            n += 1
+    state.update((y, n))
+    yield pd.DataFrame({"symbol": [key[0]], "ewma": [y], "n_obs": [n]})
+
+
+def ewma_stream(ticks: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """T10: per-symbol streaming EWMA over a (symbol, datetime,
+    last_price) tick stream — the stateful twin of the batch ``ewma``
+    catalog query. State is ONE (ewma, n_obs) pair per symbol: O(symbols)
+    total, the bounded-state posture; each micro-batch folds its ticks in
+    event-time order and emits the updated smoothed level."""
+    wm = ticks.withWatermark("datetime", watermark) if ticks.isStreaming else ticks
+    return wm.groupBy("symbol").applyInPandasWithState(
+        _update_ewma,
+        outputStructType=EWMA_SCHEMA,
+        stateStructType=_EWMA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

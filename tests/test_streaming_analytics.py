@@ -297,3 +297,40 @@ def test_stream_stream_left_outer_join(spark, tmp_path):
         r["symbol"] == "GOOG" and r["bar_close"] == pytest.approx(55.0) for r in unmatched
     )
 
+
+
+def test_ewma_stream_stateful_across_batches(spark, tmp_path):
+    """Streaming EWMA: event-time-ordered recursive fold per symbol, and
+    the state must CARRY across micro-batches (batch 2 continues from
+    batch 1's level, never restarts)."""
+    import os as _os
+    import time as _time
+
+    from finance_data_ingestion_pipeline_with_kafka_spark.streaming.stateful import (
+        EWMA_ALPHA,
+        ewma_stream,
+    )
+
+    src = tmp_path / "ticks"
+    f1 = write_json_fixture(
+        str(src), [fh_msg("AAPL", 0, 100.0), fh_msg("AAPL", 10, 104.0)], "f1.json"
+    )
+    f2 = write_json_fixture(str(src), [fh_msg("AAPL", 20, 96.0)], "f2.json")
+    now = _time.time()
+    for i, f in enumerate([f1, f2]):  # file source orders by mtime
+        _os.utime(f, (now - 60 + 20 * i, now - 60 + 20 * i))
+    ticks = finnhub_pipeline(
+        kafka_shaped_file_stream(spark, str(src), max_files_per_trigger=1),
+        dedup_watermark=None,
+    )
+    out = drain(spark, ewma_stream(ticks), "ewma_t", mode="update").collect()
+    # update mode: one row per (symbol, batch); the LAST AAPL row carries
+    # the full three-tick fold
+    final = max((r for r in out if r["symbol"] == "AAPL"), key=lambda r: r["n_obs"])
+    y = 100.0
+    for x in (104.0, 96.0):
+        y = EWMA_ALPHA * x + (1 - EWMA_ALPHA) * y
+    assert final["n_obs"] == 3
+    assert final["ewma"] == pytest.approx(y)
+    # and an intermediate row must exist proving per-batch emission
+    assert any(r["symbol"] == "AAPL" and r["n_obs"] == 2 for r in out)
