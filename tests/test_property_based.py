@@ -171,3 +171,52 @@ def test_salted_join_equals_plain_join(fact, dim, n_salts):
     got = sorted(map(tuple, salted_join(f, d, "k", n_salts=n_salts).collect()))
     want = sorted(map(tuple, f.join(d, "k").collect()))
     assert got == want
+
+
+# --- codec roundtrip properties (pure Python — no Spark session) ---
+
+
+@given(
+    width=st.integers(min_value=1, max_value=9),
+    height=st.integers(min_value=1, max_value=9),
+    data=st.data(),
+)
+def test_bmp_roundtrip_any_geometry(width, height, data):
+    """encode→decode is the identity for EVERY geometry — padding widths
+    0-3 and single-pixel edge cases included."""
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    rgb = bytes(
+        data.draw(
+            st.lists(
+                st.integers(0, 255),
+                min_size=width * height * 3,
+                max_size=width * height * 3,
+            )
+        )
+    )
+    assert decode_bmp(encode_bmp(rgb, width, height)) == (width, height, rgb)
+
+
+@given(
+    n_samples=st.integers(min_value=0, max_value=50),
+    rate=st.sampled_from([8000, 12000, 16000, 44100]),
+    data=st.data(),
+)
+def test_wav_roundtrip_any_length(n_samples, rate, data):
+    """encode→decode identity for every PCM length — odd-byte padding
+    (via the chunk even-alignment rule) and the empty stream included."""
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    pcm = bytes(
+        data.draw(
+            st.lists(st.integers(0, 255), min_size=n_samples * 2, max_size=n_samples * 2)
+        )
+    )
+    assert decode_wav(encode_wav(pcm, rate)) == (rate, 1, pcm)
