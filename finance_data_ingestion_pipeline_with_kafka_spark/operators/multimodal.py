@@ -478,6 +478,14 @@ def decode_wav(payload: bytes) -> tuple[int, int, bytes]:
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         size = struct.unpack_from("<I", payload, pos + 4)[0]
+        if pos + 8 + size > len(payload):
+            # a declared chunk size past the end of the payload means the
+            # file is cut off — fail honestly (matching decode_bmp's
+            # "truncated" contract) instead of returning partial PCM
+            raise ValueError(
+                f"truncated {cid!r} chunk: declares {size} bytes, "
+                f"{len(payload) - pos - 8} remain"
+            )
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             fmt = body

@@ -124,7 +124,9 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l.event_id, l.user_id, l.ts, l.value AS purchase_value,
            r.ts AS last_click_ts, r.value AS last_click_value
     FROM (SELECT * FROM events_us WHERE event_type = 'purchase') l
-    ASOF LEFT JOIN (SELECT * FROM events_us WHERE event_type = 'click') r
+    ASOF LEFT JOIN (SELECT user_id, ts, max_by(value, event_id) AS value
+                    FROM events_us WHERE event_type = 'click'
+                    GROUP BY user_id, ts) r
       ON l.user_id = r.user_id AND l.ts >= r.ts
     """,
     tags=("J5",),
@@ -143,7 +145,11 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Tie semantics: right rows sort before left rows at equal ts (side 0 < 1)
     so ``ts >= r.ts`` is inclusive, matching DuckDB ASOF; duplicate right
-    timestamps resolve to the largest event_id deterministically.
+    timestamps resolve to the largest event_id deterministically. DuckDB's
+    native ASOF picks an ARBITRARY row among equal-ts right rows, so the
+    oracle pre-dedupes clicks to one row per (user_id, ts) with
+    ``max_by(value, event_id)`` — the same pick as the carry — keeping the
+    compare deterministic even if a future fixture contains ts ties.
     """
     e = load_table(spark, sf_dir, "events")
     left = e.filter(F.col("event_type") == "purchase").select(
@@ -735,7 +741,9 @@ def rolling_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN r.ts >= l.ts - INTERVAL '1 hour' THEN r.ts END AS last_click_ts,
            CASE WHEN r.ts >= l.ts - INTERVAL '1 hour' THEN r.value END AS last_click_value
     FROM (SELECT * FROM events_us WHERE event_type = 'purchase') l
-    ASOF LEFT JOIN (SELECT * FROM events_us WHERE event_type = 'click') r
+    ASOF LEFT JOIN (SELECT user_id, ts, max_by(value, event_id) AS value
+                    FROM events_us WHERE event_type = 'click'
+                    GROUP BY user_id, ts) r
       ON l.user_id = r.user_id AND l.ts >= r.ts
     """,
     tags=("J5",),
@@ -748,7 +756,8 @@ def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     express. Same union + carry-forward single-shuffle shape as
     ``asof_join``; staleness is a post-carry NULL-out, so the tolerance
     costs zero extra shuffles or state. The oracle applies the identical
-    CASE to DuckDB's native ASOF match."""
+    CASE to DuckDB's native ASOF match, over a click side pre-deduped to
+    one row per (user_id, ts) — same tie rationale as ``asof_join``."""
     e = load_table(spark, sf_dir, "events")
     left = e.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts", "value", F.lit(1).alias("side")

@@ -109,12 +109,18 @@ def query(
             if df is None:
                 df = fn(spark, sf_dir)
                 with _PLAN_CACHE_LOCK:
-                    while len(per_session) >= _PLAN_CACHE_MAX:
-                        try:
-                            per_session.pop(next(iter(per_session)))
-                        except (KeyError, StopIteration):
-                            break
-                    per_session[key] = df
+                    # double-check under the lock: if another bench thread
+                    # built the same plan while we did, keep ITS cache entry
+                    # (don't overwrite) but return our own fresh Dataset —
+                    # sharing one executing Dataset across threads would
+                    # reuse its shuffle stages and distort timings
+                    if key not in per_session:
+                        while len(per_session) >= _PLAN_CACHE_MAX:
+                            try:
+                                per_session.pop(next(iter(per_session)))
+                            except (KeyError, StopIteration):
+                                break
+                        per_session[key] = df
                 return df
             # Re-wrap the cached ANALYZED plan in a fresh Dataset rather
             # than returning the same object: repeated actions on one
@@ -152,38 +158,26 @@ def query(
 #: and after that the window refreshes the STALEST evidence (testdata
 #: regenerates between rounds, so old green rows decay).
 #:
-#: Round-4 ordering (all 113 catalog names are cumulatively hash-green
-#: after CORRECTNESS_r03; derived by ``tools/rotate_verified.py``):
+#: Round-5 ordering (all 130 catalog names are cumulatively hash-green
+#: after CORRECTNESS_r04; derived by ``tools/rotate_verified.py``):
 #:   (0) brand-new queries registered this round — no driver row at all.
-#:   (1) ``_STALE_R1`` — latest green evidence is round 1 (stalest).
-#:   (2) ``_STALE_R2`` — latest green evidence is round 2.
-#:   (3) ``_VERIFIED_R3`` — green in CORRECTNESS_r03 (freshest, below
+#:   (1) ``_STALE_R2`` — latest green evidence is round 2 (stalest).
+#:   (2) ``_STALE_R3`` — latest green evidence is round 3.
+#:   (3) ``_VERIFIED_R4`` — green in CORRECTNESS_r04 (freshest, below
 #:       the fold).
-_STALE_R1 = frozenset((
-    "correlated_exists", "frame_sample", "grouped_pandas_sign_flips",
-    "multimodal_metadata", "null_safe_join", "order_count_histogram",
-    "pandas_udf_token_count", "part_supplier_stats", "range_join",
-    "regional_revenue", "scalar_subquery", "udtf_bigrams", "udtf_tokenize",
-))
 _STALE_R2 = frozenset((
-    "ann_lsh_bucketed", "approx_distinct", "array_functions", "asof_join",
-    "boilerplate_ngrams", "contamination_check", "dataset_split",
-    "date_arithmetic", "datetime_functions", "domain_mix_weights",
-    "embedding_near_dup", "except_all_multiset", "except_feeds",
-    "explode_outer_numbers", "filter_project", "hash_functions",
-    "intersect_all_multiset", "intersect_feeds", "ivf_ann",
-    "json_extraction", "knn_bruteforce", "last_closed_bar",
-    "map_functions", "membership_predicate", "multi_resolution_bars",
-    "null_conditional", "ohlcv_bars", "pii_redaction",
-    "repetition_filter", "session_window_agg", "sliding_window_agg",
-    "sql_entry_revenue", "stratified_sample", "string_functions",
-    "table_profile", "token_budget_sample", "tumbling_window_agg",
-    "union_by_name_missing", "union_feeds", "variant_json_agg", "vwap",
-    "window_cume_nth", "window_cumulative", "window_first_last",
+    "ann_lsh_bucketed", "asof_join", "boilerplate_ngrams",
+    "contamination_check", "domain_mix_weights", "embedding_near_dup",
+    "except_all_multiset", "intersect_all_multiset", "ivf_ann",
+    "knn_bruteforce", "last_closed_bar", "multi_resolution_bars",
+    "ohlcv_bars", "pii_redaction", "repetition_filter",
+    "session_window_agg", "sliding_window_agg", "sql_entry_revenue",
+    "token_budget_sample", "tumbling_window_agg", "union_by_name_missing",
+    "vwap", "window_cume_nth", "window_cumulative", "window_first_last",
     "window_lag_returns", "window_moving_avg", "window_ntile_pctrank",
-    "window_range_frame", "window_rank_topk", "word_entropy",
+    "window_range_frame", "window_rank_topk",
 ))
-_VERIFIED_R3 = frozenset((
+_STALE_R3 = frozenset((
     "anti_join", "approx_percentiles", "argmax_order", "bigram_lm_score",
     "bloom_join_prune", "bpe_token_count", "broadcast_dim_join",
     "correlation", "count_min_freq", "cross_join_pairs", "cube_subtotals",
@@ -199,6 +193,24 @@ _VERIFIED_R3 = frozenset((
     "token_stats", "top_revenue_orders", "twap", "unpivot_metrics",
     "vocab_coverage", "winnow_fingerprints", "word_frequency",
     "zscore_by_group",
+))
+_VERIFIED_R4 = frozenset((
+    "approx_distinct", "array_functions", "asof_join_tolerance",
+    "bmp_decode", "bmp_features", "correlated_exists",
+    "dataset_interleave", "dataset_split", "date_arithmetic",
+    "datetime_functions", "donchian_channel", "ewma", "except_feeds",
+    "explode_outer_numbers", "filter_project", "frame_sample",
+    "funnel_analysis", "grouped_pandas_sign_flips", "hash_functions",
+    "intersect_feeds", "json_extraction", "kmeans_refine", "kmv_distinct",
+    "map_functions", "membership_predicate", "multimodal_metadata",
+    "null_conditional", "null_safe_join", "order_count_histogram",
+    "pandas_udf_token_count", "part_supplier_stats",
+    "quantile_sketch_merge", "range_join", "regional_revenue",
+    "reservoir_sample", "retention_cohorts", "rolling_volatility",
+    "running_drawdown", "scalar_subquery", "semantic_dedup",
+    "stratified_sample", "string_functions", "table_profile",
+    "udtf_bigrams", "udtf_tokenize", "union_feeds", "url_domain_dedup",
+    "variant_json_agg", "wav_decode", "word_entropy",
 ))
 
 
@@ -227,13 +239,13 @@ def load_all() -> dict[str, QuerySpec]:
 
     def rank(item: tuple[str, QuerySpec]) -> tuple[int, int]:
         name, _spec = item
-        if name in _STALE_R1:
-            return (1, reg_order[name])
         if name in _STALE_R2:
+            return (1, reg_order[name])
+        if name in _STALE_R3:
             return (2, reg_order[name])
-        if name in _VERIFIED_R3:
+        if name in _VERIFIED_R4:
             return (3, reg_order[name])
-        # brand-new queries (registered after CORRECTNESS_r03 was
+        # brand-new queries (registered after CORRECTNESS_r04 was
         # written): no driver row yet, so they lead the window
         return (0, reg_order[name])
 

@@ -19,6 +19,7 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampType,
 )
 
 POSITION_SCHEMA = StructType(
@@ -99,10 +100,21 @@ _EWMA_STATE_SCHEMA = StructType(
 def _update_ewma(
     key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    """Recursive EWMA fold: y ← α·x + (1-α)·y. The streaming-native form
-    of the batch operator's truncated Horner (identical fixed point; the
-    batch form truncates at weight (1-α)^50 ≈ 1e-30 purely so a SQL
-    oracle can replay it — one scalar of state needs no truncation)."""
+    """Recursive EWMA fold: y ← α·x + (1-α)·y, seeded y₁ = α·x₁ so every
+    finite prefix matches the batch operator's truncated Horner exactly
+    (both compute yₙ = Σ α(1-α)ᵏ·xₙ₋ₖ; the batch form truncates at
+    weight (1-α)^50 ≈ 1e-30 purely so a SQL oracle can replay it — one
+    scalar of state needs no truncation, and below 50 obs the two are
+    bit-identical, beyond it within double-precision noise).
+
+    Ordering caveat: ticks are event-time-sorted only WITHIN each
+    micro-batch. EWMA is order-sensitive, so a late-but-within-watermark
+    tick arriving in a later micro-batch folds AFTER newer data and
+    shifts the level (unlike the order-insensitive sums in
+    ``running_position``). A fully order-correct variant would buffer
+    ticks until the watermark passes before folding — see
+    ``session_stream`` for that event-time-timeout pattern. Pinned by
+    ``test_ewma_stream_late_tick_folds_in_arrival_order``."""
     if state.exists:
         y, n = state.get
     else:
@@ -112,10 +124,133 @@ def _update_ewma(
         for x in pdf["last_price"]:
             if x is None or pd.isna(x):
                 continue
-            y = float(x) if y is None else EWMA_ALPHA * float(x) + (1 - EWMA_ALPHA) * y
+            y = (
+                EWMA_ALPHA * float(x)
+                if y is None
+                else EWMA_ALPHA * float(x) + (1 - EWMA_ALPHA) * y
+            )
             n += 1
     state.update((y, n))
     yield pd.DataFrame({"symbol": [key[0]], "ewma": [y], "n_obs": [n]})
+
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("symbol", StringType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+    ]
+)
+
+_SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("start_ms", LongType()),
+        StructField("last_ms", LongType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+    ]
+)
+
+
+def _session_update_factory(gap_ms: int):
+    """Build the applyInPandasWithState update fn with the gap baked in.
+
+    Session semantics match the batch ``session_window`` operator
+    (``operators/timeseries.py: session_window_agg``): an event at
+    ts >= last_ts + gap closes the open session and starts a new one.
+    Sessions close two ways:
+
+    * eagerly, when a later in-batch event reveals the gap, and
+    * by **event-time timeout** when the key goes quiet: the state sets
+      ``setTimeoutTimestamp(last_ts + gap)``, and once the stream's
+      watermark passes that instant Spark invokes this fn with
+      ``state.hasTimedOut`` and NO rows — the session is emitted and the
+      state REMOVED. That timeout path is what bounds state at one open
+      session per active key (O(live keys), not O(history)); eviction is
+      asserted by ``test_session_stream_timeout_evicts_state``.
+    """
+
+    def update(
+        key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        def emit(rows: list[tuple]) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "symbol": [key[0]] * len(rows),
+                    "session_start": [pd.to_datetime(r[0], unit="ms") for r in rows],
+                    "session_end": [pd.to_datetime(r[1], unit="ms") for r in rows],
+                    "n_events": [r[2] for r in rows],
+                    "sum_value": [r[3] for r in rows],
+                }
+            )
+
+        if state.hasTimedOut:
+            # watermark passed last_ts + gap with no new rows for this
+            # key: the open session is final — emit it and drop the state
+            start_ms, last_ms, n, s = state.get
+            state.remove()
+            yield emit([(start_ms, last_ms, n, s)])
+            return
+
+        open_sess = list(state.get) if state.exists else None
+        closed: list[tuple] = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["datetime"])
+            for ts, x in zip(pdf["datetime"], pdf["last_price"]):
+                ts_ms = int(ts.value // 1_000_000)
+                val = 0.0 if x is None or pd.isna(x) else float(x)
+                if open_sess is None:
+                    open_sess = [ts_ms, ts_ms, 1, val]
+                elif ts_ms >= open_sess[1] + gap_ms:
+                    closed.append(tuple(open_sess))
+                    open_sess = [ts_ms, ts_ms, 1, val]
+                else:
+                    open_sess[1] = ts_ms
+                    open_sess[2] += 1
+                    open_sess[3] += val
+        wm_ms = state.getCurrentWatermarkMs()
+        if open_sess is not None and open_sess[1] + gap_ms <= wm_ms:
+            # already expired as of this batch's watermark — a timeout
+            # timestamp in the past is illegal, so close inline
+            closed.append(tuple(open_sess))
+            state.remove()
+        elif open_sess is not None:
+            state.update(tuple(open_sess))
+            state.setTimeoutTimestamp(open_sess[1] + gap_ms)
+        if closed:
+            yield emit(closed)
+
+    return update
+
+
+def session_stream(
+    ticks: DataFrame, gap: str = "30 seconds", watermark: str = "10 seconds"
+) -> DataFrame:
+    """T10/T9: explicit stateful session windows over a (symbol, datetime,
+    last_price) tick stream via ``applyInPandasWithState`` with
+    ``GroupStateTimeout.EventTimeTimeout`` — the hand-rolled twin of the
+    built-in ``session_window`` batch aggregation, for when the session
+    must carry custom state (here: an exact running sum) or emit on
+    eviction. Output rows appear only when a session CLOSES (gap observed
+    in-batch, or the event-time timeout fires after the watermark passes
+    session_end + gap), so downstream consumers see each session exactly
+    once — append-sink-safe."""
+    import re
+
+    m = re.fullmatch(r"(\d+)\s*(second|minute|hour)s?", gap.strip())
+    if not m:
+        raise ValueError(f"unsupported gap spec {gap!r}")
+    gap_ms = int(m.group(1)) * {"second": 1, "minute": 60, "hour": 3600}[m.group(2)] * 1000
+    wm = ticks.withWatermark("datetime", watermark) if ticks.isStreaming else ticks
+    return wm.groupBy("symbol").applyInPandasWithState(
+        _session_update_factory(gap_ms),
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
 
 
 def ewma_stream(ticks: DataFrame, watermark: str = "10 minutes") -> DataFrame:

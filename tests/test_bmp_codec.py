@@ -131,6 +131,26 @@ def test_wav_rejections():
         decode_wav(wav)
 
 
+def test_wav_truncated_data_chunk_raises():
+    """A data chunk whose declared size overruns the payload must raise
+    (matching decode_bmp's 'truncated' contract), never silently return
+    partial PCM."""
+    import struct
+
+    wav = encode_wav(b"\x01\x00\x02\x00\x03\x00", 8000)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_wav(wav[:-2])  # cut the last sample off the data chunk
+    # same for a handcrafted size field larger than the actual body
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 100) + b"\x01\x00"
+    )
+    wav = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    with pytest.raises(ValueError, match="truncated"):
+        decode_wav(wav)
+
+
 def test_decode_media_dispatches_wav():
     from finance_data_ingestion_pipeline_with_kafka_spark.operators.multimodal import (
         decode_media as dm,

@@ -327,10 +327,144 @@ def test_ewma_stream_stateful_across_batches(spark, tmp_path):
     # update mode: one row per (symbol, batch); the LAST AAPL row carries
     # the full three-tick fold
     final = max((r for r in out if r["symbol"] == "AAPL"), key=lambda r: r["n_obs"])
-    y = 100.0
+    # seed y1 = α·x1, matching the batch operator's truncated Horner
+    # (every finite prefix of the two now agrees, not just the fixed point)
+    y = EWMA_ALPHA * 100.0
     for x in (104.0, 96.0):
         y = EWMA_ALPHA * x + (1 - EWMA_ALPHA) * y
     assert final["n_obs"] == 3
     assert final["ewma"] == pytest.approx(y)
     # and an intermediate row must exist proving per-batch emission
     assert any(r["symbol"] == "AAPL" and r["n_obs"] == 2 for r in out)
+
+
+def test_session_stream_parity_with_batch_session_window(spark, tmp_path):
+    """The stateful sessionizer (EventTimeTimeout) must produce the same
+    sessions as the built-in batch session_window over the same data."""
+    import os as _os
+    import time as _time
+
+    from finance_data_ingestion_pipeline_with_kafka_spark.streaming.stateful import (
+        session_stream,
+    )
+
+    src = tmp_path / "sess_state"
+    f1 = write_json_fixture(str(src), TRADES, "f1.json")
+    # far-future sentinel advances the watermark past every real
+    # session's end+gap so the event-time timeouts fire
+    f2 = write_json_fixture(str(src), [fh_msg("ZZZZ", 4000)], "f2.json")
+    now = _time.time()
+    for i, f in enumerate([f1, f2]):
+        _os.utime(f, (now - 60 + 20 * i, now - 60 + 20 * i))
+    stream = finnhub_pipeline(
+        kafka_shaped_file_stream(spark, str(src), max_files_per_trigger=1),
+        dedup_watermark=None,
+    )
+    out = drain(
+        spark,
+        session_stream(stream, gap="30 seconds", watermark="1 second"),
+        "sess_state_t",
+        mode="append",
+    ).collect()
+    got = {
+        (r["symbol"], r["session_start"].isoformat(), r["n_events"], r["sum_value"])
+        for r in out
+        if r["symbol"] != "ZZZZ"
+    }
+
+    # batch twin: built-in session_window over the same fixture rows
+    src_b = tmp_path / "sess_state_b"
+    write_json_fixture(str(src_b), TRADES)
+    batch_raw = spark.read.text(str(src_b)).select(
+        F.col("value").cast("string").alias("value")
+    )
+    batch = (
+        finnhub_pipeline(batch_raw)
+        .groupBy("symbol", F.session_window("datetime", "30 seconds"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("last_price").alias("sum_value"))
+        .select(
+            "symbol",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+        .collect()
+    )
+    want = {
+        (r["symbol"], r["session_start"].isoformat(), r["n_events"], r["sum_value"])
+        for r in batch
+    }
+    assert got == want and len(got) >= 4
+
+
+def test_session_stream_timeout_evicts_state(spark, tmp_path):
+    """Timeout-driven eviction: AAPL gets data ONLY in micro-batch 1; its
+    open session must still be emitted — by the EventTimeTimeout firing
+    once batch 2's sentinel (a different key) advances the watermark —
+    and must be emitted exactly once (state removed, not re-fired)."""
+    import os as _os
+    import time as _time
+
+    from finance_data_ingestion_pipeline_with_kafka_spark.streaming.stateful import (
+        session_stream,
+    )
+
+    src = tmp_path / "sess_evict"
+    f1 = write_json_fixture(
+        str(src), [fh_msg("AAPL", 0, 100.0), fh_msg("AAPL", 10, 101.0)], "f1.json"
+    )
+    f2 = write_json_fixture(str(src), [fh_msg("ZZZZ", 4000)], "f2.json")
+    f3 = write_json_fixture(str(src), [fh_msg("ZZZZ", 8000)], "f3.json")
+    now = _time.time()
+    for i, f in enumerate([f1, f2, f3]):
+        _os.utime(f, (now - 60 + 15 * i, now - 60 + 15 * i))
+    stream = finnhub_pipeline(
+        kafka_shaped_file_stream(spark, str(src), max_files_per_trigger=1),
+        dedup_watermark=None,
+    )
+    out = drain(
+        spark,
+        session_stream(stream, gap="30 seconds", watermark="1 second"),
+        "sess_evict_t",
+        mode="append",
+    ).collect()
+    aapl = [r for r in out if r["symbol"] == "AAPL"]
+    # one session, emitted once, despite AAPL never appearing after batch 1
+    assert len(aapl) == 1
+    assert aapl[0]["n_events"] == 2 and aapl[0]["sum_value"] == pytest.approx(201.0)
+    assert aapl[0]["session_start"].isoformat() == "2024-01-02T14:20:00"
+    assert aapl[0]["session_end"].isoformat() == "2024-01-02T14:20:10"
+
+
+def test_ewma_stream_late_tick_folds_in_arrival_order(spark, tmp_path):
+    """Pins the documented ordering caveat: a late-but-within-watermark
+    tick arriving in a LATER micro-batch folds after newer data (EWMA
+    state is order-sensitive and sorts only within each batch)."""
+    import os as _os
+    import time as _time
+
+    from finance_data_ingestion_pipeline_with_kafka_spark.streaming.stateful import (
+        EWMA_ALPHA,
+        ewma_stream,
+    )
+
+    src = tmp_path / "ticks_late"
+    f1 = write_json_fixture(
+        str(src), [fh_msg("AAPL", 0, 100.0), fh_msg("AAPL", 20, 104.0)], "f1.json"
+    )
+    f2 = write_json_fixture(str(src), [fh_msg("AAPL", 10, 96.0)], "f2.json")  # late
+    now = _time.time()
+    for i, f in enumerate([f1, f2]):
+        _os.utime(f, (now - 60 + 20 * i, now - 60 + 20 * i))
+    ticks = finnhub_pipeline(
+        kafka_shaped_file_stream(spark, str(src), max_files_per_trigger=1),
+        dedup_watermark=None,
+    )
+    out = drain(spark, ewma_stream(ticks), "ewma_late_t", mode="update").collect()
+    final = max((r for r in out if r["symbol"] == "AAPL"), key=lambda r: r["n_obs"])
+    # arrival order 100, 104, then the late 96 — NOT event-time order
+    y = EWMA_ALPHA * 100.0
+    for x in (104.0, 96.0):
+        y = EWMA_ALPHA * x + (1 - EWMA_ALPHA) * y
+    assert final["n_obs"] == 3
+    assert final["ewma"] == pytest.approx(y)
