@@ -34,6 +34,7 @@ from ..registry import query
     """,
     tags=("A1",),
     bench=True,
+    sized_partitions=True,
 )
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[A1] Flagship: TPC-H-Q1-style grouped hash aggregation (the

@@ -130,10 +130,10 @@ def minhash_signatures(docs: DataFrame, perms: int = MINHASH_PERMS) -> DataFrame
     )
 
 
-def minhash_candidates(sigs: DataFrame) -> DataFrame:
-    """LSH banding: band hash = md5 of the band's concatenated row
-    minhashes (fixed 32-char pieces — no separator ambiguity); docs
-    sharing any (band_id, band_hash) bucket become candidate pairs."""
+def band_rows(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_hash) rows — LSH banding: band hash = md5
+    of the band's concatenated row minhashes (fixed 32-char pieces — no
+    separator ambiguity)."""
     bands = F.array(
         *[
             F.struct(
@@ -150,9 +150,15 @@ def minhash_candidates(sigs: DataFrame) -> DataFrame:
             for b in range(MINHASH_BANDS)
         ]
     )
-    banded = sigs.select("doc_id", F.explode(bands).alias("band")).select(
+    return sigs.select("doc_id", F.explode(bands).alias("band")).select(
         "doc_id", "band.band_id", "band.band_hash"
     )
+
+
+def minhash_candidates(sigs: DataFrame) -> DataFrame:
+    """LSH banding self-join: docs sharing any (band_id, band_hash)
+    bucket become candidate pairs."""
+    banded = band_rows(sigs)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -272,6 +278,98 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs.unpersist()
     cands.unpersist()
     return out
+
+
+def minhash_incremental_pairs(base_docs: DataFrame, delta_docs: DataFrame) -> DataFrame:
+    """Incremental MinHash near-dup: verified pairs involving ≥1 DELTA doc.
+
+    The nightly shape of a 100 TB lake: the corpus's signature/band table
+    is persisted once (here stood in by ``band_rows(minhash_signatures(
+    base_docs))`` — in production a parquet table maintained across runs)
+    and a new-docs delta arrives. Signatures are computed ONLY for the
+    delta; candidates come from probing the delta's band rows against the
+    full band table, so the join touches exactly the buckets containing a
+    delta doc — a bucket whose members are all pre-existing is never
+    re-paired (asserted by ``test_minhash_incremental_skips_old_buckets``)
+    and the unchanged old-vs-old pair set is never recomputed. Work per
+    night ∝ |delta| × signature width + affected-bucket occupancy, not
+    corpus size."""
+    delta_sigs = minhash_signatures(delta_docs).persist()
+    delta_bands = band_rows(delta_sigs)
+    # in production this is a read of the PERSISTED band table, not a
+    # recompute; the plan shape downstream is identical either way
+    all_bands = band_rows(minhash_signatures(base_docs)).unionByName(delta_bands)
+    cands = (
+        delta_bands.alias("a")
+        .join(
+            all_bands.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        # delta×delta pairs surface twice (once from each side's probe):
+        # normalize to (min, max) and de-dup
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+        .persist()
+    )
+    docs = base_docs.unionByName(delta_docs)
+    cand_ids = cands.select(F.col("doc_a").alias("doc_id")).union(
+        cands.select(F.col("doc_b").alias("doc_id"))
+    )
+    sh = (
+        shingle_rows(docs.join(cand_ids.distinct(), "doc_id", "left_semi"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("sh").alias("sh"))
+    )
+    verified = (
+        cands.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    out = verified.filter(F.col("jaccard") >= 0.8).localCheckpoint(eager=True)
+    delta_sigs.unpersist()
+    cands.unpersist()
+    return out
+
+
+#: Deterministic delta membership for the incremental catalog query: every
+#: 10th doc is "tonight's arrivals", the rest are the standing corpus.
+INCR_DELTA_MOD = 10
+
+
+@query(
+    "minhash_incremental",
+    oracle=(
+        f"WITH {_minhash_cte()} SELECT doc_a, doc_b, jaccard FROM near_dup "
+        f"WHERE doc_a % {INCR_DELTA_MOD} = 0 OR doc_b % {INCR_DELTA_MOD} = 0"
+    ),
+    tags=("U4",),
+    prepared=False,  # localCheckpoint materializes rows at construction
+    crossover=False,
+)
+def minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U4] Incremental near-dup dedup (``minhash_incremental_pairs``):
+    docs with ``doc_id % 10 == 0`` play the nightly delta, the rest the
+    standing corpus. The full-corpus oracle's verified pair set filtered
+    to delta-involving pairs is EXACTLY what the incremental path must
+    surface (a pair sharing an LSH bucket with a delta member ⇔ the
+    delta probe finds it), so the driver hash-compares incrementality
+    against the batch ground truth."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_delta = (F.col("doc_id") % INCR_DELTA_MOD) == 0
+    return minhash_incremental_pairs(docs.filter(~is_delta), docs.filter(is_delta))
 
 
 @query(

@@ -36,6 +36,7 @@ from ..registry import query
     """,
     tags=("J1", "A1", "O4"),
     bench=True,
+    sized_partitions=True,
 )
 def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[J1] TPC-H-Q3-shaped fact⋈fact⋈dim join + grouped agg + top-k.
@@ -76,6 +77,7 @@ def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("J2", "A1"),
     bench=True,
+    sized_partitions=True,
 )
 def broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[J2] Fact ⋈ broadcast dims — the 101-row symbol-table pattern
@@ -243,6 +245,7 @@ def range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("J1", "J2", "A1"),
     bench=True,
+    sized_partitions=True,
 )
 def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[J1/J2] TPC-H-Q5-shaped 6-way join: local-supplier revenue per

@@ -29,6 +29,7 @@ from ..registry import query
     """,
     tags=("P8", "F6"),
     bench=True,
+    sized_partitions=True,
 )
 def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[P8/F6] Range + between + comparison predicates with computed

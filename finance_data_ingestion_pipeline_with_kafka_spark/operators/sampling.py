@@ -37,6 +37,7 @@ _HASH_BUCKET_SQL = "substr(md5(CAST({key} AS VARCHAR)), 1, 2)"
     """,
     tags=("U6",),
     bench=True,
+    sized_partitions=True,
 )
 def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment (93.75 / 3.125 / 3.125 %)

@@ -131,6 +131,7 @@ _ORACLE_COSINE = """
     oracle=_ORACLE_COSINE.format(nq=N_QUERY_VECS, k=TOP_K),
     tags=("U5",),
     bench=True,
+    sized_partitions=True,
 )
 def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[U5] Brute-force cosine top-k as a vectorized Arrow kernel:

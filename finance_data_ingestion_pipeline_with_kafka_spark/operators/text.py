@@ -46,6 +46,7 @@ def tokens(col: str = "text") -> F.Column:
     """,
     tags=("U6",),
     bench=True,
+    sized_partitions=True,
 )
 def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[U6] Token counting + character-class stats — per-row expression
@@ -223,6 +224,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("U6",),
     bench=True,
+    sized_partitions=True,
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[U6] TF-IDF as pure relational algebra: term frequency (groupBy),

@@ -33,6 +33,7 @@ from ..registry import query
     """,
     tags=("T7", "A2"),
     bench=True,
+    sized_partitions=True,
 )
 def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[T7] Tumbling event-time window — the 1-minute bar grid generalized.
@@ -95,6 +96,7 @@ def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("T9",),
     bench=True,
+    sized_partitions=True,
 )
 def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[T9] Session windows (30-minute inactivity gap) — trading-burst
@@ -131,6 +133,7 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("J5",),
     bench=True,
+    sized_partitions=True,
 )
 def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[J5] As-of join — for each purchase, the latest click at-or-before
@@ -214,6 +217,7 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("A2",),
     bench=True,
+    sized_partitions=True,
 )
 def ohlcv_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[A2] OHLCV bar builder — the aggregation contract behind the
@@ -332,6 +336,7 @@ def last_closed_bar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("A2",),
     bench=True,
+    sized_partitions=True,
 )
 def multi_resolution_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[A2] Hypertable-style continuous-aggregate rollup: 6-hour bars

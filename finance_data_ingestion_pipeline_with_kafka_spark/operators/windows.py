@@ -31,6 +31,7 @@ from ..registry import query
     """,
     tags=("W1", "O1"),
     bench=True,
+    sized_partitions=True,
 )
 def window_rank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[W1] Per-group top-k via row_number/rank/dense_rank — the

@@ -40,9 +40,85 @@ class QuerySpec:
     #: verification kernels) or that iterate to convergence — at 10×
     #: their DuckDB twins become the phase's wall-clock, not its signal.
     crossover: bool = True
+    #: data-aware reduce-parallelism floor (see ``sized_partition_num``):
+    #: before each invocation, AQE's ``initialPartitionNum`` is set from
+    #: the query's input volume instead of inheriting the static
+    #: ``shuffle.partitions``. On for the interactive scan-agg surface,
+    #: off for the dedup family (whose shuffles are explosion-dominated —
+    #: shingle rows ≫ input bytes, so a bytes heuristic underestimates).
+    sized_partitions: bool = False
 
 
 QUERIES: dict[str, QuerySpec] = {}
+
+
+#: Target post-shuffle bytes per reduce partition for sized queries. 8 MB
+#: (not AQE's 64 MB advisory) because the INITIAL number must err toward
+#: parallelism: AQE can coalesce small partitions afterwards but cannot
+#: split an oversized aggregation partition, so undershooting the count is
+#: unrecoverable while overshooting merely leaves AQE some merging to do.
+_SIZED_PARTITION_TARGET_BYTES = 8 * 1024 * 1024
+_SIZED_PARTITION_MIN = 8
+
+_DIR_BYTES_CACHE: dict[str, int] = {}
+
+
+def _dir_bytes(sf_dir: str) -> int:
+    cached = _DIR_BYTES_CACHE.get(sf_dir)
+    if cached is None:
+        import glob
+        import os
+
+        cached = sum(
+            os.path.getsize(p) for p in glob.glob(os.path.join(sf_dir, "*.parquet"))
+        )
+        _DIR_BYTES_CACHE[sf_dir] = cached
+    return cached
+
+
+def sized_partition_num(spark: SparkSession, sf_dir: str) -> int:
+    """Reduce-parallelism floor sized to input volume, not a constant.
+
+    Measured motivation (sf0.1, local[32]): the scan-agg headline family
+    spends most of its wall-clock on stage machinery — 32 reduce tasks
+    each carrying ~100 kB. Capping AQE's ``initialPartitionNum`` at 8
+    halved the family total (6.2 s → 3.4 s), but a static 8 inverts at
+    30× volume where 64 measures best — so the right knob is
+    ``clamp(input_bytes / 8 MB, 8, max(64, 2·cores))``: compressed input
+    bytes (parquet on disk × replication factor) proxy post-shuffle
+    volume, the floor keeps tiny queries from over-scheduling, and the
+    cap keeps the heuristic from exceeding what the executor pool can
+    use. At cluster scale the cap term (2·cores) dominates and the knob
+    degrades to ordinary AQE behavior — it can never UNDER-parallelize a
+    100 TB shuffle, because AQE starts from ≥2 tasks per core and
+    coalesces by size from there."""
+    import os
+
+    replicate = int(os.environ.get("ENGINE_SCAN_REPLICATE", "1"))
+    bytes_total = _dir_bytes(sf_dir) * max(replicate, 1)
+    try:
+        cores = spark.sparkContext.defaultParallelism
+    except Exception:
+        cores = 32
+    cap = max(64, 2 * cores)
+    return max(_SIZED_PARTITION_MIN, min(cap, bytes_total // _SIZED_PARTITION_TARGET_BYTES or _SIZED_PARTITION_MIN))
+
+
+_INIT_PARTITION_KEY = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+
+
+def _apply_sized_partitions(spark: SparkSession, sf_dir: str, sized: bool) -> None:
+    """Set (or clear) the managed conf deterministically on EVERY catalog
+    invocation, so query ordering can never leak one query's setting into
+    the next. Runtime-conf writes are cheap (~1 ms py4j) and read at
+    action planning time, which follows this call."""
+    if sized:
+        spark.conf.set(_INIT_PARTITION_KEY, str(sized_partition_num(spark, sf_dir)))
+    else:
+        try:
+            spark.conf.unset(_INIT_PARTITION_KEY)
+        except Exception:
+            pass
 
 
 #: Prepared-plan cache: session → {(sf_dir, name, env fingerprint): DataFrame}.
@@ -79,6 +155,7 @@ def query(
     bench: bool = False,
     prepared: bool = True,
     crossover: bool = True,
+    sized_partitions: bool = False,
 ):
     """Decorator registering a query in the catalog. The registered
     callable memoizes the constructed DataFrame per (session, sf_dir,
@@ -94,13 +171,24 @@ def query(
         if name in QUERIES:
             raise ValueError(f"duplicate query name {name!r}")
         if not prepared:
+            def unprepared(spark: SparkSession, sf_dir: str) -> DataFrame:
+                _apply_sized_partitions(spark, sf_dir, sized_partitions)
+                return fn(spark, sf_dir)
+
+            unprepared.__name__ = fn.__name__
+            unprepared.__module__ = fn.__module__
+            unprepared.__doc__ = fn.__doc__
+            # NOTE: deliberately no ``__wrapped__`` — that attribute marks
+            # prepared (plan-cached) fns; tests assert unprepared queries
+            # don't carry it
             QUERIES[name] = QuerySpec(
-                name=name, fn=fn, oracle=oracle, tags=tags, bench=bench,
-                crossover=crossover,
+                name=name, fn=unprepared, oracle=oracle, tags=tags, bench=bench,
+                crossover=crossover, sized_partitions=sized_partitions,
             )
             return fn
 
         def cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _apply_sized_partitions(spark, sf_dir, sized_partitions)
             per_session = _PLAN_CACHE.get(spark)
             if per_session is None:
                 per_session = _PLAN_CACHE.setdefault(spark, {})
@@ -145,7 +233,7 @@ def query(
         cached.__wrapped__ = fn
         QUERIES[name] = QuerySpec(
             name=name, fn=cached, oracle=oracle, tags=tags, bench=bench,
-            crossover=crossover,
+            crossover=crossover, sized_partitions=sized_partitions,
         )
         return fn
 

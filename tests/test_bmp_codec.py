@@ -158,3 +158,75 @@ def test_decode_media_dispatches_wav():
 
     pcm = b"\x01\x00\x02\x00"
     assert dm(encode_wav(pcm, 8000), "audio/wav") == pcm
+
+
+# --- PNG (8-bit truecolor, stdlib zlib) ---
+
+from finance_data_ingestion_pipeline_with_kafka_spark.operators.multimodal import (  # noqa: E402
+    decode_png,
+    encode_png,
+)
+
+
+def test_png_roundtrip_exercises_all_filters():
+    """6 rows → filters None/Sub/Up/Average/Paeth(+None again) all run;
+    a gradient image makes Average/Paeth prediction non-trivial."""
+    w, h = 16, 6
+    rgb = bytes(
+        ((x * 7 + y * 13 + ch * 31) % 256)
+        for y in range(h)
+        for x in range(w)
+        for ch in range(3)
+    )
+    assert decode_png(encode_png(rgb, w, h)) == (w, h, rgb)
+
+
+def test_png_multiple_idat_chunks_concatenated():
+    """The encoder splits the zlib stream across two IDAT chunks; the
+    decoder must concatenate before inflating (inflate-per-chunk fails)."""
+    rgb = bytes(range(0, 90))  # 30 pixels
+    png = encode_png(rgb, 10, 3)
+    assert png.count(b"IDAT") == 2
+    assert decode_png(png)[2] == rgb
+
+
+def test_png_crc_mismatch_raises():
+    png = bytearray(encode_png(bytes(30), 5, 2))
+    # flip one byte inside the first IDAT chunk's data
+    idat_pos = png.index(b"IDAT")
+    png[idat_pos + 5] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(png))
+
+
+def test_png_truncation_raises():
+    png = encode_png(bytes(60), 5, 4)
+    with pytest.raises(ValueError, match="truncated|missing"):
+        decode_png(png[:-6])
+
+
+def test_png_rejections():
+    import struct
+    import zlib
+
+    with pytest.raises(ValueError, match="PNG"):
+        decode_png(b"BM" + bytes(60))
+    # grayscale (color type 0) is out of the supported boundary
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    chunk = (
+        struct.pack(">I", len(ihdr))
+        + b"IHDR"
+        + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    )
+    with pytest.raises(NotImplementedError, match="truecolor"):
+        decode_png(b"\x89PNG\r\n\x1a\n" + chunk)
+
+
+def test_decode_media_dispatches_png():
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.multimodal import (
+        decode_media as dm,
+    )
+
+    rgb = bytes(range(45))  # 15 pixels
+    assert dm(encode_png(rgb, 5, 3), "image/png") == rgb

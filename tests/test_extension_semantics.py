@@ -110,8 +110,10 @@ def test_featurizer_exact_histogram(spark):
 
 def test_decode_stub_refuses_unknown_codec():
     assert decode_media(b"abc", "text/plain") == b"abc"
+    # JPEG remains the honest native-lib boundary (PNG gained a real
+    # stdlib-zlib codec in round 5 — see test_bmp_codec.py)
     with pytest.raises(NotImplementedError):
-        decode_media(b"\x89PNG", "image/png")
+        decode_media(b"\xff\xd8\xff\xe0", "image/jpeg")
 
 
 def test_approx_distinct_within_rsd(spark, sf_dir):
@@ -1101,3 +1103,40 @@ def test_dataset_interleave_respects_ratios(spark, sf_dir):
         w = INTERLEAVE_WEIGHTS.get(lang, 1)
         expected = n * w / total_w
         assert 0.6 * expected <= c <= 1.4 * expected, (lang, c, expected)
+
+
+def test_minhash_incremental_skips_old_buckets(spark):
+    """The incremental path must surface delta-involving near-dup pairs
+    while NEVER re-pairing a bucket whose members are all pre-existing:
+    docs 1 and 4 are identical OLD docs (their pair is yesterday's
+    result), doc 10 is a DELTA copy of doc 2 — only the delta pair may
+    appear."""
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.dedup import (
+        minhash_incremental_pairs,
+    )
+
+    base = spark.createDataFrame(
+        [(1, BASE), (2, NEAR), (3, FAR), (4, BASE)], ["doc_id", "text"]
+    )
+    delta = spark.createDataFrame([(10, NEAR)], ["doc_id", "text"])
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_incremental_pairs(base, delta).collect()
+    }
+    assert (2, 10) in pairs and pairs[(2, 10)] == 1.0  # delta dup found
+    assert (1, 4) not in pairs  # old-old pair NOT recomputed
+    assert all(10 in p for p in pairs), pairs  # every pair involves the delta
+
+
+def test_minhash_incremental_delta_delta_pair_once(spark):
+    """Two identical docs arriving in the same delta surface exactly one
+    normalized (min,max) pair, not the two orientations the two-sided
+    probe generates."""
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.dedup import (
+        minhash_incremental_pairs,
+    )
+
+    base = spark.createDataFrame([(1, FAR)], ["doc_id", "text"])
+    delta = spark.createDataFrame([(20, BASE), (21, BASE)], ["doc_id", "text"])
+    rows = minhash_incremental_pairs(base, delta).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in rows] == [(20, 21)]

@@ -220,3 +220,30 @@ def test_wav_roundtrip_any_length(n_samples, rate, data):
         )
     )
     assert decode_wav(encode_wav(pcm, rate)) == (rate, 1, pcm)
+
+
+@given(
+    width=st.integers(min_value=1, max_value=8),
+    height=st.integers(min_value=1, max_value=11),
+    data=st.data(),
+)
+def test_png_roundtrip_any_geometry(width, height, data):
+    """encode→decode identity for every geometry. height ≥ 6 guarantees
+    all five scanline filters appear (encoder cycles filter = row % 5);
+    random bytes are zlib's worst case, so the stored-vs-compressed path
+    both shrink and grow relative to raw."""
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    rgb = bytes(
+        data.draw(
+            st.lists(
+                st.integers(0, 255),
+                min_size=width * height * 3,
+                max_size=width * height * 3,
+            )
+        )
+    )
+    assert decode_png(encode_png(rgb, width, height)) == (width, height, rgb)

@@ -96,3 +96,40 @@ def test_scan_cache_is_bounded(spark, sf_dir):
         per_session[("synthetic", str(i))] = object()
     load_table(spark, f"{sf_dir}/", "region")
     assert len(catalog._SCAN_CACHE[spark]) <= catalog._SCAN_CACHE_MAX
+
+
+def test_sized_partition_policy(spark, sf_dir, monkeypatch):
+    """The reduce-parallelism floor tracks input volume: tiny dirs clamp
+    to the minimum, replication scales it up, and the cap bounds it."""
+    import math
+
+    from finance_data_ingestion_pipeline_with_kafka_spark.registry import (
+        _SIZED_PARTITION_TARGET_BYTES,
+        _dir_bytes,
+        sized_partition_num,
+    )
+
+    monkeypatch.delenv("ENGINE_SCAN_REPLICATE", raising=False)
+    assert sized_partition_num(spark, sf_dir) == 8  # sf0.001 is tiny
+    n01 = sized_partition_num(spark, "/root/testdata/sf0.1")
+    expected = max(8, _dir_bytes("/root/testdata/sf0.1") // _SIZED_PARTITION_TARGET_BYTES)
+    assert n01 == min(expected, max(64, 2 * spark.sparkContext.defaultParallelism))
+    monkeypatch.setenv("ENGINE_SCAN_REPLICATE", "1000")
+    capped = sized_partition_num(spark, "/root/testdata/sf0.1")
+    assert capped == max(64, 2 * spark.sparkContext.defaultParallelism)
+
+
+def test_sized_conf_set_and_cleared_per_query(spark, sf_dir):
+    """A sized query sets the managed AQE conf for its own execution; the
+    next unsized catalog call clears it — ordering can't leak."""
+    from finance_data_ingestion_pipeline_with_kafka_spark.registry import (
+        _INIT_PARTITION_KEY,
+    )
+
+    cat = _catalog()
+    assert cat["pricing_summary"].sized_partitions
+    assert not cat["grouped_stats"].sized_partitions
+    cat["pricing_summary"].fn(spark, sf_dir)
+    assert spark.conf.get(_INIT_PARTITION_KEY) == "8"
+    cat["grouped_stats"].fn(spark, sf_dir)
+    assert spark.conf.get(_INIT_PARTITION_KEY) is None  # unset again
