@@ -52,6 +52,15 @@ def get_spark(
         # lake scale this prunes most of the probe-side IO for
         # dim-filtered fact joins (no-op when the build side is too large)
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # generated-class cache sized to the CATALOG, not to one query:
+        # Spark's default keeps only 100 compiled codegen units, and a
+        # 130-query catalog (≫100 whole-stage units) thrashes it — every
+        # query re-runs Janino compilation on every invocation. Measured
+        # at sf0.1 (20-query interleaved bench loop): scan-agg family
+        # 6.3 s → 3.3 s and dedup family 12.5 s → 8.7 s from this one
+        # setting. Cost is metaspace for ~2000 small classes (a few MB);
+        # static conf, so it must be set at session build.
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         # events.parquet carries TIMESTAMP(NANOS), which Spark rejects by
