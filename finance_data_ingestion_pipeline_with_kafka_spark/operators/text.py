@@ -404,3 +404,59 @@ def word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+CHUNK_TOKENS = 16  # chunk length (tokens)
+CHUNK_STRIDE = 12  # chunk step — overlap of CHUNK_TOKENS - CHUNK_STRIDE
+
+
+@query(
+    "chunk_documents",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ), sized AS (
+      SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0
+    )
+    SELECT doc_id,
+           UNNEST(range(0, n, {CHUNK_STRIDE})) AS chunk_start,
+           CAST((n + {CHUNK_STRIDE} - 1) // {CHUNK_STRIDE} AS BIGINT) AS n_chunks,
+           UNNEST(list_transform(range(0, n, {CHUNK_STRIDE}),
+                  s -> CAST(least({CHUNK_TOKENS}, n - s) AS BIGINT))) AS chunk_len,
+           UNNEST(list_transform(range(0, n, {CHUNK_STRIDE}),
+                  s -> md5(array_to_string(
+                         t[CAST(s + 1 AS INT):CAST(s + {CHUNK_TOKENS} AS INT)], ' '))))
+             AS chunk_md5
+    FROM sized
+    ORDER BY doc_id, chunk_start
+    """,
+    tags=("U6",),
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U6] Overlapping token-window chunking — the RAG-ingest /
+    context-window-preprocessing shape: every document is cut into
+    ``CHUNK_TOKENS``-token windows stepped by ``CHUNK_STRIDE`` (trailing
+    partial window kept), identified by content hash. Pure narrow
+    expression work (split → sequence → explode → slice → md5): chunking
+    runs at scan speed with zero shuffles, so a 100 TB corpus chunks at
+    aggregate scan bandwidth and the expensive downstream step (embedding
+    the chunks) sees only the chunk stream."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens()
+    sized = d.select("doc_id", toks.alias("t"), F.size(toks).alias("n")).filter(
+        F.col("n") > 0
+    )
+    start = F.explode(
+        F.sequence(F.lit(0), F.col("n") - 1, F.lit(CHUNK_STRIDE))
+    ).alias("chunk_start")
+    ex = sized.select("doc_id", "t", "n", start)
+    chunk = F.slice("t", F.col("chunk_start") + 1, F.lit(CHUNK_TOKENS))
+    return ex.select(
+        "doc_id",
+        F.col("chunk_start").cast("long").alias("chunk_start"),
+        F.expr(f"(n + {CHUNK_STRIDE - 1}) div {CHUNK_STRIDE}").alias("n_chunks"),
+        F.least(F.lit(CHUNK_TOKENS), F.col("n") - F.col("chunk_start"))
+        .cast("long")
+        .alias("chunk_len"),
+        F.md5(F.encode(F.concat_ws(" ", chunk), "utf-8")).alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_start")

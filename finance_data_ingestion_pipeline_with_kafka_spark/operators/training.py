@@ -741,3 +741,68 @@ def dataset_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang_rank",
         "position",
     ).orderBy("mix_idx")
+
+
+PACK_TOKENS = 256  # training-sequence token budget
+PACK_SHARDS = 8  # parallel packing streams
+
+
+@query(
+    "sequence_packing",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+      FROM documents
+    ), placed AS (
+      SELECT shard, doc_id, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) - n_tokens
+                  AS BIGINT) AS start_offset
+      FROM toks
+    )
+    SELECT shard, doc_id, n_tokens, start_offset,
+           CAST(start_offset // {PACK_TOKENS} AS BIGINT) AS pack_id,
+           CAST((start_offset + n_tokens - 1) // {PACK_TOKENS}
+                - start_offset // {PACK_TOKENS} + 1 AS BIGINT) AS spans_packs
+    FROM placed
+    ORDER BY shard, doc_id
+    """,
+    tags=("U6",),
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U6] Sequence packing — assign every document a position in a
+    fixed-``PACK_TOKENS`` training-sequence stream (the concat-then-split
+    packing LLM dataloaders run: documents are laid end-to-end in a
+    deterministic order and the stream is cut at budget boundaries, so
+    ``pack_id`` is the training sequence a document starts in and
+    ``spans_packs`` how many boundaries it straddles). Sharding by
+    ``doc_id % PACK_SHARDS`` gives independent packing streams — ONE
+    shuffle on the shard key, then a running-sum window per shard; at
+    100 TB the shard count scales with the cluster and each stream packs
+    in isolation (no global sequential dependency)."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        F.size(tokens()).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = t.withColumn(
+        "start_offset", (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long")
+    )
+    return placed.select(
+        "shard",
+        "doc_id",
+        "n_tokens",
+        "start_offset",
+        F.expr(f"start_offset div {PACK_TOKENS}").alias("pack_id"),
+        F.expr(
+            f"(start_offset + n_tokens - 1) div {PACK_TOKENS} "
+            f"- start_offset div {PACK_TOKENS} + 1"
+        ).alias("spans_packs"),
+    ).orderBy("shard", "doc_id")
