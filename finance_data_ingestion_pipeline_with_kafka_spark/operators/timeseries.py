@@ -797,3 +797,62 @@ def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(fresh, F.col("click.value")).alias("last_click_value"),
         )
     )
+
+
+@query(
+    "asof_join_forward",
+    oracle="""
+    WITH events_us AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+    SELECT l.event_id, l.user_id, l.ts, l.value AS purchase_value,
+           r.ts AS next_click_ts, r.value AS next_click_value
+    FROM (SELECT * FROM events_us WHERE event_type = 'purchase') l
+    ASOF LEFT JOIN (SELECT user_id, ts, min_by(value, event_id) AS value
+                    FROM events_us WHERE event_type = 'click'
+                    GROUP BY user_id, ts) r
+      ON l.user_id = r.user_id AND l.ts <= r.ts
+    """,
+    tags=("J5",),
+)
+def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[J5] FORWARD as-of join — for each purchase, the EARLIEST click
+    at-or-after it per user (pandas ``merge_asof(direction='forward')``;
+    the "next quote after the order" lookup). Mirror image of
+    ``asof_join``: same union shape, but the carry runs over the
+    [currentRow, unboundedFollowing] frame with ``first(ignorenulls)``.
+    Tie semantics: at equal ts, purchases sort BEFORE clicks (side
+    descending) so ``l.ts <= r.ts`` stays inclusive; among equal-ts
+    clicks the smallest event_id wins, and the oracle pre-dedupes the
+    click side with ``min_by(value, event_id)`` to the same pick (DuckDB
+    ASOF's own tie choice is arbitrary). Still ONE shuffle on user_id —
+    the direction flip costs nothing."""
+    e = load_table(spark, sf_dir, "events")
+    left = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value", F.lit(1).alias("side")
+    )
+    right = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value", F.lit(0).alias("side")
+    )
+    unioned = left.unionByName(right)
+    w = Window.partitionBy("user_id").orderBy(
+        "ts", F.desc("side"), "event_id"
+    ).rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    r_row = F.when(F.col("side") == 0, F.struct("ts", "value"))
+    carried = unioned.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        "side",
+        F.first(r_row, ignorenulls=True).over(w).alias("click"),
+    )
+    return (
+        carried.filter(F.col("side") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("value").alias("purchase_value"),
+            F.col("click.ts").alias("next_click_ts"),
+            F.col("click.value").alias("next_click_value"),
+        )
+    )
