@@ -641,3 +641,75 @@ def quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         est(0.9).alias("p90_est"),
         est(0.99).alias("p99_est"),
     ).orderBy("event_type")
+
+
+#: x-axis centering for the regression: events start 2024-01-01 UTC, so
+#: centered epoch-seconds stay ~1e6 and every moment sum fits DECIMAL(38,6)
+OLS_EPOCH0 = 1704067200  # epoch seconds of 2024-01-01T00:00:00Z
+
+
+@query(
+    "ols_regression",
+    oracle=f"""
+    WITH events_us AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    x AS (
+      SELECT event_type,
+             CAST(epoch_ms(ts) AS BIGINT) // 1000 - {OLS_EPOCH0} AS x, value AS y
+      FROM events_us
+    ), s AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(30,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(30,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+      FROM x GROUP BY event_type
+    )
+    SELECT event_type, n,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx) * 86400, 6)
+             AS slope_per_day,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+             AS intercept,
+           ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM s
+    ORDER BY event_type
+    """,
+    tags=("A7",),
+)
+def ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A7] Per-group ordinary-least-squares trend line — value regressed
+    on event time (slope reported per DAY so the 1e-6-granularity round
+    keeps signal), the "is this metric drifting" primitive of every
+    monitoring stack. Closed-form from five exact decimal moment sums in
+    ONE partial+final hash aggregation (same distributed-exactness recipe
+    as ``correlation``: both engines derive the statistic from identical
+    doubles, so the driver hash-compare is exact); x is centered
+    epoch-seconds (events begin 2024-01-01) so x² sums stay well inside
+    DECIMAL(38,6). No window, no second pass — at 100 TB this is a single
+    shuffle carrying one 5-number row per (group, map task)."""
+    e = load_table(spark, sf_dir, "events")
+    x = (F.unix_millis(F.col("ts")) / F.lit(1000)).cast("long") - F.lit(OLS_EPOCH0)
+    y = F.col("value")
+    s = e.select("event_type", x.alias("x"), y.alias("y")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(DEC)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(DEC)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,6)")).cast("double").alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,6)")).cast("double").alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,6)")).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        "event_type",
+        "n",
+        F.round(slope * 86400, 6).alias("slope_per_day"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(
+            (n * sxy - sx * sy) * (n * sxy - sx * sy)
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("r2"),
+    ).orderBy("event_type")
