@@ -267,3 +267,96 @@ def ewma_stream(ticks: DataFrame, watermark: str = "10 minutes") -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- Spark 4 transformWithState API (successor to applyInPandasWithState) ---
+
+DRAWDOWN_SCHEMA = StructType(
+    [
+        StructField("symbol", StringType()),
+        StructField("peak", DoubleType()),
+        StructField("max_drawdown", DoubleType()),
+        StructField("n_obs", LongType()),
+    ]
+)
+
+
+def tws_runtime_available() -> bool:
+    """Spark 4's transformWithState Python runtime speaks a protobuf
+    protocol between the Python state server and the JVM — without the
+    ``protobuf`` package the query compiles and starts but the state
+    worker cannot initialize. Same honest env-gate pattern as the
+    Kafka/Cassandra live paths."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _drawdown_processor():
+    """Build the StatefulProcessor class lazily (keeps the module import
+    light and the API surface obvious in one place)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class DrawdownProcessor(StatefulProcessor):
+        """Per-symbol running peak + maximum drawdown — the streaming
+        twin of the batch ``running_drawdown`` query's final row, on the
+        NEW Spark 4 arbitrary-stateful API: named ``ValueState`` via the
+        StatefulProcessorHandle instead of applyInPandasWithState's
+        single implicit state tuple. State is one (peak, mdd, n) triple
+        per symbol — O(live symbols), the bounded-state posture."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.state = handle.getValueState("dd", "peak double, mdd double, n bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self.state.exists():
+                peak, mdd, n = self.state.get()
+            else:
+                peak, mdd, n = float("-inf"), 0.0, 0
+            for pdf in rows:
+                pdf = pdf.sort_values(["datetime"])
+                for x in pdf["last_price"]:
+                    if x is None or pd.isna(x):
+                        continue
+                    x = float(x)
+                    peak = max(peak, x)
+                    if peak > 0:
+                        mdd = max(mdd, (peak - x) / peak)
+                    n += 1
+            self.state.update((peak, mdd, n))
+            yield pd.DataFrame(
+                {
+                    "symbol": [key[0]],
+                    "peak": [peak],
+                    "max_drawdown": [mdd],
+                    "n_obs": [n],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return DrawdownProcessor()
+
+
+def max_drawdown_stream(ticks: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """T10 on the Spark 4 ``transformWithStateInPandas`` API: per-symbol
+    running peak and maximum drawdown over a (symbol, datetime,
+    last_price) tick stream. Requires the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass``) and the protobuf
+    runtime (``tws_runtime_available``); the wiring is asserted to reach
+    Spark's TWS execution boundary even where the runtime is absent
+    (``test_transform_with_state_boundary``)."""
+    wm = ticks.withWatermark("datetime", watermark) if ticks.isStreaming else ticks
+    return wm.groupBy("symbol").transformWithStateInPandas(
+        _drawdown_processor(),
+        outputStructType=DRAWDOWN_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -468,3 +468,68 @@ def test_ewma_stream_late_tick_folds_in_arrival_order(spark, tmp_path):
         y = EWMA_ALPHA * x + (1 - EWMA_ALPHA) * y
     assert final["n_obs"] == 3
     assert final["ewma"] == pytest.approx(y)
+
+
+def test_transform_with_state_boundary(spark, tmp_path):
+    """Spark 4 transformWithStateInPandas (the applyInPandasWithState
+    successor): where the protobuf runtime exists the per-symbol
+    drawdown processor must match the hand-computed fold; where it does
+    not (this sandbox has no `protobuf` package), the query must still
+    reach Spark's TWS execution and fail ONLY with the state-runner
+    initialization error — proving the operator wiring (processor,
+    schemas, RocksDB provider conf) is complete up to the runtime
+    boundary. Same env-gate pattern as the Kafka/Cassandra live paths."""
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from finance_data_ingestion_pipeline_with_kafka_spark.streaming.stateful import (
+        max_drawdown_stream,
+        tws_runtime_available,
+    )
+
+    src = tmp_path / "dd_ticks"
+    write_json_fixture(
+        str(src),
+        [fh_msg("AAPL", 0, 100.0), fh_msg("AAPL", 10, 120.0), fh_msg("AAPL", 20, 90.0)],
+    )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        ticks = finnhub_pipeline(
+            kafka_shaped_file_stream(spark, str(src)), dedup_watermark=None
+        )
+        out = max_drawdown_stream(ticks)
+        if tws_runtime_available():
+            rows = drain(spark, out, "tws_dd", mode="update").collect()
+            final = max(rows, key=lambda r: r["n_obs"])
+            assert final["peak"] == pytest.approx(120.0)
+            assert final["max_drawdown"] == pytest.approx(30.0 / 120.0)
+            assert final["n_obs"] == 3
+        else:
+            q = (
+                out.writeStream.format("memory")
+                .queryName("tws_dd_gate")
+                .outputMode("update")
+                .option("checkpointLocation", str(tmp_path / "cp_tws"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            with _pytest.raises(StreamingQueryException) as ex:
+                q.awaitTermination(120)
+                q.processAllAvailable()
+            msg = str(ex.value)
+            # the spec must die at the Python state-runner handshake —
+            # any OTHER failure (analysis error, schema mismatch, missing
+            # provider) means the wiring itself is broken
+            assert (
+                "STREAMING_PYTHON_RUNNER_INITIALIZATION" in msg
+                or "TransformWithStateInPySpark driver worker exited" in msg
+            ), msg
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
