@@ -769,3 +769,86 @@ def kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+QUANT_LEVELS = 255  # int8 code range [0, 255]
+
+
+@query(
+    "embedding_quantize",
+    oracle=f"""
+    WITH dims AS (
+      SELECT vec_id, i - 1 AS dim, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    ), codebook AS (
+      SELECT dim, MIN(x) AS lo, MAX(x) AS hi FROM dims GROUP BY dim
+    ), coded AS (
+      SELECT d.vec_id, d.dim,
+             CASE WHEN c.hi = c.lo THEN 0
+                  ELSE CAST(least({QUANT_LEVELS}, greatest(0,
+                       floor((d.x - c.lo) * {QUANT_LEVELS} / (c.hi - c.lo))))
+                       AS BIGINT)
+             END AS q
+      FROM dims d JOIN codebook c USING (dim)
+    )
+    SELECT vec_id,
+           COUNT(*) AS n_dims,
+           CAST(SUM(q) AS BIGINT) AS code_sum,
+           md5(string_agg(CAST(q AS VARCHAR), ',' ORDER BY dim)) AS code_md5
+    FROM coded
+    GROUP BY vec_id
+    ORDER BY vec_id
+    """,
+    tags=("U5",),
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U5] Int8 scalar quantization of the embedding corpus — the
+    vector-store compression step (4× smaller than float32, the standard
+    first rung before product quantization). Per-dimension min/max
+    codebook from one (dim)-grouped aggregation (min/max are exact, no
+    float-summation drift), broadcast back onto the exploded dims; the
+    code ``floor((x-lo)·255/(hi-lo))`` is the same double-arithmetic
+    expression in both engines, so every code — including boundary cells —
+    hash-matches exactly. Codes are fingerprinted per vector (md5 over
+    the dim-ordered code string) plus an integer checksum. Scale: the
+    codebook is O(dims) and broadcasts; the corpus explode is narrow; one
+    shuffle for the per-dim stats, one for the per-vector regroup."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "xf")
+    ).select("vec_id", "dim", F.col("xf").cast("double").alias("x"))
+    codebook = dims.groupBy("dim").agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    coded = dims.join(F.broadcast(codebook), "dim").select(
+        "vec_id",
+        "dim",
+        F.when(F.col("hi") == F.col("lo"), F.lit(0).cast("bigint")).otherwise(
+            F.least(
+                F.lit(QUANT_LEVELS),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (F.col("x") - F.col("lo"))
+                        * QUANT_LEVELS
+                        / (F.col("hi") - F.col("lo"))
+                    ),
+                ),
+            ).cast("bigint")
+        ).alias("q"),
+    )
+    per_vec = coded.groupBy("vec_id").agg(
+        F.count(F.lit(1)).alias("n_dims"),
+        F.sum("q").alias("code_sum"),
+        F.md5(
+            F.encode(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("dim", "q"))),
+                        lambda s: s["q"].cast("string"),
+                    ),
+                    ",",
+                ),
+                "utf-8",
+            )
+        ).alias("code_md5"),
+    )
+    return per_vec.orderBy("vec_id")

@@ -161,3 +161,14 @@ def test_bmp_wav_decode_prune_to_payload_columns(spark, sf_dir):
         rs = read_schema(q(spark, sf_dir, name))
         assert "text" in rs and "doc_id" in rs
         assert "lang" not in rs, name
+
+
+def test_window_topk_group_limit_pushdown(spark, sf_dir):
+    """The rn <= 3 filter must surface as a PARTIAL WindowGroupLimit
+    below the exchange (map-side per-group top-k, Spark 3.5+) plus a
+    Final one above — the shuffle then carries at most k rows per
+    (group, map task) instead of every row, which is the property that
+    keeps per-group top-k viable at 100 TB."""
+    plan = executed_plan(q(spark, sf_dir, "window_rank_topk"))
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan.split("WindowGroupLimit")[-1] or plan.count("WindowGroupLimit") >= 2
