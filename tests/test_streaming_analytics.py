@@ -533,3 +533,61 @@ def test_transform_with_state_boundary(spark, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_upsert_snapshot_sink(spark, tmp_path):
+    """Latest-per-key snapshot sink (streaming MERGE shape): later event
+    times replace, OLDER late arrivals never resurrect, and a full
+    replay converges to the identical snapshot (order-independent
+    max_by election)."""
+    import os as _os
+    import time as _time
+
+    from finance_data_ingestion_pipeline_with_kafka_spark.streaming.sinks import (
+        start_upsert_snapshot_sink,
+    )
+
+    src = tmp_path / "upsert_src"
+    f1 = write_json_fixture(
+        str(src),
+        [fh_msg("AAPL", 0, 100.0), fh_msg("MSFT", 1, 200.0)],
+        "f1.json",
+    )
+    # batch 2: AAPL newer (replaces), MSFT OLDER-than-snapshot late row
+    # (must NOT replace — ts 1 > ts 0 stays)... craft: MSFT late at -10s
+    f2 = write_json_fixture(
+        str(src),
+        [fh_msg("AAPL", 20, 110.0), fh_msg("MSFT", -10, 150.0)],
+        "f2.json",
+    )
+    now = _time.time()
+    for i, f in enumerate([f1, f2]):
+        _os.utime(f, (now - 60 + 20 * i, now - 60 + 20 * i))
+
+    def run(tag):
+        stream = finnhub_pipeline(
+            kafka_shaped_file_stream(spark, str(src), max_files_per_trigger=1),
+            dedup_watermark=None,
+        )
+        q = start_upsert_snapshot_sink(
+            stream,
+            str(tmp_path / f"snap_{tag}"),
+            str(tmp_path / f"cp_{tag}"),
+            key="symbol",
+            ts_col="datetime",
+        )
+        q.awaitTermination(120)
+        return {
+            r["symbol"]: r
+            for r in spark.read.parquet(str(tmp_path / f"snap_{tag}")).collect()
+        }
+
+    snap = run("a")
+    assert set(snap) == {"AAPL", "MSFT"}  # one row per key
+    assert snap["AAPL"]["last_price"] == pytest.approx(110.0)  # replaced
+    assert snap["MSFT"]["last_price"] == pytest.approx(200.0)  # old row lost
+    # replay from scratch (fresh checkpoint+sink) converges identically
+    snap2 = run("b")
+    assert {k: v["last_price"] for k, v in snap2.items()} == {
+        k: v["last_price"] for k, v in snap.items()
+    }
