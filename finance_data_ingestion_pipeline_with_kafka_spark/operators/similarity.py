@@ -852,3 +852,104 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("code_md5"),
     )
     return per_vec.orderBy("vec_id")
+
+
+PQ_SUBS = 4  # product-quantization subspaces (64 dims -> 4 x 16)
+PQ_SUB_DIM = EMBED_DIM // PQ_SUBS
+
+
+@query(
+    "pq_encode",
+    oracle=f"""
+    WITH dims AS (
+      SELECT vec_id, label, i - 1 AS dim,
+             CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x,
+             (i - 1) // {PQ_SUB_DIM} AS sub
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    ), codebook AS (
+      SELECT sub, label AS cl, dim,
+             CAST(SUM(CAST(x AS DECIMAL(30,6))) AS DOUBLE) / COUNT(x) AS c
+      FROM dims GROUP BY sub, label, dim
+    ), dists AS (
+      SELECT d.vec_id, d.sub, cb.cl,
+             ROUND(CAST(SUM(CAST((d.x - cb.c) * (d.x - cb.c) AS DECIMAL(38,6)))
+                        AS DOUBLE), 6) AS d6
+      FROM dims d JOIN codebook cb ON cb.sub = d.sub AND cb.dim = d.dim
+      GROUP BY d.vec_id, d.sub, cb.cl
+    ), codes AS (
+      SELECT vec_id, sub, cl, d6 FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                     ORDER BY d6, cl) AS rn
+        FROM dists
+      ) WHERE rn = 1
+    )
+    SELECT vec_id,
+           CAST(COUNT(*) AS BIGINT) AS n_subs,
+           md5(string_agg(CAST(cl AS VARCHAR), ',' ORDER BY sub)) AS pq_md5,
+           CAST(SUM(CAST(d6 AS DECIMAL(38,6))) AS DOUBLE) AS recon_err
+    FROM codes GROUP BY vec_id ORDER BY vec_id
+    """,
+    tags=("U5",),
+)
+def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U5] Product quantization — the vector-store compression rung
+    above scalar quantization (``embedding_quantize``): the 64-dim space
+    splits into PQ_SUBS=4 subspaces of 16 dims, each subspace
+    gets a codebook (per-label decimal-mean centroids — the labeled-
+    sample training step, same recipe as ``kmeans_refine``), and every
+    vector is encoded as one code per subspace (nearest centroid by
+    squared-L2, rounded-distance + label tie-break so both engines pick
+    identically). Output: per-vector code fingerprint + exact-decimal
+    reconstruction error. Scale: the codebook is O(subs × labels × dims)
+    and broadcasts; distances are one (vec, sub, label)-grouped
+    partial-aggregated sum — the corpus shuffles once on (vec_id, sub),
+    never pairwise."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim", "xf")
+    ).select(
+        "vec_id",
+        "label",
+        "dim",
+        F.col("xf").cast("double").alias("x"),
+        (F.col("dim") / PQ_SUB_DIM).cast("int").alias("sub"),
+    )
+    codebook = (
+        dims.groupBy("sub", F.col("label").alias("cl"), "dim")
+        .agg(davg("x").alias("c"))
+    )
+    diff = F.col("x") - F.col("c")
+    dists = (
+        dims.join(F.broadcast(codebook), ["sub", "dim"])
+        .groupBy("vec_id", "sub", "cl")
+        .agg(
+            F.round(
+                F.sum((diff * diff).cast("decimal(38,6)")).cast("double"), 6
+            ).alias("d6")
+        )
+    )
+    codes = dists.groupBy("vec_id", "sub").agg(
+        F.min_by(F.struct("cl", "d6"), F.struct("d6", "cl")).alias("best")
+    )
+    return (
+        codes.groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_subs"),
+            F.md5(
+                F.encode(
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(F.struct("sub", F.col("best.cl")))
+                            ),
+                            lambda s: s["cl"].cast("string"),
+                        ),
+                        ",",
+                    ),
+                    "utf-8",
+                )
+            ).alias("pq_md5"),
+            F.sum(F.col("best.d6").cast("decimal(38,6)")).cast("double").alias("recon_err"),
+        )
+        .orderBy("vec_id")
+    )
