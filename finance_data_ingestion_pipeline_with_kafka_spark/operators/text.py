@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.core import DEC
+from ..functions.core import DEC, davg
 from ..registry import query
 
 # Tiny per-language stopword anchors for the n-gram/stopword language-ID
@@ -460,3 +460,97 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("chunk_len"),
         F.md5(F.encode(F.concat_ws(" ", chunk), "utf-8")).alias("chunk_md5"),
     ).orderBy("doc_id", "chunk_start")
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_N_TERMS = 3  # query = the corpus's top-N terms, derived in-plan
+
+
+@query(
+    "bm25_score",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, term
+    ), dl AS (
+      SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CAST(dl AS DECIMAL(30,6))) AS DOUBLE) / COUNT(dl) AS avgdl
+      FROM dl
+    ), df AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ), q AS (
+      SELECT term, df FROM (
+        SELECT term, df,
+               ROW_NUMBER() OVER (ORDER BY df DESC, term) AS rn
+        FROM df
+      ) WHERE rn <= {BM25_N_TERMS}
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_query_terms_hit,
+           ROUND(SUM(
+             ln((s.n_docs - q.df + 0.5) / (q.df + 0.5) + 1)
+             * t.tf * ({BM25_K1} + 1)
+             / (t.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * d.dl / s.avgdl))
+           ), 6) AS bm25
+    FROM tf t
+    JOIN q USING (term)
+    JOIN dl d USING (doc_id)
+    CROSS JOIN stats s
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+    tags=("U6",),
+)
+def bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U6] BM25 relevance scoring (k1=1.2, b=0.75) — the search-ranking
+    primitive over the corpus, with the query built IN-PLAN as the
+    corpus's top-3 document-frequency terms (deterministic
+    df-then-term ranking), so the whole retrieval-scoring pipeline is one
+    declarative plan with no driver-side term list. Every BM25 input
+    (tf, df, dl, N) is an exact integer and avgdl an exact decimal mean,
+    so both engines evaluate the identical double formula and the driver
+    hash-compare is exact. Scale: tf/df/dl are the same two hash
+    aggregations TF-IDF uses; the query-term table (BM25_N_TERMS rows)
+    and the corpus stats (1 row) broadcast — scoring is a narrow pass
+    over the tf table."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens()).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), davg("dl").alias("avgdl")
+    )
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.orderBy(F.desc("df"), "term")
+    q = df_tbl.select("term", "df", F.row_number().over(w).alias("rn")).filter(
+        F.col("rn") <= BM25_N_TERMS
+    ).drop("rn")
+    scored = (
+        tf.join(F.broadcast(q), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    term_score = (
+        idf
+        * F.col("tf")
+        * (BM25_K1 + 1)
+        / (
+            F.col("tf")
+            + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_query_terms_hit"),
+            F.round(F.sum(term_score), 6).alias("bm25"),
+        )
+        .orderBy("doc_id")
+    )
