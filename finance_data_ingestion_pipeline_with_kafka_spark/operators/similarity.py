@@ -953,3 +953,114 @@ def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@query(
+    "pq_ann",
+    oracle=f"""
+    WITH dims AS (
+      SELECT vec_id, label, i - 1 AS dim,
+             CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x,
+             (i - 1) // {PQ_SUB_DIM} AS sub
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    ), codebook AS (
+      SELECT sub, label AS cl, dim,
+             CAST(SUM(CAST(x AS DECIMAL(30,6))) AS DOUBLE) / COUNT(x) AS c
+      FROM dims GROUP BY sub, label, dim
+    ), dists AS (
+      SELECT d.vec_id, d.sub, cb.cl,
+             ROUND(CAST(SUM(CAST((d.x - cb.c) * (d.x - cb.c) AS DECIMAL(38,6)))
+                        AS DOUBLE), 6) AS d6
+      FROM dims d JOIN codebook cb ON cb.sub = d.sub AND cb.dim = d.dim
+      GROUP BY d.vec_id, d.sub, cb.cl
+    ), codes AS (
+      SELECT vec_id, sub, cl FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                     ORDER BY d6, cl) AS rn
+        FROM dists
+      ) WHERE rn = 1
+    ), lut AS (
+      SELECT vec_id AS query_id, sub, cl, d6 FROM dists
+      WHERE vec_id < {N_QUERY_VECS}
+    ), adc AS (
+      SELECT l.query_id, c.vec_id,
+             CAST(SUM(CAST(l.d6 AS DECIMAL(38,6))) AS DOUBLE) AS adc_dist
+      FROM codes c JOIN lut l ON l.sub = c.sub AND l.cl = c.cl
+                             AND c.vec_id <> l.query_id
+      GROUP BY l.query_id, c.vec_id
+      HAVING COUNT(*) = {PQ_SUBS}
+    )
+    SELECT query_id, vec_id, adc_dist FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY adc_dist, vec_id) AS rn
+      FROM adc
+    ) WHERE rn <= {TOP_K}
+    ORDER BY query_id, adc_dist, vec_id
+    """,
+    tags=("U5",),
+)
+def pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U5] Asymmetric-distance (ADC) search over the PQ codes — the
+    end of the product-quantization path: each query precomputes a
+    lookup table of (subspace × centroid) squared distances, and a
+    corpus vector's approximate distance is the SUM of the LUT entries
+    its 4-byte code selects — no corpus floats are ever touched at query
+    time, which is the memory win that makes billion-vector search fit
+    in RAM. The LUT entries are the SAME rounded-decimal d6 values the
+    encoder computed, so the sum is exact-decimal and both engines rank
+    identically (vec_id tie-break). Scale: codes table ≪ float corpus
+    (16 bytes/vector here vs 256), LUT is (queries × 4 × labels) and
+    broadcasts; one (query, vec) grouped sum, top-k per query."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim", "xf")
+    ).select(
+        "vec_id",
+        "label",
+        "dim",
+        F.col("xf").cast("double").alias("x"),
+        (F.col("dim") / PQ_SUB_DIM).cast("int").alias("sub"),
+    )
+    codebook = dims.groupBy("sub", F.col("label").alias("cl"), "dim").agg(
+        davg("x").alias("c")
+    )
+    diff = F.col("x") - F.col("c")
+    dists = (
+        dims.join(F.broadcast(codebook), ["sub", "dim"])
+        .groupBy("vec_id", "sub", "cl")
+        .agg(
+            F.round(
+                F.sum((diff * diff).cast("decimal(38,6)")).cast("double"), 6
+            ).alias("d6")
+        )
+    )
+    codes = dists.groupBy("vec_id", "sub").agg(
+        F.min_by("cl", F.struct("d6", "cl")).alias("cl")
+    )
+    lut = dists.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), "sub", "cl", "d6"
+    )
+    adc = (
+        codes.join(
+            F.broadcast(lut),
+            ["sub", "cl"],
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.sum(F.col("d6").cast("decimal(38,6)")).cast("double").alias("adc_dist"),
+            F.count(F.lit(1)).alias("n_subs"),
+        )
+        # a corpus code must be scored by ALL subspace LUT entries — a
+        # partial sum (possible only if a LUT row were missing) is not a
+        # distance
+        .filter(F.col("n_subs") == PQ_SUBS)
+        .drop("n_subs")
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "vec_id")
+    return (
+        adc.select("query_id", "vec_id", "adc_dist", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= TOP_K)
+        .drop("rn")
+        .orderBy("query_id", "adc_dist", "vec_id")
+    )
