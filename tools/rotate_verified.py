@@ -59,8 +59,19 @@ def main() -> None:
         )
         print(f"\n{name} = frozenset((\n    {body},\n))")
 
-    emit("_VERIFIED_LATEST", green_by_round[latest] & catalog)
-    emit("_VERIFIED_EARLIER", (cumulative - green_by_round[latest]) & catalog)
+    # one tier per LATEST-green round: the registry ranks stalest-first,
+    # so each tier below pastes directly into registry.py (oldest tier
+    # ranks first after the brand-new queries; the latest-round tier sits
+    # below the driver's ~50-entry verification fold)
+    latest_round: dict[str, str] = {}
+    for f in files:  # chronological — later rounds overwrite
+        for n in green_by_round[f]:
+            latest_round[n] = f
+    for f in files:
+        names = {n for n, lf in latest_round.items() if lf == f} & catalog
+        if names:
+            rn = f.replace("CORRECTNESS_r", "").replace(".json", "").lstrip("0")
+            emit(f"_LATEST_R{rn}", names)
 
 
 def _chunks(seq: list[str], n: int):
