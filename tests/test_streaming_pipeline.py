@@ -165,3 +165,61 @@ class TestFinnhubPipeline:
             "existing-keys scan has no partition filter on sink_date:\n" + plan[:2000]
         )
         assert scan.count() == 6  # 2 days x 3 rows, not 30
+
+
+def test_stream_to_lake_to_analytics_end_to_end(spark, tmp_path):
+    """The full path a production tick takes: Kafka-shaped replay →
+    decode/rename/dedup pipeline → idempotent lake sink → BATCH
+    analytics over the landed table. The bars computed from the lake
+    must equal the bars computed directly on the parsed input — the sink
+    neither loses, duplicates, nor mangles rows (including under a full
+    second replay), so the streaming and batch surfaces compose."""
+    from pyspark.sql import functions as F
+
+    from finance_data_ingestion_pipeline_with_kafka_spark.streaming.pipeline import (
+        finnhub_pipeline,
+    )
+
+    base = 1704205200000
+    msgs = [
+        fh_msg(
+            symbol=("AAPL" if i % 3 else "MSFT"),
+            t=base + i * 7000,  # spans several minutes
+            p=100.0 + (i % 11) * 0.5,
+            v=1 + i % 5,
+        )
+        for i in range(200)
+    ]
+    src = tmp_path / "e2e_src"
+    write_json_fixture(str(src), msgs)
+    sink = str(tmp_path / "e2e_sink")
+    for cp in ("cp1", "cp2"):  # second run = full replay, must be a no-op
+        q = start_idempotent_parquet_sink(
+            finnhub_pipeline(kafka_shaped_file_stream(spark, str(src))),
+            sink,
+            str(tmp_path / cp),
+            available_now=True,
+        )
+        q.awaitTermination(120)
+
+    def bars(df):
+        return sorted(
+            map(
+                tuple,
+                df.groupBy("symbol", F.window("datetime", "1 minute").start.alias("m"))
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("volume").alias("vol"),
+                    F.min_by("last_price", "datetime").alias("open"),
+                    F.max_by("last_price", "datetime").alias("close"),
+                )
+                .collect(),
+            )
+        )
+
+    landed = spark.read.parquet(sink)
+    direct = finnhub_pipeline(
+        spark.read.text(str(src)).select(F.col("value").cast("string").alias("value"))
+    )
+    assert landed.count() == direct.count() == 200
+    assert bars(landed) == bars(direct)
