@@ -241,9 +241,11 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
 
     Walks the chunk list verifying each CRC, concatenates every IDAT
     chunk before ONE zlib inflate, and inverts all five scanline filters
-    (None/Sub/Up/Average/Paeth). Accepts 8-bit truecolor (color type 2)
-    non-interlaced — the honest boundary of a dependency-free decoder;
-    palette/alpha/16-bit/Adam7 variants raise. Truncated chunks and CRC
+    (None/Sub/Up/Average/Paeth) at the color type's pixel width —
+    grayscale (type 0, expanded to RGB), truecolor (type 2), and
+    truecolor+alpha (type 6, alpha stripped in the RGB projection) are
+    accepted; palette/16-bit/Adam7 stay the honest boundary of a
+    dependency-free decoder and raise. Truncated chunks and CRC
     mismatches raise ValueError (same honest-failure contract as
     decode_bmp/decode_wav)."""
     import struct
@@ -253,6 +255,7 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
         raise ValueError("not a PNG payload")
     pos = 8
     width = height = None
+    color_type = 2
     idat = bytearray()
     seen_end = False
     while pos + 8 <= len(payload):
@@ -271,10 +274,10 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
             width, height, depth, color_type, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
-            if depth != 8 or color_type != 2:
+            if depth != 8 or color_type not in (0, 2, 6):
                 raise NotImplementedError(
-                    f"only 8-bit truecolor supported (depth={depth}, "
-                    f"color type={color_type})"
+                    f"only 8-bit grayscale/truecolor/truecolor-alpha "
+                    f"supported (depth={depth}, color type={color_type})"
                 )
             if comp != 0 or filt != 0:
                 raise ValueError("invalid compression/filter method")
@@ -291,7 +294,10 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
     if not idat or not seen_end:
         raise ValueError("missing IDAT or IEND chunk")
     raw = zlib.decompress(bytes(idat))
-    bpp = 3
+    # bytes per pixel by color type: 0 grayscale, 2 RGB, 6 RGBA — the
+    # scanline filters operate on bpp-wide pixels, so the SAME inverse
+    # code covers all three; only the final RGB projection differs
+    bpp = {0: 1, 2: 3, 6: 4}[color_type]
     stride = width * bpp
     if len(raw) != (stride + 1) * height:
         raise ValueError("inflated scanline data has wrong length")
@@ -321,6 +327,16 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
             raise ValueError(f"unknown scanline filter {ftype}")
         out[r * stride : (r + 1) * stride] = line
         prev = bytes(line)
+    if color_type == 0:  # grayscale -> replicate into RGB
+        rgb = bytearray(width * height * 3)
+        for i, g in enumerate(out):
+            rgb[i * 3] = rgb[i * 3 + 1] = rgb[i * 3 + 2] = g
+        return width, height, bytes(rgb)
+    if color_type == 6:  # RGBA -> strip alpha
+        rgb = bytearray(width * height * 3)
+        for px in range(width * height):
+            rgb[px * 3 : px * 3 + 3] = out[px * 4 : px * 4 + 3]
+        return width, height, bytes(rgb)
     return width, height, bytes(out)
 
 

@@ -205,21 +205,85 @@ def test_png_truncation_raises():
         decode_png(png[:-6])
 
 
+def _hand_png(width, height, color_type, scanlines):
+    """Handcraft a PNG: raw (filter byte + pixel bytes) scanlines are
+    zlib-deflated into a single IDAT."""
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    raw = b"".join(scanlines)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_grayscale_handcrafted():
+    """Color type 0 decodes with 1-byte-per-pixel filter semantics and
+    expands to RGB. Row 2 uses the Sub filter at bpp=1 (left neighbor is
+    the PREVIOUS BYTE, unlike truecolor's 3-back) — a decoder that
+    hardcodes bpp=3 fails here."""
+    png = _hand_png(
+        3, 2, 0,
+        [
+            b"\x00" + bytes([10, 20, 30]),          # None
+            b"\x01" + bytes([5, 1, 1]),             # Sub: 5, 6, 7
+        ],
+    )
+    w, h, rgb = decode_png(png)
+    assert (w, h) == (3, 2)
+    assert rgb == bytes(
+        [10, 10, 10, 20, 20, 20, 30, 30, 30, 5, 5, 5, 6, 6, 6, 7, 7, 7]
+    )
+
+
+def test_png_rgba_handcrafted():
+    """Color type 6 decodes with 4-byte pixels (Up filter across rows)
+    and strips alpha in the RGB projection."""
+    row1 = b"\x00" + bytes([1, 2, 3, 255, 4, 5, 6, 128])
+    row2 = b"\x02" + bytes([10, 10, 10, 0, 10, 10, 10, 0])  # Up: +10 rgb, alpha kept
+    png = _hand_png(2, 2, 6, [row1, row2])
+    w, h, rgb = decode_png(png)
+    assert (w, h) == (2, 2)
+    assert rgb == bytes([1, 2, 3, 4, 5, 6, 11, 12, 13, 14, 15, 16])
+
+
 def test_png_rejections():
     import struct
     import zlib
 
     with pytest.raises(ValueError, match="PNG"):
         decode_png(b"BM" + bytes(60))
-    # grayscale (color type 0) is out of the supported boundary
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    # palette (color type 3) stays out of the supported boundary
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
     chunk = (
         struct.pack(">I", len(ihdr))
         + b"IHDR"
         + ihdr
         + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
     )
-    with pytest.raises(NotImplementedError, match="truecolor"):
+    with pytest.raises(NotImplementedError, match="grayscale/truecolor"):
+        decode_png(b"\x89PNG\r\n\x1a\n" + chunk)
+    # 16-bit depth likewise
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    chunk = (
+        struct.pack(">I", len(ihdr))
+        + b"IHDR"
+        + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    )
+    with pytest.raises(NotImplementedError, match="depth=16"):
         decode_png(b"\x89PNG\r\n\x1a\n" + chunk)
 
 
