@@ -8,7 +8,7 @@ bounded-state design the 100 TB posture requires.
 
 from __future__ import annotations
 
-from typing import Any, Iterator
+from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
