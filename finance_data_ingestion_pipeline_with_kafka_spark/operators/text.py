@@ -554,3 +554,74 @@ def bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "dataset_card",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+             md5(text) AS fp
+      FROM documents
+    ), langs AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY lang
+    ), top_lang AS (
+      SELECT lang AS tl_lang, n FROM (
+        SELECT lang, n, ROW_NUMBER() OVER (ORDER BY n DESC, lang) AS rn
+        FROM langs
+      ) WHERE rn = 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(n_tokens AS DECIMAL(30,6))) AS DOUBLE) AS total_tokens,
+           ROUND(quantile_cont(n_tokens, 0.5), 4) AS p50_tokens,
+           ROUND(quantile_cont(n_tokens, 0.9), 4) AS p90_tokens,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           MAX(tl.tl_lang) AS top_lang,
+           ROUND(CAST(MAX(tl.n) AS DOUBLE) / COUNT(*), 6) AS top_lang_share,
+           CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS n_exact_dups,
+           ROUND(1.0 - CAST(COUNT(DISTINCT fp) AS DOUBLE) / COUNT(*), 6)
+             AS exact_dup_rate
+    FROM t CROSS JOIN top_lang tl
+    """,
+    tags=("U6", "A1"),
+)
+def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U6] One-row dataset card — the corpus-level summary an LLM-data
+    engineer publishes next to a training set: doc/token volume, token
+    percentiles, language diversity + dominant-language share, and the
+    exact-duplicate rate (content-fingerprint distinct count). ONE plan
+    composing the engine's existing primitives; every number is either an
+    exact integer, an exact decimal sum, or an interpolated percentile
+    rounded past ULP noise, so the single output row hash-matches. At
+    scale this is the nightly corpus health check: two hash aggregations
+    (doc stats, lang mix) + a distinct-count, all partial+final."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "lang",
+        F.size(tokens()).alias("n_tokens"),
+        F.md5("text").alias("fp"),
+    )
+    langs = t.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    wl = Window.orderBy(F.desc("n"), "lang")
+    top_lang = (
+        langs.select("lang", "n", F.row_number().over(wl).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return t.crossJoin(F.broadcast(top_lang.withColumnRenamed("lang", "tl_lang"))).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_tokens").cast(DEC)).cast("double").alias("total_tokens"),
+        F.round(F.expr("percentile(n_tokens, 0.5)"), 4).alias("p50_tokens"),
+        F.round(F.expr("percentile(n_tokens, 0.9)"), 4).alias("p90_tokens"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.max("tl_lang").alias("top_lang"),
+        F.round(F.max("n").cast("double") / F.count(F.lit(1)), 6).alias(
+            "top_lang_share"
+        ),
+        (F.count(F.lit(1)) - F.countDistinct("fp")).cast("bigint").alias("n_exact_dups"),
+        F.round(
+            1.0 - F.countDistinct("fp").cast("double") / F.count(F.lit(1)), 6
+        ).alias("exact_dup_rate"),
+    )
