@@ -133,3 +133,16 @@ def test_sized_conf_set_and_cleared_per_query(spark, sf_dir):
     assert spark.conf.get(_INIT_PARTITION_KEY) == "8"
     cat["grouped_stats"].fn(spark, sf_dir)
     assert spark.conf.get(_INIT_PARTITION_KEY) is None  # unset again
+
+
+def test_session_builder_perf_confs(spark):
+    """Round-5 perf posture pins: the catalog-sized codegen class cache
+    (static conf — silently losing it re-introduces per-query Janino
+    recompilation, a 2x bench regression) and the AQE runtime
+    broadcast-conversion threshold (exact-bytes check, scale-safe)."""
+    assert spark.conf.get("spark.sql.codegen.cache.maxEntries") == "2000"
+    assert (
+        spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        == "33554432"
+    )
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
