@@ -14,6 +14,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StringType,
@@ -111,9 +112,9 @@ def _update_ewma(
     micro-batch. EWMA is order-sensitive, so a late-but-within-watermark
     tick arriving in a later micro-batch folds AFTER newer data and
     shifts the level (unlike the order-insensitive sums in
-    ``running_position``). A fully order-correct variant would buffer
-    ticks until the watermark passes before folding — see
-    ``session_stream`` for that event-time-timeout pattern. Pinned by
+    ``running_position``). ``ewma_stream_ordered`` is the fully
+    order-correct variant (buffers ticks until the watermark passes
+    before folding, at the cost of watermark-lagged output). Pinned by
     ``test_ewma_stream_late_tick_folds_in_arrival_order``."""
     if state.exists:
         y, n = state.get
@@ -359,4 +360,86 @@ def max_drawdown_stream(ticks: DataFrame, watermark: str = "10 minutes") -> Data
         outputStructType=DRAWDOWN_SCHEMA,
         outputMode="Update",
         timeMode="None",
+    )
+
+
+_EWMA_ORDERED_STATE_SCHEMA = StructType(
+    [
+        StructField("ewma", DoubleType()),
+        StructField("n_obs", LongType()),
+        StructField("buf_ms", ArrayType(LongType())),
+        StructField("buf_px", ArrayType(DoubleType())),
+    ]
+)
+
+
+def _update_ewma_ordered(
+    key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Watermark-buffered EWMA fold — the ORDER-CORRECT variant of
+    ``_update_ewma``: incoming ticks are held in state and only folded
+    once the watermark guarantees nothing older can still arrive, so a
+    late-but-within-watermark tick lands in its true event-time position
+    instead of after newer data. The buffer is bounded by the watermark
+    horizon (ticks wait at most `watermark` of event time); the folded
+    level is one scalar, same as the simple variant. Emits whenever a
+    fold happens (data batch with ripe ticks, or the event-time timer
+    firing once the watermark passes the youngest buffered tick)."""
+    if state.hasTimedOut:
+        y, n, buf_ms, buf_px = state.get
+        pending = sorted(zip(buf_ms or [], buf_px or []))
+        for _ts, x in pending:
+            y = EWMA_ALPHA * x if y is None else EWMA_ALPHA * x + (1 - EWMA_ALPHA) * y
+            n += 1
+        state.update((y, n, [], []))
+        yield pd.DataFrame({"symbol": [key[0]], "ewma": [y], "n_obs": [n]})
+        return
+
+    if state.exists:
+        y, n, buf_ms, buf_px = state.get
+        buf = list(zip(buf_ms or [], buf_px or []))
+    else:
+        y, n, buf = None, 0, []
+    for pdf in pdf_iter:
+        for ts, x in zip(pdf["datetime"], pdf["last_price"]):
+            if x is None or pd.isna(x):
+                continue
+            buf.append((int(ts.value // 1_000_000), float(x)))
+    wm = state.getCurrentWatermarkMs()
+    buf.sort()
+    ripe = [(t, x) for t, x in buf if t <= wm]
+    pending = [(t, x) for t, x in buf if t > wm]
+    for _ts, x in ripe:
+        y = EWMA_ALPHA * x if y is None else EWMA_ALPHA * x + (1 - EWMA_ALPHA) * y
+        n += 1
+    state.update(
+        (y, n, [t for t, _ in pending], [x for _, x in pending])
+    )
+    if pending:
+        # fire once the watermark passes the YOUNGEST buffered tick —
+        # at that instant every buffered tick is final and folds at once
+        state.setTimeoutTimestamp(max(t for t, _ in pending) + 1)
+    if ripe:
+        yield pd.DataFrame({"symbol": [key[0]], "ewma": [y], "n_obs": [n]})
+
+
+def ewma_stream_ordered(ticks: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """T10: order-correct streaming EWMA. Where ``ewma_stream`` folds in
+    ARRIVAL order (and documents that a late tick shifts the level),
+    this variant buffers ticks in state until the watermark passes them
+    and folds in true EVENT-TIME order — its output on any fixture
+    equals the batch ``ewma`` operator's final level regardless of
+    cross-batch arrival order (pinned by
+    ``test_ewma_stream_ordered_matches_event_time_fold``). Cost of the
+    guarantee: state carries up to one watermark-horizon of ticks per
+    symbol (bounded), and the level lags the stream by the watermark —
+    the classic latency-vs-correctness trade, now available as a
+    choice."""
+    wm = ticks.withWatermark("datetime", watermark) if ticks.isStreaming else ticks
+    return wm.groupBy("symbol").applyInPandasWithState(
+        _update_ewma_ordered,
+        outputStructType=EWMA_SCHEMA,
+        stateStructType=_EWMA_ORDERED_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

@@ -591,3 +591,43 @@ def test_upsert_snapshot_sink(spark, tmp_path):
     assert {k: v["last_price"] for k, v in snap2.items()} == {
         k: v["last_price"] for k, v in snap.items()
     }
+
+
+def test_ewma_stream_ordered_matches_event_time_fold(spark, tmp_path):
+    """The buffered variant folds the SAME out-of-order fixture in true
+    event-time order — the level the batch ewma operator would compute —
+    where ewma_stream (pinned above) folds in arrival order."""
+    import os as _os
+    import time as _time
+
+    from finance_data_ingestion_pipeline_with_kafka_spark.streaming.stateful import (
+        EWMA_ALPHA,
+        ewma_stream_ordered,
+    )
+
+    src = tmp_path / "ticks_ordered"
+    f1 = write_json_fixture(
+        str(src), [fh_msg("AAPL", 0, 100.0), fh_msg("AAPL", 20, 104.0)], "f1.json"
+    )
+    f2 = write_json_fixture(str(src), [fh_msg("AAPL", 10, 96.0)], "f2.json")  # late
+    # sentinel advances the (global) watermark past every AAPL tick so
+    # the event-time timer fires and the buffered fold completes
+    f3 = write_json_fixture(str(src), [fh_msg("ZZZZ", 4000)], "f3.json")
+    now = _time.time()
+    for i, f in enumerate([f1, f2, f3]):
+        _os.utime(f, (now - 60 + 15 * i, now - 60 + 15 * i))
+    ticks = finnhub_pipeline(
+        kafka_shaped_file_stream(spark, str(src), max_files_per_trigger=1),
+        dedup_watermark=None,
+    )
+    out = drain(
+        spark, ewma_stream_ordered(ticks), "ewma_ord_t", mode="update"
+    ).collect()
+    final = max((r for r in out if r["symbol"] == "AAPL"), key=lambda r: r["n_obs"])
+    # EVENT-TIME order: 100 (t=0), 96 (t=10), 104 (t=20) — the late tick
+    # folds in its true position
+    y = EWMA_ALPHA * 100.0
+    for x in (96.0, 104.0):
+        y = EWMA_ALPHA * x + (1 - EWMA_ALPHA) * y
+    assert final["n_obs"] == 3
+    assert final["ewma"] == pytest.approx(y)
