@@ -103,9 +103,23 @@ def main() -> None:
         _force(spec.fn(spark, sf_dir))
         return name, time.perf_counter() - t0
 
+    # suppress_conf_mutation: the data-aware initialPartitionNum floor is
+    # a session-global conf; with ~20 threads on one session, set/unset
+    # races would make it nondeterministic — so this phase runs every
+    # query under plain AQE, race-free (see registry.py)
+    from finance_data_ingestion_pipeline_with_kafka_spark.registry import (
+        _INIT_PARTITION_KEY,
+        suppress_conf_mutation,
+    )
+
+    try:  # clear any residue from the sequential pass, ONCE, pre-threads
+        spark.conf.unset(_INIT_PARTITION_KEY)
+    except Exception:
+        pass
     t0 = time.perf_counter()
-    with ThreadPoolExecutor(max_workers=len(bench_specs)) as pool:
-        list(pool.map(_run_one, bench_specs.items()))
+    with suppress_conf_mutation():
+        with ThreadPoolExecutor(max_workers=len(bench_specs)) as pool:
+            list(pool.map(_run_one, bench_specs.items()))
     concurrent_total = round(time.perf_counter() - t0, 4)
 
     detail = {

@@ -23,6 +23,7 @@ from __future__ import annotations
 import threading
 import weakref
 from collections.abc import Callable
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -106,12 +107,37 @@ def sized_partition_num(spark: SparkSession, sf_dir: str) -> int:
 
 _INIT_PARTITION_KEY = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
 
+#: The sized-partitions knob is a SESSION-global runtime conf. When many
+#: catalog queries run concurrently in threads on ONE session (bench.py's
+#: concurrent phase), one thread's unset/overwrite can land between
+#: another thread's set and its action planning — making the floor
+#: nondeterministic (perf noise only, never results). Concurrent callers
+#: therefore wrap the phase in ``suppress_conf_mutation()``: no thread
+#: touches the conf, every query runs under plain AQE, race-free.
+_SUPPRESS_CONF_MUTATION = False
+
+
+@contextmanager
+def suppress_conf_mutation():
+    """Race-free concurrent execution: within this context no catalog
+    invocation mutates session-global runtime confs (the data-aware
+    ``initialPartitionNum`` floor is skipped; plain AQE applies)."""
+    global _SUPPRESS_CONF_MUTATION
+    prior = _SUPPRESS_CONF_MUTATION
+    _SUPPRESS_CONF_MUTATION = True
+    try:
+        yield
+    finally:
+        _SUPPRESS_CONF_MUTATION = prior
+
 
 def _apply_sized_partitions(spark: SparkSession, sf_dir: str, sized: bool) -> None:
     """Set (or clear) the managed conf deterministically on EVERY catalog
     invocation, so query ordering can never leak one query's setting into
     the next. Runtime-conf writes are cheap (~1 ms py4j) and read at
     action planning time, which follows this call."""
+    if _SUPPRESS_CONF_MUTATION:
+        return
     if sized:
         spark.conf.set(_INIT_PARTITION_KEY, str(sized_partition_num(spark, sf_dir)))
     else:
@@ -246,43 +272,28 @@ def query(
 #: and after that the window refreshes the STALEST evidence (testdata
 #: regenerates between rounds, so old green rows decay).
 #:
-#: Round-5 ordering (all 130 catalog names are cumulatively hash-green
-#: after CORRECTNESS_r04; derived by ``tools/rotate_verified.py``):
+#: Round-6 ordering (all 141 catalog names are cumulatively hash-green
+#: after CORRECTNESS_r05; derived by ``tools/rotate_verified.py``):
 #:   (0) brand-new queries registered this round — no driver row at all.
-#:   (1) ``_STALE_R2`` — latest green evidence is round 2 (stalest).
-#:   (2) ``_STALE_R3`` — latest green evidence is round 3.
-#:   (3) ``_VERIFIED_R4`` — green in CORRECTNESS_r04 (freshest, below
+#:   (1) ``_STALE_R3`` — latest green evidence is round 3 (stalest).
+#:   (2) ``_STALE_R4`` — latest green evidence is round 4.
+#:   (3) ``_VERIFIED_R5`` — green in CORRECTNESS_r05 (freshest, below
 #:       the fold).
-_STALE_R2 = frozenset((
-    "ann_lsh_bucketed", "asof_join", "boilerplate_ngrams",
-    "contamination_check", "domain_mix_weights", "embedding_near_dup",
-    "except_all_multiset", "intersect_all_multiset", "ivf_ann",
-    "knn_bruteforce", "last_closed_bar", "multi_resolution_bars",
-    "ohlcv_bars", "pii_redaction", "repetition_filter",
-    "session_window_agg", "sliding_window_agg", "sql_entry_revenue",
-    "token_budget_sample", "tumbling_window_agg", "union_by_name_missing",
-    "vwap", "window_cume_nth", "window_cumulative", "window_first_last",
-    "window_lag_returns", "window_moving_avg", "window_ntile_pctrank",
-    "window_range_frame", "window_rank_topk",
-))
 _STALE_R3 = frozenset((
     "anti_join", "approx_percentiles", "argmax_order", "bigram_lm_score",
     "bloom_join_prune", "bpe_token_count", "broadcast_dim_join",
-    "correlation", "count_min_freq", "cross_join_pairs", "cube_subtotals",
-    "dedup_survivors", "distinct_count", "distinct_rows",
+    "correlation", "count_min_freq", "cross_join_pairs", "dedup_survivors",
     "doc_fingerprint", "embedding_normalize", "exact_dedup",
-    "gapfill_bars", "grouped_stats", "grouping_sets", "hll_sketch_users",
-    "language_id", "length_outliers", "media_features", "media_resize",
+    "gapfill_bars", "grouping_sets", "hll_sketch_users", "language_id",
+    "length_outliers", "media_features", "media_resize",
     "min_cost_supplier", "minhash_jaccard_estimate", "minhash_near_dup",
     "near_dup_clusters", "ngram_jaccard_pairs", "outer_join_counts",
-    "percentiles", "pivot_matrix", "pricing_summary", "psi_value_drift",
-    "quality_score", "rollup_subtotals", "scd_upsert", "semi_join",
-    "simhash_near_dup", "stddev_variance", "tfidf_top_terms",
-    "token_stats", "top_revenue_orders", "twap", "unpivot_metrics",
-    "vocab_coverage", "winnow_fingerprints", "word_frequency",
-    "zscore_by_group",
+    "psi_value_drift", "quality_score", "scd_upsert", "semi_join",
+    "simhash_near_dup", "tfidf_top_terms", "token_stats",
+    "top_revenue_orders", "twap", "unpivot_metrics", "vocab_coverage",
+    "winnow_fingerprints", "word_frequency", "zscore_by_group",
 ))
-_VERIFIED_R4 = frozenset((
+_STALE_R4 = frozenset((
     "approx_distinct", "array_functions", "asof_join_tolerance",
     "bmp_decode", "bmp_features", "correlated_exists",
     "dataset_interleave", "dataset_split", "date_arithmetic",
@@ -299,6 +310,23 @@ _VERIFIED_R4 = frozenset((
     "stratified_sample", "string_functions", "table_profile",
     "udtf_bigrams", "udtf_tokenize", "union_feeds", "url_domain_dedup",
     "variant_json_agg", "wav_decode", "word_entropy",
+))
+_VERIFIED_R5 = frozenset((
+    "ann_lsh_bucketed", "asof_join", "asof_join_forward", "bm25_score",
+    "boilerplate_ngrams", "chunk_documents", "contamination_check",
+    "cube_subtotals", "dataset_card", "distinct_count", "distinct_rows",
+    "domain_mix_weights", "embedding_near_dup", "embedding_quantize",
+    "except_all_multiset", "grouped_stats", "intersect_all_multiset",
+    "ivf_ann", "knn_bruteforce", "last_closed_bar", "minhash_incremental",
+    "multi_resolution_bars", "ohlcv_bars", "ols_regression",
+    "percentiles", "pii_redaction", "pivot_matrix", "png_decode",
+    "pq_ann", "pq_encode", "pricing_summary", "repetition_filter",
+    "rollup_subtotals", "sequence_packing", "session_window_agg",
+    "sliding_window_agg", "sql_entry_revenue", "stddev_variance",
+    "token_budget_sample", "tumbling_window_agg", "union_by_name_missing",
+    "vwap", "window_cume_nth", "window_cumulative", "window_first_last",
+    "window_lag_returns", "window_moving_avg", "window_ntile_pctrank",
+    "window_range_frame", "window_rank_topk",
 ))
 
 
@@ -327,13 +355,13 @@ def load_all() -> dict[str, QuerySpec]:
 
     def rank(item: tuple[str, QuerySpec]) -> tuple[int, int]:
         name, _spec = item
-        if name in _STALE_R2:
-            return (1, reg_order[name])
         if name in _STALE_R3:
+            return (1, reg_order[name])
+        if name in _STALE_R4:
             return (2, reg_order[name])
-        if name in _VERIFIED_R4:
+        if name in _VERIFIED_R5:
             return (3, reg_order[name])
-        # brand-new queries (registered after CORRECTNESS_r04 was
+        # brand-new queries (registered after CORRECTNESS_r05 was
         # written): no driver row yet, so they lead the window
         return (0, reg_order[name])
 

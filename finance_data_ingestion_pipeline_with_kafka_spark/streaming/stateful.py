@@ -120,9 +120,12 @@ def _update_ewma(
         y, n = state.get
     else:
         y, n = None, 0
-    for pdf in pdf_iter:
-        pdf = pdf.sort_values(["datetime"])
-        for x in pdf["last_price"]:
+    # concat all Arrow chunks and sort ONCE — a group spanning chunks has
+    # no cross-chunk ordering guarantee, and EWMA is order-sensitive
+    chunks = [pdf[["datetime", "last_price"]] for pdf in pdf_iter]
+    if chunks:
+        batch = pd.concat(chunks).sort_values(["datetime"])
+        for x in batch["last_price"]:
             if x is None or pd.isna(x):
                 continue
             y = (
@@ -195,22 +198,43 @@ def _session_update_factory(gap_ms: int):
             yield emit([(start_ms, last_ms, n, s)])
             return
 
-        open_sess = list(state.get) if state.exists else None
-        closed: list[tuple] = []
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values(["datetime"])
-            for ts, x in zip(pdf["datetime"], pdf["last_price"]):
+        # Interval sweep-merge over [state's open session] + [this batch's
+        # ticks], sorted ONCE across all Arrow chunks by event time. This
+        # is exact batch `session_window` parity for every within-watermark
+        # arrival order: the open-session interval [start, end] covers its
+        # events densely (consecutive members are < gap apart), so a new
+        # tick t merges iff t < end + gap AND t + gap > start — i.e. the
+        # standard interval-overlap sweep. In particular a late tick older
+        # than the current session end EXTENDS (start = min, end = max)
+        # and never regresses the end, and a straggler more than `gap`
+        # before the open start forms its own earlier session instead of
+        # corrupting the open one.
+        items: list[list] = []
+        if state.exists:
+            items.append(list(state.get))
+        chunks = [pdf[["datetime", "last_price"]] for pdf in pdf_iter]
+        if chunks:
+            batch = pd.concat(chunks).sort_values(["datetime"])
+            for ts, x in zip(batch["datetime"], batch["last_price"]):
                 ts_ms = int(ts.value // 1_000_000)
                 val = 0.0 if x is None or pd.isna(x) else float(x)
-                if open_sess is None:
-                    open_sess = [ts_ms, ts_ms, 1, val]
-                elif ts_ms >= open_sess[1] + gap_ms:
-                    closed.append(tuple(open_sess))
-                    open_sess = [ts_ms, ts_ms, 1, val]
-                else:
-                    open_sess[1] = ts_ms
-                    open_sess[2] += 1
-                    open_sess[3] += val
+                items.append([ts_ms, ts_ms, 1, val])
+        items.sort(key=lambda r: (r[0], r[1]))
+        merged: list[list] = []
+        for it in items:
+            if merged and it[0] < merged[-1][1] + gap_ms:
+                cur = merged[-1]
+                cur[1] = max(cur[1], it[1])
+                cur[2] += it[2]
+                cur[3] += it[3]
+            else:
+                merged.append(it)
+        # only the latest session can still grow; everything earlier is
+        # separated from it by >= gap and closes eagerly (same contract
+        # as before — a future late tick re-opening an emitted session is
+        # out of scope by the watermark bound)
+        closed: list[tuple] = [tuple(s) for s in merged[:-1]]
+        open_sess = merged[-1] if merged else None
         wm_ms = state.getCurrentWatermarkMs()
         if open_sess is not None and open_sess[1] + gap_ms <= wm_ms:
             # already expired as of this batch's watermark — a timeout
@@ -320,9 +344,13 @@ def _drawdown_processor():
                 peak, mdd, n = self.state.get()
             else:
                 peak, mdd, n = float("-inf"), 0.0, 0
-            for pdf in rows:
-                pdf = pdf.sort_values(["datetime"])
-                for x in pdf["last_price"]:
+            # a group can span multiple Arrow chunks in one micro-batch
+            # with no cross-chunk ordering guarantee — concatenate and
+            # sort ONCE so the fold sees true event-time order
+            chunks = [pdf[["datetime", "last_price"]] for pdf in rows]
+            if chunks:
+                batch = pd.concat(chunks).sort_values(["datetime"])
+                for x in batch["last_price"]:
                     if x is None or pd.isna(x):
                         continue
                     x = float(x)

@@ -135,6 +135,32 @@ def test_sized_conf_set_and_cleared_per_query(spark, sf_dir):
     assert spark.conf.get(_INIT_PARTITION_KEY) is None  # unset again
 
 
+def test_suppress_conf_mutation_freezes_sized_conf(spark, sf_dir):
+    """bench.py's concurrent phase runs mixed sized/unsized queries from
+    ~20 threads on one session; inside suppress_conf_mutation() no
+    catalog call may touch the session-global AQE floor (race-free by
+    not-writing, not by locking)."""
+    from finance_data_ingestion_pipeline_with_kafka_spark.registry import (
+        _INIT_PARTITION_KEY,
+        suppress_conf_mutation,
+    )
+
+    cat = _catalog()
+    try:
+        spark.conf.unset(_INIT_PARTITION_KEY)
+    except Exception:
+        pass
+    with suppress_conf_mutation():
+        cat["pricing_summary"].fn(spark, sf_dir)  # sized: would set
+        assert spark.conf.get(_INIT_PARTITION_KEY) is None
+        spark.conf.set(_INIT_PARTITION_KEY, "17")
+        cat["grouped_stats"].fn(spark, sf_dir)  # unsized: would unset
+        assert spark.conf.get(_INIT_PARTITION_KEY) == "17"
+    # outside the context, mutation resumes
+    cat["grouped_stats"].fn(spark, sf_dir)
+    assert spark.conf.get(_INIT_PARTITION_KEY) is None
+
+
 def test_session_builder_perf_confs(spark):
     """Round-5 perf posture pins: the catalog-sized codegen class cache
     (static conf — silently losing it re-introduces per-query Janino

@@ -8,9 +8,9 @@ load-bearing, not cosmetic.
 import pytest
 
 from finance_data_ingestion_pipeline_with_kafka_spark.registry import (
-    _STALE_R2,
     _STALE_R3,
-    _VERIFIED_R4,
+    _STALE_R4,
+    _VERIFIED_R5,
     load_all,
     query,
 )
@@ -29,33 +29,33 @@ def test_bench_specs_are_oracle_checked():
 
 def test_stalest_evidence_leads_the_window():
     """The driver verifies only the first ~50 catalog entries per round.
-    Round-5 contract: brand-new queries (no driver row) rank first, then
-    the 30 rows whose latest green evidence is round 2, then round-3
-    evidence; CORRECTNESS_r04 greens sit below the fold."""
+    Round-6 contract: brand-new queries (no driver row) rank first, then
+    the 41 rows whose latest green evidence is round 3, then round-4
+    evidence; CORRECTNESS_r05 greens sit below the fold."""
     order = list(load_all())
-    tiers = set(_STALE_R2) | set(_STALE_R3) | set(_VERIFIED_R4)
+    tiers = set(_STALE_R3) | set(_STALE_R4) | set(_VERIFIED_R5)
     new = [n for n in order if n not in tiers]
     # tier sets partition cleanly
-    assert _STALE_R2 & _STALE_R3 == frozenset()
-    assert _STALE_R2 & _VERIFIED_R4 == frozenset()
-    assert _STALE_R3 & _VERIFIED_R4 == frozenset()
-    # new queries lead, then stale-r2, then stale-r3, then r4 greens
-    n_new, n1, n2 = len(new), len(_STALE_R2), len(_STALE_R3)
+    assert _STALE_R3 & _STALE_R4 == frozenset()
+    assert _STALE_R3 & _VERIFIED_R5 == frozenset()
+    assert _STALE_R4 & _VERIFIED_R5 == frozenset()
+    # new queries lead, then stale-r3, then stale-r4, then r5 greens
+    n_new, n1, n2 = len(new), len(_STALE_R3), len(_STALE_R4)
     assert set(order[:n_new]) == set(new)
-    assert set(order[n_new : n_new + n1]) == set(_STALE_R2)
-    assert set(order[n_new + n1 : n_new + n1 + n2]) == set(_STALE_R3)
-    assert set(order[n_new + n1 + n2 :]) == set(_VERIFIED_R4)
-    # the ~50-entry window must contain no row already green in r4
+    assert set(order[n_new : n_new + n1]) == set(_STALE_R3)
+    assert set(order[n_new + n1 : n_new + n1 + n2]) == set(_STALE_R4)
+    assert set(order[n_new + n1 + n2 :]) == set(_VERIFIED_R5)
+    # the ~50-entry window must contain no row already green in r5
     window = set(order[:50])
-    r4_in_window = window & _VERIFIED_R4
-    assert r4_in_window == set(), sorted(r4_in_window)
+    r5_in_window = window & _VERIFIED_R5
+    assert r5_in_window == set(), sorted(r5_in_window)
 
 
 def test_brand_new_queries_sort_into_the_window():
     """A query in no verified tier (i.e. added after the last driver
     round) must rank ahead of all verified rows."""
     order = list(load_all())
-    known = set(_STALE_R2) | set(_STALE_R3) | set(_VERIFIED_R4)
+    known = set(_STALE_R3) | set(_STALE_R4) | set(_VERIFIED_R5)
     first_known = min(order.index(n) for n in known)
     for name in set(order) - known:
         assert order.index(name) < first_known, name

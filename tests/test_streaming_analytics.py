@@ -436,6 +436,122 @@ def test_session_stream_timeout_evicts_state(spark, tmp_path):
     assert aapl[0]["session_end"].isoformat() == "2024-01-02T14:20:10"
 
 
+def test_session_stream_late_tick_extends_never_regresses(spark, tmp_path):
+    """Out-of-order CROSS-BATCH parity: a late-but-within-watermark tick
+    older than the open session's end must EXTEND the session (start =
+    min, end = max) — never move session_end backward and never split
+    the session. Repro scenario: t=100 (batch 1), late t=95 (batch 2),
+    t=126 (batch 3), gap=30s, watermark=60s → batch session_window says
+    ONE session [t95 .. t126, n=3]."""
+    import os as _os
+    import time as _time
+
+    from finance_data_ingestion_pipeline_with_kafka_spark.streaming.stateful import (
+        session_stream,
+    )
+
+    rows = [
+        ("f1.json", [fh_msg("AAPL", 100, 10.0)]),
+        ("f2.json", [fh_msg("AAPL", 95, 20.0)]),  # late, within watermark
+        ("f3.json", [fh_msg("AAPL", 126, 30.0)]),
+        ("f4.json", [fh_msg("ZZZZ", 4000)]),  # watermark sentinel
+    ]
+    src = tmp_path / "sess_late"
+    files = [write_json_fixture(str(src), msgs, name) for name, msgs in rows]
+    now = _time.time()
+    for i, f in enumerate(files):  # file source orders by mtime
+        _os.utime(f, (now - 80 + 15 * i, now - 80 + 15 * i))
+    stream = finnhub_pipeline(
+        kafka_shaped_file_stream(spark, str(src), max_files_per_trigger=1),
+        dedup_watermark=None,
+    )
+    out = drain(
+        spark,
+        session_stream(stream, gap="30 seconds", watermark="60 seconds"),
+        "sess_late_t",
+        mode="append",
+    ).collect()
+    aapl = [r for r in out if r["symbol"] == "AAPL"]
+    # every emitted session is a well-formed interval
+    assert all(r["session_end"] >= r["session_start"] for r in aapl)
+    # exactly ONE session, spanning the late tick through the last tick
+    assert len(aapl) == 1
+    got = aapl[0]
+    assert got["session_start"].isoformat() == "2024-01-02T14:21:35"
+    assert got["session_end"].isoformat() == "2024-01-02T14:22:06"
+    assert got["n_events"] == 3
+    assert got["sum_value"] == pytest.approx(60.0)
+
+    # batch twin on the same rows agrees
+    src_b = tmp_path / "sess_late_b"
+    write_json_fixture(
+        str(src_b),
+        [fh_msg("AAPL", 100, 10.0), fh_msg("AAPL", 95, 20.0), fh_msg("AAPL", 126, 30.0)],
+    )
+    batch_raw = spark.read.text(str(src_b)).select(
+        F.col("value").cast("string").alias("value")
+    )
+    batch = (
+        finnhub_pipeline(batch_raw)
+        .groupBy("symbol", F.session_window("datetime", "30 seconds"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("last_price").alias("sum_value"))
+        .select(
+            "symbol",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+        .collect()
+    )
+    assert len(batch) == 1
+    assert batch[0]["session_start"] == got["session_start"]
+    assert batch[0]["n_events"] == got["n_events"]
+    assert batch[0]["sum_value"] == pytest.approx(got["sum_value"])
+
+
+def test_session_stream_pre_gap_straggler_forms_own_session(spark, tmp_path):
+    """A within-watermark straggler more than `gap` OLDER than the open
+    session's start is a separate, earlier session (batch semantics) —
+    it must not be folded into the open session."""
+    import os as _os
+    import time as _time
+
+    from finance_data_ingestion_pipeline_with_kafka_spark.streaming.stateful import (
+        session_stream,
+    )
+
+    rows = [
+        ("f1.json", [fh_msg("AAPL", 100, 10.0)]),
+        ("f2.json", [fh_msg("AAPL", 20, 20.0)]),  # 80s early: > gap, in watermark
+        ("f3.json", [fh_msg("ZZZZ", 4000)]),  # watermark sentinel
+    ]
+    src = tmp_path / "sess_strag"
+    files = [write_json_fixture(str(src), msgs, name) for name, msgs in rows]
+    now = _time.time()
+    for i, f in enumerate(files):
+        _os.utime(f, (now - 80 + 15 * i, now - 80 + 15 * i))
+    stream = finnhub_pipeline(
+        kafka_shaped_file_stream(spark, str(src), max_files_per_trigger=1),
+        dedup_watermark=None,
+    )
+    out = drain(
+        spark,
+        session_stream(stream, gap="30 seconds", watermark="120 seconds"),
+        "sess_strag_t",
+        mode="append",
+    ).collect()
+    aapl = sorted(
+        (r for r in out if r["symbol"] == "AAPL"), key=lambda r: r["session_start"]
+    )
+    assert [
+        (r["session_start"].isoformat(), r["session_end"].isoformat(), r["n_events"])
+        for r in aapl
+    ] == [
+        ("2024-01-02T14:20:20", "2024-01-02T14:20:20", 1),
+        ("2024-01-02T14:21:40", "2024-01-02T14:21:40", 1),
+    ]
+
+
 def test_ewma_stream_late_tick_folds_in_arrival_order(spark, tmp_path):
     """Pins the documented ordering caveat: a late-but-within-watermark
     tick arriving in a LATER micro-batch folds after newer data (EWMA
