@@ -955,9 +955,7 @@ def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "pq_ann",
-    oracle=f"""
+_PQ_ANN_ORACLE = f"""
     WITH dims AS (
       SELECT vec_id, label, i - 1 AS dim,
              CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x,
@@ -996,9 +994,10 @@ def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM adc
     ) WHERE rn <= {TOP_K}
     ORDER BY query_id, adc_dist, vec_id
-    """,
-    tags=("U5",),
-)
+"""
+
+
+@query("pq_ann", oracle=_PQ_ANN_ORACLE, tags=("U5",))
 def pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[U5] Asymmetric-distance (ADC) search over the PQ codes — the
     end of the product-quantization path: each query precomputes a
@@ -1063,4 +1062,78 @@ def pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .drop("rn")
         .orderBy("query_id", "adc_dist", "vec_id")
+    )
+
+
+_ANN_RECALL_ORACLE = f"""
+    WITH gt AS (
+      {_ORACLE_COSINE.format(nq=N_QUERY_VECS, k=TOP_K)}
+    ), ivf AS (
+      {_IVF_ORACLE}
+    ), pq AS (
+      {_PQ_ANN_ORACLE}
+    ), approx AS (
+      SELECT 'ivf' AS method, query_id, vec_id FROM ivf
+      UNION ALL
+      SELECT 'pq' AS method, query_id, vec_id FROM pq
+    ), qm AS (
+      SELECT DISTINCT m.method, g.query_id
+      FROM gt g CROSS JOIN (SELECT 'ivf' AS method UNION ALL SELECT 'pq') m
+    ), matched AS (
+      SELECT a.method, a.query_id, COUNT(*) AS c
+      FROM approx a JOIN gt g
+        ON g.query_id = a.query_id AND g.vec_id = a.vec_id
+      GROUP BY a.method, a.query_id
+    )
+    SELECT qm.method, qm.query_id,
+           CAST(COALESCE(matched.c, 0) AS BIGINT) AS n_hits,
+           CAST(COALESCE(matched.c, 0) AS DOUBLE) / {TOP_K} AS recall_at_k
+    FROM qm LEFT JOIN matched
+      ON matched.method = qm.method AND matched.query_id = qm.query_id
+    ORDER BY qm.method, qm.query_id
+"""
+
+
+@query("ann_recall", oracle=_ANN_RECALL_ORACLE, tags=("U5",))
+def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U5] recall@k — the standard vector-store acceptance metric: for
+    each query vector, what fraction of the exact ``knn_bruteforce``
+    top-k does each approximate index (``ivf_ann``, ``pq_ann``) return?
+    Composes the three catalog queries verbatim (same builders, same
+    determinism contracts), so the metric itself is exact and
+    hash-comparable: every input ranking is rounded-score + id tie-broken.
+    The per-(method, query) spine is a crossJoin of the 5 distinct query
+    ids with a 2-row method literal — a broadcast literal-carry, not a
+    cartesian. Scale: the expensive inputs are the index scans themselves;
+    the recall join touches only 3·k·n_queries id pairs — evaluation
+    cost is index cost, the shape a recall dashboard at 100 TB needs
+    (ground truth restricted to a sampled query set, as here)."""
+    gt = knn_bruteforce(spark, sf_dir).select("query_id", "vec_id")
+    approx = (
+        ivf_ann(spark, sf_dir)
+        .select(F.lit("ivf").alias("method"), "query_id", "vec_id")
+        .unionByName(
+            pq_ann(spark, sf_dir).select(
+                F.lit("pq").alias("method"), "query_id", "vec_id"
+            )
+        )
+    )
+    methods = spark.createDataFrame([("ivf",), ("pq",)], "method string")
+    qm = gt.select("query_id").distinct().crossJoin(F.broadcast(methods))
+    matched = (
+        approx.join(gt, ["query_id", "vec_id"])
+        .groupBy("method", "query_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        qm.join(matched, ["method", "query_id"], "left")
+        .select(
+            "method",
+            "query_id",
+            F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("n_hits"),
+            (
+                F.coalesce(F.col("c"), F.lit(0)).cast("double") / F.lit(float(TOP_K))
+            ).alias("recall_at_k"),
+        )
+        .orderBy("method", "query_id")
     )
