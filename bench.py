@@ -116,6 +116,7 @@ def main() -> None:
         spark.conf.unset(_INIT_PARTITION_KEY)
     except Exception:
         pass
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
     t0 = time.perf_counter()
     with suppress_conf_mutation():
         with ThreadPoolExecutor(max_workers=len(bench_specs)) as pool:

@@ -106,6 +106,27 @@ def sized_partition_num(spark: SparkSession, sf_dir: str) -> int:
 
 
 _INIT_PARTITION_KEY = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+_AQE_KEY = "spark.sql.adaptive.enabled"
+_SHUFFLE_KEY = "spark.sql.shuffle.partitions"
+#: Below this input volume, sized queries run with AQE OFF and a
+#: data-sized STATIC ``shuffle.partitions`` instead of the AQE floor:
+#: adaptive re-planning costs one scheduler round-trip per materialized
+#: stage (plan → run → re-optimize → next stage), a fixed ~50-100 ms tax
+#: that dominates sub-second queries while buying nothing — runtime
+#: stats on sub-GB inputs can't change any join/partition decision the
+#: statically sized plan didn't already get right. Measured (sf0.1,
+#: local[32], min-of-5 warm): tumbling 0.23→0.17 s, window_rank_topk
+#: 0.22→0.15 s, session_window 0.23→0.15 s, top_revenue 0.53→0.41 s at
+#: 1×; at 30× (0.5 GB) the static path also beat AQE+floor on the whole
+#: floor-bound family (e.g. session_window 1.1-1.6 s → 0.85 s). At
+#: 100 TB the check is never true and AQE (skew joins, runtime
+#: broadcast, coalescing) stays on — the knob only ever removes
+#: overhead from queries too small to need replanning.
+_AQE_OFF_MAX_BYTES = 1 << 30
+
+#: First-touch snapshot of each session's shuffle.partitions, restored on
+#: every unsized (and non-tiny sized) invocation.
+_ORIG_SHUFFLE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 #: The sized-partitions knob is a SESSION-global runtime conf. When many
 #: catalog queries run concurrently in threads on ONE session (bench.py's
@@ -132,19 +153,53 @@ def suppress_conf_mutation():
 
 
 def _apply_sized_partitions(spark: SparkSession, sf_dir: str, sized: bool) -> None:
-    """Set (or clear) the managed conf deterministically on EVERY catalog
+    """Set (or clear) the managed confs deterministically on EVERY catalog
     invocation, so query ordering can never leak one query's setting into
-    the next. Runtime-conf writes are cheap (~1 ms py4j) and read at
-    action planning time, which follows this call."""
+    the next. Two knobs, both data-aware: the AQE reduce-parallelism
+    floor (``sized_partition_num``), and AQE itself OFF below
+    ``_AQE_OFF_MAX_BYTES`` of input (tiny inputs pay adaptive
+    stage-sequencing latency for nothing). Runtime-conf writes are cheap
+    (~1 ms py4j) and read at action planning time, which follows this
+    call."""
     if _SUPPRESS_CONF_MUTATION:
         return
+    orig_shuffle = _ORIG_SHUFFLE.get(spark)
+    if orig_shuffle is None:
+        orig_shuffle = spark.conf.get(_SHUFFLE_KEY, "32")
+        _ORIG_SHUFFLE[spark] = orig_shuffle
     if sized:
-        spark.conf.set(_INIT_PARTITION_KEY, str(sized_partition_num(spark, sf_dir)))
+        import os
+
+        replicate = max(int(os.environ.get("ENGINE_SCAN_REPLICATE", "1")), 1)
+        n = sized_partition_num(spark, sf_dir)
+        if _dir_bytes(sf_dir) * replicate < _AQE_OFF_MAX_BYTES:
+            # tiny input: static sized plan, no adaptive re-planning.
+            # The static reduce count is additionally capped at the core
+            # count — without AQE there is no coalescing to merge sliver
+            # partitions, and >1 wave of sub-second tasks is pure
+            # scheduling overhead (measured: 32 beats 64 at 0.5 GB on 32
+            # cores across the floor-bound family).
+            try:
+                cores = spark.sparkContext.defaultParallelism
+            except Exception:
+                cores = 32
+            spark.conf.set(_AQE_KEY, "false")
+            spark.conf.set(_SHUFFLE_KEY, str(min(n, cores)))
+            try:
+                spark.conf.unset(_INIT_PARTITION_KEY)
+            except Exception:
+                pass
+        else:
+            spark.conf.set(_AQE_KEY, "true")
+            spark.conf.set(_SHUFFLE_KEY, orig_shuffle)
+            spark.conf.set(_INIT_PARTITION_KEY, str(n))
     else:
         try:
             spark.conf.unset(_INIT_PARTITION_KEY)
         except Exception:
             pass
+        spark.conf.set(_AQE_KEY, "true")
+        spark.conf.set(_SHUFFLE_KEY, orig_shuffle)
 
 
 #: Prepared-plan cache: session → {(sf_dir, name, env fingerprint): DataFrame}.

@@ -126,13 +126,44 @@ def test_sized_conf_set_and_cleared_per_query(spark, sf_dir):
         _INIT_PARTITION_KEY,
     )
 
+    from finance_data_ingestion_pipeline_with_kafka_spark.registry import _SHUFFLE_KEY
+
     cat = _catalog()
     assert cat["pricing_summary"].sized_partitions
     assert not cat["grouped_stats"].sized_partitions
+    orig_shuffle = spark.conf.get(_SHUFFLE_KEY)
     cat["pricing_summary"].fn(spark, sf_dir)
-    assert spark.conf.get(_INIT_PARTITION_KEY) == "8"
+    # test sf_dirs are far below _AQE_OFF_MAX_BYTES, so sized queries take
+    # the tiny-input path: AQE off + data-sized STATIC shuffle partitions
+    # (adaptive re-planning is pure latency on tiny inputs); the AQE floor
+    # stays unset on this path
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+    assert spark.conf.get(_SHUFFLE_KEY) == "8"
+    assert spark.conf.get(_INIT_PARTITION_KEY) is None
     cat["grouped_stats"].fn(spark, sf_dir)
-    assert spark.conf.get(_INIT_PARTITION_KEY) is None  # unset again
+    assert spark.conf.get(_INIT_PARTITION_KEY) is None  # still unset
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"  # restored
+    assert spark.conf.get(_SHUFFLE_KEY) == orig_shuffle  # restored
+
+
+def test_sized_conf_large_input_keeps_aqe_with_floor(spark, sf_dir, monkeypatch):
+    """Above _AQE_OFF_MAX_BYTES the sized path must keep AQE ON with the
+    data-aware initialPartitionNum floor — the 100 TB posture (runtime
+    skew/broadcast re-planning) is never traded away on real volumes."""
+    from finance_data_ingestion_pipeline_with_kafka_spark.registry import (
+        _INIT_PARTITION_KEY,
+        _SHUFFLE_KEY,
+    )
+
+    cat = _catalog()
+    orig_shuffle = spark.conf.get(_SHUFFLE_KEY)
+    monkeypatch.setenv("ENGINE_SCAN_REPLICATE", "1000000")  # force >= 1 GB
+    cat["pricing_summary"].fn(spark, sf_dir)
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get(_INIT_PARTITION_KEY) is not None
+    assert spark.conf.get(_SHUFFLE_KEY) == orig_shuffle
+    monkeypatch.delenv("ENGINE_SCAN_REPLICATE")
+    cat["grouped_stats"].fn(spark, sf_dir)  # clean up the managed confs
 
 
 def test_suppress_conf_mutation_freezes_sized_conf(spark, sf_dir):
