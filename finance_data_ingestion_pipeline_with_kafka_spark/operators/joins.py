@@ -37,6 +37,11 @@ from ..registry import query
     tags=("J1", "A1", "O4"),
     bench=True,
     sized_partitions=True,
+    # the filtered customer⋈orders side only proves broadcast-small at
+    # execution time — AQE's exact-bytes shuffle→broadcast conversion is
+    # load-bearing here at every scale (measured: AQE on 0.44/0.88 s at
+    # 1×/30× vs the tiny-path AQE-off 0.72/1.24 s)
+    keep_aqe=True,
 )
 def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[J1] TPC-H-Q3-shaped fact⋈fact⋈dim join + grouped agg + top-k.

@@ -863,3 +863,131 @@ def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("click.value").alias("next_click_value"),
         )
     )
+
+
+@query(
+    "position_ledger",
+    oracle="""
+    WITH fills AS (
+      SELECT event_type AS symbol,
+             CASE WHEN event_id % 2 = 0 THEN 1 ELSE -1 END AS side,
+             (event_id % 10) + 1 AS volume,
+             value AS price
+      FROM events
+    )
+    SELECT symbol,
+           CAST(SUM(side * volume) AS BIGINT) AS position,
+           CAST(SUM(CAST(-side * price * volume AS DECIMAL(30,6))) AS DOUBLE)
+             AS cash_flow,
+           CAST(COUNT(*) AS BIGINT) AS n_fills
+    FROM fills GROUP BY symbol ORDER BY symbol
+    """,
+    tags=("T10",),
+)
+def position_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[T10 batch twin] The ledger semantics of the streaming
+    ``running_position`` stateful operator (position = Σ side·qty,
+    cash_flow = Σ −side·price·qty) as an oracle-checkable batch query:
+    events mapped to a deterministic fills ledger (side/volume derived
+    from event_id, price = value). Both folds are plain order-independent
+    sums, so the driver's hash verification of this query pins exactly
+    the arithmetic the streaming state carries;
+    ``test_running_position_matches_position_ledger_semantics`` pins the
+    streaming operator to the same numbers over a shared fixture."""
+    e = load_table(spark, sf_dir, "events")
+    side = F.when(F.col("event_id") % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
+    volume = (F.col("event_id") % 10) + 1
+    return (
+        e.select(
+            F.col("event_type").alias("symbol"),
+            side.alias("side"),
+            volume.alias("volume"),
+            F.col("value").alias("price"),
+        )
+        .groupBy("symbol")
+        .agg(
+            F.sum(F.col("side") * F.col("volume")).cast("bigint").alias("position"),
+            dsum(-F.col("side") * F.col("price") * F.col("volume")).alias("cash_flow"),
+            F.count(F.lit(1)).alias("n_fills"),
+        )
+        .orderBy("symbol")
+    )
+
+
+@query(
+    "session_fold_sessions",
+    oracle="""
+    WITH marks AS (
+      SELECT user_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts >= LAG(ts) OVER w + INTERVAL '10 minutes'
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+      SELECT user_id, ts, value,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marks
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(CASE WHEN value >= 0
+                              THEN FLOOR(value * 100 + 0.5)
+                              ELSE -FLOOR(-value * 100 + 0.5) END AS BIGINT))
+                AS DOUBLE) / 100 AS sum_value
+    FROM sess GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+    tags=("T9", "T10"),
+)
+def session_fold_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[T9/T10 batch twin] Gap-based sessionization through the SAME
+    ``sweep_merge_sessions`` fold the streaming stateful sessionizer
+    (``streaming/stateful.py: session_stream``) executes per micro-batch
+    — run here over the whole history per key via ``applyInPandas``, so
+    the driver's DuckDB hash-compare (LAG-gap sessionization in SQL)
+    verifies the custom fold's semantics, not a parallel
+    reimplementation. Values accumulate as exact integer cents
+    (sign-aware half-up, the engine's standard rounding) so the
+    per-session sum is order-independent and bit-identical across
+    engines. Scale: one shuffle on the session key; state per group
+    during the fold is O(sessions), and the streaming variant holds only
+    the single open session per key."""
+    import pandas as pd
+
+    from ..streaming.stateful import sweep_merge_sessions
+
+    gap_us = 10 * 60 * 1_000_000  # 10 minutes in microseconds
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        items = []
+        for ts, v in zip(pdf["ts"], pdf["value"]):
+            us = ts.value // 1_000  # ns → µs (lossless: parquet stores µs)
+            v = 0.0 if v is None or pd.isna(v) else float(v)
+            cents = int(v * 100 + 0.5) if v >= 0 else -int(-v * 100 + 0.5)
+            items.append([us, us, 1, cents])
+        merged = sweep_merge_sessions(items, gap_us)
+        uid = pdf["user_id"].iloc[0]
+        return pd.DataFrame(
+            {
+                "user_id": [uid] * len(merged),
+                "session_start": [pd.to_datetime(s[0], unit="us") for s in merged],
+                "session_end": [pd.to_datetime(s[1], unit="us") for s in merged],
+                "n_events": [s[2] for s in merged],
+                "sum_value": [s[3] / 100 for s in merged],
+            }
+        )
+
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    out_schema = (
+        "user_id long, session_start timestamp, session_end timestamp, "
+        "n_events long, sum_value double"
+    )
+    return (
+        e.groupBy("user_id")
+        .applyInPandas(fold, out_schema)
+        .orderBy("user_id", "session_start")
+    )

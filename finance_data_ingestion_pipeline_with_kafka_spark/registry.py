@@ -48,6 +48,15 @@ class QuerySpec:
     #: off for the dedup family (whose shuffles are explosion-dominated —
     #: shingle rows ≫ input bytes, so a bytes heuristic underestimates).
     sized_partitions: bool = False
+    #: opt OUT of the tiny-input AQE-off path (see
+    #: ``_apply_sized_partitions``): set on sized queries whose plan
+    #: depends on AQE's runtime shuffle→broadcast conversion (a join
+    #: whose build side only proves small at execution time — exact-bytes
+    #: check, so no static hint can replace it scale-safely). Measured on
+    #: top_revenue_orders: AQE on 0.44/0.88 s at 1×/30× vs AQE off
+    #: 0.72/1.24 s — the conversion pays for the adaptive stage latency
+    #: severalfold.
+    keep_aqe: bool = False
 
 
 QUERIES: dict[str, QuerySpec] = {}
@@ -152,7 +161,9 @@ def suppress_conf_mutation():
         _SUPPRESS_CONF_MUTATION = prior
 
 
-def _apply_sized_partitions(spark: SparkSession, sf_dir: str, sized: bool) -> None:
+def _apply_sized_partitions(
+    spark: SparkSession, sf_dir: str, sized: bool, keep_aqe: bool = False
+) -> None:
     """Set (or clear) the managed confs deterministically on EVERY catalog
     invocation, so query ordering can never leak one query's setting into
     the next. Two knobs, both data-aware: the AQE reduce-parallelism
@@ -172,7 +183,7 @@ def _apply_sized_partitions(spark: SparkSession, sf_dir: str, sized: bool) -> No
 
         replicate = max(int(os.environ.get("ENGINE_SCAN_REPLICATE", "1")), 1)
         n = sized_partition_num(spark, sf_dir)
-        if _dir_bytes(sf_dir) * replicate < _AQE_OFF_MAX_BYTES:
+        if not keep_aqe and _dir_bytes(sf_dir) * replicate < _AQE_OFF_MAX_BYTES:
             # tiny input: static sized plan, no adaptive re-planning.
             # The static reduce count is additionally capped at the core
             # count — without AQE there is no coalescing to merge sliver
@@ -185,6 +196,17 @@ def _apply_sized_partitions(spark: SparkSession, sf_dir: str, sized: bool) -> No
                 cores = 32
             spark.conf.set(_AQE_KEY, "false")
             spark.conf.set(_SHUFFLE_KEY, str(min(n, cores)))
+            try:
+                spark.conf.unset(_INIT_PARTITION_KEY)
+            except Exception:
+                pass
+        elif keep_aqe:
+            # runtime-replan-dependent plan: plain AQE, no floor — the
+            # floor's bytes proxy mis-sizes a join whose dominant cost is
+            # the probe side (measured on top_revenue_orders: floor 62 at
+            # 30× ran 1.20 s vs 0.87 s without)
+            spark.conf.set(_AQE_KEY, "true")
+            spark.conf.set(_SHUFFLE_KEY, orig_shuffle)
             try:
                 spark.conf.unset(_INIT_PARTITION_KEY)
             except Exception:
@@ -237,6 +259,7 @@ def query(
     prepared: bool = True,
     crossover: bool = True,
     sized_partitions: bool = False,
+    keep_aqe: bool = False,
 ):
     """Decorator registering a query in the catalog. The registered
     callable memoizes the constructed DataFrame per (session, sf_dir,
@@ -253,7 +276,7 @@ def query(
             raise ValueError(f"duplicate query name {name!r}")
         if not prepared:
             def unprepared(spark: SparkSession, sf_dir: str) -> DataFrame:
-                _apply_sized_partitions(spark, sf_dir, sized_partitions)
+                _apply_sized_partitions(spark, sf_dir, sized_partitions, keep_aqe)
                 return fn(spark, sf_dir)
 
             unprepared.__name__ = fn.__name__
@@ -265,11 +288,12 @@ def query(
             QUERIES[name] = QuerySpec(
                 name=name, fn=unprepared, oracle=oracle, tags=tags, bench=bench,
                 crossover=crossover, sized_partitions=sized_partitions,
+                keep_aqe=keep_aqe,
             )
             return fn
 
         def cached(spark: SparkSession, sf_dir: str) -> DataFrame:
-            _apply_sized_partitions(spark, sf_dir, sized_partitions)
+            _apply_sized_partitions(spark, sf_dir, sized_partitions, keep_aqe)
             per_session = _PLAN_CACHE.get(spark)
             if per_session is None:
                 per_session = _PLAN_CACHE.setdefault(spark, {})

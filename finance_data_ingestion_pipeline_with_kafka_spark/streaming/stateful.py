@@ -158,6 +158,30 @@ _SESSION_STATE_SCHEMA = StructType(
 )
 
 
+def sweep_merge_sessions(items: list[list], gap: int) -> list[list]:
+    """Interval sweep-merge over session fragments ``[start, end, n,
+    acc]`` (timestamps in any consistent integer unit; ``gap`` in the
+    same unit): sort by (start, end), then fold left merging any
+    fragment whose start lies within ``gap`` of the running session's
+    end. This is exactly the batch ``session_window`` semantics — a
+    fragment merges iff start < end + gap — and it is the ONE shared
+    implementation used by both the streaming stateful sessionizer
+    (``session_stream``) and the batch ``session_fold_sessions`` catalog
+    query, so the driver's hash-verification of the batch query pins the
+    streaming fold's semantics too."""
+    items.sort(key=lambda r: (r[0], r[1]))
+    merged: list[list] = []
+    for it in items:
+        if merged and it[0] < merged[-1][1] + gap:
+            cur = merged[-1]
+            cur[1] = max(cur[1], it[1])
+            cur[2] += it[2]
+            cur[3] += it[3]
+        else:
+            merged.append(it)
+    return merged
+
+
 def _session_update_factory(gap_ms: int):
     """Build the applyInPandasWithState update fn with the gap baked in.
 
@@ -219,16 +243,7 @@ def _session_update_factory(gap_ms: int):
                 ts_ms = int(ts.value // 1_000_000)
                 val = 0.0 if x is None or pd.isna(x) else float(x)
                 items.append([ts_ms, ts_ms, 1, val])
-        items.sort(key=lambda r: (r[0], r[1]))
-        merged: list[list] = []
-        for it in items:
-            if merged and it[0] < merged[-1][1] + gap_ms:
-                cur = merged[-1]
-                cur[1] = max(cur[1], it[1])
-                cur[2] += it[2]
-                cur[3] += it[3]
-            else:
-                merged.append(it)
+        merged = sweep_merge_sessions(items, gap_ms)
         # only the latest session can still grow; everything earlier is
         # separated from it by >= gap and closes eagerly (same contract
         # as before — a future late tick re-opening an emitted session is

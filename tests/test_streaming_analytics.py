@@ -174,6 +174,71 @@ def test_running_position_stateful(spark, tmp_path):
     assert pos["MSFT"]["cash_flow"] == pytest.approx(cash)
 
 
+def test_running_position_matches_position_ledger_semantics(spark, tmp_path):
+    """The streaming stateful fold and the batch `position_ledger`
+    catalog query (driver-hash-verified against DuckDB) compute the same
+    ledger: position = Σ side·qty, cash_flow = Σ −side·price·qty. Feed
+    the SAME fills through both forms and assert equality — the batch
+    side here is the identical groupBy-agg expression the catalog query
+    registers, so the driver's oracle gate transitively covers the
+    arithmetic the streaming state carries."""
+    from finance_data_ingestion_pipeline_with_kafka_spark.functions.core import dsum
+
+    fills_src = tmp_path / "fills_parity"
+    write_json_fixture(str(fills_src), TRADES)
+    side_expr = F.when(F.col("last_price") < 100.5, F.lit(1)).otherwise(F.lit(-1))
+    fills = finnhub_pipeline(
+        kafka_shaped_file_stream(spark, str(fills_src)), dedup_watermark=None
+    ).withColumn("side", side_expr)
+    out = drain(spark, running_position(fills), "pos_parity_t", mode="update")
+    streaming = {
+        r["symbol"]: (r["position"], r["cash_flow"], r["n_fills"])
+        for r in out.collect()
+    }
+
+    batch_raw = spark.read.text(str(fills_src)).select(
+        F.col("value").cast("string").alias("value")
+    )
+    batch = (
+        finnhub_pipeline(batch_raw)
+        .withColumn("side", side_expr)
+        .groupBy("symbol")
+        .agg(
+            F.sum(F.col("side") * F.col("volume")).cast("bigint").alias("position"),
+            dsum(-F.col("side") * F.col("last_price") * F.col("volume")).alias(
+                "cash_flow"
+            ),
+            F.count(F.lit(1)).alias("n_fills"),
+        )
+        .collect()
+    )
+    want = {r["symbol"]: (r["position"], r["cash_flow"], r["n_fills"]) for r in batch}
+    assert set(streaming) == set(want)
+    for sym in want:
+        assert streaming[sym][0] == want[sym][0], sym
+        assert streaming[sym][1] == pytest.approx(want[sym][1]), sym
+        assert streaming[sym][2] == want[sym][2], sym
+
+
+def test_session_fold_shares_streaming_sweep_merge(spark, sf_dir):
+    """The batch `session_fold_sessions` catalog query must execute the
+    SAME `sweep_merge_sessions` fold the streaming sessionizer runs —
+    shared implementation, not a lookalike. Pinned structurally (both
+    call sites import one function) and behaviorally: the fold over a
+    full history equals the streaming sessionizer's eager+timeout output
+    shape (covered by the session_stream parity tests above)."""
+    import finance_data_ingestion_pipeline_with_kafka_spark.operators.timeseries as ts_mod
+    import inspect
+
+    src = inspect.getsource(ts_mod.session_fold_sessions.__wrapped__ if hasattr(
+        ts_mod.session_fold_sessions, "__wrapped__") else ts_mod.session_fold_sessions)
+    assert "sweep_merge_sessions" in src
+    import finance_data_ingestion_pipeline_with_kafka_spark.streaming.stateful as st_mod
+
+    upd_src = inspect.getsource(st_mod._session_update_factory)
+    assert "sweep_merge_sessions" in upd_src
+
+
 def test_late_data_beyond_watermark_dropped(spark, tmp_path):
     """T6: an event older than the advanced watermark must NOT create or
     update a window (the documented divergence from the reference's
