@@ -951,3 +951,64 @@ def url_domain_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("domain")
     )
+
+
+@query(
+    "fuzzy_prefix_join",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, substr(text, 1, 30) AS pfx, length(text) AS len,
+             substr(text, 1, 4) AS blk
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.pfx, b.pfx) AS INT) AS edit_distance
+    FROM d a JOIN d b
+      ON a.blk = b.blk AND a.doc_id < b.doc_id AND abs(a.len - b.len) <= 5
+    WHERE levenshtein(a.pfx, b.pfx) <= 3
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("U4", "J6"),
+)
+def fuzzy_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U4] Approximate string-match join: document pairs whose 30-char
+    prefixes are within Levenshtein distance 3, blocked so the pair
+    space is NEVER all-pairs — candidates must share a 4-char prefix
+    block (equi-join, shuffle-bucketed) and be within 5 chars of length
+    (cheap predicate inside the block). This is the fuzzy-key dedup
+    primitive (near-identical titles/URLs/boilerplate headers); at
+    100 TB the block key hash-partitions the corpus and each task edits
+    only its block's candidates. Levenshtein is exact integer math —
+    both engines return identical distances, so the driver hash-compares
+    it like any exact query."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring("text", 1, 30).alias("pfx"),
+        F.length("text").alias("len"),
+        F.substring("text", 1, 4).alias("blk"),
+    )
+    a = d.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("pfx").alias("pfx_a"),
+        F.col("len").alias("len_a"),
+        "blk",
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("pfx").alias("pfx_b"),
+        F.col("len").alias("len_b"),
+        "blk",
+    )
+    dist = F.levenshtein("pfx_a", "pfx_b")
+    return (
+        a.join(
+            b,
+            (a["blk"] == b["blk"])
+            & (F.col("doc_a") < F.col("doc_b"))
+            & (F.abs(F.col("len_a") - F.col("len_b")) <= 5),
+            how="inner",
+        )
+        .filter(dist <= 3)
+        .select("doc_a", "doc_b", dist.cast("int").alias("edit_distance"))
+        .orderBy("doc_a", "doc_b")
+    )

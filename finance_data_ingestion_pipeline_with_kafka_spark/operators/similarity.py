@@ -398,7 +398,10 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_PROBE = 3  # clusters searched per query
 
 
-_IVF_ORACLE = f"""
+def _ivf_oracle(n_probe: int = N_PROBE) -> str:
+    """IVF oracle SQL, parametrized by the number of probed cells (the
+    recall/latency knob a vector store exposes)."""
+    return f"""
     WITH vecs AS (
       SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings
@@ -430,7 +433,7 @@ _IVF_ORACLE = f"""
                          / (sqrt(list_dot_product(q.v, q.v)) * c.cnorm), 9) DESC,
                           c.cid) AS rn
         FROM vecs q CROSS JOIN c2 c WHERE q.vec_id < {N_QUERY_VECS}
-      ) WHERE rn <= {N_PROBE}
+      ) WHERE rn <= {n_probe}
     ), scored AS (
       SELECT p.query_id, a.vec_id, a.label,
              ROUND(list_dot_product(p.qv, a.v)
@@ -447,8 +450,7 @@ _IVF_ORACLE = f"""
 """
 
 
-@query("ivf_ann", oracle=_IVF_ORACLE, tags=("U5",))
-def ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ivf_topk(spark: SparkSession, sf_dir: str, n_probe: int) -> DataFrame:
     """[U5] IVF (inverted-file) ANN: "train" a coarse quantizer (centroid =
     per-cluster mean vector — one hash aggregation over the corpus, the
     k-means-update step), assign every vector to its nearest centroid (the
@@ -506,7 +508,7 @@ def ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.join(cents)
         .select("query_id", "qv", "qnorm", "cid", qsim.alias("qsim"))
         .withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= N_PROBE)
+        .filter(F.col("rn") <= n_probe)
         .select("query_id", "qv", "qnorm", F.col("cid").alias("cell"))
     )
     # search only the probed cells
@@ -525,6 +527,14 @@ def ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id", "label", "cosine_sim")
         .orderBy("query_id", F.desc("cosine_sim"), "vec_id")
     )
+
+
+@query("ivf_ann", oracle=_ivf_oracle(), tags=("U5",))
+def ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U5] IVF ANN at the default N_PROBE — see ``_ivf_topk`` for the
+    full design discussion (the builder is shared with
+    ``ivf_probe_sweep``, which measures the recall/n_probe curve)."""
+    return _ivf_topk(spark, sf_dir, N_PROBE)
 
 
 @query(
@@ -1069,7 +1079,7 @@ _ANN_RECALL_ORACLE = f"""
     WITH gt AS (
       {_ORACLE_COSINE.format(nq=N_QUERY_VECS, k=TOP_K)}
     ), ivf AS (
-      {_IVF_ORACLE}
+      {_ivf_oracle()}
     ), pq AS (
       {_PQ_ANN_ORACLE}
     ), approx AS (
@@ -1136,4 +1146,77 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_k"),
         )
         .orderBy("method", "query_id")
+    )
+
+
+_PROBE_SWEEP = (1, 2, 3)
+
+_IVF_PROBE_SWEEP_ORACLE = (
+    "    WITH gt AS (\n      "
+    + _ORACLE_COSINE.format(nq=N_QUERY_VECS, k=TOP_K)
+    + "\n    ), "
+    + ", ".join(
+        f"ivf_p{p} AS (\n      {_ivf_oracle(p)}\n    )" for p in _PROBE_SWEEP
+    )
+    + ", approx AS (\n"
+    + "      UNION ALL\n".join(
+        f"      SELECT {p} AS n_probe, query_id, vec_id FROM ivf_p{p}\n"
+        for p in _PROBE_SWEEP
+    )
+    + f"""    ), qm AS (
+      SELECT DISTINCT m.n_probe, g.query_id
+      FROM gt g CROSS JOIN (SELECT unnest(ARRAY{list(_PROBE_SWEEP)}) AS n_probe) m
+    ), matched AS (
+      SELECT a.n_probe, a.query_id, COUNT(*) AS c
+      FROM approx a JOIN gt g
+        ON g.query_id = a.query_id AND g.vec_id = a.vec_id
+      GROUP BY a.n_probe, a.query_id
+    )
+    SELECT CAST(qm.n_probe AS INT) AS n_probe, qm.query_id,
+           CAST(COALESCE(matched.c, 0) AS BIGINT) AS n_hits,
+           CAST(COALESCE(matched.c, 0) AS DOUBLE) / {TOP_K} AS recall_at_k
+    FROM qm LEFT JOIN matched
+      ON matched.n_probe = qm.n_probe AND matched.query_id = qm.query_id
+    ORDER BY qm.n_probe, qm.query_id
+"""
+)
+
+
+@query("ivf_probe_sweep", oracle=_IVF_PROBE_SWEEP_ORACLE, tags=("U5",))
+def ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U5] The recall/latency tuning curve every IVF deployment is
+    sized by: recall@k vs number of probed cells (n_probe = 1, 2, 3)
+    against the exact ``knn_bruteforce`` ground truth. Reuses the ONE
+    parametrized builder (``_ivf_topk``) and oracle template
+    (``_ivf_oracle``) the production ``ivf_ann`` query uses, so the
+    sweep measures the real operator, not a copy. Monotonicity (recall
+    non-decreasing in n_probe) is additionally asserted in unit tests.
+    Scale: centroid assignment is shared work Spark computes per probe
+    setting here for plan independence; a dashboard at 100 TB caches
+    the assigned table once and varies only the probe join."""
+    gt = knn_bruteforce(spark, sf_dir).select("query_id", "vec_id")
+    approx = None
+    for p in _PROBE_SWEEP:
+        part = _ivf_topk(spark, sf_dir, p).select(
+            F.lit(p).cast("int").alias("n_probe"), "query_id", "vec_id"
+        )
+        approx = part if approx is None else approx.unionByName(part)
+    probes = spark.createDataFrame([(p,) for p in _PROBE_SWEEP], "n_probe int")
+    qm = gt.select("query_id").distinct().crossJoin(F.broadcast(probes))
+    matched = (
+        approx.join(gt, ["query_id", "vec_id"])
+        .groupBy("n_probe", "query_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        qm.join(matched, ["n_probe", "query_id"], "left")
+        .select(
+            "n_probe",
+            "query_id",
+            F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("n_hits"),
+            (
+                F.coalesce(F.col("c"), F.lit(0)).cast("double") / F.lit(float(TOP_K))
+            ).alias("recall_at_k"),
+        )
+        .orderBy("n_probe", "query_id")
     )

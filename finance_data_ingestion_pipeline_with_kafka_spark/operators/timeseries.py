@@ -991,3 +991,172 @@ def session_fold_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(fold, out_schema)
         .orderBy("user_id", "session_start")
     )
+
+
+@query(
+    "rsi_indicator",
+    oracle="""
+    WITH px AS (
+      SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+             o_totalprice - LAG(o_totalprice) OVER w AS diff
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ), acc AS (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             CAST(SUM(CAST(CASE WHEN diff > 0 THEN diff ELSE 0 END
+                           AS DECIMAL(30,6))) OVER w7 AS DOUBLE) AS sum_gain,
+             CAST(SUM(CAST(CASE WHEN diff < 0 THEN -diff ELSE 0 END
+                           AS DECIMAL(30,6))) OVER w7 AS DOUBLE) AS sum_loss,
+             COUNT(diff) OVER w7 AS n_diffs
+      FROM px
+      WINDOW w7 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT o_custkey, o_orderkey, o_orderdate, sum_gain, sum_loss,
+           CASE WHEN sum_loss = 0 THEN 100.0
+                ELSE 100.0 - 100.0 / (1.0 + sum_gain / sum_loss) END AS rsi
+    FROM acc WHERE n_diffs = 7
+    ORDER BY o_custkey, o_orderdate, o_orderkey
+    """,
+    tags=("A3", "W2"),
+)
+def rsi_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A3] Relative Strength Index (7-period, SMA form) over each
+    customer's order-price series — the classic momentum oscillator of
+    the reference's stock-analytics domain. Gains/losses accumulate in
+    exact DECIMAL over the 7-row frame (order-independent under partial
+    window evaluation), and the final RSI is the identical double
+    expression in both engines; the zero-loss branch pins RSI=100 so no
+    division-by-zero semantics differ. One shuffle on the partition key;
+    frames evaluate within partitions — the same shape at 100 TB."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w7 = w.rowsBetween(-6, 0)
+    diff = F.col("o_totalprice") - F.lag("o_totalprice").over(w)
+    gain = F.when(diff > 0, diff).otherwise(F.lit(0))
+    loss = F.when(diff < 0, -diff).otherwise(F.lit(0))
+    acc = o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(gain.cast("decimal(30,6)")).over(w7).cast("double").alias("sum_gain"),
+        F.sum(loss.cast("decimal(30,6)")).over(w7).cast("double").alias("sum_loss"),
+        F.count(diff).over(w7).alias("n_diffs"),
+    )
+    rsi = F.when(F.col("sum_loss") == 0, F.lit(100.0)).otherwise(
+        F.lit(100.0) - F.lit(100.0) / (F.lit(1.0) + F.col("sum_gain") / F.col("sum_loss"))
+    )
+    return (
+        acc.filter(F.col("n_diffs") == 7)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "sum_gain", "sum_loss", rsi.alias("rsi"))
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    )
+
+
+@query(
+    "stochastic_oscillator",
+    oracle="""
+    WITH k AS (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             ROW_NUMBER() OVER w AS rn,
+             CASE WHEN MAX(o_totalprice) OVER w7 = MIN(o_totalprice) OVER w7
+                  THEN 50.0
+                  ELSE 100.0 * (o_totalprice - MIN(o_totalprice) OVER w7)
+                       / (MAX(o_totalprice) OVER w7 - MIN(o_totalprice) OVER w7)
+             END AS k_pct
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+             w7 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT o_custkey, o_orderkey, o_orderdate, k_pct,
+           (k_pct + LAG(k_pct, 1) OVER w + LAG(k_pct, 2) OVER w) / 3.0 AS d_pct
+    FROM k
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    QUALIFY rn >= 7
+    ORDER BY o_custkey, o_orderdate, o_orderkey
+    """,
+    tags=("A3", "W2", "W4"),
+)
+def stochastic_oscillator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A3] Stochastic oscillator %K/%D (7-period) per customer order
+    series. %K is a range-normalized position — min/max over a row frame
+    are exact picks, so the double expression is engine-identical; the
+    flat-window branch pins 50. %D is the explicit 3-term lag average
+    (fixed fold order, unlike an AVG over a frame of doubles, whose
+    accumulation order is engine-internal). Emitted from the 7th row per
+    key; earlier lags of %K are computed over the full series in both
+    engines."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w7 = w.rowsBetween(-6, 0)
+    mx = F.max("o_totalprice").over(w7)
+    mn = F.min("o_totalprice").over(w7)
+    k_pct = F.when(mx == mn, F.lit(50.0)).otherwise(
+        F.lit(100.0) * (F.col("o_totalprice") - mn) / (mx - mn)
+    )
+    k = o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.row_number().over(w).alias("rn"),
+        k_pct.alias("k_pct"),
+    )
+    d_pct = (F.col("k_pct") + F.lag("k_pct", 1).over(w) + F.lag("k_pct", 2).over(w)) / F.lit(3.0)
+    return (
+        k.select("o_custkey", "o_orderkey", "o_orderdate", "rn", "k_pct", d_pct.alias("d_pct"))
+        .filter(F.col("rn") >= 7)
+        .drop("rn")
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    )
+
+
+@query(
+    "obv_flow",
+    oracle="""
+    WITH d AS (
+      SELECT user_id, ts, event_id,
+             value - LAG(value) OVER w AS diff,
+             (event_id % 10) + 1 AS vol
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), f AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN diff > 0 THEN vol
+                  WHEN diff < 0 THEN -vol
+                  ELSE 0 END AS flow
+      FROM d
+    )
+    SELECT user_id, ts, event_id,
+           CAST(SUM(flow) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS obv
+    FROM f
+    ORDER BY user_id, ts, event_id
+    """,
+    tags=("A3", "W4"),
+)
+def obv_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A3] On-balance volume: the running signed-volume accumulator
+    (volume flows toward the side of each price move). All-integer
+    cumulative sum — exact under any partial-aggregation order — over
+    one shuffle on the series key; the event-stream twin of the
+    ``running_position`` ledger with a derived rather than given side."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    diff = F.col("value") - F.lag("value").over(w)
+    vol = (F.col("event_id") % 10) + 1
+    d = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(diff > 0, vol).when(diff < 0, -vol).otherwise(F.lit(0)).alias("flow"),
+    )
+    return (
+        d.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.sum("flow").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("bigint").alias("obv"),
+        )
+        .orderBy("user_id", "ts", "event_id")
+    )

@@ -1207,3 +1207,57 @@ def test_sequence_packing_invariants(spark, sf_dir):
             end = r["start_offset"] + r["n_tokens"] - 1
             assert r["spans_packs"] == end // PACK_TOKENS - r["pack_id"] + 1
             expect += r["n_tokens"]
+
+
+def test_ivf_probe_sweep_monotone_and_consistent(spark, sf_dir):
+    """The recall/n_probe curve: mean recall@k must be non-decreasing in
+    n_probe (more cells searched can only add candidates), and the
+    n_probe = 3 row must equal the ann_recall query's 'ivf' method rows
+    (same builder, same ground truth)."""
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.similarity import (
+        N_PROBE,
+        ann_recall,
+        ivf_probe_sweep,
+    )
+
+    rows = ivf_probe_sweep(spark, sf_dir).collect()
+    by_probe = {}
+    for r in rows:
+        by_probe.setdefault(r["n_probe"], []).append(r["recall_at_k"])
+    means = {p: sum(v) / len(v) for p, v in by_probe.items()}
+    probes = sorted(means)
+    assert probes == [1, 2, 3]
+    for lo, hi in zip(probes, probes[1:]):
+        assert means[hi] >= means[lo] - 1e-12, means
+    sweep_p3 = {
+        r["query_id"]: (r["n_hits"], r["recall_at_k"])
+        for r in rows
+        if r["n_probe"] == N_PROBE
+    }
+    ar = {
+        r["query_id"]: (r["n_hits"], r["recall_at_k"])
+        for r in ann_recall(spark, sf_dir).collect()
+        if r["method"] == "ivf"
+    }
+    assert sweep_p3 == ar
+
+
+def test_fuzzy_prefix_join_is_blocked_and_symmetric_free(spark, sf_dir):
+    """Every emitted pair shares the 4-char block, is doc_a < doc_b
+    (no mirror duplicates), and respects the distance threshold."""
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.dedup import (
+        fuzzy_prefix_join,
+    )
+    from finance_data_ingestion_pipeline_with_kafka_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    pairs = fuzzy_prefix_join(spark, sf_dir).collect()
+    assert len(pairs) > 0
+    assert all(r["doc_a"] < r["doc_b"] and r["edit_distance"] <= 3 for r in pairs)
+    docs = {
+        r["doc_id"]: r["pfx"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.substring("text", 1, 4).alias("pfx"))
+        .collect()
+    }
+    assert all(docs[r["doc_a"]] == docs[r["doc_b"]] for r in pairs)
