@@ -1012,3 +1012,78 @@ def fuzzy_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", dist.cast("int").alias("edit_distance"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+@query(
+    "fingerprint_containment",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, pos, tok FROM (
+        SELECT doc_id,
+               generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) - 1 AS pos,
+               unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM documents
+      )
+    ), grams AS (
+      SELECT doc_id, pos,
+             md5(tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w) AS gh,
+             lead(tok, 2) OVER w AS tail
+      FROM tok
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+      QUALIFY tail IS NOT NULL
+    ), fps AS (
+      SELECT DISTINCT doc_id,
+             MIN(gh) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      FROM grams
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_fp FROM fps GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+      FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b
+    )
+    SELECT p.doc_a, p.doc_b,
+           CAST(p.shared AS BIGINT) AS shared_fp,
+           CAST(p.shared AS DOUBLE) / s.n_fp AS containment
+    FROM pairs p JOIN sizes s ON s.doc_id = p.doc_a
+    WHERE CAST(p.shared AS DOUBLE) / s.n_fp >= 0.5
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("U4", "U6"),
+)
+def fingerprint_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U4] Substring-level containment detection — the dedup rung the
+    whole-document similarity family misses: doc A largely CONTAINED in
+    doc B (quote farms, concatenated crawls, boilerplate-wrapped
+    copies). Reuses the winnowing fingerprints (MOSS scheme — any shared
+    token run of >= k+w-1 tokens shares a fingerprint), self-joined
+    BUCKET-WISE on the fingerprint hash (equi-join; never all-pairs),
+    then containment = |fp(A) ∩ fp(B)| / |fp(A)| with an exact integer
+    numerator/denominator so the double ratio is engine-identical.
+    Scale: the fp table hash-partitions on fp for the candidate join and
+    on doc for the size join — two shuffles, both on keys with corpus-
+    bounded group sizes."""
+    from .text import winnow_fingerprints
+
+    fps = winnow_fingerprints(spark, sf_dir)
+    sizes = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    a = fps.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("doc_b"), "fp")
+    pairs = (
+        a.join(b, (a["fp"] == b["fp"]) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    containment = F.col("shared").cast("double") / F.col("n_fp")
+    return (
+        pairs.join(sizes, pairs["doc_a"] == sizes["doc_id"])
+        .filter(containment >= 0.5)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("shared").cast("bigint").alias("shared_fp"),
+            containment.alias("containment"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -64,6 +64,29 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )  # presentation sort dropped (order-insensitive compare)
 
 
+def quality_expr() -> F.Column:
+    """The heuristic quality score as a reusable column expression —
+    shared by ``quality_score`` (reports it) and the corpus-build funnel
+    (filters on it), so both sides and their oracles stay in lockstep."""
+    toks = tokens()
+    n_tokens = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin("the", "a", "of")))
+    return (
+        F.least(n_tokens / F.lit(50.0), F.lit(1.0)) * 0.5
+        + (1.0 - stop_hits / n_tokens.cast("double")) * 0.3
+        + F.when(F.length("text").between(20, 2000), 0.2).otherwise(0.0)
+    )
+
+
+#: The quality expression in DuckDB SQL — textual twin of ``quality_expr``.
+QUALITY_SQL = """ROUND(LEAST(len(string_split_regex(trim(text), '\\s+')) / 50.0, 1.0) * 0.5
+                 + (1.0 - len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                          t -> t IN ('the', 'a', 'of')))
+                         / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)) * 0.3
+                 + CASE WHEN length(text) BETWEEN 20 AND 2000 THEN 0.2 ELSE 0.0 END,
+                 6)"""
+
+
 @query(
     "quality_score",
     oracle="""
@@ -83,15 +106,7 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[U6] Heuristic document quality: length saturation + stopword-density
     penalty + size-window bonus (the C4/Gopher-rule family, composable)."""
     d = load_table(spark, sf_dir, "documents")
-    toks = tokens()
-    n_tokens = F.size(toks)
-    stop_hits = F.size(F.filter(toks, lambda t: t.isin("the", "a", "of")))
-    quality = (
-        F.least(n_tokens / F.lit(50.0), F.lit(1.0)) * 0.5
-        + (1.0 - stop_hits / n_tokens.cast("double")) * 0.3
-        + F.when(F.length("text").between(20, 2000), 0.2).otherwise(0.0)
-    )
-    return d.select("doc_id", F.round(quality, 6).alias("quality")).orderBy("doc_id")
+    return d.select("doc_id", F.round(quality_expr(), 6).alias("quality")).orderBy("doc_id")
 
 
 def _lang_score_sql(lang: str) -> str:

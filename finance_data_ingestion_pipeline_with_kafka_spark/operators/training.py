@@ -806,3 +806,92 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"- start_offset div {PACK_TOKENS} + 1"
         ).alias("spans_packs"),
     ).orderBy("shard", "doc_id")
+
+
+def _corpus_funnel_oracle() -> str:
+    from .dedup import _minhash_cte
+    from .text import QUALITY_SQL
+
+    return f"""
+    WITH {_minhash_cte()},
+    tokc AS (
+      SELECT doc_id, text,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tok
+      FROM documents
+    ), q AS (
+      SELECT doc_id, text, n_tok FROM tokc WHERE {QUALITY_SQL} >= 0.5
+    ), ex AS (
+      SELECT doc_id, n_tok FROM (
+        SELECT doc_id, n_tok,
+               ROW_NUMBER() OVER (
+                 PARTITION BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+                 ORDER BY doc_id) AS rn
+        FROM q
+      ) WHERE rn = 1
+    ), nd AS (
+      SELECT doc_id, n_tok FROM ex
+      WHERE doc_id NOT IN (SELECT doc_b FROM near_dup)
+    )
+    SELECT 'a_raw' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens FROM tokc
+    UNION ALL
+    SELECT 'b_quality', CAST(COUNT(*) AS BIGINT), CAST(SUM(n_tok) AS BIGINT) FROM q
+    UNION ALL
+    SELECT 'c_exact_dedup', CAST(COUNT(*) AS BIGINT), CAST(SUM(n_tok) AS BIGINT) FROM ex
+    UNION ALL
+    SELECT 'd_near_dup', CAST(COUNT(*) AS BIGINT), CAST(SUM(n_tok) AS BIGINT) FROM nd
+    ORDER BY stage
+    """
+
+
+@query(
+    "corpus_build_funnel",
+    oracle=_corpus_funnel_oracle(),
+    tags=("U4", "U6"),
+    prepared=False,  # composes minhash_near_dup, whose construction
+    # materializes the verified pair set (localCheckpoint)
+)
+def corpus_build_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U4/U6] The end-to-end training-corpus build as ONE auditable
+    funnel — the pipeline a dataset release actually runs, with
+    per-stage doc/token attrition: raw → quality filter (shared
+    ``quality_expr``, threshold 0.5) → exact dedup (canonical-fingerprint
+    keeper = min doc_id) → near-dup drop (any doc that is the higher-id
+    member of a verified MinHash pair is removed — the same verified
+    pair relation the ``minhash_near_dup`` query emits). Every stage
+    reuses the EXACT operator the catalog verifies individually, so the
+    funnel is a composition proof, not a reimplementation; counts and
+    token sums are integers, hash-exact by construction. Scale: each
+    stage is one shuffle-bounded transformation on the surviving set —
+    the attrition report costs four aggregates over a shared lineage."""
+    from .dedup import minhash_near_dup
+    from .text import quality_expr, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(tokens()).cast("long")
+    tokc = docs.select("doc_id", "text", n_tok.alias("n_tok"))
+    q = tokc.filter(F.round(quality_expr(), 6) >= 0.5)
+    fp = F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")))
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    ex = (
+        q.withColumn("fingerprint", fp)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "n_tok")
+    )
+    dropped = minhash_near_dup(spark, sf_dir).select("doc_b").distinct()
+    nd = ex.join(dropped, ex["doc_id"] == dropped["doc_b"], "left_anti")
+
+    def stage(name: str, frame: DataFrame) -> DataFrame:
+        return frame.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        ).select(F.lit(name).alias("stage"), "n_docs", "n_tokens")
+
+    return (
+        stage("a_raw", tokc)
+        .unionByName(stage("b_quality", q))
+        .unionByName(stage("c_exact_dedup", ex))
+        .unionByName(stage("d_near_dup", nd))
+        .orderBy("stage")
+    )

@@ -247,3 +247,49 @@ def test_png_roundtrip_any_geometry(width, height, data):
         )
     )
     assert decode_png(encode_png(rgb, width, height)) == (width, height, rgb)
+
+
+@given(
+    ts=st.lists(st.integers(min_value=0, max_value=2000), min_size=1, max_size=60),
+    gap=st.integers(min_value=1, max_value=500),
+    split=st.integers(min_value=0, max_value=60),
+)
+@settings(max_examples=200, deadline=None)
+def test_sweep_merge_sessions_any_arrival_order(ts, gap, split):
+    """Property: the shared sweep-merge fold (used by both the streaming
+    sessionizer and the batch session_fold_sessions query) equals
+    brute-force gap sessionization for ANY event multiset — and folding
+    incrementally in two arbitrary chunks (the cross-micro-batch shape,
+    including out-of-order arrivals) yields the same sessions as one
+    global fold, provided the late chunk stays within the open session's
+    merge horizon (the watermark contract)."""
+    from finance_data_ingestion_pipeline_with_kafka_spark.streaming.stateful import (
+        sweep_merge_sessions,
+    )
+
+    def brute(sorted_ts):
+        sessions = []
+        for t in sorted_ts:
+            if sessions and t < sessions[-1][1] + gap:
+                s = sessions[-1]
+                s[1] = max(s[1], t)
+                s[2] += 1
+                s[3] += t
+            else:
+                sessions.append([t, t, 1, t])
+        return sessions
+
+    want = brute(sorted(ts))
+    got = sweep_merge_sessions([[t, t, 1, t] for t in ts], gap)
+    assert got == want
+
+    # incremental: fold chunk A, keep ALL resulting sessions as state
+    # fragments, then fold chunk B on top — same result regardless of
+    # how the multiset was split (sessions are closed eagerly in the
+    # real operator, so this models the state-carry correctness of the
+    # merge itself)
+    split = min(split, len(ts))
+    a, b = ts[:split], ts[split:]
+    partial = sweep_merge_sessions([[t, t, 1, t] for t in a], gap)
+    final = sweep_merge_sessions(partial + [[t, t, 1, t] for t in b], gap)
+    assert final == want
