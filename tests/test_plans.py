@@ -172,3 +172,40 @@ def test_window_topk_group_limit_pushdown(spark, sf_dir):
     plan = executed_plan(q(spark, sf_dir, "window_rank_topk"))
     assert "WindowGroupLimit" in plan
     assert "Partial" in plan.split("WindowGroupLimit")[-1] or plan.count("WindowGroupLimit") >= 2
+
+
+def test_fuzzy_join_is_equi_blocked_not_cartesian(spark, sf_dir):
+    """fuzzy_prefix_join's candidate generation must ride the 4-char
+    block equi-key (hash-partitioned join); the Levenshtein predicate
+    runs INSIDE blocks — an all-pairs nested-loop plan would be the
+    100 TB failure mode."""
+    p = executed_plan(q(spark, sf_dir, "fuzzy_prefix_join"))
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_fingerprint_containment_equi_join_on_fp(spark, sf_dir):
+    """Containment candidates come from the fingerprint equi-self-join —
+    never a cross product."""
+    p = executed_plan(q(spark, sf_dir, "fingerprint_containment"))
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_indicator_windows_single_hash_shuffle(spark, sf_dir):
+    """The momentum indicators are window pipelines over ONE series key:
+    exactly one hash-partitioning Exchange (the series shuffle); every
+    window frame then evaluates within those partitions. The final
+    presentation sort's range exchange is the only other allowed one."""
+    for name in ("rsi_indicator", "stochastic_oscillator", "obv_flow"):
+        p = executed_plan(q(spark, sf_dir, name))
+        hash_exchanges = p.count("Exchange hashpartitioning")
+        assert hash_exchanges == 1, (name, hash_exchanges)
+        assert "CartesianProduct" not in p, name
+
+
+def test_corpus_funnel_no_cartesian_and_partial_aggs(spark, sf_dir):
+    """The funnel's four stage aggregates must partial-aggregate
+    (map-side combine) and its near-dup drop must be an anti-join, not
+    any product."""
+    p = executed_plan(q(spark, sf_dir, "corpus_build_funnel"))
+    assert "partial_count" in p or "partial_sum" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
