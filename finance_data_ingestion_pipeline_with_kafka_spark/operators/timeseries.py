@@ -1160,3 +1160,154 @@ def obv_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "ts", "event_id")
     )
+
+
+MACD_WINDOW = 50  # lag truncation, matching the `ewma` query's frame
+_MACD_Q_FAST = 11 / 13  # 1 - 2/(12+1)
+_MACD_Q_SLOW = 25 / 27  # 1 - 2/(26+1)
+_MACD_Q_SIG = 0.8  # 1 - 2/(9+1)
+
+
+@query(
+    "macd",
+    oracle=f"""
+    WITH events_us AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    m AS (
+      SELECT event_id, event_type, ts, value,
+             ROUND({2 / 13!r} * list_reduce(
+                     list(value) OVER w50, (acc, x) -> acc * {_MACD_Q_FAST!r} + x)
+                   - {2 / 27!r} * list_reduce(
+                     list(value) OVER w50, (acc, x) -> acc * {_MACD_Q_SLOW!r} + x),
+                   6) AS macd_line
+      FROM events_us
+      WHERE value IS NOT NULL
+      WINDOW w50 AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN {MACD_WINDOW - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, event_type, ts, macd_line,
+           ROUND({0.2!r} * list_reduce(
+                   list(macd_line) OVER w9, (acc, x) -> acc * {_MACD_Q_SIG!r} + x),
+                 6) AS signal_line
+    FROM m
+    WINDOW w9 AS (PARTITION BY event_type ORDER BY ts, event_id
+                  ROWS BETWEEN 8 PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+    """,
+    tags=("A3", "W2"),
+)
+def macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A3] MACD (12/26 EMA difference) + 9-EMA signal line per
+    event_type series. Each EMA is the `ewma` query's truncated Horner
+    fold (``acc·q + x`` over a 50-row frame) at the standard decays —
+    non-dyadic q is fine HERE because no ``pow()`` is ever evaluated:
+    both engines execute the identical left-fold multiply/add sequence
+    on identical double literals, so every intermediate rounds
+    identically. The signal line folds over the ROUNDED macd values
+    (round-then-fold in both engines), keeping the second window's
+    inputs bit-equal. Two window passes over one (event_type) sort —
+    still a single series shuffle."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w50 = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(MACD_WINDOW - 1), Window.currentRow)
+    )
+    arr = F.collect_list("value").over(w50)
+
+    def horner(a, q: float):
+        return F.aggregate(a, F.lit(0.0), lambda acc, x: acc * F.lit(q) + x)
+
+    macd_line = F.round(
+        F.lit(2 / 13) * horner(arr, _MACD_Q_FAST)
+        - F.lit(2 / 27) * horner(arr, _MACD_Q_SLOW),
+        6,
+    )
+    m = e.select("event_id", "event_type", "ts", macd_line.alias("macd_line"))
+    w9 = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-8, Window.currentRow)
+    )
+    sig = F.round(
+        F.lit(0.2) * horner(F.collect_list("macd_line").over(w9), _MACD_Q_SIG), 6
+    )
+    return m.select(
+        "event_id", "event_type", "ts", "macd_line", sig.alias("signal_line")
+    ).orderBy("event_id")
+
+
+@query(
+    "bollinger_bands",
+    oracle="""
+    WITH acc AS (
+      SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) OVER w AS DOUBLE) AS s1,
+             CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(38,6))) OVER w
+                  AS DOUBLE) AS s2,
+             COUNT(*) OVER w AS n
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    )
+    SELECT o_custkey, o_orderkey, o_orderdate, sma, sigma,
+           ROUND(sma - 2.0 * sigma, 6) AS lower_band,
+           ROUND(sma + 2.0 * sigma, 6) AS upper_band
+    FROM (
+      SELECT o_custkey, o_orderkey, o_orderdate, n,
+             ROUND(s1 / n, 6) AS sma,
+             ROUND(sqrt(GREATEST(s2 / n - (s1 / n) * (s1 / n), 0.0)), 6) AS sigma
+      FROM acc
+    ) WHERE n = 10
+    ORDER BY o_custkey, o_orderdate, o_orderkey
+    """,
+    tags=("A3", "W4"),
+)
+def bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A3] Bollinger bands (10-period SMA ± 2σ) per customer order
+    series. Both moments accumulate in exact DECIMAL over the frame
+    (order-independent), and mean/variance/bands are the identical
+    double expressions in both engines — population σ from the
+    computational formula with a GREATEST(·, 0) clamp against negative
+    round-off. Emitted only for full windows."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-9, 0)
+    )
+    px = F.col("o_totalprice")
+    acc = o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(px.cast("decimal(30,6)")).over(w).cast("double").alias("s1"),
+        F.sum((px * px).cast("decimal(38,6)")).over(w).cast("double").alias("s2"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    mean = F.col("s1") / F.col("n")
+    var = F.greatest(F.col("s2") / F.col("n") - mean * mean, F.lit(0.0))
+    # round-then-derive: sma/sigma are rounded FIRST, and the bands are
+    # computed from the rounded values — identical doubles in, identical
+    # band arithmetic out (raw mean-2sigma showed ~1e-10 cross-engine
+    # expression-evaluation drift at 1e5 magnitudes)
+    rounded = acc.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        "n",
+        F.round(mean, 6).alias("sma"),
+        F.round(F.sqrt(var), 6).alias("sigma"),
+    )
+    return (
+        rounded.filter(F.col("n") == 10)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "sma",
+            "sigma",
+            F.round(F.col("sma") - 2.0 * F.col("sigma"), 6).alias("lower_band"),
+            F.round(F.col("sma") + 2.0 * F.col("sigma"), 6).alias("upper_band"),
+        )
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    )
