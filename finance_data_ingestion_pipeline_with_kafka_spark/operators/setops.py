@@ -4,7 +4,7 @@ family over union-compatible normalized feeds.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -222,3 +222,40 @@ def scd_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("src", F.lit("kept"))
     )
     return upd.unionByName(kept).orderBy("o_orderkey")
+
+
+@query(
+    "scd2_intervals",
+    oracle="""
+    SELECT o_custkey,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+           o_orderdate AS valid_from,
+           LEAD(o_orderdate) OVER w AS valid_to,
+           LEAD(o_orderdate) OVER w IS NULL AS is_current,
+           o_orderstatus AS status
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, version
+    """,
+    tags=("SET", "W2"),
+)
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension TYPE 2 history build — the other half of
+    the MERGE story next to ``scd_upsert`` (type 1): each change event
+    becomes a versioned row with a validity interval [valid_from,
+    valid_to), closed by the NEXT change's timestamp (``lead`` over the
+    deterministic per-key order) and left open (`is_current`) on the
+    latest. One shuffle on the dimension key; at lake scale this is the
+    standard as-of-queryable dimension snapshot build, and the `asof_join`
+    operator is its consumer."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    return o.select(
+        "o_custkey",
+        F.row_number().over(w).cast("bigint").alias("version"),
+        F.col("o_orderdate").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+        F.col("o_orderstatus").alias("status"),
+    ).orderBy("o_custkey", "version")

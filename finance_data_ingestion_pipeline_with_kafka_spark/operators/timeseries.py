@@ -1239,23 +1239,27 @@ def macd(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "bollinger_bands",
     oracle="""
-    WITH acc AS (
-      SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) OVER w AS DOUBLE) AS s1,
-             CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(38,6))) OVER w
-                  AS DOUBLE) AS s2,
-             COUNT(*) OVER w AS n
+    WITH cents AS (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS c
       FROM orders
+    ), acc AS (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             SUM(c) OVER w AS s1c,
+             SUM(c * c) OVER w AS s2c,
+             COUNT(*) OVER w AS n
+      FROM cents
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
     )
     SELECT o_custkey, o_orderkey, o_orderdate, sma, sigma,
-           ROUND(sma - 2.0 * sigma, 6) AS lower_band,
-           ROUND(sma + 2.0 * sigma, 6) AS upper_band
+           sma - 2.0 * sigma AS lower_band,
+           sma + 2.0 * sigma AS upper_band
     FROM (
       SELECT o_custkey, o_orderkey, o_orderdate, n,
-             ROUND(s1 / n, 6) AS sma,
-             ROUND(sqrt(GREATEST(s2 / n - (s1 / n) * (s1 / n), 0.0)), 6) AS sigma
+             CAST(s1c AS DOUBLE) / n / 100.0 AS sma,
+             sqrt(GREATEST(CAST(n * s2c - s1c * s1c AS DOUBLE)
+                           / (n * n) / 10000.0, 0.0)) AS sigma
       FROM acc
     ) WHERE n = 10
     ORDER BY o_custkey, o_orderdate, o_orderkey
@@ -1275,39 +1279,51 @@ def bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(-9, 0)
     )
-    px = F.col("o_totalprice")
-    acc = o.select(
+    # integer-cents accumulation: both moments are EXACT BIGINTs, so the
+    # variance numerator n*s2c - s1c^2 is exact and every double below
+    # derives from identical integers via identical IEEE ops — outputs
+    # are deliberately UNROUNDED: bit-identical inputs + identical op
+    # sequence means exact cross-engine equality, whereas ROUND(x, 6) on
+    # a value landing exactly on a .5 boundary exposes the one semantic
+    # difference between Spark (exact-decimal HALF_UP) and DuckDB
+    # (scaled-double round) — observed once at sf0.1 (sigma
+    # 131867.4724065)
+    c = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+    cents = o.select("o_custkey", "o_orderkey", "o_orderdate", c.alias("c"))
+    acc = cents.select(
         "o_custkey",
         "o_orderkey",
         "o_orderdate",
-        F.sum(px.cast("decimal(30,6)")).over(w).cast("double").alias("s1"),
-        F.sum((px * px).cast("decimal(38,6)")).over(w).cast("double").alias("s2"),
+        F.sum("c").over(w).alias("s1c"),
+        F.sum(F.col("c") * F.col("c")).over(w).alias("s2c"),
         F.count(F.lit(1)).over(w).alias("n"),
     )
-    mean = F.col("s1") / F.col("n")
-    var = F.greatest(F.col("s2") / F.col("n") - mean * mean, F.lit(0.0))
-    # round-then-derive: sma/sigma are rounded FIRST, and the bands are
-    # computed from the rounded values — identical doubles in, identical
-    # band arithmetic out (raw mean-2sigma showed ~1e-10 cross-engine
-    # expression-evaluation drift at 1e5 magnitudes)
-    rounded = acc.select(
+    n = F.col("n")
+    mean = F.col("s1c").cast("double") / n / F.lit(100.0)
+    var = F.greatest(
+        (n * F.col("s2c") - F.col("s1c") * F.col("s1c")).cast("double")
+        / (n * n)
+        / F.lit(10000.0),
+        F.lit(0.0),
+    )
+    derived = acc.select(
         "o_custkey",
         "o_orderkey",
         "o_orderdate",
         "n",
-        F.round(mean, 6).alias("sma"),
-        F.round(F.sqrt(var), 6).alias("sigma"),
+        mean.alias("sma"),
+        F.sqrt(var).alias("sigma"),
     )
     return (
-        rounded.filter(F.col("n") == 10)
+        derived.filter(F.col("n") == 10)
         .select(
             "o_custkey",
             "o_orderkey",
             "o_orderdate",
             "sma",
             "sigma",
-            F.round(F.col("sma") - 2.0 * F.col("sigma"), 6).alias("lower_band"),
-            F.round(F.col("sma") + 2.0 * F.col("sigma"), 6).alias("upper_band"),
+            (F.col("sma") - 2.0 * F.col("sigma")).alias("lower_band"),
+            (F.col("sma") + 2.0 * F.col("sigma")).alias("upper_band"),
         )
         .orderBy("o_custkey", "o_orderdate", "o_orderkey")
     )
