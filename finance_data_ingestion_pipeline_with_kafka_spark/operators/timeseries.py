@@ -78,7 +78,7 @@ def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH events_us AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
     flagged AS (
       SELECT user_id, ts, value,
-             CASE WHEN ts >= COALESCE(LAG(ts) OVER w, TIMESTAMP '1970-01-01')
+             CASE WHEN ts > COALESCE(LAG(ts) OVER w, TIMESTAMP '1970-01-01')
                             + INTERVAL '30 minutes'
                   THEN 1 ELSE 0 END AS new_session
       FROM events_us
@@ -100,9 +100,13 @@ def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[T9] Session windows (30-minute inactivity gap) — trading-burst
-    sessions per user. Spark ``session_window`` closes a session when the
-    next event is >= gap after the previous; the oracle reproduces that
-    with the classic gaps-and-islands rewrite.
+    sessions per user. Spark ``session_window`` merges INCLUSIVELY at the
+    boundary (an event exactly gap after the previous still joins the
+    session — verified empirically; only a strictly-later event opens a
+    new one), so the oracle's gaps-and-islands rewrite flags a new
+    session on ``ts > prev + gap``. Event timestamps are µs-resolution,
+    so the boundary is unreachable on this fixture — the operator and
+    oracle encode it correctly anyway.
 
     Plan choice audited (round 5): a Spark-side gaps-and-islands rewrite
     (lag + cumsum windows + hash agg) measures SLOWER than the native
@@ -920,7 +924,7 @@ def position_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH marks AS (
       SELECT user_id, ts, value,
              CASE WHEN LAG(ts) OVER w IS NULL
-                    OR ts >= LAG(ts) OVER w + INTERVAL '10 minutes'
+                    OR ts > LAG(ts) OVER w + INTERVAL '10 minutes'
                   THEN 1 ELSE 0 END AS new_sess
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts)

@@ -148,12 +148,17 @@ SESSION_SCHEMA = StructType(
     ]
 )
 
+#: ALL sessions not yet finalized by the watermark, as parallel arrays —
+#: bounded by the watermark horizon: a key can hold at most
+#: ceil(watermark / gap) + 1 unfinalized sessions, because any session
+#: whose end + gap falls at or before the watermark is emitted and
+#: dropped on every invocation.
 _SESSION_STATE_SCHEMA = StructType(
     [
-        StructField("start_ms", LongType()),
-        StructField("last_ms", LongType()),
-        StructField("n_events", LongType()),
-        StructField("sum_value", DoubleType()),
+        StructField("start_ms", ArrayType(LongType())),
+        StructField("last_ms", ArrayType(LongType())),
+        StructField("n_events", ArrayType(LongType())),
+        StructField("sum_value", ArrayType(DoubleType())),
     ]
 )
 
@@ -164,7 +169,10 @@ def sweep_merge_sessions(items: list[list], gap: int) -> list[list]:
     same unit): sort by (start, end), then fold left merging any
     fragment whose start lies within ``gap`` of the running session's
     end. This is exactly the batch ``session_window`` semantics — a
-    fragment merges iff start < end + gap — and it is the ONE shared
+    fragment merges iff start <= end + gap, INCLUSIVE at the boundary:
+    the built-in merges two events exactly ``gap`` apart (verified
+    empirically; the half-open [t, t+gap) intuition is wrong) — and it
+    is the ONE shared
     implementation used by both the streaming stateful sessionizer
     (``session_stream``) and the batch ``session_fold_sessions`` catalog
     query, so the driver's hash-verification of the batch query pins the
@@ -172,7 +180,7 @@ def sweep_merge_sessions(items: list[list], gap: int) -> list[list]:
     items.sort(key=lambda r: (r[0], r[1]))
     merged: list[list] = []
     for it in items:
-        if merged and it[0] < merged[-1][1] + gap:
+        if merged and it[0] <= merged[-1][1] + gap:
             cur = merged[-1]
             cur[1] = max(cur[1], it[1])
             cur[2] += it[2]
@@ -185,25 +193,29 @@ def sweep_merge_sessions(items: list[list], gap: int) -> list[list]:
 def _session_update_factory(gap_ms: int):
     """Build the applyInPandasWithState update fn with the gap baked in.
 
-    Session semantics match the batch ``session_window`` operator
-    (``operators/timeseries.py: session_window_agg``): an event at
-    ts >= last_ts + gap closes the open session and starts a new one.
-    Sessions close two ways:
-
-    * eagerly, when a later in-batch event reveals the gap, and
-    * by **event-time timeout** when the key goes quiet: the state sets
-      ``setTimeoutTimestamp(last_ts + gap)``, and once the stream's
-      watermark passes that instant Spark invokes this fn with
-      ``state.hasTimedOut`` and NO rows — the session is emitted and the
-      state REMOVED. That timeout path is what bounds state at one open
-      session per active key (O(live keys), not O(history)); eviction is
-      asserted by ``test_session_stream_timeout_evicts_state``.
-    """
+    Session semantics match the batch ``session_window`` operator for
+    EVERY within-watermark arrival order: state holds ALL sessions the
+    watermark has not yet finalized (parallel arrays, bounded by
+    ~watermark/gap per key — see ``_SESSION_STATE_SCHEMA``), each batch
+    runs the shared ``sweep_merge_sessions`` interval fold over
+    [state sessions + batch ticks], and a session is emitted (and
+    dropped from state) only once ``session_end + gap < watermark`` —
+    the point after which no admissible tick can extend or bridge it
+    (a tick at exactly end + gap still merges, so the boundary waits).
+    So a late tick may extend any unfinalized session, merge two of
+    them, or open an earlier one; none of those histories can diverge
+    from the batch result. Emission happens either on a data batch (ripe
+    sessions flushed alongside the fold) or via the event-time timer
+    (``setTimeoutTimestamp(min unfinalized end + gap)``) when the key
+    goes quiet; each session is emitted exactly once — append-sink-safe.
+    Volume parity with batch ``session_window`` over thousands of
+    round-robin-interleaved out-of-order ticks is asserted by
+    ``test_session_stream_volume_parity_out_of_order``."""
 
     def update(
         key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        def emit(rows: list[tuple]) -> pd.DataFrame:
+        def emit(rows: list) -> pd.DataFrame:
             return pd.DataFrame(
                 {
                     "symbol": [key[0]] * len(rows),
@@ -214,28 +226,45 @@ def _session_update_factory(gap_ms: int):
                 }
             )
 
+        def load_sessions() -> list[list]:
+            if not state.exists:
+                return []
+            starts, ends, ns, sums = state.get
+            return [list(t) for t in zip(starts or [], ends or [], ns or [], sums or [])]
+
+        def settle(sessions: list[list], wm_ms: int):
+            """Split into (ripe → emit+drop, keep → store+arm timer)."""
+            # strict <: a tick at EXACTLY end + gap still merges (the
+            # built-in's inclusive boundary), so a session is final only
+            # once the watermark is past end + gap
+            ripe = [s_ for s_ in sessions if s_[1] + gap_ms < wm_ms]
+            keep = [s_ for s_ in sessions if s_[1] + gap_ms >= wm_ms]
+            if keep:
+                state.update(
+                    (
+                        [s_[0] for s_ in keep],
+                        [s_[1] for s_ in keep],
+                        [s_[2] for s_ in keep],
+                        [s_[3] for s_ in keep],
+                    )
+                )
+                # +1 ms: the session becomes final only when the
+                # watermark moves PAST end + gap (inclusive merges), and
+                # Spark requires the timestamp to exceed the current
+                # watermark — keep's definition guarantees end+gap >= wm
+                state.setTimeoutTimestamp(min(s_[1] for s_ in keep) + gap_ms + 1)
+            elif state.exists:
+                state.remove()
+            return ripe
+
+        wm_ms = state.getCurrentWatermarkMs()
         if state.hasTimedOut:
-            # watermark passed last_ts + gap with no new rows for this
-            # key: the open session is final — emit it and drop the state
-            start_ms, last_ms, n, s = state.get
-            state.remove()
-            yield emit([(start_ms, last_ms, n, s)])
+            ripe = settle(load_sessions(), wm_ms)
+            if ripe:
+                yield emit(sorted(ripe))
             return
 
-        # Interval sweep-merge over [state's open session] + [this batch's
-        # ticks], sorted ONCE across all Arrow chunks by event time. This
-        # is exact batch `session_window` parity for every within-watermark
-        # arrival order: the open-session interval [start, end] covers its
-        # events densely (consecutive members are < gap apart), so a new
-        # tick t merges iff t < end + gap AND t + gap > start — i.e. the
-        # standard interval-overlap sweep. In particular a late tick older
-        # than the current session end EXTENDS (start = min, end = max)
-        # and never regresses the end, and a straggler more than `gap`
-        # before the open start forms its own earlier session instead of
-        # corrupting the open one.
-        items: list[list] = []
-        if state.exists:
-            items.append(list(state.get))
+        items = load_sessions()
         chunks = [pdf[["datetime", "last_price"]] for pdf in pdf_iter]
         if chunks:
             batch = pd.concat(chunks).sort_values(["datetime"])
@@ -243,24 +272,9 @@ def _session_update_factory(gap_ms: int):
                 ts_ms = int(ts.value // 1_000_000)
                 val = 0.0 if x is None or pd.isna(x) else float(x)
                 items.append([ts_ms, ts_ms, 1, val])
-        merged = sweep_merge_sessions(items, gap_ms)
-        # only the latest session can still grow; everything earlier is
-        # separated from it by >= gap and closes eagerly (same contract
-        # as before — a future late tick re-opening an emitted session is
-        # out of scope by the watermark bound)
-        closed: list[tuple] = [tuple(s) for s in merged[:-1]]
-        open_sess = merged[-1] if merged else None
-        wm_ms = state.getCurrentWatermarkMs()
-        if open_sess is not None and open_sess[1] + gap_ms <= wm_ms:
-            # already expired as of this batch's watermark — a timeout
-            # timestamp in the past is illegal, so close inline
-            closed.append(tuple(open_sess))
-            state.remove()
-        elif open_sess is not None:
-            state.update(tuple(open_sess))
-            state.setTimeoutTimestamp(open_sess[1] + gap_ms)
-        if closed:
-            yield emit(closed)
+        ripe = settle(sweep_merge_sessions(items, gap_ms), wm_ms)
+        if ripe:
+            yield emit(sorted(ripe))
 
     return update
 

@@ -270,7 +270,8 @@ def test_sweep_merge_sessions_any_arrival_order(ts, gap, split):
     def brute(sorted_ts):
         sessions = []
         for t in sorted_ts:
-            if sessions and t < sessions[-1][1] + gap:
+            # inclusive at the boundary, matching Spark's built-in
+            if sessions and t <= sessions[-1][1] + gap:
                 s = sessions[-1]
                 s[1] = max(s[1], t)
                 s[2] += 1

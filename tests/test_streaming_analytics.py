@@ -812,3 +812,91 @@ def test_ewma_stream_ordered_matches_event_time_fold(spark, tmp_path):
         y = EWMA_ALPHA * x + (1 - EWMA_ALPHA) * y
     assert final["n_obs"] == 3
     assert final["ewma"] == pytest.approx(y)
+
+
+def test_session_stream_volume_parity_out_of_order(spark, tmp_path):
+    """Volume parity: ~3000 ticks across 8 symbols, split into 6
+    micro-batches with deliberately INTERLEAVED event times (each batch
+    contains ticks older than the previous batch's max, within the
+    watermark) — the realistic replay regime, not a 3-tick fixture. The
+    stateful sessionizer's full output must equal the batch
+    session_window aggregation over the same rows exactly."""
+    import os as _os
+    import time as _time
+
+    from finance_data_ingestion_pipeline_with_kafka_spark.streaming.stateful import (
+        session_stream,
+    )
+
+    # deterministic pseudo-random tick times: symbol s, tick i at
+    # t = (i*37 + hash-ish offset) % spread, quantized to seconds, so
+    # sessions form naturally and batches interleave in event time
+    symbols = [f"S{k:02d}" for k in range(8)]
+    msgs = []
+    for k, sym in enumerate(symbols):
+        t = k * 7
+        for i in range(375):
+            t += ((i * 37 + k * 13) % 90) + 1  # gaps 1..90 s (gap=60 splits)
+            msgs.append((t, fh_msg(sym, t, 100.0 + ((i * k) % 50) / 10)))
+    # batch assignment interleaves event-time: round-robin by index, so
+    # each micro-batch spans the whole timeline and later batches carry
+    # ticks far older than earlier batches' maxima
+    n_batches = 6
+    src = tmp_path / "sess_vol"
+    files = []
+    for b in range(n_batches):
+        chunk = [m for i, (_, m) in enumerate(msgs) if i % n_batches == b]
+        files.append(write_json_fixture(str(src), chunk, f"f{b}.json"))
+    # sentinel advances the watermark past everything at the end
+    files.append(write_json_fixture(str(src), [fh_msg("ZZZZ", 10**6)], "fz.json"))
+    now = _time.time()
+    for i, f in enumerate(files):
+        _os.utime(f, (now - 120 + 10 * i, now - 120 + 10 * i))
+
+    stream = finnhub_pipeline(
+        kafka_shaped_file_stream(spark, str(src), max_files_per_trigger=1),
+        dedup_watermark=None,
+    )
+    # watermark must cover the round-robin interleave: a tick in batch b
+    # can be the full timeline older than batch b-1's max — use a very
+    # long watermark so NOTHING is late-dropped and parity must be exact
+    out = drain(
+        spark,
+        session_stream(stream, gap="60 seconds", watermark="100 hours"),
+        "sess_vol_t",
+        mode="append",
+    ).collect()
+    got = {
+        (r["symbol"], r["session_start"], r["session_end"], r["n_events"],
+         round(r["sum_value"], 6))
+        for r in out
+        if r["symbol"] != "ZZZZ"
+    }
+
+    src_b = tmp_path / "sess_vol_b"
+    write_json_fixture(str(src_b), [m for _, m in msgs])
+    batch_raw = spark.read.text(str(src_b)).select(
+        F.col("value").cast("string").alias("value")
+    )
+    batch = (
+        finnhub_pipeline(batch_raw)
+        .groupBy("symbol", F.session_window("datetime", "60 seconds"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("last_price").alias("sum_value"))
+        .select(
+            "symbol",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+        .collect()
+    )
+    want = {
+        (r["symbol"], r["session_start"],
+         # built-in session_window's end = last_ts + gap; ours = last_ts
+         None, r["n_events"], round(r["sum_value"], 6))
+        for r in batch
+    }
+    got_cmp = {(s, st, None, n, v) for (s, st, _en, n, v) in got}
+    assert len(got) > 100  # real session volume, not a handful
+    assert got_cmp == want
