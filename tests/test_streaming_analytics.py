@@ -900,3 +900,67 @@ def test_session_stream_volume_parity_out_of_order(spark, tmp_path):
     got_cmp = {(s, st, None, n, v) for (s, st, _en, n, v) in got}
     assert len(got) > 100  # real session volume, not a handful
     assert got_cmp == want
+
+
+def test_ewma_stream_ordered_volume_parity_out_of_order(spark, tmp_path):
+    """Volume parity for the order-correct EWMA: ~1200 ticks across 4
+    symbols, micro-batches round-robin-interleaved in event time (every
+    batch carries ticks far older than earlier batches' maxima, all
+    within the watermark). The final per-symbol level must equal the
+    event-time-ordered recursive fold over the full series — the exact
+    contract the operator sells."""
+    import os as _os
+    import time as _time
+
+    from finance_data_ingestion_pipeline_with_kafka_spark.streaming.stateful import (
+        EWMA_ALPHA,
+        ewma_stream_ordered,
+    )
+
+    symbols = [f"E{k}" for k in range(4)]
+    ticks = []
+    for k, sym in enumerate(symbols):
+        t = k * 3
+        for i in range(300):
+            t += ((i * 29 + k * 11) % 40) + 1
+            ticks.append((sym, t, 100.0 + ((i * (k + 2)) % 70) / 10))
+    n_batches = 5
+    src = tmp_path / "ewma_vol"
+    files = []
+    for b in range(n_batches):
+        chunk = [
+            fh_msg(s, t, p) for i, (s, t, p) in enumerate(ticks) if i % n_batches == b
+        ]
+        files.append(write_json_fixture(str(src), chunk, f"f{b}.json"))
+    files.append(write_json_fixture(str(src), [fh_msg("ZZZZ", 10**6)], "fz.json"))
+    now = _time.time()
+    for i, f in enumerate(files):
+        _os.utime(f, (now - 120 + 10 * i, now - 120 + 10 * i))
+
+    stream = finnhub_pipeline(
+        kafka_shaped_file_stream(spark, str(src), max_files_per_trigger=1),
+        dedup_watermark=None,
+    )
+    out = drain(
+        spark,
+        ewma_stream_ordered(stream, watermark="100 hours"),
+        "ewma_vol_t",
+        mode="update",
+    ).collect()
+    final = {}
+    for r in out:
+        if r["symbol"] == "ZZZZ":
+            continue
+        if r["symbol"] not in final or r["n_obs"] > final[r["symbol"]][1]:
+            final[r["symbol"]] = (r["ewma"], r["n_obs"])
+
+    import numpy as np
+
+    for k, sym in enumerate(symbols):
+        series = sorted((t, p) for s, t, p in ticks if s == sym)
+        y = None
+        for _t, x in series:
+            x = float(np.float32(x))  # pipeline stores last_price as float32
+            y = EWMA_ALPHA * x if y is None else EWMA_ALPHA * x + (1 - EWMA_ALPHA) * y
+        assert final[sym][1] == len(series), sym
+        assert final[sym][0] == pytest.approx(y, abs=1e-12), sym
