@@ -259,3 +259,71 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.isNull().alias("is_current"),
         F.col("o_orderstatus").alias("status"),
     ).orderBy("o_custkey", "version")
+
+
+@query(
+    "scd2_point_in_time",
+    oracle="""
+    WITH hist AS (
+      SELECT o_custkey,
+             CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+             o_orderdate AS valid_from,
+             LEAD(o_orderdate) OVER w AS valid_to,
+             o_orderstatus AS status
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ), probes AS (
+      SELECT l_orderkey, o_custkey AS custkey, l_shipdate AS probe_ts
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_orderkey % 50 = 0 AND l_linenumber = 1
+    )
+    SELECT p.l_orderkey, p.custkey, p.probe_ts, h.version, h.status
+    FROM probes p JOIN hist h
+      ON h.o_custkey = p.custkey
+     AND h.valid_from <= p.probe_ts
+     AND (h.valid_to IS NULL OR p.probe_ts < h.valid_to)
+    ORDER BY l_orderkey
+    """,
+    tags=("J6", "W2"),
+)
+def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (as-of) lookup against the SCD2 history — the
+    canonical consumer of ``scd2_intervals`` and THE temporal-correctness
+    pattern of financial data (training a model on the dimension row
+    that was valid at event time, never a future version). Probes
+    (sampled lineitems at their ship date) join the customer's version
+    history on the key plus interval containment; per-key intervals are
+    disjoint by construction, so each probe matches at most one version.
+    Scale: equi-join on the dimension key carries the plan (hash
+    partition both sides), the interval predicates filter inside the
+    key's (small) version group — never a cross product
+    (plan-pinned)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    hist = o.select(
+        "o_custkey",
+        F.row_number().over(w).cast("bigint").alias("version"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w).alias("valid_to"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    probes = (
+        l.filter((F.col("l_orderkey") % 50 == 0) & (F.col("l_linenumber") == 1))
+        .join(o.select("o_orderkey", "o_custkey"), l["l_orderkey"] == o["o_orderkey"])
+        .select(
+            "l_orderkey",
+            F.col("o_custkey").alias("custkey"),
+            F.col("l_shipdate").alias("probe_ts"),
+        )
+    )
+    return (
+        probes.join(
+            hist,
+            (hist["o_custkey"] == probes["custkey"])
+            & (hist["valid_from"] <= probes["probe_ts"])
+            & (hist["valid_to"].isNull() | (probes["probe_ts"] < hist["valid_to"])),
+        )
+        .select("l_orderkey", "custkey", "probe_ts", "version", "status")
+        .orderBy("l_orderkey")
+    )
