@@ -964,3 +964,69 @@ def test_ewma_stream_ordered_volume_parity_out_of_order(spark, tmp_path):
             y = EWMA_ALPHA * x if y is None else EWMA_ALPHA * x + (1 - EWMA_ALPHA) * y
         assert final[sym][1] == len(series), sym
         assert final[sym][0] == pytest.approx(y, abs=1e-12), sym
+
+
+def test_session_stream_state_survives_restart(spark, tmp_path):
+    """The multi-session ARRAY state must round-trip through the state
+    store across a full query restart: run 1 processes early ticks
+    (sessions stay unfinalized under the watermark), the query STOPS,
+    run 2 on the SAME checkpoint delivers late + bridging ticks and the
+    sentinel — emitted sessions must equal the batch session_window over
+    everything, exactly once (no duplicates from the restart)."""
+    import os as _os
+    import time as _time
+
+    from finance_data_ingestion_pipeline_with_kafka_spark.streaming.stateful import (
+        session_stream,
+    )
+
+    src, cp = tmp_path / "sess_restart", str(tmp_path / "sess_restart_cp")
+    sink = str(tmp_path / "sess_restart_out")
+    # run 1: two sessions' worth of early ticks, out of order across files
+    r1 = [
+        ("f1.json", [fh_msg("AAPL", 100, 1.0), fh_msg("AAPL", 300, 2.0)]),
+        ("f2.json", [fh_msg("AAPL", 120, 4.0), fh_msg("AAPL", 320, 8.0)]),
+    ]
+    # run 2: a late tick extending the FIRST session, a bridging tick
+    # merging nothing (fresh later session), then the sentinel
+    r2 = [
+        ("f3.json", [fh_msg("AAPL", 140, 16.0), fh_msg("AAPL", 600, 32.0)]),
+        ("f4.json", [fh_msg("ZZZZ", 100000)]),
+    ]
+
+    def run(files):
+        fs = [write_json_fixture(str(src), msgs, name) for name, msgs in files]
+        now = _time.time()
+        for i, f in enumerate(sorted(_os.listdir(str(src)))):
+            fp = _os.path.join(str(src), f)
+            _os.utime(fp, (now - 600 + 10 * i, now - 600 + 10 * i))
+        stream = finnhub_pipeline(
+            kafka_shaped_file_stream(spark, str(src), max_files_per_trigger=1),
+            dedup_watermark=None,
+        )
+        q = (
+            session_stream(stream, gap="60 seconds", watermark="1000 seconds")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run(r1)  # stops after draining r1 files; state persisted in cp
+    run(r2)  # RESTART from checkpoint; late + new ticks + sentinel
+    out = [r for r in spark.read.parquet(sink).collect() if r["symbol"] == "AAPL"]
+    got = sorted(
+        (r["session_start"].isoformat(), r["session_end"].isoformat(),
+         r["n_events"], r["sum_value"])
+        for r in out
+    )
+    # batch truth: sessions over ALL six AAPL ticks with gap 60s:
+    #   [100,120,140] , [300,320] , [600]
+    assert got == [
+        ("2024-01-02T14:21:40", "2024-01-02T14:22:20", 3, 21.0),
+        ("2024-01-02T14:25:00", "2024-01-02T14:25:20", 2, 10.0),
+        ("2024-01-02T14:30:00", "2024-01-02T14:30:00", 1, 32.0),
+    ]
