@@ -195,7 +195,17 @@ def test_indicator_windows_single_hash_shuffle(spark, sf_dir):
     exactly one hash-partitioning Exchange (the series shuffle); every
     window frame then evaluates within those partitions. The final
     presentation sort's range exchange is the only other allowed one."""
-    for name in ("rsi_indicator", "stochastic_oscillator", "obv_flow"):
+    for name in (
+        "rsi_indicator",
+        "stochastic_oscillator",
+        "obv_flow",
+        # macd's TWO window passes (50-frame EMAs, then the 9-frame
+        # signal over macd_line) share one (event_type) sort order —
+        # Catalyst must not re-shuffle between them
+        "macd",
+        "bollinger_bands",
+        "scd2_intervals",
+    ):
         p = executed_plan(q(spark, sf_dir, name))
         hash_exchanges = p.count("Exchange hashpartitioning")
         assert hash_exchanges == 1, (name, hash_exchanges)
