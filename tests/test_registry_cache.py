@@ -203,3 +203,23 @@ def test_session_builder_perf_confs(spark):
         == "33554432"
     )
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
+def test_keep_aqe_query_runs_plain_aqe(spark, sf_dir):
+    """A sized query flagged keep_aqe (top_revenue_orders) must run with
+    AQE ON, NO partition floor and the session's own shuffle.partitions —
+    at any input size: its load-bearing optimization is AQE's runtime
+    shuffle-to-broadcast conversion."""
+    from finance_data_ingestion_pipeline_with_kafka_spark.registry import (
+        _INIT_PARTITION_KEY,
+        _SHUFFLE_KEY,
+    )
+
+    cat = _catalog()
+    assert cat["top_revenue_orders"].keep_aqe
+    orig_shuffle = spark.conf.get(_SHUFFLE_KEY)
+    cat["top_revenue_orders"].fn(spark, sf_dir)
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get(_INIT_PARTITION_KEY) is None
+    assert spark.conf.get(_SHUFFLE_KEY) == orig_shuffle
+    cat["grouped_stats"].fn(spark, sf_dir)  # clean managed confs
