@@ -339,6 +339,7 @@ def query(
         QUERIES[name] = QuerySpec(
             name=name, fn=cached, oracle=oracle, tags=tags, bench=bench,
             crossover=crossover, sized_partitions=sized_partitions,
+            keep_aqe=keep_aqe,
         )
         return fn
 
