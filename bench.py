@@ -105,18 +105,20 @@ def main() -> None:
 
     # suppress_conf_mutation: the data-aware initialPartitionNum floor is
     # a session-global conf; with ~20 threads on one session, set/unset
-    # races would make it nondeterministic — so this phase runs every
-    # query under plain AQE, race-free (see registry.py)
+    # races would make it nondeterministic — so this phase freezes the
+    # confs, race-free (see registry.py). Note: queries whose plan was
+    # memoized during the sequential pass keep that pass's physical
+    # shape; only newly planned work picks up the restored confs.
     from finance_data_ingestion_pipeline_with_kafka_spark.registry import (
-        _INIT_PARTITION_KEY,
+        restore_session_confs,
         suppress_conf_mutation,
     )
 
-    try:  # clear any residue from the sequential pass, ONCE, pre-threads
-        spark.conf.unset(_INIT_PARTITION_KEY)
-    except Exception:
-        pass
-    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # reset ALL managed confs ONCE, pre-threads: AQE back on, floor
+    # cleared, and shuffle.partitions restored from the first-touch
+    # snapshot (the last sequential query may have left a tiny-input
+    # AQE-off static partition count behind)
+    restore_session_confs(spark)
     t0 = time.perf_counter()
     with suppress_conf_mutation():
         with ThreadPoolExecutor(max_workers=len(bench_specs)) as pool:

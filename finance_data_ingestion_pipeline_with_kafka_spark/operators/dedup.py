@@ -373,6 +373,111 @@ def minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "minhash_recall",
+    oracle=f"""
+    WITH {_minhash_cte()},
+    dsh AS (SELECT DISTINCT doc_id, sh FROM grams),
+    tp AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM dsh a JOIN dsh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    ), truth AS (
+      SELECT t.doc_a, t.doc_b
+      FROM tp t JOIN sets sa ON sa.doc_id = t.doc_a
+                JOIN sets sb ON sb.doc_id = t.doc_b
+      WHERE ROUND(CAST(len(list_intersect(sa.shset, sb.shset)) AS DOUBLE)
+                  / len(list_distinct(list_concat(sa.shset, sb.shset))), 6) >= 0.8
+    ), counts AS (
+      SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
+             CAST((SELECT COUNT(*) FROM cands) AS BIGINT) AS n_candidates,
+             CAST((SELECT COUNT(*) FROM near_dup) AS BIGINT) AS n_verified
+    )
+    SELECT n_truth, n_candidates, n_verified,
+           CASE WHEN n_truth > 0
+                THEN CAST(n_verified AS DOUBLE) / n_truth END AS recall,
+           CASE WHEN n_candidates > 0
+                THEN CAST(n_verified AS DOUBLE) / n_candidates END AS candidate_precision
+    FROM counts
+    """,
+    tags=("U4",),
+    prepared=False,  # composes minhash_near_dup (localCheckpoint at build)
+    crossover=False,
+)
+def minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U4] Acceptance metric for the MinHash-LSH dedup family — the
+    recall@threshold counterpart of ``ann_recall``: how much of the EXACT
+    shingle-Jaccard >= 0.8 pair set does the banded pipeline surface, and
+    how selective is the banding?
+
+    Ground truth is computed exactly via a shared-shingle inverted-index
+    join (any pair with J >= 0.8 shares a shingle, so the index is
+    lossless), then exact-Jaccard-filtered with the SAME rounded
+    comparison the verify stage uses. Every verified banded pair is by
+    construction in the truth set, so recall = |near_dup| / |truth| and
+    candidate_precision = |near_dup| / |candidates| (banding
+    selectivity). With 4 bands x 4 rows, P(candidate | s=0.8) ~ 0.93 —
+    recall near that is the acceptance band; 1.0 on a fixture whose dup
+    pairs sit well above the threshold.
+
+    Scale: the truth kernel is the AUDIT path, run on a sample or small
+    corpus slice — a shared-shingle join's bucket occupancy is bounded by
+    shingle document-frequency, and stop-phrase shingles are a skew risk
+    at corpus scale (the production full-corpus path remains the banded
+    pipeline this metric audits). All counts are exact integers; ratios
+    are single double divisions of identical ints, engine-identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    # no persist: the distinct (doc_id, shingle) rows feed three subplans,
+    # but this is an acceptance-audit query whose result is one row — a
+    # build-time persist would outlive the action (no post-action hook
+    # here), and leaked cached blocks cost more than the recompute
+    dsh = shingle_rows(docs).distinct()
+    sets = dsh.groupBy("doc_id").agg(F.collect_set("sh").alias("shset"))
+    tp = (
+        dsh.alias("a")
+        .join(
+            dsh.alias("b"),
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    jac = F.round(
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        / F.size(F.array_union("sh_a", "sh_b")),
+        6,
+    )
+    truth = (
+        tp.join(sets.select(F.col("doc_id").alias("doc_a"), F.col("shset").alias("sh_a")), "doc_a")
+        .join(sets.select(F.col("doc_id").alias("doc_b"), F.col("shset").alias("sh_b")), "doc_b")
+        .filter(jac >= 0.8)
+    )
+    sigs = minhash_signatures(docs)
+    cands = minhash_candidates(sigs)
+    verified = minhash_near_dup(spark, sf_dir)
+    n_truth = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+    n_cand = cands.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+    n_ver = verified.agg(F.count(F.lit(1)).cast("bigint").alias("n_verified"))
+    out = (
+        n_truth.crossJoin(n_cand)  # three 1-row frames: literal-carry, not cartesian
+        .crossJoin(n_ver)
+        .select(
+            "n_truth",
+            "n_candidates",
+            "n_verified",
+            F.when(
+                F.col("n_truth") > 0,
+                F.col("n_verified").cast("double") / F.col("n_truth"),
+            ).alias("recall"),
+            F.when(
+                F.col("n_candidates") > 0,
+                F.col("n_verified").cast("double") / F.col("n_candidates"),
+            ).alias("candidate_precision"),
+        )
+    )
+    return out
+
+
+@query(
     "ngram_jaccard_pairs",
     oracle="""
     WITH toks AS (
@@ -1045,9 +1150,11 @@ def fuzzy_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT p.doc_a, p.doc_b,
            CAST(p.shared AS BIGINT) AS shared_fp,
-           CAST(p.shared AS DOUBLE) / s.n_fp AS containment
-    FROM pairs p JOIN sizes s ON s.doc_id = p.doc_a
-    WHERE CAST(p.shared AS DOUBLE) / s.n_fp >= 0.5
+           CAST(p.shared AS DOUBLE) / LEAST(sa.n_fp, sb.n_fp) AS containment
+    FROM pairs p
+    JOIN sizes sa ON sa.doc_id = p.doc_a
+    JOIN sizes sb ON sb.doc_id = p.doc_b
+    WHERE CAST(p.shared AS DOUBLE) / LEAST(sa.n_fp, sb.n_fp) >= 0.5
     ORDER BY doc_a, doc_b
     """,
     tags=("U4", "U6"),
@@ -1059,11 +1166,14 @@ def fingerprint_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     copies). Reuses the winnowing fingerprints (MOSS scheme — any shared
     token run of >= k+w-1 tokens shares a fingerprint), self-joined
     BUCKET-WISE on the fingerprint hash (equi-join; never all-pairs),
-    then containment = |fp(A) ∩ fp(B)| / |fp(A)| with an exact integer
-    numerator/denominator so the double ratio is engine-identical.
-    Scale: the fp table hash-partitions on fp for the candidate join and
-    on doc for the size join — two shuffles, both on keys with corpus-
-    bounded group sizes."""
+    then containment = |fp(A) ∩ fp(B)| / min(|fp(A)|, |fp(B)|) — the
+    SMALLER document is the one being contained, so the denominator must
+    not depend on which side got the lower doc_id (ADVICE r6: a fixed
+    /|fp(A)| made a big-lower-id ⊃ small-higher-id pair undetectable).
+    Exact integer numerator/denominator keep the double ratio
+    engine-identical. Scale: the fp table hash-partitions on fp for the
+    candidate join and on doc for the two size joins — shuffles on keys
+    with corpus-bounded group sizes."""
     from .text import winnow_fingerprints
 
     fps = winnow_fingerprints(spark, sf_dir)
@@ -1075,9 +1185,12 @@ def fingerprint_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
-    containment = F.col("shared").cast("double") / F.col("n_fp")
+    sizes_a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("n_fp_a"))
+    sizes_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("n_fp_b"))
+    containment = F.col("shared").cast("double") / F.least("n_fp_a", "n_fp_b")
     return (
-        pairs.join(sizes, pairs["doc_a"] == sizes["doc_id"])
+        pairs.join(sizes_a, "doc_a")
+        .join(sizes_b, "doc_b")
         .filter(containment >= 0.5)
         .select(
             "doc_a",

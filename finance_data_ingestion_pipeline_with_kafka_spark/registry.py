@@ -161,6 +161,26 @@ def suppress_conf_mutation():
         _SUPPRESS_CONF_MUTATION = prior
 
 
+def restore_session_confs(spark: SparkSession) -> None:
+    """Restore the managed runtime confs to their pre-catalog state:
+    AQE on, the session's first-touch ``shuffle.partitions`` snapshot
+    (``_ORIG_SHUFFLE``), no ``initialPartitionNum`` floor. For callers
+    (bench.py's concurrent phase) that are about to run under
+    ``suppress_conf_mutation()`` and must not inherit whatever the last
+    sequential query left behind — in particular a tiny-input AQE-off
+    static partition count."""
+    orig_shuffle = _ORIG_SHUFFLE.get(spark)
+    if orig_shuffle is None:
+        orig_shuffle = spark.conf.get(_SHUFFLE_KEY, "32")
+        _ORIG_SHUFFLE[spark] = orig_shuffle
+    try:
+        spark.conf.unset(_INIT_PARTITION_KEY)
+    except Exception:
+        pass
+    spark.conf.set(_AQE_KEY, "true")
+    spark.conf.set(_SHUFFLE_KEY, orig_shuffle)
+
+
 def _apply_sized_partitions(
     spark: SparkSession, sf_dir: str, sized: bool, keep_aqe: bool = False
 ) -> None:
@@ -352,27 +372,25 @@ def query(
 #: and after that the window refreshes the STALEST evidence (testdata
 #: regenerates between rounds, so old green rows decay).
 #:
-#: Round-6 ordering (all 141 catalog names are cumulatively hash-green
-#: after CORRECTNESS_r05; derived by ``tools/rotate_verified.py``):
+#: Round-7 ordering (all 155 catalog names are cumulatively hash-green
+#: after CORRECTNESS_r06; derived by ``tools/rotate_verified.py``):
 #:   (0) brand-new queries registered this round — no driver row at all.
 #:   (1) ``_STALE_R3`` — latest green evidence is round 3 (stalest).
+#:   (1.5) ``_PROMOTED_R7`` — promoted into the window out of staleness
+#:         order because the oracle changed after the last verification
+#:         (ADVICE r6): session_window_agg's gap boundary went >= → >
+#:         in round 6 but its latest driver row is round 5;
+#:         fingerprint_containment's denominator changed to
+#:         least(n_fp_a, n_fp_b) in round 7 after its r6 row.
 #:   (2) ``_STALE_R4`` — latest green evidence is round 4.
-#:   (3) ``_VERIFIED_R5`` — green in CORRECTNESS_r05 (freshest, below
+#:   (3) ``_VERIFIED_R5`` — green in CORRECTNESS_r05.
+#:   (4) ``_VERIFIED_R6`` — green in CORRECTNESS_r06 (freshest, below
 #:       the fold).
 _STALE_R3 = frozenset((
-    "anti_join", "approx_percentiles", "argmax_order", "bigram_lm_score",
-    "bloom_join_prune", "bpe_token_count", "broadcast_dim_join",
-    "correlation", "count_min_freq", "cross_join_pairs", "dedup_survivors",
-    "doc_fingerprint", "embedding_normalize", "exact_dedup",
-    "gapfill_bars", "grouping_sets", "hll_sketch_users", "language_id",
-    "length_outliers", "media_features", "media_resize",
-    "min_cost_supplier", "minhash_jaccard_estimate", "minhash_near_dup",
-    "near_dup_clusters", "ngram_jaccard_pairs", "outer_join_counts",
-    "psi_value_drift", "quality_score", "scd_upsert", "semi_join",
-    "simhash_near_dup", "tfidf_top_terms", "token_stats",
-    "top_revenue_orders", "twap", "unpivot_metrics", "vocab_coverage",
-    "winnow_fingerprints", "word_frequency", "zscore_by_group",
+    "bigram_lm_score", "length_outliers", "psi_value_drift",
+    "vocab_coverage", "zscore_by_group",
 ))
+_PROMOTED_R7 = frozenset(("session_window_agg", "fingerprint_containment"))
 _STALE_R4 = frozenset((
     "approx_distinct", "array_functions", "asof_join_tolerance",
     "bmp_decode", "bmp_features", "correlated_exists",
@@ -408,6 +426,23 @@ _VERIFIED_R5 = frozenset((
     "window_lag_returns", "window_moving_avg", "window_ntile_pctrank",
     "window_range_frame", "window_rank_topk",
 ))
+_VERIFIED_R6 = frozenset((
+    "ann_recall", "anti_join", "approx_percentiles", "argmax_order",
+    "bloom_join_prune", "bollinger_bands", "bpe_token_count",
+    "broadcast_dim_join", "corpus_build_funnel", "correlation",
+    "count_min_freq", "cross_join_pairs", "dedup_survivors",
+    "doc_fingerprint", "embedding_normalize", "exact_dedup",
+    "fingerprint_containment", "fuzzy_prefix_join", "gapfill_bars",
+    "grouping_sets", "hll_sketch_users", "ivf_probe_sweep", "language_id",
+    "macd", "media_features", "media_resize", "min_cost_supplier",
+    "minhash_jaccard_estimate", "minhash_near_dup", "near_dup_clusters",
+    "ngram_jaccard_pairs", "obv_flow", "outer_join_counts",
+    "position_ledger", "quality_score", "rsi_indicator", "scd2_intervals",
+    "scd2_point_in_time", "scd_upsert", "semi_join",
+    "session_fold_sessions", "simhash_near_dup", "stochastic_oscillator",
+    "tfidf_top_terms", "token_stats", "top_revenue_orders", "twap",
+    "unpivot_metrics", "winnow_fingerprints", "word_frequency",
+))
 
 
 def load_all() -> dict[str, QuerySpec]:
@@ -437,11 +472,15 @@ def load_all() -> dict[str, QuerySpec]:
         name, _spec = item
         if name in _STALE_R3:
             return (1, reg_order[name])
-        if name in _STALE_R4:
+        if name in _PROMOTED_R7:
             return (2, reg_order[name])
-        if name in _VERIFIED_R5:
+        if name in _STALE_R4:
             return (3, reg_order[name])
-        # brand-new queries (registered after CORRECTNESS_r05 was
+        if name in _VERIFIED_R5:
+            return (4, reg_order[name])
+        if name in _VERIFIED_R6:
+            return (5, reg_order[name])
+        # brand-new queries (registered after CORRECTNESS_r06 was
         # written): no driver row yet, so they lead the window
         return (0, reg_order[name])
 

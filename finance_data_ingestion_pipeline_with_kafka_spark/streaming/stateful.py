@@ -51,7 +51,7 @@ def _update_position(
     else:
         position, cash_flow, n_fills = 0, 0.0, 0
     for pdf in pdf_iter:
-        pdf = pdf.sort_values(["datetime"])
+        pdf = pdf.sort_values(["datetime"], kind="stable")
         qty = (pdf["volume"] * pdf["side"]).astype("int64")
         position += int(qty.sum())
         cash_flow += float((-pdf["side"] * pdf["last_price"] * pdf["volume"]).sum())
@@ -121,10 +121,13 @@ def _update_ewma(
     else:
         y, n = None, 0
     # concat all Arrow chunks and sort ONCE — a group spanning chunks has
-    # no cross-chunk ordering guarantee, and EWMA is order-sensitive
+    # no cross-chunk ordering guarantee, and EWMA is order-sensitive.
+    # kind="stable": tied timestamps keep concat (arrival) order; the
+    # default quicksort permutes ties run-to-run, which an order-
+    # sensitive fold would turn into nondeterministic levels
     chunks = [pdf[["datetime", "last_price"]] for pdf in pdf_iter]
     if chunks:
-        batch = pd.concat(chunks).sort_values(["datetime"])
+        batch = pd.concat(chunks).sort_values(["datetime"], kind="stable")
         for x in batch["last_price"]:
             if x is None or pd.isna(x):
                 continue
@@ -267,7 +270,7 @@ def _session_update_factory(gap_ms: int):
         items = load_sessions()
         chunks = [pdf[["datetime", "last_price"]] for pdf in pdf_iter]
         if chunks:
-            batch = pd.concat(chunks).sort_values(["datetime"])
+            batch = pd.concat(chunks).sort_values(["datetime"], kind="stable")
             for ts, x in zip(batch["datetime"], batch["last_price"]):
                 ts_ms = int(ts.value // 1_000_000)
                 val = 0.0 if x is None or pd.isna(x) else float(x)
@@ -378,7 +381,7 @@ def _drawdown_processor():
             # sort ONCE so the fold sees true event-time order
             chunks = [pdf[["datetime", "last_price"]] for pdf in rows]
             if chunks:
-                batch = pd.concat(chunks).sort_values(["datetime"])
+                batch = pd.concat(chunks).sort_values(["datetime"], kind="stable")
                 for x in batch["last_price"]:
                     if x is None or pd.isna(x):
                         continue

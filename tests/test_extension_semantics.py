@@ -1342,3 +1342,72 @@ def test_scd2_intervals_partition_timeline(spark, sf_dir):
         assert vs[-1]["is_current"] and vs[-1]["valid_to"] is None, key
         for a, b in zip(vs, vs[1:]):
             assert a["valid_to"] == b["valid_from"], key
+
+
+def test_session_exact_gap_boundary_merges(spark):
+    """ADVICE r6: the session_window_agg oracle flags a new session on
+    ``ts > prev + gap`` (strict), asserting Spark's native session_window
+    merges INCLUSIVELY at exactly the gap. Pin that on a crafted fixture
+    the driver's µs-resolution testdata can't reach: an event exactly
+    30 minutes after its predecessor must join the session; one
+    microsecond beyond must open a new one — in BOTH the native operator
+    and the DuckDB gaps-and-islands oracle rewrite."""
+    import datetime as dt
+
+    import duckdb
+    import pandas as pd
+
+    t0 = dt.datetime(2024, 1, 1, 9, 0, 0)
+    gap = dt.timedelta(minutes=30)
+    us = dt.timedelta(microseconds=1)
+    rows = [
+        ("u1", t0, 1.0),
+        ("u1", t0 + gap, 2.0),            # exactly gap later → SAME session
+        ("u1", t0 + gap + gap + us, 4.0), # 1 µs beyond gap → NEW session
+    ]
+    sdf = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    native = (
+        sdf.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("session_start")
+        .toPandas()
+    )
+    assert list(native["n_events"]) == [2, 1]
+    assert list(native["sum_value"]) == [3.0, 4.0]
+    assert list(native["session_start"]) == [t0, t0 + gap + gap + us]
+
+    events_pdf = pd.DataFrame(rows, columns=["user_id", "ts", "value"])
+    con = duckdb.connect()
+    con.register("events_fixture", events_pdf)
+    oracle = con.execute(
+        """
+        WITH flagged AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN ts > COALESCE(LAG(ts) OVER w, TIMESTAMP '1970-01-01')
+                                + INTERVAL '30 minutes'
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events_fixture
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), numbered AS (
+          SELECT user_id, ts, value,
+                 SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM flagged
+        )
+        SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+               SUM(value) AS sum_value
+        FROM numbered GROUP BY user_id, session_id ORDER BY session_start
+        """
+    ).df()
+    con.close()
+    assert list(oracle["n_events"]) == [2, 1]
+    assert [t.to_pydatetime() for t in oracle["session_start"]] == [
+        t0,
+        t0 + gap + gap + us,
+    ]

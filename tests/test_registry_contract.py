@@ -8,9 +8,11 @@ load-bearing, not cosmetic.
 import pytest
 
 from finance_data_ingestion_pipeline_with_kafka_spark.registry import (
+    _PROMOTED_R7,
     _STALE_R3,
     _STALE_R4,
     _VERIFIED_R5,
+    _VERIFIED_R6,
     load_all,
     query,
 )
@@ -29,33 +31,49 @@ def test_bench_specs_are_oracle_checked():
 
 def test_stalest_evidence_leads_the_window():
     """The driver verifies only the first ~50 catalog entries per round.
-    Round-6 contract: brand-new queries (no driver row) rank first, then
-    the 41 rows whose latest green evidence is round 3, then round-4
-    evidence; CORRECTNESS_r05 greens sit below the fold."""
+    Round-7 contract: brand-new queries (no driver row) rank first, then
+    the 5 rows whose latest green evidence is round 3, then the promoted
+    oracle-changed row (session_window_agg — ADVICE r6), then round-4
+    evidence; CORRECTNESS_r05/r06 greens sit below the fold."""
     order = list(load_all())
-    tiers = set(_STALE_R3) | set(_STALE_R4) | set(_VERIFIED_R5)
+    tiers = (
+        set(_STALE_R3) | set(_STALE_R4) | set(_VERIFIED_R5) | set(_VERIFIED_R6)
+    )
     new = [n for n in order if n not in tiers]
-    # tier sets partition cleanly
+    # tier sets partition cleanly (the promoted row stays a member of its
+    # original r5 tier; the rank fn checks promotion first)
     assert _STALE_R3 & _STALE_R4 == frozenset()
     assert _STALE_R3 & _VERIFIED_R5 == frozenset()
     assert _STALE_R4 & _VERIFIED_R5 == frozenset()
-    # new queries lead, then stale-r3, then stale-r4, then r5 greens
-    n_new, n1, n2 = len(new), len(_STALE_R3), len(_STALE_R4)
+    assert _STALE_R3 & _VERIFIED_R6 == frozenset()
+    assert _STALE_R4 & _VERIFIED_R6 == frozenset()
+    assert _VERIFIED_R5 & _VERIFIED_R6 == frozenset()
+    assert _PROMOTED_R7 <= (_VERIFIED_R5 | _VERIFIED_R6)
+    # new queries lead, then stale-r3, promoted, stale-r4, r5, r6 greens
+    n_new, n1, np = len(new), len(_STALE_R3), len(_PROMOTED_R7)
+    n2 = len(_STALE_R4)
     assert set(order[:n_new]) == set(new)
     assert set(order[n_new : n_new + n1]) == set(_STALE_R3)
-    assert set(order[n_new + n1 : n_new + n1 + n2]) == set(_STALE_R4)
-    assert set(order[n_new + n1 + n2 :]) == set(_VERIFIED_R5)
-    # the ~50-entry window must contain no row already green in r5
+    assert set(order[n_new + n1 : n_new + n1 + np]) == set(_PROMOTED_R7)
+    assert set(order[n_new + n1 + np : n_new + n1 + np + n2]) == set(_STALE_R4)
+    assert set(order[n_new + n1 + np + n2 :]) == (
+        set(_VERIFIED_R5) | set(_VERIFIED_R6)
+    ) - set(_PROMOTED_R7)
+    # the ~50-entry window must contain no r5/r6-green row other than
+    # the explicitly promoted (oracle-changed) ones
     window = set(order[:50])
-    r5_in_window = window & _VERIFIED_R5
-    assert r5_in_window == set(), sorted(r5_in_window)
+    assert window & (_VERIFIED_R5 | _VERIFIED_R6) <= _PROMOTED_R7, sorted(
+        window & (_VERIFIED_R5 | _VERIFIED_R6) - _PROMOTED_R7
+    )
 
 
 def test_brand_new_queries_sort_into_the_window():
     """A query in no verified tier (i.e. added after the last driver
     round) must rank ahead of all verified rows."""
     order = list(load_all())
-    known = set(_STALE_R3) | set(_STALE_R4) | set(_VERIFIED_R5)
+    known = (
+        set(_STALE_R3) | set(_STALE_R4) | set(_VERIFIED_R5) | set(_VERIFIED_R6)
+    )
     first_known = min(order.index(n) for n in known)
     for name in set(order) - known:
         assert order.index(name) < first_known, name
