@@ -541,7 +541,18 @@ def ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one shuffle on event_type, then a bounded 50-element frame
     per row — no unbounded state, no recursion; the same plan is the
-    streaming ``withWatermark`` + sliding-window shape."""
+    streaming ``withWatermark`` + sliding-window shape.
+
+    BOUNDED-FRAME CONTRACT (applies to every ``collect_list().over(
+    rowsBetween(-k, 0))`` Horner fold — ewma, macd, and the indicator
+    family): the per-row array materializes k doubles per output row,
+    O(k × rows) transient memory in the window operator. That is safe
+    for k ≤ ~100 (≤ 800 B/row — smaller than the row it annotates) and
+    is NOT a general unbounded-frame pattern: for growing or unbounded
+    frames (cumulative EMA over a full series) the formulation must
+    switch to the sessionized stateful fold (``ewma_stream_ordered`` /
+    ``position_ledger``'s applyInPandas shape), which carries one scalar
+    of state instead of the frame. See SCALE.md §Aggregation."""
     # NULL guard is parity-critical: Spark's collect_list SKIPS NULLs
     # while DuckDB's windowed list() keeps them — one NULL value row
     # would silently shift every downstream frame between engines
@@ -1220,7 +1231,9 @@ def macd(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically. The signal line folds over the ROUNDED macd values
     (round-then-fold in both engines), keeping the second window's
     inputs bit-equal. Two window passes over one (event_type) sort —
-    still a single series shuffle."""
+    still a single series shuffle. Frame widths (50, 9) sit inside the
+    bounded-frame contract documented on ``ewma`` — the collect_list
+    arrays are safe only because k is fixed and ≤ ~100."""
     e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     w50 = (
         Window.partitionBy("event_type")

@@ -503,3 +503,135 @@ def ewma_stream_ordered(ticks: DataFrame, watermark: str = "10 minutes") -> Data
         outputMode="update",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# --- streaming RSI: the indicator family on the live pipeline ---
+
+#: Period matches the batch ``rsi_indicator`` catalog query (7-diff SMA
+#: form) so the two surfaces compute the same oscillator.
+RSI_PERIOD = 7
+
+RSI_SCHEMA = StructType(
+    [
+        StructField("symbol", StringType()),
+        StructField("datetime", TimestampType()),
+        StructField("rsi", DoubleType()),
+        StructField("n_obs", LongType()),
+    ]
+)
+
+#: prev_px/n_obs carry the fold; diffs is the last ``RSI_PERIOD`` price
+#: changes in event-time order (a fixed-size ring — O(period) state per
+#: symbol); buf_* is the watermark-ordering buffer, bounded by the
+#: watermark horizon exactly as in ``_EWMA_ORDERED_STATE_SCHEMA``.
+_RSI_STATE_SCHEMA = StructType(
+    [
+        StructField("prev_px", DoubleType()),
+        StructField("diffs", ArrayType(DoubleType())),
+        StructField("n_obs", LongType()),
+        StructField("buf_ms", ArrayType(LongType())),
+        StructField("buf_px", ArrayType(DoubleType())),
+    ]
+)
+
+
+def _update_rsi_ordered(
+    key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Watermark-buffered RSI fold (same ordering discipline as
+    ``_update_ewma_ordered``): ticks wait in state until the watermark
+    passes them, then fold in true event-time order. Emits one row per
+    folded tick once ``RSI_PERIOD`` diffs exist — RSI over fewer diffs
+    is undefined, matching the batch operator's ``n_diffs = 7`` filter —
+    so each event-time row is emitted exactly once (append-sink-safe).
+    Gain/loss are summed left-to-right over the 7-diff ring in plain
+    doubles; the zero-loss branch pins RSI = 100 exactly as the batch
+    form does."""
+
+    def load():
+        if state.exists:
+            prev_px, diffs, n, buf_ms, buf_px = state.get
+            return prev_px, list(diffs or []), n, list(zip(buf_ms or [], buf_px or []))
+        return 0.0, [], 0, []
+
+    prev_px, diffs, n, buf = load()
+    rows: list[tuple] = []
+
+    def fold(ts_ms: int, x: float) -> None:
+        nonlocal prev_px, n
+        if n > 0:
+            diffs.append(x - prev_px)
+            if len(diffs) > RSI_PERIOD:
+                del diffs[0]
+        prev_px = x
+        n += 1
+        if len(diffs) == RSI_PERIOD:
+            gain = 0.0
+            loss = 0.0
+            for d in diffs:
+                if d > 0:
+                    gain += d
+                elif d < 0:
+                    loss -= d
+            rsi = 100.0 if loss == 0.0 else 100.0 - 100.0 / (1.0 + gain / loss)
+            rows.append((ts_ms, rsi, n))
+
+    def emit() -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "symbol": [key[0]] * len(rows),
+                "datetime": [pd.to_datetime(t, unit="ms") for t, _, _ in rows],
+                "rsi": [r for _, r, _ in rows],
+                "n_obs": [m for _, _, m in rows],
+            }
+        )
+
+    if state.hasTimedOut:
+        for t, x in sorted(buf):
+            fold(t, x)
+        state.update((prev_px, diffs, n, [], []))
+        if rows:
+            yield emit()
+        return
+
+    for pdf in pdf_iter:
+        for ts, x in zip(pdf["datetime"], pdf["last_price"]):
+            if x is None or pd.isna(x):
+                continue
+            buf.append((int(ts.value // 1_000_000), float(x)))
+    wm = state.getCurrentWatermarkMs()
+    buf.sort()
+    ripe = [(t, x) for t, x in buf if t <= wm]
+    pending = [(t, x) for t, x in buf if t > wm]
+    for t, x in ripe:
+        fold(t, x)
+    state.update(
+        (prev_px, diffs, n, [t for t, _ in pending], [x for _, x in pending])
+    )
+    if pending:
+        # fire once the watermark passes the YOUNGEST buffered tick
+        state.setTimeoutTimestamp(max(t for t, _ in pending) + 1)
+    if rows:
+        yield emit()
+
+
+def rsi_stream(ticks: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """T10/A3: streaming 7-period RSI over a (symbol, datetime,
+    last_price) tick stream — the indicator family running end-to-end on
+    the live pipeline the reference's empty processing stubs promise
+    (`scripts/spark_streaming_processing/yfinance_processing.py:30`).
+    Order-correct via the watermark buffer (a late-but-in-watermark tick
+    folds in its true event-time position), so the emitted series equals
+    the batch fold over the event-time-sorted ticks regardless of
+    arrival order — pinned by
+    ``test_rsi_stream_volume_parity_out_of_order``. State per symbol is
+    O(period + watermark-horizon ticks); output is append-mode (each
+    event-time row exactly once)."""
+    wm = ticks.withWatermark("datetime", watermark) if ticks.isStreaming else ticks
+    return wm.groupBy("symbol").applyInPandasWithState(
+        _update_rsi_ordered,
+        outputStructType=RSI_SCHEMA,
+        stateStructType=_RSI_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -1030,3 +1030,79 @@ def test_session_stream_state_survives_restart(spark, tmp_path):
         ("2024-01-02T14:25:00", "2024-01-02T14:25:20", 2, 10.0),
         ("2024-01-02T14:30:00", "2024-01-02T14:30:00", 1, 32.0),
     ]
+
+
+def test_rsi_stream_volume_parity_out_of_order(spark, tmp_path):
+    """The streaming RSI (indicator family on the live pipeline) must
+    emit, across ~1200 out-of-order ticks in round-robin-interleaved
+    micro-batches, exactly the per-tick RSI series a batch fold over the
+    event-time-sorted ticks produces — same 7-diff SMA arithmetic as the
+    oracle-verified rsi_indicator catalog query."""
+    import os as _os
+    import time as _time
+
+    import numpy as np
+
+    from finance_data_ingestion_pipeline_with_kafka_spark.streaming.stateful import (
+        RSI_PERIOD,
+        rsi_stream,
+    )
+
+    symbols = [f"R{k}" for k in range(4)]
+    ticks = []
+    for k, sym in enumerate(symbols):
+        t = k * 3
+        for i in range(300):
+            t += ((i * 29 + k * 11) % 40) + 1
+            ticks.append((sym, t, 100.0 + ((i * (k + 2)) % 70) / 10 - ((i * 7) % 30) / 10))
+    n_batches = 5
+    src = tmp_path / "rsi_vol"
+    files = []
+    for b in range(n_batches):
+        chunk = [
+            fh_msg(s, t, p) for i, (s, t, p) in enumerate(ticks) if i % n_batches == b
+        ]
+        files.append(write_json_fixture(str(src), chunk, f"f{b}.json"))
+    files.append(write_json_fixture(str(src), [fh_msg("ZZZZ", 10**6)], "fz.json"))
+    now = _time.time()
+    for i, f in enumerate(files):
+        _os.utime(f, (now - 120 + 10 * i, now - 120 + 10 * i))
+
+    stream = finnhub_pipeline(
+        kafka_shaped_file_stream(spark, str(src), max_files_per_trigger=1),
+        dedup_watermark=None,
+    )
+    out = drain(
+        spark,
+        rsi_stream(stream, watermark="100 hours"),
+        "rsi_vol_t",
+        mode="append",
+    ).collect()
+    got = {
+        (r["symbol"], int(r["datetime"].timestamp() - BASE_MS / 1000), r["n_obs"]): r["rsi"]
+        for r in out
+        if r["symbol"] != "ZZZZ"
+    }
+
+    # reference: per-symbol event-time-sorted fold, identical arithmetic
+    want = {}
+    for k, sym in enumerate(symbols):
+        series = sorted((t, p) for s, t, p in ticks if s == sym)
+        prev, diffs, n = None, [], 0
+        for t, p in series:
+            x = float(np.float32(p))  # pipeline stores last_price as float32
+            if prev is not None:
+                diffs.append(x - prev)
+                if len(diffs) > RSI_PERIOD:
+                    del diffs[0]
+            prev = x
+            n += 1
+            if len(diffs) == RSI_PERIOD:
+                gain = sum(d for d in diffs if d > 0)
+                loss = sum(-d for d in diffs if d < 0)
+                rsi = 100.0 if loss == 0.0 else 100.0 - 100.0 / (1.0 + gain / loss)
+                want[(sym, t, n)] = rsi
+
+    assert len(got) == len(want) == 4 * (300 - RSI_PERIOD)
+    for key_, rsi in want.items():
+        assert got[key_] == pytest.approx(rsi, abs=1e-9), key_
