@@ -713,3 +713,84 @@ def ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     ).orderBy("event_type")
+
+
+@query(
+    "key_skew_profile",
+    oracle="""
+    WITH counts AS (
+      SELECT o_custkey, COUNT(*) AS c FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT c,
+             ROW_NUMBER() OVER (ORDER BY c, o_custkey) AS rn_asc,
+             ROW_NUMBER() OVER (ORDER BY c DESC, o_custkey) AS rn_desc,
+             COUNT(*) OVER () AS n_keys
+      FROM counts
+    )
+    SELECT CAST(MAX(n_keys) AS BIGINT) AS n_keys,
+           CAST(SUM(c) AS BIGINT) AS n_rows,
+           CAST(MAX(c) AS BIGINT) AS max_count,
+           CAST(MAX(CASE WHEN rn_asc = CAST(ceil(n_keys * 0.5) AS BIGINT)
+                         THEN c END) AS BIGINT) AS p50_count,
+           CAST(MAX(CASE WHEN rn_asc = CAST(ceil(n_keys * 0.99) AS BIGINT)
+                         THEN c END) AS BIGINT) AS p99_count,
+           CAST(SUM(CASE WHEN rn_desc <= CAST(ceil(n_keys * 0.01) AS BIGINT)
+                         THEN c ELSE 0 END) AS DOUBLE)
+             / SUM(c) AS top1pct_share,
+           CAST(MAX(c) AS DOUBLE) / SUM(c) AS max_share
+    FROM ranked
+    """,
+    tags=("A1", "A7"),
+)
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A1/A7] Join-key skew diagnostic — the profile an operator reads
+    BEFORE choosing a mitigation (`salted_agg` / `salted_join` / AQE
+    skew-join thresholds): per-key row counts of a prospective shuffle
+    key (orders by o_custkey), reduced to exact order statistics
+    (p50/p99 by deterministic rank, ties broken by key), the heavy-hitter
+    share of the top 1% of keys, and the single worst key's share.
+    All counts are exact integers; the two shares are single double
+    divisions of identical ints, engine-identical.
+
+    Scale: the ranked pass runs over the AGGREGATED key-count table —
+    one shuffle to count, then a sort of |keys| one-int rows, never the
+    fact table; at extreme key cardinality the same profile swaps the
+    exact ranks for approx_percentile without changing the contract.
+    The window pair (asc + desc rank) evaluates in one window operator
+    scan each over that reduced table."""
+    counts = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    from pyspark.sql import Window
+
+    w_asc = Window.orderBy("c", "o_custkey")
+    w_desc = Window.orderBy(F.col("c").desc(), "o_custkey")
+    ranked = counts.select(
+        "c",
+        F.row_number().over(w_asc).alias("rn_asc"),
+        F.row_number().over(w_desc).alias("rn_desc"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n_keys"),
+    )
+    p50_rank = F.ceil(F.col("n_keys") * 0.5).cast("bigint")
+    p99_rank = F.ceil(F.col("n_keys") * 0.99).cast("bigint")
+    top1_rank = F.ceil(F.col("n_keys") * 0.01).cast("bigint")
+    return ranked.agg(
+        F.max("n_keys").cast("bigint").alias("n_keys"),
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.max("c").cast("bigint").alias("max_count"),
+        F.max(F.when(F.col("rn_asc") == p50_rank, F.col("c")))
+        .cast("bigint")
+        .alias("p50_count"),
+        F.max(F.when(F.col("rn_asc") == p99_rank, F.col("c")))
+        .cast("bigint")
+        .alias("p99_count"),
+        (
+            F.sum(
+                F.when(F.col("rn_desc") <= top1_rank, F.col("c")).otherwise(F.lit(0))
+            ).cast("double")
+            / F.sum("c")
+        ).alias("top1pct_share"),
+        (F.max("c").cast("double") / F.sum("c")).alias("max_share"),
+    )

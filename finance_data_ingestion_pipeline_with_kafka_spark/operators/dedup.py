@@ -372,10 +372,12 @@ def minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_incremental_pairs(docs.filter(~is_delta), docs.filter(is_delta))
 
 
-@query(
-    "minhash_recall",
-    oracle=f"""
-    WITH {_minhash_cte()},
+#: Oracle CTE fragment for the exact ground-truth pair set (assumes the
+#: ``grams`` and ``sets`` CTEs from ``_minhash_cte`` are in scope):
+#: shared-shingle inverted-index candidates, exact-Jaccard-filtered with
+#: the verify stage's rounded comparison. Shared by the minhash and
+#: simhash acceptance metrics.
+_TRUTH_CTE = """
     dsh AS (SELECT DISTINCT doc_id, sh FROM grams),
     tp AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -386,7 +388,45 @@ def minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                 JOIN sets sb ON sb.doc_id = t.doc_b
       WHERE ROUND(CAST(len(list_intersect(sa.shset, sb.shset)) AS DOUBLE)
                   / len(list_distinct(list_concat(sa.shset, sb.shset))), 6) >= 0.8
-    ), counts AS (
+    )"""
+
+
+def exact_truth_pairs(docs: DataFrame) -> DataFrame:
+    """Exact shingle-Jaccard >= 0.8 pair set via a shared-shingle
+    inverted-index join (lossless: J >= 0.8 > 0 implies a shared
+    shingle), with the SAME rounded comparison the MinHash verify stage
+    uses. The AUDIT-path ground truth for the dedup acceptance metrics —
+    see ``minhash_recall`` for the scale contract."""
+    dsh = shingle_rows(docs).distinct()
+    sets = dsh.groupBy("doc_id").agg(F.collect_set("sh").alias("shset"))
+    tp = (
+        dsh.alias("a")
+        .join(
+            dsh.alias("b"),
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    jac = F.round(
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        / F.size(F.array_union("sh_a", "sh_b")),
+        6,
+    )
+    return (
+        tp.join(sets.select(F.col("doc_id").alias("doc_a"), F.col("shset").alias("sh_a")), "doc_a")
+        .join(sets.select(F.col("doc_id").alias("doc_b"), F.col("shset").alias("sh_b")), "doc_b")
+        .filter(jac >= 0.8)
+        .select("doc_a", "doc_b")
+    )
+
+
+@query(
+    "minhash_recall",
+    oracle=f"""
+    WITH {_minhash_cte()},
+    {_TRUTH_CTE}, counts AS (
       SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
              CAST((SELECT COUNT(*) FROM cands) AS BIGINT) AS n_candidates,
              CAST((SELECT COUNT(*) FROM near_dup) AS BIGINT) AS n_verified
@@ -425,32 +465,11 @@ def minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline this metric audits). All counts are exact integers; ratios
     are single double divisions of identical ints, engine-identical."""
     docs = load_table(spark, sf_dir, "documents")
-    # no persist: the distinct (doc_id, shingle) rows feed three subplans,
-    # but this is an acceptance-audit query whose result is one row — a
-    # build-time persist would outlive the action (no post-action hook
-    # here), and leaked cached blocks cost more than the recompute
-    dsh = shingle_rows(docs).distinct()
-    sets = dsh.groupBy("doc_id").agg(F.collect_set("sh").alias("shset"))
-    tp = (
-        dsh.alias("a")
-        .join(
-            dsh.alias("b"),
-            (F.col("a.sh") == F.col("b.sh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    jac = F.round(
-        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-        / F.size(F.array_union("sh_a", "sh_b")),
-        6,
-    )
-    truth = (
-        tp.join(sets.select(F.col("doc_id").alias("doc_a"), F.col("shset").alias("sh_a")), "doc_a")
-        .join(sets.select(F.col("doc_id").alias("doc_b"), F.col("shset").alias("sh_b")), "doc_b")
-        .filter(jac >= 0.8)
-    )
+    # no persist anywhere: this is an acceptance-audit query whose result
+    # is one row — a build-time persist would outlive the action (no
+    # post-action hook here), and leaked cached blocks cost more than
+    # the recompute
+    truth = exact_truth_pairs(docs)
     sigs = minhash_signatures(docs)
     cands = minhash_candidates(sigs)
     verified = minhash_near_dup(spark, sf_dir)
@@ -611,9 +630,13 @@ def simhash_column(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return votes.select(id_col, acc.alias("simhash"))
 
 
-def _simhash_oracle() -> str:
-    """DuckDB twin of ``simhash_near_dup``: same md5-derived 60-bit token
-    hashes, same sign votes, same band blocking and Hamming verify."""
+def _simhash_cte() -> str:
+    """Shared oracle CTE chain reproducing the SimHash pipeline in
+    DuckDB — same md5-derived 60-bit token hashes, same sign votes, same
+    band blocking and Hamming verify — terminating in a ``sh_flagged``
+    relation of (doc_a, doc_b, hamming) pairs within the Hamming
+    limit. CTE names are prefixed ``sim``/``sh_`` so the chain composes
+    with ``_minhash_cte`` in one WITH clause (``simhash_recall``)."""
     votes = ", ".join(
         f"SUM(CASE WHEN ((h >> {i}) & 1) = 1 THEN 1 ELSE -1 END) AS v{i}"
         for i in range(SIMHASH_BITS)
@@ -629,21 +652,31 @@ def _simhash_oracle() -> str:
         for k in range(SIMHASH_BANDS)
     )
     return f"""
-    WITH toks AS (
+    sim_toks AS (
       SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS tok
       FROM documents
-    ), hashed AS (
-      SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM toks
-    ), votes AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id),
-    sims AS (SELECT doc_id, {sim} AS simhash FROM votes),
-    banded AS ({banded})
-    SELECT doc_a, doc_b, hamming FROM (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-      FROM banded a JOIN banded b ON a.band_id = b.band_id
-                                  AND a.band_val = b.band_val
-                                  AND a.doc_id < b.doc_id
-    ) WHERE hamming <= {SIMHASH_HAMMING}
+    ), sim_hashed AS (
+      SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM sim_toks
+    ), sim_votes AS (SELECT doc_id, {votes} FROM sim_hashed GROUP BY doc_id),
+    sims AS (SELECT doc_id, {sim} AS simhash FROM sim_votes),
+    sim_banded AS ({banded}),
+    sh_flagged AS (
+      SELECT doc_a, doc_b, hamming FROM (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM sim_banded a JOIN sim_banded b ON a.band_id = b.band_id
+                                            AND a.band_val = b.band_val
+                                            AND a.doc_id < b.doc_id
+      ) WHERE hamming <= {SIMHASH_HAMMING}
+    )"""
+
+
+def _simhash_oracle() -> str:
+    """DuckDB twin of ``simhash_near_dup`` (full query over the shared
+    CTE chain)."""
+    return f"""
+    WITH {_simhash_cte()}
+    SELECT doc_a, doc_b, hamming FROM sh_flagged
     ORDER BY doc_a, doc_b
     """
 
@@ -697,6 +730,70 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return pairs.filter(F.col("hamming") <= SIMHASH_HAMMING).orderBy("doc_a", "doc_b")
+
+
+@query(
+    "simhash_recall",
+    oracle=f"""
+    WITH {_minhash_cte()},
+    {_TRUTH_CTE},
+    {_simhash_cte()},
+    counts AS (
+      SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
+             CAST((SELECT COUNT(*) FROM sh_flagged) AS BIGINT) AS n_flagged,
+             CAST((SELECT COUNT(*) FROM sh_flagged f
+                   JOIN truth t ON t.doc_a = f.doc_a AND t.doc_b = f.doc_b)
+                  AS BIGINT) AS n_hit
+    )
+    SELECT n_truth, n_flagged, n_hit,
+           CASE WHEN n_truth > 0
+                THEN CAST(n_hit AS DOUBLE) / n_truth END AS recall,
+           CASE WHEN n_flagged > 0
+                THEN CAST(n_hit AS DOUBLE) / n_flagged END AS precision
+    FROM counts
+    """,
+    tags=("U4",),
+    crossover=False,
+)
+def simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U4] Acceptance metric for the SimHash detector — unlike
+    ``minhash_recall`` (which audits the BANDING against the similarity
+    measure MinHash itself estimates), this is a cross-representation
+    audit: how well does Hamming <= 3 on a 60-bit unigram SimHash
+    capture the exact 3-shingle-Jaccard >= 0.8 near-dup pairs? SimHash's
+    banding is lossless by pigeonhole (3 differing bits cannot touch all
+    4 bands), so any miss here is the REPRESENTATION disagreeing — a
+    pair of documents whose token sets are cosine-close but whose
+    shingle overlap is low, or vice versa. Recall and precision against
+    the shared ``exact_truth_pairs`` kernel quantify that gap, which is
+    the number an operator needs when choosing which detector fronts a
+    corpus dedup pass. Same audit-path scale contract as
+    ``minhash_recall``: exact integer counts, engine-identical double
+    ratios."""
+    docs = load_table(spark, sf_dir, "documents")
+    truth = exact_truth_pairs(docs)
+    flagged = simhash_near_dup(spark, sf_dir)
+    hit = flagged.join(truth, ["doc_a", "doc_b"])
+    n_truth = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+    n_flagged = flagged.agg(F.count(F.lit(1)).cast("bigint").alias("n_flagged"))
+    n_hit = hit.agg(F.count(F.lit(1)).cast("bigint").alias("n_hit"))
+    return (
+        n_truth.crossJoin(n_flagged)  # three 1-row frames: literal-carry
+        .crossJoin(n_hit)
+        .select(
+            "n_truth",
+            "n_flagged",
+            "n_hit",
+            F.when(
+                F.col("n_truth") > 0,
+                F.col("n_hit").cast("double") / F.col("n_truth"),
+            ).alias("recall"),
+            F.when(
+                F.col("n_flagged") > 0,
+                F.col("n_hit").cast("double") / F.col("n_flagged"),
+            ).alias("precision"),
+        )
+    )
 
 
 def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
