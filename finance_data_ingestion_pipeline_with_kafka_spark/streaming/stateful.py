@@ -535,30 +535,20 @@ _RSI_STATE_SCHEMA = StructType(
 )
 
 
-def _update_rsi_ordered(
-    key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    """Watermark-buffered RSI fold (same ordering discipline as
-    ``_update_ewma_ordered``): ticks wait in state until the watermark
-    passes them, then fold in true event-time order. Emits one row per
-    folded tick once ``RSI_PERIOD`` diffs exist — RSI over fewer diffs
-    is undefined, matching the batch operator's ``n_diffs = 7`` filter —
-    so each event-time row is emitted exactly once (append-sink-safe).
-    Gain/loss are summed left-to-right over the 7-diff ring in plain
-    doubles; the zero-loss branch pins RSI = 100 exactly as the batch
-    form does."""
-
-    def load():
-        if state.exists:
-            prev_px, diffs, n, buf_ms, buf_px = state.get
-            return prev_px, list(diffs or []), n, list(zip(buf_ms or [], buf_px or []))
-        return 0.0, [], 0, []
-
-    prev_px, diffs, n, buf = load()
+def rsi_fold(
+    prev_px: float, diffs: list, n: int, ripe: list
+) -> tuple[float, list, int, list]:
+    """Pure event-time-ordered RSI fold step, shared by the streaming
+    state machine and its property tests: feed ``ripe`` [(ts_ms, px)]
+    ticks (already watermark-final, already sorted) into the
+    (prev_px, diffs-ring, n_obs) state; returns the advanced state plus
+    one (ts_ms, rsi, n_obs) row per tick once ``RSI_PERIOD`` diffs exist
+    — RSI over fewer diffs is undefined, matching the batch operator's
+    ``n_diffs = 7`` filter. Gain/loss are summed left-to-right over the
+    ring in plain doubles; the zero-loss branch pins RSI = 100 exactly
+    as the batch form does."""
     rows: list[tuple] = []
-
-    def fold(ts_ms: int, x: float) -> None:
-        nonlocal prev_px, n
+    for ts_ms, x in ripe:
         if n > 0:
             diffs.append(x - prev_px)
             if len(diffs) > RSI_PERIOD:
@@ -575,6 +565,26 @@ def _update_rsi_ordered(
                     loss -= d
             rsi = 100.0 if loss == 0.0 else 100.0 - 100.0 / (1.0 + gain / loss)
             rows.append((ts_ms, rsi, n))
+    return prev_px, diffs, n, rows
+
+
+def _update_rsi_ordered(
+    key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Watermark-buffered RSI fold (same ordering discipline as
+    ``_update_ewma_ordered``): ticks wait in state until the watermark
+    passes them, then ``rsi_fold`` advances the (prev, ring, n) state in
+    true event-time order. Each event-time row is emitted exactly once
+    (append-sink-safe)."""
+
+    def load():
+        if state.exists:
+            prev_px, diffs, n, buf_ms, buf_px = state.get
+            return prev_px, list(diffs or []), n, list(zip(buf_ms or [], buf_px or []))
+        return 0.0, [], 0, []
+
+    prev_px, diffs, n, buf = load()
+    rows: list[tuple] = []
 
     def emit() -> pd.DataFrame:
         return pd.DataFrame(
@@ -587,8 +597,7 @@ def _update_rsi_ordered(
         )
 
     if state.hasTimedOut:
-        for t, x in sorted(buf):
-            fold(t, x)
+        prev_px, diffs, n, rows = rsi_fold(prev_px, diffs, n, sorted(buf))
         state.update((prev_px, diffs, n, [], []))
         if rows:
             yield emit()
@@ -603,8 +612,7 @@ def _update_rsi_ordered(
     buf.sort()
     ripe = [(t, x) for t, x in buf if t <= wm]
     pending = [(t, x) for t, x in buf if t > wm]
-    for t, x in ripe:
-        fold(t, x)
+    prev_px, diffs, n, rows = rsi_fold(prev_px, diffs, n, ripe)
     state.update(
         (prev_px, diffs, n, [t for t, _ in pending], [x for _, x in pending])
     )

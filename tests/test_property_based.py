@@ -294,3 +294,69 @@ def test_sweep_merge_sessions_any_arrival_order(ts, gap, split):
     partial = sweep_merge_sessions([[t, t, 1, t] for t in a], gap)
     final = sweep_merge_sessions(partial + [[t, t, 1, t] for t in b], gap)
     assert final == want
+
+
+@given(
+    ticks=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),
+            st.floats(min_value=1.0, max_value=1000.0, allow_nan=False, width=32),
+        ),
+        min_size=1,
+        max_size=80,
+        unique_by=lambda t: t[0],
+    ),
+    cuts=st.lists(st.integers(min_value=0, max_value=80), max_size=6),
+    lag=st.integers(min_value=0, max_value=10_000),
+)
+@settings(max_examples=200, deadline=None)
+def test_rsi_fold_incremental_equals_global(ticks, cuts, lag):
+    """Property of the shared streaming-RSI state machine (`rsi_fold` +
+    the watermark buffer discipline of `_update_rsi_ordered`): for ANY
+    partition of a tick series into micro-batches in ANY arrival order,
+    under the exact watermark contract Spark applies (pre-batch
+    watermark = prior max event time − delay; arrivals at or below it
+    are late-DROPPED, buffered ticks fold once the watermark passes
+    them), the concatenated emissions — after a final timer flush —
+    equal the single global event-time-ordered fold over the ADMITTED
+    ticks. This is the exactly-once, order-correct contract
+    `test_rsi_stream_volume_parity_out_of_order` pins on Spark, checked
+    here across 200 generated histories including ones where the
+    watermark genuinely drops ticks."""
+    from finance_data_ingestion_pipeline_with_kafka_spark.streaming.stateful import (
+        rsi_fold,
+    )
+
+    # arbitrary arrival permutation (deterministic shuffle) + arbitrary
+    # batch boundaries
+    arrival = sorted(ticks, key=lambda t: hash((t[0], 31)) % 1000)
+    bounds = sorted({min(c, len(arrival)) for c in cuts} | {len(arrival)})
+    batches, prev_b = [], 0
+    for b in bounds:
+        if b > prev_b:
+            batches.append(arrival[prev_b:b])
+            prev_b = b
+    prev_px, diffs, n, buf = 0.0, [], 0, []
+    got, admitted = [], []
+    wm, max_seen = -1, -1  # watermark lags one batch, as in Spark
+    for batch in batches:
+        keep = [t for t in batch if t[0] > wm]  # late-drop at the gate
+        admitted.extend(keep)
+        buf.extend(keep)
+        buf.sort()
+        ripe = [t for t in buf if t[0] <= wm]
+        buf = [t for t in buf if t[0] > wm]
+        prev_px, diffs, n, rows = rsi_fold(prev_px, diffs, n, ripe)
+        got.extend(rows)
+        if keep:
+            max_seen = max(max_seen, max(t for t, _ in keep))
+        wm = max_seen - lag
+    # final event-time timer: watermark passes everything
+    prev_px, diffs, n, rows = rsi_fold(prev_px, diffs, n, sorted(buf))
+    got.extend(rows)
+
+    # an admitted tick always folds in event-time position: a newer tick
+    # can only have folded earlier if the watermark already passed it,
+    # and then the older arrival would have been dropped at the gate
+    _, _, _, want = rsi_fold(0.0, [], 0, sorted(admitted))
+    assert got == want

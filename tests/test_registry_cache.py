@@ -223,3 +223,27 @@ def test_keep_aqe_query_runs_plain_aqe(spark, sf_dir):
     assert spark.conf.get(_INIT_PARTITION_KEY) is None
     assert spark.conf.get(_SHUFFLE_KEY) == orig_shuffle
     cat["grouped_stats"].fn(spark, sf_dir)  # clean managed confs
+
+
+def test_restore_session_confs_resets_tiny_input_residue(spark, sf_dir):
+    """ADVICE r6: bench's concurrent phase must not inherit the last
+    sequential query's tiny-input AQE-off static partition count.
+    restore_session_confs() must put back AQE=on, the first-touch
+    shuffle.partitions snapshot, and no floor — after a sized query has
+    mutated all three."""
+    from finance_data_ingestion_pipeline_with_kafka_spark.registry import (
+        _INIT_PARTITION_KEY,
+        _SHUFFLE_KEY,
+        restore_session_confs,
+    )
+
+    cat = _catalog()
+    orig_shuffle = spark.conf.get(_SHUFFLE_KEY)
+    # tumbling_window_agg is sized and the sf0.01 input is far below the
+    # AQE-off cutoff: it leaves AQE off + a static partition count behind
+    cat["tumbling_window_agg"].fn(spark, sf_dir)
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+    restore_session_confs(spark)
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get(_INIT_PARTITION_KEY) is None
+    assert spark.conf.get(_SHUFFLE_KEY) == orig_shuffle
