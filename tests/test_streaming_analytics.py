@@ -1106,3 +1106,71 @@ def test_rsi_stream_volume_parity_out_of_order(spark, tmp_path):
     assert len(got) == len(want) == 4 * (300 - RSI_PERIOD)
     for key_, rsi in want.items():
         assert got[key_] == pytest.approx(rsi, abs=1e-9), key_
+
+
+def test_rsi_stream_state_survives_restart(spark, tmp_path):
+    """The RSI (prev, diffs-ring, buffer) state must round-trip through
+    the state store across a full query restart: run 1 delivers 6 ticks
+    (below the 7-diff emission threshold, some still buffered under the
+    watermark), the query STOPS, run 2 on the SAME checkpoint delivers
+    4 more ticks + the sentinel — emissions must equal the global
+    event-time fold over all 10 ticks, exactly once (rows 8, 9, 10;
+    no duplicates, no restart-induced ring reset)."""
+    import os as _os
+    import time as _time
+
+    import numpy as np
+
+    from finance_data_ingestion_pipeline_with_kafka_spark.streaming.stateful import (
+        RSI_PERIOD,
+        rsi_fold,
+        rsi_stream,
+    )
+
+    ticks1 = [(10, 100.0), (20, 102.0), (30, 99.0), (40, 103.0), (50, 101.0), (60, 104.0)]
+    ticks2 = [(70, 98.0), (80, 105.0), (90, 97.0), (100, 106.0)]
+    src, cp = tmp_path / "rsi_restart", str(tmp_path / "rsi_restart_cp")
+    sink = str(tmp_path / "rsi_restart_out")
+    r1 = [
+        ("f1.json", [fh_msg("AAPL", t, p) for t, p in ticks1[:3]]),
+        ("f2.json", [fh_msg("AAPL", t, p) for t, p in ticks1[3:]]),
+    ]
+    r2 = [
+        ("f3.json", [fh_msg("AAPL", t, p) for t, p in ticks2]),
+        ("f4.json", [fh_msg("ZZZZ", 100000)]),
+    ]
+
+    def run(files):
+        for name, msgs in files:
+            write_json_fixture(str(src), msgs, name)
+        now = _time.time()
+        for i, f in enumerate(sorted(_os.listdir(str(src)))):
+            fp = _os.path.join(str(src), f)
+            _os.utime(fp, (now - 600 + 10 * i, now - 600 + 10 * i))
+        stream = finnhub_pipeline(
+            kafka_shaped_file_stream(spark, str(src), max_files_per_trigger=1),
+            dedup_watermark=None,
+        )
+        q = (
+            rsi_stream(stream, watermark="1000 seconds")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run(r1)
+    run(r2)  # RESTART from checkpoint
+    out = [r for r in spark.read.parquet(sink).collect() if r["symbol"] == "AAPL"]
+    got = sorted((r["n_obs"], int(r["datetime"].timestamp() - BASE_MS / 1000), r["rsi"]) for r in out)
+
+    all_ticks = [(t, float(np.float32(p))) for t, p in ticks1 + ticks2]
+    _, _, _, want_rows = rsi_fold(0.0, [], 0, sorted(all_ticks))
+    want = sorted((n, t, rsi) for t, rsi, n in want_rows)
+    assert [g[:2] for g in got] == [w[:2] for w in want]
+    assert len(got) == len(ticks1 + ticks2) - RSI_PERIOD == 3
+    for g, w in zip(got, want):
+        assert g[2] == pytest.approx(w[2], abs=1e-9)
