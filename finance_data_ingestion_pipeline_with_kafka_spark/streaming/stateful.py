@@ -643,3 +643,166 @@ def rsi_stream(ticks: DataFrame, watermark: str = "10 minutes") -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# --- streaming MACD: exact cross-surface parity with the batch query ---
+
+MACD_SCHEMA = StructType(
+    [
+        StructField("symbol", StringType()),
+        StructField("datetime", TimestampType()),
+        StructField("macd_line", DoubleType()),
+        StructField("signal_line", DoubleType()),
+        StructField("n_obs", LongType()),
+    ]
+)
+
+#: ring50 holds the last <= MACD_WINDOW prices (the batch query's 50-row
+#: truncation frame), ring9 the last <= 9 ROUNDED macd values (the batch
+#: signal window's inputs); buf_* is the watermark-ordering buffer.
+_MACD_STATE_SCHEMA = StructType(
+    [
+        StructField("ring50", ArrayType(DoubleType())),
+        StructField("ring9", ArrayType(DoubleType())),
+        StructField("n_obs", LongType()),
+        StructField("buf_ms", ArrayType(LongType())),
+        StructField("buf_px", ArrayType(DoubleType())),
+    ]
+)
+
+
+def _spark_round6(x: float) -> float:
+    """Replicate Spark's ROUND(double, 6): Java does
+    BigDecimal.valueOf(Double.toString(x)).setScale(6, HALF_UP) — i.e.
+    HALF_UP on the SHORTEST decimal representation of the double.
+    Python's repr() is the same shortest round-trip decimal, and
+    decimal.ROUND_HALF_UP is the same ties-away-from-zero rule, so this
+    is value-identical to the JVM expression (the r6 ROUND-boundary
+    lesson applies to CROSS-engine scaled-double rounding — DuckDB —
+    not to this same-decimal-expansion replication)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+
+def macd_fold(
+    ring50: list, ring9: list, n: int, ripe: list
+) -> tuple[list, list, int, list]:
+    """Pure event-time-ordered MACD fold step — arithmetic-identical to
+    the batch ``macd`` catalog query (operators/timeseries.py): the same
+    mass-normalized truncated Horner EMAs over the same 50-price frame,
+    the same round-then-fold signal line over the 9 most recent ROUNDED
+    macd values, the same HALF_UP rounding (``_spark_round6``). Because
+    every operation is the identical IEEE double sequence on identical
+    inputs, a stream fed the batch's rows emits the batch's values
+    EXACTLY (pinned by ``test_macd_stream_matches_batch_query``), not
+    within a tolerance. Returns the advanced (ring50, ring9, n) state
+    and one (ts_ms, macd_line, signal_line, n_obs) row per tick."""
+    from ..operators.timeseries import (  # lazy: avoids a module cycle
+        MACD_WINDOW,
+        _MACD_Q_FAST,
+        _MACD_Q_SLOW,
+        _MACD_Q_SIG,
+        _MACD_W_FAST,
+        _MACD_W_SLOW,
+        _MACD_W_SIG,
+    )
+
+    def horner(ring: list, q: float) -> float:
+        acc = 0.0
+        for v in ring:
+            acc = acc * q + v
+        return acc
+
+    rows: list[tuple] = []
+    for ts_ms, x in ripe:
+        ring50.append(x)
+        if len(ring50) > MACD_WINDOW:
+            del ring50[0]
+        macd_line = _spark_round6(
+            (2 / 13) * horner(ring50, _MACD_Q_FAST) / _MACD_W_FAST
+            - (2 / 27) * horner(ring50, _MACD_Q_SLOW) / _MACD_W_SLOW
+        )
+        ring9.append(macd_line)
+        if len(ring9) > 9:
+            del ring9[0]
+        signal = _spark_round6(0.2 * horner(ring9, _MACD_Q_SIG) / _MACD_W_SIG)
+        n += 1
+        rows.append((ts_ms, macd_line, signal, n))
+    return ring50, ring9, n, rows
+
+
+def _update_macd_ordered(
+    key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Watermark-buffered MACD state machine — same ordering discipline
+    as ``_update_rsi_ordered``; the fold itself is the pure
+    ``macd_fold``."""
+
+    def load():
+        if state.exists:
+            ring50, ring9, n, buf_ms, buf_px = state.get
+            return (
+                list(ring50 or []),
+                list(ring9 or []),
+                n,
+                list(zip(buf_ms or [], buf_px or [])),
+            )
+        return [], [], 0, []
+
+    ring50, ring9, n, buf = load()
+    rows: list[tuple] = []
+
+    def emit() -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "symbol": [key[0]] * len(rows),
+                "datetime": [pd.to_datetime(t, unit="ms") for t, _, _, _ in rows],
+                "macd_line": [m for _, m, _, _ in rows],
+                "signal_line": [s_ for _, _, s_, _ in rows],
+                "n_obs": [m for _, _, _, m in rows],
+            }
+        )
+
+    if state.hasTimedOut:
+        ring50, ring9, n, rows = macd_fold(ring50, ring9, n, sorted(buf))
+        state.update((ring50, ring9, n, [], []))
+        if rows:
+            yield emit()
+        return
+
+    for pdf in pdf_iter:
+        for ts, x in zip(pdf["datetime"], pdf["last_price"]):
+            if x is None or pd.isna(x):
+                continue
+            buf.append((int(ts.value // 1_000_000), float(x)))
+    wm = state.getCurrentWatermarkMs()
+    buf.sort()
+    ripe = [(t, x) for t, x in buf if t <= wm]
+    pending = [(t, x) for t, x in buf if t > wm]
+    ring50, ring9, n, rows = macd_fold(ring50, ring9, n, ripe)
+    state.update(
+        (ring50, ring9, n, [t for t, _ in pending], [x for _, x in pending])
+    )
+    if pending:
+        state.setTimeoutTimestamp(max(t for t, _ in pending) + 1)
+    if rows:
+        yield emit()
+
+
+def macd_stream(ticks: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """T10/A3: streaming MACD (12/26 EMA difference + 9-EMA signal) over
+    a (symbol, datetime, last_price) tick stream — the second indicator
+    on the live pipeline, with EXACT value parity against the batch
+    ``macd`` catalog query (same truncated-Horner arithmetic, same
+    HALF_UP rounding; see ``macd_fold``). Order-correct via the
+    watermark buffer; state per symbol is O(50 + 9 + watermark-horizon
+    ticks); append-mode, one row per event-time tick exactly once."""
+    wm = ticks.withWatermark("datetime", watermark) if ticks.isStreaming else ticks
+    return wm.groupBy("symbol").applyInPandasWithState(
+        _update_macd_ordered,
+        outputStructType=MACD_SCHEMA,
+        stateStructType=_MACD_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -1174,3 +1174,78 @@ def test_rsi_stream_state_survives_restart(spark, tmp_path):
     assert len(got) == len(ticks1 + ticks2) - RSI_PERIOD == 3
     for g, w in zip(got, want):
         assert g[2] == pytest.approx(w[2], abs=1e-9)
+
+
+def test_macd_stream_matches_batch_query(spark, tmp_path, sf_dir):
+    """EXACT cross-surface parity: the streaming MACD fed the sf0.001
+    events rows (as out-of-order micro-batches) must emit value-for-value
+    the batch `macd` catalog query's macd_line/signal_line — no
+    tolerance, because `macd_fold` replicates the batch plan's exact
+    IEEE double sequence including Spark's HALF_UP ROUND(…, 6)."""
+    import os as _os
+    import time as _time
+
+    from finance_data_ingestion_pipeline_with_kafka_spark.registry import load_all
+    from finance_data_ingestion_pipeline_with_kafka_spark.streaming.stateful import (
+        macd_stream,
+    )
+
+    events = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr(
+            "event_type AS symbol",
+            "CAST(ts AS TIMESTAMP) AS datetime",
+            "CAST(value AS DOUBLE) AS last_price",
+        )
+        .collect()
+    )
+    # 3 round-robin interleaved chunks: every chunk spans the whole
+    # timeline, so later chunks carry ticks older than earlier maxima
+    src = tmp_path / "macd_ticks"
+    src.mkdir()
+    rows = [(r["symbol"], r["datetime"], r["last_price"]) for r in events]
+    for b in range(3):
+        chunk = [r for i, r in enumerate(rows) if i % 3 == b]
+        spark.createDataFrame(chunk, "symbol string, datetime timestamp, last_price double") \
+            .coalesce(1).write.parquet(str(src / f"b{b}"))
+    # sentinel chunk: far-future tick advancing the global watermark
+    # past every real event so the buffered folds complete
+    import datetime as _dt
+
+    spark.createDataFrame(
+        [("ZZZZ", _dt.datetime(2025, 6, 1), 1.0)],
+        "symbol string, datetime timestamp, last_price double",
+    ).coalesce(1).write.parquet(str(src / "b3"))
+    paths = [str(src / f"b{b}") for b in range(4)]
+    now = _time.time()
+    for i, p in enumerate(paths):
+        for f in _os.listdir(p):
+            _os.utime(_os.path.join(p, f), (now - 60 + 15 * i, now - 60 + 15 * i))
+
+    stream = (
+        spark.readStream.schema("symbol string, datetime timestamp, last_price double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "b*"))
+    )
+    out = drain(
+        spark,
+        macd_stream(stream, watermark="100 days"),
+        "macd_parity_t",
+        mode="append",
+    ).collect()
+    got = {
+        (r["symbol"], r["n_obs"]): (r["macd_line"], r["signal_line"])
+        for r in out
+        if r["symbol"] != "ZZZZ"
+    }
+
+    batch = load_all()["macd"].fn(spark, sf_dir).collect()
+    per_type: dict = {}
+    want = {}
+    for r in sorted(batch, key=lambda r: (r["event_type"], r["ts"], r["event_id"])):
+        k = per_type.get(r["event_type"], 0) + 1
+        per_type[r["event_type"]] = k
+        want[(r["event_type"], k)] = (r["macd_line"], r["signal_line"])
+
+    assert len(got) == len(want) == len(rows)
+    assert got == want  # EXACT equality, every tick, both lines
