@@ -1297,3 +1297,82 @@ def fingerprint_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+@query(
+    "fuzzy_block_recall",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, substr(text, 1, 30) AS pfx, length(text) AS len,
+             substr(text, 1, 4) AS blk
+      FROM documents WHERE doc_id % 4 = 0
+    ), truth AS (
+      SELECT CASE WHEN a.blk = b.blk AND abs(a.len - b.len) <= 5
+                  THEN 1 ELSE 0 END AS blocked,
+             CASE WHEN a.blk <> b.blk THEN 1 ELSE 0 END AS missed_block,
+             CASE WHEN a.blk = b.blk AND abs(a.len - b.len) > 5
+                  THEN 1 ELSE 0 END AS missed_band
+      FROM d a JOIN d b ON a.doc_id < b.doc_id
+      WHERE levenshtein(a.pfx, b.pfx) <= 3
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_truth,
+           CAST(COALESCE(SUM(blocked), 0) AS BIGINT) AS n_blocked,
+           CAST(COALESCE(SUM(missed_block), 0) AS BIGINT) AS n_missed_block,
+           CAST(COALESCE(SUM(missed_band), 0) AS BIGINT) AS n_missed_band,
+           CASE WHEN COUNT(*) > 0
+                THEN CAST(SUM(blocked) AS DOUBLE) / COUNT(*) END AS recall
+    FROM truth
+    """,
+    tags=("U4", "J6"),
+    crossover=False,
+)
+def fuzzy_block_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U4/J6] Acceptance metric for ``fuzzy_prefix_join``'s blocking:
+    the 4-char-prefix block + length band is LOSSY by design (an edit in
+    the first 4 characters moves a document to a different block; a
+    length drift beyond the band drops the pair before Levenshtein
+    runs) — this query measures exactly how lossy, on a deterministic
+    1-in-4 doc_id sample where the UNBLOCKED all-pairs Levenshtein
+    ground truth is affordable. Output splits the misses by cause
+    (block-key vs length-band), which tells an operator which knob to
+    widen. The all-pairs self-join here is the AUDIT path and the reason
+    the sample exists: ~(n/4)²/2 prefix comparisons, bounded and
+    documented, never run against the full corpus — production blocking
+    remains ``fuzzy_prefix_join``. Exact integer counts; the recall is
+    one double division, engine-identical."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 4 == 0)
+        .select(
+            "doc_id",
+            F.substring("text", 1, 30).alias("pfx"),
+            F.length("text").alias("len"),
+            F.substring("text", 1, 4).alias("blk"),
+        )
+    )
+    a, b = d.alias("a"), d.alias("b")
+    # deliberate bounded all-pairs (audit sample only): the < condition
+    # yields a broadcast-nested-loop over the tiny sampled side
+    pairs = a.join(b, F.col("a.doc_id") < F.col("b.doc_id")).filter(
+        F.levenshtein(F.col("a.pfx"), F.col("b.pfx")) <= 3
+    )
+    blocked = (F.col("a.blk") == F.col("b.blk")) & (
+        F.abs(F.col("a.len") - F.col("b.len")) <= 5
+    )
+    missed_block = F.col("a.blk") != F.col("b.blk")
+    missed_band = (F.col("a.blk") == F.col("b.blk")) & (
+        F.abs(F.col("a.len") - F.col("b.len")) > 5
+    )
+    flag = lambda c: F.coalesce(  # noqa: E731
+        F.sum(F.when(c, F.lit(1)).otherwise(F.lit(0))), F.lit(0)
+    ).cast("bigint")
+    return pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_truth"),
+        flag(blocked).alias("n_blocked"),
+        flag(missed_block).alias("n_missed_block"),
+        flag(missed_band).alias("n_missed_band"),
+        F.when(
+            F.count(F.lit(1)) > 0,
+            flag(blocked).cast("double") / F.count(F.lit(1)),
+        ).alias("recall"),
+    )

@@ -1,0 +1,248 @@
+"""Physical-layout operators: data-clustering / file-skipping audits
+(SURVEY §2 scale work: the reference's lake is partitioned parquet —
+`dags/ingestion_yfinance_data_to_minio_datalake.py` layout; at 100 TB
+the *order* rows are written in decides how many files a range scan
+must touch, and this module measures that decision instead of guessing).
+
+Everything here is exact integer arithmetic (bucket quantization, bit
+interleaving via div/mod, integer file assignment), so every query has a
+full DuckDB twin and hash-exact results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+#: layout-audit knobs: 4-bit buckets per dimension, 32 simulated files,
+#: and a fixed price band × date band the zone maps are probed with.
+N_BUCKETS = 16
+N_FILES = 32
+B1_LO, B1_HI = 3, 5
+B2_LO, B2_HI = 9, 12
+
+_ZORDER_ORACLE = f"""
+    WITH base AS (
+      SELECT o_orderkey AS id, CAST(o_totalprice AS DOUBLE) AS p,
+             CAST(datediff('day', DATE '1970-01-01',
+                           CAST(o_orderdate AS DATE)) AS BIGINT) AS d
+      FROM orders
+    ), bounds AS (
+      SELECT MIN(p) AS pmin, MAX(p) AS pmax,
+             MIN(d) AS dmin, MAX(d) AS dmax,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM base
+    ), q AS (
+      SELECT id,
+             CASE WHEN pmax = pmin THEN 0
+                  ELSE CAST(least({N_BUCKETS - 1}, greatest(0,
+                       floor((p - pmin) * {N_BUCKETS} / (pmax - pmin))))
+                       AS BIGINT)
+             END AS b1,
+             (d - dmin) * {N_BUCKETS} // (dmax - dmin + 1) AS b2,
+             n
+      FROM base, bounds
+    ), z AS (
+      SELECT id, b1, b2, n,
+             (b1 % 2) * 2 + (b2 % 2)
+           + ((b1 // 2) % 2) * 8 + ((b2 // 2) % 2) * 4
+           + ((b1 // 4) % 2) * 32 + ((b2 // 4) % 2) * 16
+           + ((b1 // 8) % 2) * 128 + ((b2 // 8) % 2) * 64 AS zval
+      FROM q
+    ), filed AS (
+      SELECT id, b1, b2,
+             (ROW_NUMBER() OVER (ORDER BY zval, id) - 1) * {N_FILES} // n AS zf,
+             (ROW_NUMBER() OVER (ORDER BY b1, b2, id) - 1) * {N_FILES} // n AS lf
+      FROM z
+    ), zones AS (
+      SELECT 'zorder' AS layout, zf AS f, MIN(b1) AS l1, MAX(b1) AS h1,
+             MIN(b2) AS l2, MAX(b2) AS h2
+      FROM filed GROUP BY zf
+      UNION ALL
+      SELECT 'linear', lf, MIN(b1), MAX(b1), MIN(b2), MAX(b2)
+      FROM filed GROUP BY lf
+    ), preds AS (
+      SELECT unnest(['band_both', 'date_only', 'price_only']) AS predicate
+    ), scan AS (
+      SELECT p.predicate, z.layout,
+             CAST(COUNT(*) AS BIGINT) AS n_files,
+             CAST(SUM(CASE WHEN
+                  CASE p.predicate
+                    WHEN 'price_only'
+                      THEN z.l1 <= {B1_HI} AND z.h1 >= {B1_LO}
+                    WHEN 'date_only'
+                      THEN z.l2 <= {B2_HI} AND z.h2 >= {B2_LO}
+                    ELSE z.l1 <= {B1_HI} AND z.h1 >= {B1_LO}
+                     AND z.l2 <= {B2_HI} AND z.h2 >= {B2_LO}
+                  END THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned
+      FROM zones z CROSS JOIN preds p
+      GROUP BY p.predicate, z.layout
+    ), m AS (
+      SELECT
+        CAST(SUM(CASE WHEN b1 BETWEEN {B1_LO} AND {B1_HI}
+                       AND b2 BETWEEN {B2_LO} AND {B2_HI}
+                 THEN 1 ELSE 0 END) AS BIGINT) AS m_both,
+        CAST(SUM(CASE WHEN b2 BETWEEN {B2_LO} AND {B2_HI}
+                 THEN 1 ELSE 0 END) AS BIGINT) AS m_date,
+        CAST(SUM(CASE WHEN b1 BETWEEN {B1_LO} AND {B1_HI}
+                 THEN 1 ELSE 0 END) AS BIGINT) AS m_price
+      FROM filed
+    )
+    SELECT s.predicate, s.layout, s.n_files, s.files_scanned,
+           CASE s.predicate WHEN 'band_both' THEN m.m_both
+                            WHEN 'date_only' THEN m.m_date
+                            ELSE m.m_price END AS n_match_rows
+    FROM scan s, m
+    ORDER BY s.predicate, s.layout
+"""
+
+
+@query("zorder_skipping", oracle=_ZORDER_ORACLE, tags=("O3",))
+def zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[O3/scale] Z-order clustering audit — quantifies what min/max
+    zone-map file pruning (parquet row-group stats, the mechanism every
+    lake engine's data skipping rides on) gains from interleaved-bit
+    layout versus plain lexicographic layout, for range queries over
+    ``orders``. Rows are bucketed to 4 bits per dimension (price by
+    value-range quantization, order date by integer epoch-day
+    quantization), the Morton code interleaves the two bucket ids via
+    pure div/mod arithmetic (portable — no engine bit intrinsics), and
+    both candidate layouts assign rows to ``N_FILES`` equal files by
+    rank. Per-file min/max zone maps are then probed with THREE
+    predicate shapes — price-band only, date-band only, both — because
+    that is the actual design tradeoff: a lexicographic (b1, b2) sort is
+    optimal for its primary dimension and near-useless for the secondary
+    (measured at sf0.1: 7 vs 30 of 32 files), while z-order is
+    moderately good for *every* dimension (15/17/8). One tall row per
+    (predicate, layout) with the true matching-row count, so both the
+    skipping win and the selectivity it bought are visible.
+
+    All arithmetic is exact-integer (or the identical double expression
+    for the price quantizer), so the DuckDB twin hash-matches. Scale:
+    the rank here is a global sort for audit determinism; a production
+    z-order WRITE at 100 TB is ``repartitionByRange(zval)`` +
+    ``sortWithinPartitions(zval)`` — same zval column, no global window
+    — and the zone-map probe side is exactly what this query computes,
+    O(n_files) after one groupBy."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_totalprice").cast("double").alias("p"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        )
+        .cast("bigint")
+        .alias("d"),
+    )
+    bounds = base.agg(
+        F.min("p").alias("pmin"),
+        F.max("p").alias("pmax"),
+        F.min("d").alias("dmin"),
+        F.max("d").alias("dmax"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    q = base.crossJoin(F.broadcast(bounds)).select(
+        "id",
+        F.when(F.col("pmax") == F.col("pmin"), F.lit(0).cast("bigint"))
+        .otherwise(
+            F.least(
+                F.lit(N_BUCKETS - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (F.col("p") - F.col("pmin"))
+                        * N_BUCKETS
+                        / (F.col("pmax") - F.col("pmin"))
+                    ),
+                ),
+            ).cast("bigint")
+        )
+        .alias("b1"),
+        F.expr(f"(d - dmin) * {N_BUCKETS} DIV (dmax - dmin + 1)").alias("b2"),
+        "n",
+    )
+    z = q.withColumn(
+        "zval",
+        F.expr(
+            "(b1 % 2) * 2 + (b2 % 2)"
+            " + ((b1 DIV 2) % 2) * 8 + ((b2 DIV 2) % 2) * 4"
+            " + ((b1 DIV 4) % 2) * 32 + ((b2 DIV 4) % 2) * 16"
+            " + ((b1 DIV 8) % 2) * 128 + ((b2 DIV 8) % 2) * 64"
+        ),
+    )
+    filed = z.select(
+        "id",
+        "b1",
+        "b2",
+        F.expr(
+            f"(ROW_NUMBER() OVER (ORDER BY zval, id) - 1) * {N_FILES} DIV n"
+        ).alias("zf"),
+        F.expr(
+            f"(ROW_NUMBER() OVER (ORDER BY b1, b2, id) - 1) * {N_FILES} DIV n"
+        ).alias("lf"),
+    )
+    zone_agg = [
+        F.min("b1").alias("l1"),
+        F.max("b1").alias("h1"),
+        F.min("b2").alias("l2"),
+        F.max("b2").alias("h2"),
+    ]
+    zones = (
+        filed.groupBy(F.col("zf").alias("f"))
+        .agg(*zone_agg)
+        .select(F.lit("zorder").alias("layout"), "f", "l1", "h1", "l2", "h2")
+        .unionByName(
+            filed.groupBy(F.col("lf").alias("f"))
+            .agg(*zone_agg)
+            .select(
+                F.lit("linear").alias("layout"), "f", "l1", "h1", "l2", "h2"
+            )
+        )
+    )
+    preds = spark.createDataFrame(
+        [("band_both",), ("date_only",), ("price_only",)], "predicate string"
+    )
+    price_hit = (F.col("l1") <= B1_HI) & (F.col("h1") >= B1_LO)
+    date_hit = (F.col("l2") <= B2_HI) & (F.col("h2") >= B2_LO)
+    hit = (
+        F.when(F.col("predicate") == "price_only", price_hit)
+        .when(F.col("predicate") == "date_only", date_hit)
+        .otherwise(price_hit & date_hit)
+    )
+    scan = (
+        zones.crossJoin(F.broadcast(preds))
+        .groupBy("predicate", "layout")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.sum(F.when(hit, F.lit(1)).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("files_scanned"),
+        )
+    )
+    in_price = F.col("b1").between(B1_LO, B1_HI)
+    in_date = F.col("b2").between(B2_LO, B2_HI)
+    cnt = lambda c: (  # noqa: E731
+        F.sum(F.when(c, F.lit(1)).otherwise(F.lit(0))).cast("bigint")
+    )
+    m = filed.agg(
+        cnt(in_price & in_date).alias("m_both"),
+        cnt(in_date).alias("m_date"),
+        cnt(in_price).alias("m_price"),
+    )
+    return (
+        scan.crossJoin(F.broadcast(m))
+        .select(
+            "predicate",
+            "layout",
+            "n_files",
+            "files_scanned",
+            F.when(F.col("predicate") == "band_both", F.col("m_both"))
+            .when(F.col("predicate") == "date_only", F.col("m_date"))
+            .otherwise(F.col("m_price"))
+            .alias("n_match_rows"),
+        )
+        .orderBy("predicate", "layout")
+    )

@@ -1149,6 +1149,186 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQ8_RECALL_ORACLE = f"""
+    WITH dims AS (
+      SELECT vec_id, i - 1 AS dim, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    ), codebook AS (
+      SELECT dim, MIN(x) AS lo, MAX(x) AS hi FROM dims GROUP BY dim
+    ), norms AS (
+      SELECT vec_id,
+             CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS nsq
+      FROM dims GROUP BY vec_id
+    ), deq AS (
+      SELECT d.vec_id, d.dim,
+             CASE WHEN c.hi = c.lo THEN c.lo
+                  ELSE c.lo + (CAST(least({QUANT_LEVELS}, greatest(0,
+                       floor((d.x - c.lo) * {QUANT_LEVELS} / (c.hi - c.lo))))
+                       AS DOUBLE) + 0.5) * (c.hi - c.lo) / 256
+             END AS xq
+      FROM dims d JOIN codebook c USING (dim)
+    ), dnorms AS (
+      SELECT vec_id,
+             CAST(SUM(CAST(xq * xq AS DECIMAL(38,6))) AS DOUBLE) AS qsq
+      FROM deq GROUP BY vec_id
+    ), qv AS (
+      SELECT vec_id AS query_id, dim, x AS qx FROM dims
+      WHERE vec_id < {N_QUERY_VECS}
+    ), dots AS (
+      SELECT q.query_id, d.vec_id,
+             CAST(SUM(CAST(q.qx * d.xq AS DECIMAL(38,6))) AS DOUBLE) AS dotv
+      FROM qv q JOIN deq d ON d.dim = q.dim AND d.vec_id <> q.query_id
+      GROUP BY q.query_id, d.vec_id
+    ), scored AS (
+      SELECT t.query_id, t.vec_id,
+             ROUND(t.dotv / (sqrt(qn.nsq) * sqrt(cq.qsq)), 6) AS qcos
+      FROM dots t
+      JOIN norms qn ON qn.vec_id = t.query_id
+      JOIN dnorms cq ON cq.vec_id = t.vec_id
+      JOIN norms cn ON cn.vec_id = t.vec_id
+      WHERE qn.nsq > 0 AND cq.qsq > 0 AND cn.nsq > 0
+    ), topk AS (
+      SELECT query_id, vec_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY qcos DESC, vec_id) AS rn
+        FROM scored
+      ) WHERE rn <= {TOP_K}
+    ), gt AS (
+      {_ORACLE_COSINE.format(nq=N_QUERY_VECS, k=TOP_K)}
+    ), matched AS (
+      SELECT t.query_id, COUNT(*) AS c
+      FROM topk t JOIN gt g ON g.query_id = t.query_id AND g.vec_id = t.vec_id
+      GROUP BY t.query_id
+    )
+    SELECT qs.query_id,
+           CAST(COALESCE(m.c, 0) AS BIGINT) AS n_hits,
+           CAST(COALESCE(m.c, 0) AS DOUBLE) / {TOP_K} AS recall_at_k
+    FROM (SELECT DISTINCT query_id FROM gt) qs
+    LEFT JOIN matched m ON m.query_id = qs.query_id
+    ORDER BY qs.query_id
+"""
+
+
+@query("sq8_recall", oracle=_SQ8_RECALL_ORACLE, tags=("U5",))
+def sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U5] Acceptance metric for ``embedding_quantize``: recall@k of an
+    asymmetric int8 search (full-precision query vectors scored against
+    the DEQUANTIZED corpus — the SQ analogue of ``pq_ann``'s ADC) versus
+    the exact ``knn_bruteforce`` ground truth. This is the number that
+    tells a vector-store operator what the 4× compression rung actually
+    costs in retrieval quality — completing the audit layer that
+    ``ann_recall`` provides for IVF/PQ. The dequantizer
+    ``lo + (code + 0.5)·(hi − lo)/256`` is the bin-midpoint
+    reconstruction of the exact ``embedding_quantize`` codes (same
+    codebook recipe, same clamped-floor code expression, so the two
+    queries audit the same artifact). Dot products and norms accumulate
+    per-term DECIMAL(38,6) (exact, order-free — the ``pq_encode``
+    pattern), the cosine rounds at 6 digits with vec_id tie-break, so
+    both engines rank identically. Scale: codebook and query dims are
+    O(dims)/O(k·dims) broadcasts; the corpus explodes narrow and
+    aggregates once on (query_id, vec_id) with map-side partials — the
+    corpus is never pairwise-joined with itself, and at 100 TB the
+    ground truth restricts to this same sampled query set."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "xf")
+    ).select("vec_id", "dim", F.col("xf").cast("double").alias("x"))
+    codebook = dims.groupBy("dim").agg(
+        F.min("x").alias("lo"), F.max("x").alias("hi")
+    )
+    norms = dims.groupBy("vec_id").agg(
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("nsq")
+    )
+    code = F.least(
+        F.lit(QUANT_LEVELS),
+        F.greatest(
+            F.lit(0),
+            F.floor(
+                (F.col("x") - F.col("lo"))
+                * QUANT_LEVELS
+                / (F.col("hi") - F.col("lo"))
+            ),
+        ),
+    ).cast("double")
+    deq = dims.join(F.broadcast(codebook), "dim").select(
+        "vec_id",
+        "dim",
+        F.when(F.col("hi") == F.col("lo"), F.col("lo"))
+        .otherwise(
+            F.col("lo") + (code + 0.5) * (F.col("hi") - F.col("lo")) / 256
+        )
+        .alias("xq"),
+    )
+    dnorms = deq.groupBy("vec_id").agg(
+        F.sum((F.col("xq") * F.col("xq")).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("qsq")
+    )
+    qv = dims.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), "dim", F.col("x").alias("qx")
+    )
+    dots = (
+        deq.join(F.broadcast(qv), "dim")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.sum((F.col("qx") * F.col("xq")).cast("decimal(38,6)"))
+            .cast("double")
+            .alias("dotv")
+        )
+    )
+    scored = (
+        dots.join(
+            F.broadcast(
+                norms.select(
+                    F.col("vec_id").alias("query_id"), F.col("nsq").alias("q_nsq")
+                )
+            ),
+            "query_id",
+        )
+        .join(dnorms.select("vec_id", F.col("qsq").alias("c_qsq")), "vec_id")
+        .join(norms.select("vec_id", F.col("nsq").alias("c_nsq")), "vec_id")
+        .filter(
+            (F.col("q_nsq") > 0) & (F.col("c_qsq") > 0) & (F.col("c_nsq") > 0)
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                F.col("dotv") / (F.sqrt("q_nsq") * F.sqrt("c_qsq")), 6
+            ).alias("qcos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("qcos"), "vec_id")
+    topk = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "vec_id")
+    )
+    gt = knn_bruteforce(spark, sf_dir).select("query_id", "vec_id")
+    matched = (
+        topk.join(gt, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        gt.select("query_id")
+        .distinct()
+        .join(matched, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("n_hits"),
+            (
+                F.coalesce(F.col("c"), F.lit(0)).cast("double")
+                / F.lit(float(TOP_K))
+            ).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )
+
+
 _PROBE_SWEEP = (1, 2, 3)
 
 _IVF_PROBE_SWEEP_ORACLE = (

@@ -453,6 +453,7 @@ def load_all() -> dict[str, QuerySpec]:
         aggregations,
         dedup,
         joins,
+        layout,
         multimodal,
         pandas_udfs,
         relational,

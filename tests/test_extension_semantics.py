@@ -1411,3 +1411,74 @@ def test_session_exact_gap_boundary_merges(spark):
         t0,
         t0 + gap + gap + us,
     ]
+
+
+def test_sq8_recall_spine_and_bounds(spark, sf_dir):
+    """One row per query vector; n_hits within [0, TOP_K] and recall is
+    exactly n_hits/TOP_K. On the fixture corpus int8 midpoint
+    dequantization barely perturbs top-10 cosine ranks, so mean recall
+    must stay high — a real loss (e.g. a broken dequantizer collapsing
+    dims) would crater this."""
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.similarity import (
+        N_QUERY_VECS,
+        TOP_K,
+        sq8_recall,
+    )
+
+    rows = sq8_recall(spark, sf_dir).collect()
+    assert [r["query_id"] for r in rows] == list(range(N_QUERY_VECS))
+    for r in rows:
+        assert 0 <= r["n_hits"] <= TOP_K
+        assert r["recall_at_k"] == r["n_hits"] / TOP_K
+    mean = sum(r["recall_at_k"] for r in rows) / len(rows)
+    assert mean >= 0.8, rows
+
+
+def test_zorder_skipping_robustness_tradeoff(spark, sf_dir):
+    """Pins the design claim the audit exists to measure: the
+    lexicographic layout may win on its primary dimension, but z-order's
+    WORST single-dimension scan must beat linear's worst (that
+    robustness is the point of interleaving). Plus internal consistency:
+    scanned <= n_files, the conjunctive predicate never scans more than
+    either conjunct, and match counts nest the same way."""
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.layout import (
+        N_FILES,
+        zorder_skipping,
+    )
+
+    rows = zorder_skipping(spark, sf_dir).collect()
+    assert len(rows) == 6
+    t = {(r["predicate"], r["layout"]): r for r in rows}
+    for r in rows:
+        assert r["n_files"] == N_FILES
+        assert 0 <= r["files_scanned"] <= r["n_files"]
+    for layout in ("zorder", "linear"):
+        both = t[("band_both", layout)]
+        assert both["files_scanned"] <= t[("price_only", layout)]["files_scanned"]
+        assert both["files_scanned"] <= t[("date_only", layout)]["files_scanned"]
+        assert both["n_match_rows"] <= t[("price_only", layout)]["n_match_rows"]
+        assert both["n_match_rows"] <= t[("date_only", layout)]["n_match_rows"]
+    worst = lambda lay: max(  # noqa: E731
+        t[("price_only", lay)]["files_scanned"],
+        t[("date_only", lay)]["files_scanned"],
+    )
+    assert worst("zorder") <= worst("linear"), t
+    # match counts are layout-independent ground truth
+    for pred in ("band_both", "price_only", "date_only"):
+        assert t[(pred, "zorder")]["n_match_rows"] == t[(pred, "linear")]["n_match_rows"]
+
+
+def test_fuzzy_block_recall_partitions_the_truth(spark, sf_dir):
+    """Every ground-truth pair is exactly one of: blocked, missed by the
+    block key, or missed by the length band — and recall is the blocked
+    share."""
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.dedup import (
+        fuzzy_block_recall,
+    )
+
+    [r] = fuzzy_block_recall(spark, sf_dir).collect()
+    assert r["n_truth"] == r["n_blocked"] + r["n_missed_block"] + r["n_missed_band"]
+    if r["n_truth"]:
+        assert r["recall"] == r["n_blocked"] / r["n_truth"]
+    else:
+        assert r["recall"] is None
