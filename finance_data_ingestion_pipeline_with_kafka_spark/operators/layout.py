@@ -246,3 +246,4 @@ def zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("predicate", "layout")
     )
+

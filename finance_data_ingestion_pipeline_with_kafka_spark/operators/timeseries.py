@@ -1357,3 +1357,94 @@ def bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "o_orderdate", "o_orderkey")
     )
+
+
+def _ohlcv_partial(part: DataFrame) -> DataFrame:
+    """Mergeable per-bar OHLCV partial state: min/max/count plus the
+    open/close VALUES paired with their (ts, event_id) ORDER KEYS, and
+    the volume kept in exact DECIMAL (not yet cast to double) — every
+    field is associative under the merge in ``incremental_ohlcv``."""
+    tiebreak = F.struct(F.col("ts"), F.col("event_id"))
+    return part.groupBy(
+        "event_type", F.window("ts", "6 hours").start.alias("bar_start")
+    ).agg(
+        F.min(tiebreak).alias("open_key"),
+        F.min_by("value", tiebreak).alias("open_val"),
+        F.max(tiebreak).alias("close_key"),
+        F.max_by("value", tiebreak).alias("close_val"),
+        F.max("value").cast("double").alias("high"),
+        F.min("value").cast("double").alias("low"),
+        F.count(F.lit(1)).alias("n_ticks"),
+        F.sum(F.col("value").cast("decimal(30,6)")).alias("vol_dec"),
+    )
+
+
+@query(
+    "incremental_ohlcv",
+    oracle="""
+    WITH events_us AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    ranked AS (
+      SELECT event_type, time_bucket(INTERVAL '6 hours', ts) AS bar_start, ts, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type, time_bucket(INTERVAL '6 hours', ts)
+                                ORDER BY ts, event_id) AS rn_open,
+             ROW_NUMBER() OVER (PARTITION BY event_type, time_bucket(INTERVAL '6 hours', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_close
+      FROM events_us
+    )
+    SELECT event_type, bar_start,
+           MAX(CASE WHEN rn_open = 1 THEN value END) AS open,
+           CAST(MAX(value) AS DOUBLE) AS high,
+           CAST(MIN(value) AS DOUBLE) AS low,
+           MAX(CASE WHEN rn_close = 1 THEN value END) AS close,
+           COUNT(*) AS n_ticks,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS volume_proxy
+    FROM ranked
+    GROUP BY event_type, bar_start
+    ORDER BY event_type, bar_start
+    """,
+    tags=("A2",),
+)
+def incremental_ohlcv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A2/scale] Materialized-view maintenance for OHLCV bars: the
+    events split into a "history" part and a "delta" part, each is
+    aggregated to mergeable per-bar partial state
+    (``_ohlcv_partial``), and the partials merge associatively — open =
+    the open whose (ts, event_id) key is smaller, close symmetric, high/
+    low/count by max/min/sum, volume by exact DECIMAL addition. The
+    ORACLE is the direct full recompute (the ``ohlcv_bars`` SQL
+    verbatim), so the driver's hash compare IS the proof that
+    merge(partial(history), partial(delta)) == recompute(all) — bitwise,
+    not approximately. The split is ``event_id % 5`` rather than a time
+    cutoff deliberately: it is the adversarial case where EVERY bar
+    straddles the split and every field must actually merge (a time
+    split exercises only the boundary bar). Distinct from
+    ``multi_resolution_bars``: that rollup merges DISJOINT sub-bars,
+    where ``bar_start`` ordering alone picks open/close — merging
+    overlapping partials of the SAME bar requires carrying the
+    (ts, event_id) order keys in the state, which is the shape here.
+
+    Scale: this is the nightly pattern that keeps a 100 TB bar store
+    from being recomputed — partial states are O(bars), the merge
+    shuffles only state rows on (event_type, bar_start), and the same
+    associativity argument covers multi-way merges (N daily deltas) and
+    Structured Streaming's state-store update (the streaming OHLCV in
+    ``streaming/windows.py`` maintains exactly this state shape)."""
+    e = load_table(spark, sf_dir, "events")
+    hist = _ohlcv_partial(e.filter(F.col("event_id") % 5 != 4))
+    delta = _ohlcv_partial(e.filter(F.col("event_id") % 5 == 4))
+    return (
+        hist.unionByName(delta)
+        .groupBy("event_type", "bar_start")
+        .agg(
+            F.min_by("open_val", "open_key").alias("open"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.max_by("close_val", "close_key").alias("close"),
+            F.sum("n_ticks").alias("n_ticks"),
+            F.sum("vol_dec").cast("double").alias("volume_proxy"),
+        )
+        .select(
+            "event_type", "bar_start", "open", "high", "low", "close",
+            "n_ticks", "volume_proxy",
+        )
+    )

@@ -1482,3 +1482,18 @@ def test_fuzzy_block_recall_partitions_the_truth(spark, sf_dir):
         assert r["recall"] == r["n_blocked"] / r["n_truth"]
     else:
         assert r["recall"] is None
+
+
+def test_incremental_ohlcv_merge_equals_recompute(spark, sf_dir):
+    """The whole point of the operator: merged partial state must equal
+    the direct recompute row-for-row, bitwise (doubles included)."""
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.timeseries import (
+        incremental_ohlcv,
+        ohlcv_bars,
+    )
+
+    key = lambda r: (r["event_type"], r["bar_start"])  # noqa: E731
+    inc = sorted(incremental_ohlcv(spark, sf_dir).collect(), key=key)
+    full = sorted(ohlcv_bars(spark, sf_dir).collect(), key=key)
+    assert [r.asDict() for r in inc] == [r.asDict() for r in full]
+
