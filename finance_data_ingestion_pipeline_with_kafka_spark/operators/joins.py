@@ -508,3 +508,81 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_partkey")
     )
+
+
+def _rev_quadrant(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Per-customer partial aggregate of one quadrant of the
+    orders ⋈ lineitem cross-split — revenue kept in exact DECIMAL (not
+    yet double) so partials merge associatively in
+    ``incremental_join_view``."""
+    rev = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
+        "decimal(30,6)"
+    )
+    return (
+        a.join(b, a["o_orderkey"] == b["l_orderkey"])
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(rev).alias("rev_dec"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "incremental_join_view",
+    oracle="""
+    SELECT o_custkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)))
+                AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o_custkey
+    ORDER BY o_custkey
+    """,
+    tags=("J1", "A1"),
+)
+def incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[J1/A1/scale] Delta maintenance of a JOIN-aggregate view — the
+    identity every incremental view engine rests on:
+    ``(A0 ∪ dA) ⋈ (B0 ∪ dB) = A0⋈B0 ∪ A0⋈dB ∪ dA⋈B0 ∪ dA⋈dB``.
+    Orders and lineitem are split independently (different moduli on
+    different keys, so all three delta quadrants are non-empty and a
+    joined pair can land in any of the four), each quadrant aggregates
+    to per-customer partial state (decimal revenue + count —
+    associative), and the four partials merge by one more sum. The
+    ORACLE is the direct full recompute, so the driver's hash compare
+    is the proof that state + delta terms == recompute, bitwise. This
+    extends ``incremental_ohlcv``'s single-table maintenance to the
+    join case, where the delta rule is multiplicative, not just
+    additive.
+
+    Scale: at 100 TB the ``A0⋈B0`` quadrant is the STORED view state —
+    never recomputed (it is built here only to construct the proof);
+    nightly cost is the three delta quadrants, each proportional to
+    |delta| when both tables are bucketed on the join key (the lake
+    writer's ``write_bucketed`` layout), and the merge shuffles only
+    O(|customers|) state rows. Structured Streaming's stream-stream
+    join + aggregation maintains exactly this decomposition in its
+    state store."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
+    )
+    a_delta = F.col("o_orderkey") % 5 == 4
+    b_delta = (F.col("l_orderkey") * 31 + F.col("l_linenumber")) % 7 == 3
+    a0, da = o.filter(~a_delta), o.filter(a_delta)
+    b0, db = li.filter(~b_delta), li.filter(b_delta)
+    partials = (
+        _rev_quadrant(a0, b0)  # the stored view state
+        .unionByName(_rev_quadrant(a0, db))
+        .unionByName(_rev_quadrant(da, b0))
+        .unionByName(_rev_quadrant(da, db))
+    )
+    return (
+        partials.groupBy("o_custkey")
+        .agg(
+            F.sum("rev_dec").cast("double").alias("revenue"),
+            F.sum("n_items").alias("n_items"),
+        )
+        .orderBy("o_custkey")
+    )

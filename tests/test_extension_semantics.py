@@ -1497,3 +1497,36 @@ def test_incremental_ohlcv_merge_equals_recompute(spark, sf_dir):
     full = sorted(ohlcv_bars(spark, sf_dir).collect(), key=key)
     assert [r.asDict() for r in inc] == [r.asDict() for r in full]
 
+
+
+def test_incremental_join_view_quadrants_partition_the_join(spark, sf_dir):
+    """All four quadrants of the cross-split must be non-empty (the
+    split is chosen so the delta rule is actually exercised) and must
+    partition the joined pair set exactly — their counts sum to the
+    direct join's row count."""
+    from pyspark.sql import functions as F
+
+    from finance_data_ingestion_pipeline_with_kafka_spark.catalog import load_table
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.joins import (
+        _rev_quadrant,
+        incremental_join_view,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
+    )
+    a_delta = F.col("o_orderkey") % 5 == 4
+    b_delta = (F.col("l_orderkey") * 31 + F.col("l_linenumber")) % 7 == 3
+    quads = [
+        _rev_quadrant(o.filter(~a_delta), li.filter(~b_delta)),
+        _rev_quadrant(o.filter(~a_delta), li.filter(b_delta)),
+        _rev_quadrant(o.filter(a_delta), li.filter(~b_delta)),
+        _rev_quadrant(o.filter(a_delta), li.filter(b_delta)),
+    ]
+    counts = [q.agg(F.sum("n_items")).collect()[0][0] or 0 for q in quads]
+    assert all(c > 0 for c in counts), counts
+    direct = o.join(li, o["o_orderkey"] == li["l_orderkey"]).count()
+    assert sum(counts) == direct
+    merged = incremental_join_view(spark, sf_dir)
+    assert merged.agg(F.sum("n_items")).collect()[0][0] == direct
