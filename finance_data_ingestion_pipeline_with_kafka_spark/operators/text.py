@@ -640,3 +640,68 @@ def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             1.0 - F.countDistinct("fp").cast("double") / F.count(F.lit(1)), 6
         ).alias("exact_dup_rate"),
     )
+
+
+@query(
+    "unigram_logprob",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+      FROM documents
+    ), dwc AS (
+      SELECT doc_id, w, COUNT(*) AS k FROM toks GROUP BY doc_id, w
+    ), cw AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY w
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM toks
+    )
+    SELECT d.doc_id,
+           CAST(SUM(d.k) AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(CAST(d.k * ln(CAST(cw.c AS DOUBLE) / tot.n)
+                               AS DECIMAL(30,6))) AS DOUBLE)
+                 / SUM(d.k), 6) AS mean_logprob
+    FROM dwc d JOIN cw USING (w) CROSS JOIN tot
+    GROUP BY d.doc_id
+    ORDER BY d.doc_id
+    """,
+    tags=("U6",),
+)
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U6] Self-trained unigram language-model scoring — the perplexity
+    -filter rung of the CCNet/Gopher curation recipe, using the corpus
+    itself as the LM: every document gets the mean log-probability of
+    its tokens under the corpus unigram distribution. Documents full of
+    corpus-typical words score high (near the corpus's own ceiling);
+    documents of rare junk score very low — the complement of
+    ``word_entropy`` (which sees only WITHIN-doc diversity and cannot
+    tell rare-junk from common-fluent).
+
+    Numeric contract (the ``word_entropy`` pattern): each ``k·ln(c/N)``
+    term is rounded into DECIMAL(30,6) before summation — cross-engine
+    libm ``ln`` drift is ~1e-12 absolute, far below the 0.5e-6 grain —
+    so the per-doc sums are order-free and bit-identical; one final
+    ROUND at 6. Scale: two token-keyed count aggregations (map-side
+    partials absorb the stopword skew before the shuffle), then one
+    (doc, token)→token join whose right side is one row per vocab term
+    — broadcastable for real vocabularies — and a per-doc regroup. The
+    corpus total rides along as a broadcast scalar. No Python anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens()).alias("w"))
+    dwc = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("k"))
+    cw = toks.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    tot = toks.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    term = (
+        F.col("k") * F.log(F.col("c").cast("double") / F.col("n"))
+    ).cast(DEC)
+    return (
+        dwc.join(cw, "w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum(term).cast("double") / F.sum("k"), 6
+            ).alias("mean_logprob"),
+        )
+        .orderBy("doc_id")
+    )
