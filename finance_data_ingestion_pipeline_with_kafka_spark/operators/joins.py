@@ -586,3 +586,78 @@ def incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey")
     )
+
+
+#: Salt fan-out for the skew-resistant join demo: each dim row is
+#: replicated N_SALTS times; each fact row picks one deterministic salt.
+N_SALTS = 8
+
+
+@query(
+    "salted_skew_join",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)))
+                AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    GROUP BY s.s_suppkey, s.s_name
+    ORDER BY s.s_suppkey
+    """,
+    tags=("J1",),
+)
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[J1/scale] Skew-resistant salted join — the standard remedy when
+    one join key carries a disproportionate share of a 100 TB fact table
+    and a single reducer becomes the stage's straggler: the fact side
+    gets a deterministic salt in [0, N_SALTS), the dim side is
+    replicated once per salt (an N_SALTS-row literal explode — dim cost
+    × 8, reducer spread × 8 on every hot key), and the join runs on
+    (key, salt) so each hot key's rows land on N_SALTS reducers instead
+    of one. The ORACLE is the PLAIN unsalted join-aggregate — salting
+    is invisible to semantics, and the hash compare proves it (the
+    decimal revenue accumulation is order-free, so even the changed
+    reduction order cannot show through).
+
+    The salt is ``(l_orderkey·31 + l_linenumber) % N_SALTS`` —
+    deterministic (rerun-stable, unlike ``rand()``-salting) and
+    uniform across a key's rows, which is what spreads the hot key. At
+    this SF Spark broadcasts the tiny dim side anyway (salting is then
+    harmless); the unit test disables broadcast to pin that the salted
+    shuffle-join plan ALSO produces oracle-identical results — the
+    regime the pattern exists for. AQE's skew-join split handles
+    sort-merge skew adaptively; explicit salting remains the portable
+    fix when AQE's thresholds don't trigger or the join is hash-based."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_suppkey",
+        "l_extendedprice",
+        "l_discount",
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    fact = li.withColumn(
+        "salt",
+        (F.col("l_orderkey") * 31 + F.col("l_linenumber")) % N_SALTS,
+    )
+    dim = sup.select(
+        "s_suppkey",
+        "s_name",
+        F.explode(F.array(*[F.lit(i) for i in range(N_SALTS)])).alias("salt"),
+    ).withColumn("salt", F.col("salt").cast("long"))
+    rev = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
+        "decimal(30,6)"
+    )
+    return (
+        fact.join(
+            dim,
+            (fact["l_suppkey"] == dim["s_suppkey"])
+            & (fact["salt"] == dim["salt"]),
+        )
+        .groupBy("s_suppkey", "s_name")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+        .orderBy("s_suppkey")
+    )

@@ -116,3 +116,28 @@ def yfinance_pipeline(raw: DataFrame) -> DataFrame:
 def finnhub_pipeline(raw: DataFrame, dedup_watermark: str | None = "10 minutes") -> DataFrame:
     """Full finnhub chain incl. watermarked dedup."""
     return finnhub_transform(decode_json_stream(raw, FINNHUB_SCHEMA), dedup_watermark)
+
+
+def with_ingest_observation(
+    df: DataFrame, valid: F.Column, name: str = "ingest_metrics"
+) -> DataFrame:
+    """P6 instrumentation: attach Spark *observed metrics* to the decoded
+    stream BEFORE the validity gate, so every micro-batch reports how many
+    rows arrived and how many the gate is about to drop (malformed JSON
+    decodes to all-NULL rows, so it lands in ``n_invalid`` too). The
+    counts surface in each ``StreamingQueryProgress.observedMetrics``
+    under ``name`` — the operational feed a production ingest graphs and
+    alerts on (reference's pipelines have no equivalent; their validity
+    check runs in an Airflow sensor and drops silently, SURVEY §2.2 P6).
+
+    ``observe`` computes the aggregates inside the running query — no
+    second scan of the source, works identically on batch frames (via
+    the same named observation). Zero effect on the data path: the
+    returned frame is row-identical to the input."""
+    return df.observe(
+        name,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(valid, F.lit(0)).otherwise(F.lit(1)))
+        .cast("long")
+        .alias("n_invalid"),
+    )

@@ -1530,3 +1530,44 @@ def test_incremental_join_view_quadrants_partition_the_join(spark, sf_dir):
     assert sum(counts) == direct
     merged = incremental_join_view(spark, sf_dir)
     assert merged.agg(F.sum("n_items")).collect()[0][0] == direct
+
+
+def test_salted_join_correct_without_broadcast(spark, sf_dir):
+    """The regime salting exists for: with broadcast disabled the join
+    must compile to a shuffle join on (key, salt) — dim replicated
+    N_SALTS times — and STILL produce results identical to the plain
+    unsalted join-aggregate."""
+    from pyspark.sql import functions as F
+
+    from finance_data_ingestion_pipeline_with_kafka_spark.catalog import load_table
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.joins import (
+        salted_skew_join,
+    )
+
+    orig = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        salted = sorted(
+            (r["s_suppkey"], r["s_name"], r["revenue"], r["n_items"])
+            for r in salted_skew_join(spark, sf_dir).collect()
+        )
+        plan = salted_skew_join(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", orig)
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    rev = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
+        "decimal(30,6)"
+    )
+    plain = sorted(
+        (r["s_suppkey"], r["s_name"], r["revenue"], r["n_items"])
+        for r in li.join(sup, li["l_suppkey"] == sup["s_suppkey"])
+        .groupBy("s_suppkey", "s_name")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+        .collect()
+    )
+    assert salted == plain

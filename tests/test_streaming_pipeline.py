@@ -223,3 +223,51 @@ def test_stream_to_lake_to_analytics_end_to_end(spark, tmp_path):
     )
     assert landed.count() == direct.count() == 200
     assert bars(landed) == bars(direct)
+
+
+def test_ingest_observation_counts_gate_drops(spark, tmp_path):
+    """with_ingest_observation reports arrived/about-to-drop counts per
+    micro-batch through observedMetrics, without changing the data path:
+    7 messages arrive (4 valid, zero-volume + null-symbol + malformed),
+    the gate keeps 4, and the observation says n_rows=7 / n_invalid=3."""
+    from finance_data_ingestion_pipeline_with_kafka_spark.schemas import FINNHUB_SCHEMA
+    from finance_data_ingestion_pipeline_with_kafka_spark.streaming.pipeline import (
+        decode_json_stream,
+        finnhub_transform,
+        with_ingest_observation,
+    )
+
+    msgs = [
+        fh_msg("AAPL", 1704205200000, 100.0, 10),
+        fh_msg("AAPL", 1704205201000, 101.0, 5),
+        fh_msg("MSFT", 1704205202000, 300.0, 3),
+        fh_msg("MSFT", 1704205203000, 301.0, 4),
+        fh_msg("AAPL", 1704205204000, 102.0, 0),  # zero volume -> gated
+        fh_msg(None, 1704205205000, 103.0, 7),  # null symbol -> gated
+        "this is not json",  # malformed -> all-NULL row -> gated
+    ]
+    src = tmp_path / "obs_src"
+    write_json_fixture(str(src), msgs)
+    raw = kafka_shaped_file_stream(spark, str(src))
+    decoded = decode_json_stream(raw, FINNHUB_SCHEMA)
+    observed = with_ingest_observation(
+        decoded, (F.col("v") > 0) & F.col("s").isNotNull()
+    )
+    out = finnhub_transform(observed, dedup_watermark=None)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("obs_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    kept = spark.sql("SELECT * FROM obs_sink").collect()
+    assert len(kept) == 4
+    totals = {"n_rows": 0, "n_invalid": 0}
+    for progress in q.recentProgress:
+        m = (progress.get("observedMetrics") or {}).get("ingest_metrics")
+        if m:
+            totals["n_rows"] += m["n_rows"]
+            totals["n_invalid"] += m["n_invalid"]
+    assert totals == {"n_rows": 7, "n_invalid": 3}
