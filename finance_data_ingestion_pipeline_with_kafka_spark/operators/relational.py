@@ -410,3 +410,139 @@ def explode_outer_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "number"
         ),
     ).orderBy("doc_id", F.col("number").asc_nulls_first())
+
+
+@query(
+    "table_expectations",
+    oracle="""
+    WITH checks AS (
+      SELECT 'fk_lineitem_orderkey' AS check_name,
+             CAST(COUNT(*) AS BIGINT) AS n_checked,
+             CAST(COALESCE(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS n_violations
+      FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+      UNION ALL
+      SELECT 'fk_orders_custkey',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(COALESCE(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END), 0)
+                  AS BIGINT)
+      FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+      UNION ALL
+      SELECT 'nonempty_document_text',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(COALESCE(SUM(CASE WHEN text IS NULL OR trim(text) = ''
+                                    THEN 1 ELSE 0 END), 0) AS BIGINT)
+      FROM documents
+      UNION ALL
+      SELECT 'nonneg_order_price',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(COALESCE(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END), 0)
+                  AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'nonnull_event_ts',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(COALESCE(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END), 0)
+                  AS BIGINT)
+      FROM events
+      UNION ALL
+      SELECT 'unique_customer_key',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(*) - COUNT(DISTINCT c_custkey) AS BIGINT)
+      FROM customer
+    )
+    SELECT check_name, n_checked, n_violations,
+           n_violations = 0 AS pass
+    FROM checks ORDER BY check_name
+    """,
+    tags=("P8", "A1"),
+)
+def table_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[P8/A1] Data-contract audit — the dbt-test / expectations layer
+    as one catalog query: referential integrity (lineitem→orders,
+    orders→customer, via left-join null counts — never an unbounded
+    anti-join materialization), key uniqueness, value-domain and
+    null-rate checks, one tall row per check with checked/violation
+    counts and a pass verdict. This is the gate a warehouse runs before
+    publishing a snapshot; on the clean fixture every check passes, and
+    any regression in the generator or an ingest bug flips a row to
+    ``pass = false`` with the violation count attached.
+
+    Scale: each check is one scan-aggregate or one key-partitioned join
+    with map-side partials; checks are independent so the union's
+    branches run as parallel stages sharing nothing. At 100 TB the FK
+    probes are the expensive rows — they shuffle on the FK — and the
+    audit inherits whatever bucketing the lake already has on those
+    keys (zero-Exchange when both sides are bucketed,
+    ``sources/lake.py``)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    e = load_table(spark, sf_dir, "events").select("ts")
+    d = load_table(spark, sf_dir, "documents").select("text")
+
+    def viol(cond) -> F.Column:
+        return (
+            F.coalesce(
+                F.sum(F.when(cond, F.lit(1)).otherwise(F.lit(0))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("n_violations")
+        )
+
+    n = F.count(F.lit(1)).cast("bigint").alias("n_checked")
+    checks = (
+        li.join(o.select("o_orderkey"), li["l_orderkey"] == o["o_orderkey"], "left")
+        .agg(
+            F.lit("fk_lineitem_orderkey").alias("check_name"),
+            n,
+            viol(F.col("o_orderkey").isNull()),
+        )
+        .unionByName(
+            o.join(c, o["o_custkey"] == c["c_custkey"], "left").agg(
+                F.lit("fk_orders_custkey").alias("check_name"),
+                n,
+                viol(F.col("c_custkey").isNull()),
+            )
+        )
+        .unionByName(
+            d.agg(
+                F.lit("nonempty_document_text").alias("check_name"),
+                n,
+                viol(
+                    F.col("text").isNull() | (F.trim(F.col("text")) == "")
+                ),
+            )
+        )
+        .unionByName(
+            o.agg(
+                F.lit("nonneg_order_price").alias("check_name"),
+                n,
+                viol(F.col("o_totalprice") < 0),
+            )
+        )
+        .unionByName(
+            e.agg(
+                F.lit("nonnull_event_ts").alias("check_name"),
+                n,
+                viol(F.col("ts").isNull()),
+            )
+        )
+        .unionByName(
+            c.agg(
+                F.lit("unique_customer_key").alias("check_name"),
+                n,
+                (F.count(F.lit(1)) - F.countDistinct("c_custkey"))
+                .cast("bigint")
+                .alias("n_violations"),
+            )
+        )
+    )
+    return checks.select(
+        "check_name",
+        "n_checked",
+        "n_violations",
+        (F.col("n_violations") == 0).alias("pass"),
+    ).orderBy("check_name")

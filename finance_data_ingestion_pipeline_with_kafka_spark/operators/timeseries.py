@@ -1448,3 +1448,160 @@ def incremental_ohlcv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_ticks", "volume_proxy",
         )
     )
+
+
+ROLL_N = 15  # rolling robust-stats frame (odd, so every rank is exact)
+
+
+@query(
+    "rolling_robust_stats",
+    oracle=f"""
+    WITH events_us AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    w AS (
+      SELECT event_type, ts, event_id, value,
+             list_sort(list(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                                         ROWS BETWEEN {ROLL_N - 1} PRECEDING AND CURRENT ROW)) AS win,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+      FROM events_us
+    )
+    SELECT event_type, ts, event_id, value,
+           win[4] AS roll_p25, win[8] AS roll_med, win[12] AS roll_p75
+    FROM w WHERE rn >= {ROLL_N}
+    ORDER BY event_type, ts, event_id
+    """,
+    tags=("W5", "A7"),
+)
+def rolling_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[W5/A7] Rolling robust statistics — the outlier-resistant
+    smoothing band (25th/50th/75th order statistics over the trailing
+    ``ROLL_N``-tick frame per event type) that median-filter denoising and
+    robust anomaly bands are built from; the rank-statistic complement
+    of ``rolling_volatility``'s moment-based band. No engine quantile
+    DEFINITION is involved on either side — both engines sort the frame
+    and pick elements 4/8/12 of 15, so every output is an exact input
+    double and hash-matches with no rounding anywhere. Emitted only for
+    full frames (row 15 onward per key — partial-frame order statistics
+    at a different n would be a different estimator).
+
+    Frame mechanics: ``collect_list().over(rowsBetween(-14, 0))`` +
+    ``array_sort`` — inside the documented bounded-frame contract
+    (SCALE.md §Aggregation: safe for fixed k ≤ ~100, not a general
+    unbounded pattern). One shuffle on event_type; the sort-window and
+    the row_number share the same (ts, event_id) ordering so Spark
+    computes both in a single Window pass."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(ROLL_N - 1), 0)
+    )
+    wr = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    win = F.array_sort(F.collect_list(F.col("value")).over(w))
+    return (
+        e.select(
+            "event_type",
+            "ts",
+            "event_id",
+            "value",
+            F.element_at(win, 4).alias("roll_p25"),
+            F.element_at(win, 8).alias("roll_med"),
+            F.element_at(win, 12).alias("roll_p75"),
+            F.row_number().over(wr).alias("rn"),
+        )
+        .filter(F.col("rn") >= ROLL_N)
+        .drop("rn")
+        .orderBy("event_type", "ts", "event_id")
+    )
+
+
+@query(
+    "conversion_funnel",
+    oracle="""
+    WITH events_us AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    s1 AS (
+      SELECT user_id, MIN(ts) AS t_view FROM events_us
+      WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events_us e JOIN s1 ON s1.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t_view
+      GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t_signup
+      FROM events_us e JOIN s2 ON s2.user_id = e.user_id
+      WHERE e.event_type = 'signup' AND e.ts > s2.t_click
+      GROUP BY e.user_id
+    ), s4 AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events_us e JOIN s3 ON s3.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s3.t_signup
+      GROUP BY e.user_id
+    )
+    SELECT s1.user_id, s1.t_view, s2.t_click, s3.t_signup, s4.t_purchase,
+           CAST(1 + (s2.user_id IS NOT NULL)::INT + (s3.user_id IS NOT NULL)::INT
+                  + (s4.user_id IS NOT NULL)::INT AS INT) AS steps_completed
+    FROM s1
+    LEFT JOIN s2 ON s2.user_id = s1.user_id
+    LEFT JOIN s3 ON s3.user_id = s1.user_id
+    LEFT JOIN s4 ON s4.user_id = s1.user_id
+    ORDER BY s1.user_id
+    """,
+    tags=("A1", "J1"),
+)
+def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A1/J1] Ordered-step conversion funnel — the product-analytics
+    staple (Amplitude/Mixpanel "funnels"): for each user, the earliest
+    ``view``, the earliest ``click`` strictly AFTER that view, the
+    earliest ``signup`` after that click, the earliest ``purchase``
+    after that signup — the temporal-order constraint is what makes a
+    funnel a funnel (a user who purchased before ever viewing does not
+    convert through the funnel), and what plain per-type mins get
+    wrong. One row per funnel-entered user with per-step timestamps and
+    ``steps_completed``; later steps are NULL-monotone by construction
+    (each stage joins on the previous stage's survivors).
+
+    Shape: four filtered key-partitioned MIN aggregations chained by
+    user_id joins — each stage's input is type-filtered at the scan
+    (pushdown) and its state is one row per surviving user, shrinking
+    monotonically down the funnel. At 100 TB with the events lake
+    bucketed on user_id every stage is zero-Exchange; the timestamps
+    are carried exactly, so the whole report hash-matches with no
+    rounding."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    def stage(etype: str, prev: DataFrame, prev_ts: str, out: str) -> DataFrame:
+        return (
+            e.filter(F.col("event_type") == etype)
+            .join(prev.select("user_id", prev_ts), "user_id")
+            .filter(F.col("ts") > F.col(prev_ts))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out))
+        )
+
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    s2 = stage("click", s1, "t_view", "t_click")
+    s3 = stage("signup", s2, "t_click", "t_signup")
+    s4 = stage("purchase", s3, "t_signup", "t_purchase")
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .join(s4, "user_id", "left")
+        .select(
+            "user_id",
+            "t_view",
+            "t_click",
+            "t_signup",
+            "t_purchase",
+            (
+                F.lit(1)
+                + F.col("t_click").isNotNull().cast("int")
+                + F.col("t_signup").isNotNull().cast("int")
+                + F.col("t_purchase").isNotNull().cast("int")
+            ).cast("int").alias("steps_completed"),
+        )
+        .orderBy("user_id")
+    )

@@ -1571,3 +1571,50 @@ def test_salted_join_correct_without_broadcast(spark, sf_dir):
         .collect()
     )
     assert salted == plain
+
+
+def test_conversion_funnel_temporal_invariants(spark, sf_dir):
+    """Step timestamps must be strictly increasing where present, NULLs
+    must be monotone down the funnel (no signup time without a click
+    time), and steps_completed must count the non-null steps."""
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.timeseries import (
+        conversion_funnel,
+    )
+
+    rows = conversion_funnel(spark, sf_dir).collect()
+    assert rows
+    seen_partial = False
+    for r in rows:
+        steps = [r["t_view"], r["t_click"], r["t_signup"], r["t_purchase"]]
+        present = [t for t in steps if t is not None]
+        # NULL-monotone: present steps are exactly a prefix
+        assert steps[: len(present)] == present
+        assert all(a < b for a, b in zip(present, present[1:]))
+        assert r["steps_completed"] == len(present)
+    # recompute the order-constrained mins from raw events: t_click must
+    # be the earliest click strictly after t_view (NOT the global min
+    # click — that is the bug funnels exist to avoid), and so on down
+    from finance_data_ingestion_pipeline_with_kafka_spark.catalog import load_table
+
+    ev = {}
+    for e in load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    ).collect():
+        ev.setdefault((e["user_id"], e["event_type"]), []).append(e["ts"])
+
+    def first_after(user, etype, after):
+        cand = [t for t in ev.get((user, etype), []) if t > after]
+        return min(cand) if cand else None
+
+    for r in rows:
+        u = r["user_id"]
+        assert r["t_view"] == min(ev[(u, "view")])
+        expect_click = first_after(u, "click", r["t_view"])
+        assert r["t_click"] == expect_click
+        if expect_click is not None:
+            expect_signup = first_after(u, "signup", expect_click)
+            assert r["t_signup"] == expect_signup
+            if expect_signup is not None:
+                assert r["t_purchase"] == first_after(
+                    u, "purchase", expect_signup
+                )
