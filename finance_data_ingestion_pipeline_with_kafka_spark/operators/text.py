@@ -674,7 +674,12 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-typical words score high (near the corpus's own ceiling);
     documents of rare junk score very low — the complement of
     ``word_entropy`` (which sees only WITHIN-doc diversity and cannot
-    tell rare-junk from common-fluent).
+    tell rare-junk from common-fluent). Model-order sibling of
+    ``bigram_lm_score`` (training.py): that one scores conditional
+    P(w₂|w₁) and flags unusual SEQUENCES of common words; this one
+    scores marginal P(w) and flags rare VOCABULARY regardless of order
+    — curation pipelines run both because each misses the other's
+    failure mode.
 
     Numeric contract (the ``word_entropy`` pattern): each ``k·ln(c/N)``
     term is rounded into DECIMAL(30,6) before summation — cross-engine

@@ -1605,3 +1605,173 @@ def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "event_transitions",
+    oracle="""
+    WITH events_us AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events_us
+    ), counts AS (
+      SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, event_type, n_transitions,
+           CAST(n_transitions AS DOUBLE)
+             / SUM(n_transitions) OVER (PARTITION BY prev_type) AS share_from_prev
+    FROM counts
+    ORDER BY prev_type, event_type
+    """,
+    tags=("W2", "A1"),
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[W2/A1] User-journey transition matrix — the first-order Markov
+    view of the event stream (what follows what, per user, in event-time
+    order): LAG over each user's (ts, event_id)-ordered stream, then a
+    (prev, next) count matrix with row-normalized shares. This is the
+    exploratory complement of ``conversion_funnel``: the funnel checks
+    one prescribed path, the transition matrix shows every path users
+    actually take (and is the input to Markov-chain attribution models).
+    Counts are exact integers; each share is one double division of two
+    exact integers, identical in both engines.
+
+    Shape: one shuffle on user_id for the LAG window, one (prev, next)
+    aggregation over at most |types|² groups, and a window sum over the
+    tiny matrix — at 100 TB the per-user window dominates and inherits
+    the user_id bucketing; the matrix itself is KB-sized regardless of
+    input scale."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    counts = seq.groupBy("prev_type", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_transitions")
+    )
+    wp = Window.partitionBy("prev_type")
+    return (
+        counts.select(
+            "prev_type",
+            "event_type",
+            "n_transitions",
+            (
+                F.col("n_transitions").cast("double")
+                / F.sum("n_transitions").over(wp)
+            ).alias("share_from_prev"),
+        )
+        .orderBy("prev_type", "event_type")
+    )
+
+
+@query(
+    "rfm_segmentation",
+    oracle="""
+    WITH events_us AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    p AS (
+      SELECT user_id, ts, value FROM events_us WHERE event_type = 'purchase'
+    ), g AS (SELECT MAX(ts) AS gmax FROM p),
+    u AS (
+      SELECT user_id,
+             CAST(datediff('day', CAST(MAX(ts) AS DATE), CAST(g.gmax AS DATE))
+                  AS INT) AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS monetary
+      FROM p, g GROUP BY user_id, g.gmax
+    ), s AS (
+      SELECT *,
+             CAST(NTILE(5) OVER (ORDER BY recency_days DESC, user_id) AS INT) AS r_score,
+             CAST(NTILE(5) OVER (ORDER BY frequency ASC, user_id) AS INT) AS f_score,
+             CAST(NTILE(5) OVER (ORDER BY monetary ASC, user_id) AS INT) AS m_score
+      FROM u
+    )
+    SELECT user_id, recency_days, frequency, monetary,
+           r_score, f_score, m_score,
+           CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+                  THEN 'champion'
+                WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk_loyal'
+                WHEN r_score >= 4 AND f_score <= 2 THEN 'new_or_reactivated'
+                ELSE 'core' END AS segment
+    FROM s ORDER BY user_id
+    """,
+    tags=("W3", "A1"),
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[W3/A1] RFM customer segmentation — the warehouse-classic
+    recency/frequency/monetary quintile scoring over the purchase
+    stream: days since last purchase (vs the corpus's latest purchase,
+    carried as a broadcast scalar), purchase count, decimal-exact spend;
+    each metric NTILE(5)-scored under a TOTAL order (metric + user_id
+    tie-break, so bucket boundaries are deterministic and
+    engine-identical), then a rule-based segment label. Counts and
+    recency are exact integers, monetary is the decimal-accumulation
+    pattern, and NTILE follows the same standard definition in both
+    engines under a total order — no rounding anywhere.
+
+    Scale note: exact NTILE is a global sort of the per-user table
+    (small — one row per user); at 100 TB with billions of users the
+    quintile boundaries come from ``approx_percentiles`` instead and
+    scoring becomes a broadcast range lookup — the sketch path this
+    catalog already carries; this query is the exact-oracle form."""
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    g = p.agg(F.max("ts").alias("gmax"))
+    u = (
+        p.crossJoin(F.broadcast(g))
+        .groupBy("user_id")
+        .agg(
+            F.datediff(
+                F.first("gmax").cast("date"), F.max("ts").cast("date")
+            ).cast("int").alias("recency_days"),
+            F.count(F.lit(1)).cast("bigint").alias("frequency"),
+            F.sum(F.col("value").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+    )
+    s = u.select(
+        "*",
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("recency_days"), "user_id"))
+        .cast("int")
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.asc("frequency"), "user_id"))
+        .cast("int")
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.asc("monetary"), "user_id"))
+        .cast("int")
+        .alias("m_score"),
+    )
+    return s.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        "r_score",
+        "f_score",
+        "m_score",
+        F.when(
+            (F.col("r_score") >= 4)
+            & (F.col("f_score") >= 4)
+            & (F.col("m_score") >= 4),
+            F.lit("champion"),
+        )
+        .when(
+            (F.col("r_score") <= 2) & (F.col("f_score") >= 4),
+            F.lit("at_risk_loyal"),
+        )
+        .when(
+            (F.col("r_score") >= 4) & (F.col("f_score") <= 2),
+            F.lit("new_or_reactivated"),
+        )
+        .otherwise(F.lit("core"))
+        .alias("segment"),
+    ).orderBy("user_id")

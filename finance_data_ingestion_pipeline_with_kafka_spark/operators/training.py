@@ -895,3 +895,86 @@ def corpus_build_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage("d_near_dup", nd))
         .orderBy("stage")
     )
+
+
+K_ANON = 5  # k-anonymity threshold for the quasi-identifier audit
+
+
+@query(
+    "k_anonymity_audit",
+    oracle=f"""
+    WITH b AS (
+      SELECT MIN(c_acctbal) AS lo, MAX(c_acctbal) AS hi FROM customer
+    ), q AS (
+      SELECT c_nationkey AS nat,
+             CASE WHEN hi = lo THEN 0
+                  ELSE CAST(least(9, greatest(0,
+                       floor((c_acctbal - lo) * 10 / (hi - lo)))) AS BIGINT)
+             END AS bal_decile
+      FROM customer, b
+    ), g AS (
+      SELECT nat, bal_decile, CAST(COUNT(*) AS BIGINT) AS sz
+      FROM q GROUP BY nat, bal_decile
+    )
+    SELECT CAST(SUM(sz) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(MIN(sz) AS BIGINT) AS min_group_size,
+           CAST(COALESCE(SUM(CASE WHEN sz < {K_ANON} THEN sz ELSE 0 END), 0)
+                AS BIGINT) AS n_violating_rows,
+           CAST(COALESCE(SUM(CASE WHEN sz < {K_ANON} THEN sz ELSE 0 END), 0)
+                AS DOUBLE) / SUM(sz) AS violating_share
+    FROM g
+    """,
+    tags=("U6", "A1"),
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[governance] k-anonymity audit over quasi-identifiers — the
+    release-gating check that complements ``pii_redaction``: redaction
+    strips DIRECT identifiers, but a record is still re-identifiable
+    when its quasi-identifier combination (here nationality × account-
+    balance decile) is shared by fewer than k individuals. The audit
+    quantizes the continuous QI by value range (the ``zorder_skipping``
+    quantizer expression — identical doubles in both engines), groups on
+    the QI tuple, and reports the minimum group size plus how many rows
+    sit in sub-k groups — the exact population a k-anonymizer would have
+    to generalize or suppress before the dataset ships to training.
+
+    Scale: one pass for the bounds (broadcast scalar), one QI-keyed
+    aggregation with map-side partials, one tiny summary over the group
+    table — at 100 TB the cost is the single groupBy, and the group
+    table (|nations| × 10 rows here) stays KB-sized however large the
+    input."""
+    c = load_table(spark, sf_dir, "customer")
+    b = c.agg(F.min("c_acctbal").alias("lo"), F.max("c_acctbal").alias("hi"))
+    q = c.crossJoin(F.broadcast(b)).select(
+        F.col("c_nationkey").alias("nat"),
+        F.when(F.col("hi") == F.col("lo"), F.lit(0).cast("bigint"))
+        .otherwise(
+            F.least(
+                F.lit(9),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (F.col("c_acctbal") - F.col("lo"))
+                        * 10
+                        / (F.col("hi") - F.col("lo"))
+                    ),
+                ),
+            ).cast("bigint")
+        )
+        .alias("bal_decile"),
+    )
+    g = q.groupBy("nat", "bal_decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    small = F.coalesce(
+        F.sum(F.when(F.col("sz") < K_ANON, F.col("sz")).otherwise(F.lit(0))),
+        F.lit(0),
+    )
+    return g.agg(
+        F.sum("sz").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.min("sz").cast("bigint").alias("min_group_size"),
+        small.cast("bigint").alias("n_violating_rows"),
+        (small.cast("double") / F.sum("sz")).alias("violating_share"),
+    )
