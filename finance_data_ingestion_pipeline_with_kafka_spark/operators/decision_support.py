@@ -1,0 +1,403 @@
+"""Decision-support parity queries — the classic TPC-H report shapes the
+rest of the catalog doesn't already cover (SURVEY §2.4 A1, §2.3 J2/J4,
+§2.6 O4).
+
+The reference's analytics layer promises ad-hoc EDA over the ingested
+lake (``scripts/spark_streaming_processing/yfinance_processing.py:30``
+stub); a user running decision-support reports today needs the canonical
+shapes below, each of which exercises a distinct plan pattern:
+
+* global-threshold HAVING (Q11): an aggregate filtered against a scalar
+  computed over the WHOLE input — the "important subset by share" report.
+* conditional-aggregate share (Q14): numerator and denominator computed
+  in one pass over one scan, never two scans of the fact table.
+* tie-exact argmax + join-back (Q15): "the top X" with ties preserved —
+  a MAX equality filter, never ``LIMIT 1`` (which is nondeterministic
+  under ties and wrong the moment two groups draw equal).
+
+Determinism: every money sum accumulates in exact ``DECIMAL(30,6)``
+(order-independent under partial aggregation); threshold/argmax
+comparisons happen on the DECIMAL values themselves — never on derived
+doubles, whose last-ULP could flip a boundary row between engines —
+and only the output columns cast to DOUBLE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.core import DEC, dsum_expr
+from ..registry import query
+
+_REV_DEC_SQL = "SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)))"
+
+
+def _rev_dec() -> F.Column:
+    """Exact revenue accumulator used for COMPARISONS (threshold, argmax):
+    the per-row product is a deterministic IEEE double, rounded half-up at
+    6 digits into DECIMAL and summed exactly — bit-identical across
+    engines and partitionings, so `>` / `=` on it can never straddle a ULP.
+    (A function, not a module constant: Column construction needs an
+    active SparkContext, which doesn't exist at import time.)"""
+    return F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC))
+
+
+@query(
+    "important_parts",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_partkey, {_REV_DEC_SQL} AS rev_dec
+      FROM lineitem GROUP BY l_partkey
+    ), tot AS (SELECT SUM(rev_dec) AS total_dec FROM rev)
+    SELECT r.l_partkey AS p_partkey, p.p_name, p.p_type,
+           CAST(r.rev_dec AS DOUBLE) AS revenue,
+           CAST(r.rev_dec AS DOUBLE) / CAST(t.total_dec AS DOUBLE) AS revenue_share
+    FROM rev r, tot t
+    JOIN part p ON p.p_partkey = r.l_partkey
+    WHERE r.rev_dec * 1000 > t.total_dec
+    ORDER BY revenue DESC, p_partkey
+    """,
+    tags=("A1", "J4", "J2"),
+)
+def important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A1/J4] TPC-H Q11 shape — parts whose revenue exceeds a fraction
+    (0.1%) of GLOBAL revenue: a grouped aggregate HAVING-filtered against
+    a scalar subquery over the whole fact table. The canonical
+    "concentration report" (which SKUs matter), and the canonical
+    global-threshold plan: the total is a one-row aggregate broadcast
+    back over the per-part aggregate (literal-carry cross join, not a
+    cartesian), so the fact table is scanned ONCE and shuffled once on
+    l_partkey.
+
+    The threshold compare runs on the exact DECIMAL sums
+    (``rev_dec * 1000 > total_dec`` — integer-exact at scale 6), never
+    on doubles: a part sitting exactly at the boundary classifies
+    identically in both engines by construction. Output doubles are
+    single casts/divisions of those exact values.
+
+    At 100 TB: one shuffle on l_partkey (the natural bucketing key), a
+    one-row total, and a broadcast join to the ~200 MB part dim — the
+    global threshold costs one extra reduce of the already-aggregated
+    per-part frame, not a second fact scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name", "p_type")
+    rev = li.groupBy("l_partkey").agg(_rev_dec().alias("rev_dec"))
+    tot = rev.agg(F.sum("rev_dec").alias("total_dec"))
+    return (
+        rev.crossJoin(F.broadcast(tot))
+        .filter(F.col("rev_dec") * 1000 > F.col("total_dec"))
+        .join(F.broadcast(p), rev["l_partkey"] == p["p_partkey"])
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "p_name",
+            "p_type",
+            F.col("rev_dec").cast("double").alias("revenue"),
+            (
+                F.col("rev_dec").cast("double") / F.col("total_dec").cast("double")
+            ).alias("revenue_share"),
+        )
+        .orderBy(F.desc("revenue"), "p_partkey")
+    )
+
+
+@query(
+    "promo_revenue_share",
+    oracle=f"""
+    SELECT date_trunc('month', l_shipdate) AS ship_month,
+           {dsum_expr("CASE WHEN p.p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")} AS promo_revenue,
+           {dsum_expr("l_extendedprice * (1 - l_discount)")} AS total_revenue,
+           CAST(SUM(CAST(CASE WHEN p.p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(30,6))) AS DOUBLE)
+             / CAST({_REV_DEC_SQL} AS DOUBLE) AS promo_share
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY ship_month
+    ORDER BY ship_month
+    """,
+    tags=("A1", "J2"),
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A1/J2] TPC-H Q14 shape — monthly share of revenue from PROMO
+    parts: numerator (conditional) and denominator (total) aggregated in
+    the SAME pass over the SAME scan, the pattern that replaces the
+    naive two-scan-and-join formulation. Lineitem joins the part dim by
+    broadcast (plan family pinned in tests/test_plans.py for the dim
+    joins), then one shuffle on ship_month.
+
+    Both sums accumulate in exact DECIMAL; the share is one double
+    division of two exactly-determined values. The CASE arm yields the
+    identical per-row IEEE product in both engines, so numerator rounding
+    is per-row identical too.
+
+    At 100 TB: part is the broadcast side; months are ~100 groups so the
+    final aggregate is map-side-combined down to nothing — the scan
+    dominates, as it should."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    joined = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    return (
+        joined.groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
+        .agg(
+            F.sum(promo.cast(DEC)).alias("promo_dec"),
+            F.sum(rev.cast(DEC)).alias("total_dec"),
+        )
+        .select(
+            "ship_month",
+            F.col("promo_dec").cast("double").alias("promo_revenue"),
+            F.col("total_dec").cast("double").alias("total_revenue"),
+            (
+                F.col("promo_dec").cast("double") / F.col("total_dec").cast("double")
+            ).alias("promo_share"),
+        )
+        .orderBy("ship_month")
+    )
+
+
+@query(
+    "top_supplier_revenue",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_suppkey, {_REV_DEC_SQL} AS rev_dec
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, CAST(r.rev_dec AS DOUBLE) AS total_revenue
+    FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.rev_dec = (SELECT MAX(rev_dec) FROM rev)
+    ORDER BY s.s_suppkey
+    """,
+    tags=("A1", "J4", "O4"),
+)
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A1/O4] TPC-H Q15 shape — the supplier(s) with maximum revenue in
+    a quarter, TIES PRESERVED: the argmax is an equality filter against
+    a one-row MAX aggregate (broadcast literal-carry), never ``LIMIT 1``
+    — under a revenue tie LIMIT 1 returns an arbitrary supplier and
+    changes run-to-run; the MAX-equality form returns every winner,
+    deterministically. The quarter filter pushes down into the parquet
+    scan (PushedFilters on l_shipdate).
+
+    The equality compares the exact DECIMAL revenue sums — two suppliers
+    tie iff their 6-digit-exact revenues are identical, the same
+    criterion in both engines. Output double is a final cast.
+
+    At 100 TB: the filter prunes the scan to one quarter of the lake
+    (partition pruning on a date-partitioned layout), one shuffle on
+    l_suppkey, a one-row max, and a broadcast join to the supplier dim."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(_rev_dec().alias("rev_dec"))
+    )
+    best = rev.agg(F.max("rev_dec").alias("max_dec"))
+    return (
+        rev.crossJoin(F.broadcast(best))
+        .filter(F.col("rev_dec") == F.col("max_dec"))
+        .join(F.broadcast(s), rev["l_suppkey"] == s["s_suppkey"])
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("rev_dec").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "large_volume_customers",
+    oracle="""
+    WITH q AS (
+      SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(30,6))) AS qty_dec
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           CAST(q.qty_dec AS DOUBLE) AS total_qty
+    FROM q
+    JOIN orders o ON o.o_orderkey = q.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE q.qty_dec > 300
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    """,
+    tags=("A1", "J1", "O4"),
+)
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A1/J1] TPC-H Q18 shape — the "large volume customer" report:
+    orders whose TOTAL lineitem quantity exceeds a threshold, joined back
+    to order header and customer. The distinguishing plan pattern is
+    aggregate-then-join-back: the HAVING filter runs on the aggregated
+    frame BEFORE any join, so the (rare) qualifying orderkeys — not the
+    whole fact table — drive the joins; AQE's runtime broadcast turns
+    the survivors into the build side automatically.
+
+    Quantity accumulates in exact DECIMAL and the threshold compares the
+    DECIMAL (quantities are integral doubles, so >300 is unambiguous,
+    but the discipline costs nothing). At 100 TB: one shuffle on
+    l_orderkey (co-located with a bucketed lake), then two joins whose
+    probe side is the filtered survivor set — orders of magnitude below
+    the input."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    q = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("qty_dec"))
+        .filter(F.col("qty_dec") > 300)
+    )
+    return (
+        q.join(o, q["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("qty_dec").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+    )
+
+
+@query(
+    "suppliers_kept_waiting",
+    oracle="""
+    WITH sm AS (
+      SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS smax
+      FROM lineitem GROUP BY l_orderkey, l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM sm s1 JOIN supplier s ON s.s_suppkey = s1.l_suppkey
+    WHERE EXISTS (
+      SELECT 1 FROM sm s2
+      WHERE s2.l_orderkey = s1.l_orderkey AND s2.l_suppkey <> s1.l_suppkey
+    ) AND NOT EXISTS (
+      SELECT 1 FROM sm s3
+      WHERE s3.l_orderkey = s1.l_orderkey AND s3.l_suppkey <> s1.l_suppkey
+        AND s3.smax > s1.smax
+    )
+    GROUP BY s.s_suppkey, s.s_name
+    ORDER BY numwait DESC, s.s_suppkey
+    """,
+    tags=("J4", "W1", "A1"),
+)
+def suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[J4/W1] TPC-H Q21 shape — "which supplier held the order up":
+    for every multi-supplier order, blame the supplier(s) whose latest
+    line shipped last (ties blame both — strict-inequality NOT EXISTS,
+    deterministic), and count blamed orders per supplier. The oracle
+    keeps the textbook double-correlated EXISTS / NOT-EXISTS form; the
+    Spark plan re-expresses it as ONE window pass over the per-(order,
+    supplier) aggregate — count and max over the order partition — which
+    is the scale-correct formulation: the self-join-twice EXISTS plan
+    touches the fact table three times, the window form once.
+
+    Equivalence argument (docstring IS the proof sketch): EXISTS(other
+    supplier) ≡ per-order supplier-count ≥ 2; NOT EXISTS(other supplier
+    shipped later) ≡ this supplier's max shipdate equals the order's
+    overall max (ties agree because both sides use strict >). Timestamp
+    equality is exact in both engines.
+
+    At 100 TB: shuffle on (orderkey, suppkey) for the inner aggregate,
+    then the window runs on the orderkey-partitioned aggregate (~4 rows
+    per order); the blame count is a tiny per-supplier aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    sm = li.groupBy("l_orderkey", "l_suppkey").agg(F.max("l_shipdate").alias("smax"))
+    w = Window.partitionBy("l_orderkey")
+    blamed = (
+        sm.select(
+            "l_suppkey",
+            "smax",
+            F.count(F.lit(1)).over(w).alias("n_supp"),
+            F.max("smax").over(w).alias("omax"),
+        )
+        .filter((F.col("n_supp") >= 2) & (F.col("smax") == F.col("omax")))
+    )
+    return (
+        blamed.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_suppkey")
+    )
+
+
+@query(
+    "dormant_high_balance",
+    oracle="""
+    WITH pos AS (
+      SELECT c_custkey, c_nationkey, c_acctbal
+      FROM customer WHERE c_acctbal > 0
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS DECIMAL(18,0)) AS n_pos,
+             SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS total_dec
+      FROM pos
+    )
+    SELECT n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(p.c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_acctbal
+    FROM pos p, stats t
+    JOIN nation n ON n.n_nationkey = p.c_nationkey
+    WHERE CAST(p.c_acctbal AS DECIMAL(18,6)) * t.n_pos > t.total_dec
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = p.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+      )
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+    tags=("J4", "A1"),
+)
+def dormant_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[J4/A1] TPC-H Q22 shape — "positive-balance customers gone quiet":
+    customers whose balance exceeds the average positive balance AND who
+    placed no order since 2000-01-01, reported per nation. Two classic
+    sub-patterns composed: a scalar-subquery threshold (global average,
+    one-row broadcast) and an ANTI join against the recent slice of the
+    fact table (the date filter pushes into the orders scan, so the anti
+    build side is the recent orders only, not seven years of history).
+
+    The above-average compare is decimal-exact: ``bal_dec * n_pos >
+    total_dec`` multiplies the 6-digit-exact balance by the exact count
+    — both sides are exact fixed-point values, so a customer sitting
+    precisely at the average classifies identically in both engines
+    (the double-division formulation could flip on the last ULP).
+
+    At 100 TB: customer scans once for the positive slice; the stats row
+    broadcasts; the anti join shuffles on custkey (or stays zero-Exchange
+    on a custkey-bucketed lake); nation is a broadcast dim."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    pos = c.filter(F.col("c_acctbal") > 0).select(
+        "c_custkey", "c_nationkey", F.col("c_acctbal").cast("decimal(18,6)").alias("bal_dec")
+    )
+    stats = pos.agg(
+        F.count(F.lit(1)).cast("decimal(18,0)").alias("n_pos"),
+        F.sum("bal_dec").alias("total_dec"),
+    )
+    recent = o.filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        pos.crossJoin(F.broadcast(stats))
+        .filter(F.col("bal_dec") * F.col("n_pos") > F.col("total_dec"))
+        .join(recent, pos["c_custkey"] == recent["o_custkey"], "left_anti")
+        .join(F.broadcast(n), pos["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("bal_dec").cast("double").alias("total_acctbal"),
+        )
+        .orderBy("n_name")
+    )

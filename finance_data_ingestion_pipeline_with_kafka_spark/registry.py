@@ -451,6 +451,7 @@ def load_all() -> dict[str, QuerySpec]:
     queries first, then stalest evidence — see the tier frozensets above)."""
     from .operators import (  # noqa: F401
         aggregations,
+        decision_support,
         dedup,
         joins,
         layout,
