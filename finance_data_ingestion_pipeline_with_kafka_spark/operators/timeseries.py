@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.core import dsum
+from ..functions.core import DEC, davg, dsum
 from ..registry import query
 
 
@@ -1775,3 +1775,365 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("core"))
         .alias("segment"),
     ).orderBy("user_id")
+
+
+@query(
+    "activity_streaks",
+    oracle="""
+    WITH events_us AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events_us),
+    g AS (
+      SELECT user_id, day,
+             day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+                        AS INT) AS anchor
+      FROM days
+    ), streaks AS (
+      SELECT user_id, anchor, CAST(COUNT(*) AS BIGINT) AS len
+      FROM g GROUP BY user_id, anchor
+    )
+    SELECT user_id,
+           CAST(SUM(len) AS BIGINT) AS n_active_days,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           CAST(MAX(len) AS BIGINT) AS max_streak
+    FROM streaks GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("W2", "A1"),
+)
+def activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[W2/A1] Consecutive-day activity streaks per user — the classic
+    gaps-and-islands pattern (the one SQL shape every engagement/retention
+    team runs that no built-in aggregate expresses): distinct active days,
+    ROW_NUMBER within user, and the ``day − row_number`` anchor that is
+    constant exactly along a consecutive run — each anchor group is one
+    streak. Reports per user: total active days, number of streaks, and
+    the longest streak. All integers, exact in both engines; date
+    arithmetic (DATE − INT days) is identical.
+
+    Shape: ONE shuffle on user_id serves the distinct, the window, and
+    both aggregations (Catalyst keeps the partitioning through the chain
+    — same-key operations reuse the Exchange). At 100 TB with the events
+    lake bucketed on user_id the whole query is zero-Exchange; the state
+    per user is its day list, thousands at most."""
+    e = load_table(spark, sf_dir, "events")
+    days = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    g = days.withColumn("anchor", F.date_sub(F.col("day"), F.row_number().over(w)))
+    streaks = g.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).cast("bigint").alias("len")
+    )
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.sum("len").cast("bigint").alias("n_active_days"),
+            F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+            F.max("len").cast("bigint").alias("max_streak"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "running_distinct_users",
+    oracle="""
+    WITH events_us AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    daily AS (SELECT DISTINCT event_type, CAST(ts AS DATE) AS day FROM events_us),
+    firsts AS (
+      SELECT event_type, MIN(CAST(ts AS DATE)) AS first_day
+      FROM events_us GROUP BY event_type, user_id
+    ), newc AS (
+      SELECT event_type, first_day AS day, CAST(COUNT(*) AS BIGINT) AS n_new
+      FROM firsts GROUP BY event_type, first_day
+    )
+    SELECT d.event_type, CAST(d.day AS TIMESTAMP) AS day,
+           CAST(COALESCE(n.n_new, 0) AS BIGINT) AS n_new,
+           CAST(SUM(COALESCE(n.n_new, 0))
+                  OVER (PARTITION BY d.event_type ORDER BY d.day) AS BIGINT)
+             AS cum_users
+    FROM daily d
+    LEFT JOIN newc n ON n.event_type = d.event_type AND n.day = d.day
+    ORDER BY d.event_type, d.day
+    """,
+    tags=("A4", "W4"),
+)
+def running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A4/W4] Cumulative distinct users per event type by day — the
+    "audience growth" curve. Spark has NO windowed COUNT(DISTINCT) (and a
+    ``collect_set().over()`` formulation would carry the full user set
+    per row — O(users) state per output row, a scale-killer), so the
+    engine re-expresses the semantics exactly: a user contributes to the
+    running distinct count from their FIRST active day onward, so
+    cumulative-distinct(d) = Σ over days ≤ d of |users whose first day is
+    that day|. One aggregate for first days, one tiny per-(type, day)
+    count, and a window sum over ~|days| rows per type. The oracle keeps
+    the same formulation (it IS the semantics — DuckDB's windowed
+    COUNT(DISTINCT) would be an alternative denominator but this form is
+    engine-neutral). All integers, exact.
+
+    At 100 TB: the firsts aggregate is the only fact-sized shuffle
+    (user_id-bucketing co-locates it); everything downstream is
+    |types|×|days| rows — KB-scale regardless of input."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts").alias("day")
+    daily = e.select("event_type", day).distinct()
+    firsts = e.groupBy("event_type", "user_id").agg(
+        F.min(F.to_date("ts")).alias("day")
+    )
+    newc = firsts.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_new")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    joined = daily.join(newc, ["event_type", "day"], "left")
+    n_new = F.coalesce(F.col("n_new"), F.lit(0)).cast("bigint")
+    return (
+        joined.select(
+            "event_type",
+            F.col("day").cast("timestamp").alias("day"),
+            n_new.alias("n_new"),
+            F.sum(n_new).over(w).cast("bigint").alias("cum_users"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@query(
+    "interval_concurrency",
+    oracle="""
+    WITH events_us AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    iv AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, MIN(ts) AS t0, MAX(ts) AS t1
+      FROM events_us GROUP BY user_id, day
+    ), b AS (
+      SELECT day, t0 AS t, 1 AS delta FROM iv
+      UNION ALL
+      SELECT day, t1 AS t, -1 AS delta FROM iv
+    ), c AS (
+      SELECT day,
+             SUM(delta) OVER (PARTITION BY day ORDER BY t, delta DESC
+                              ROWS UNBOUNDED PRECEDING) AS conc
+      FROM b
+    )
+    SELECT CAST(day AS TIMESTAMP) AS day, CAST(MAX(conc) AS INT) AS max_concurrent
+    FROM c GROUP BY day ORDER BY day
+    """,
+    tags=("W4", "A1"),
+)
+def interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[W4/A1] Peak concurrent user sessions per day by sweep line — the
+    interval-overlap maximum (max sessions online at once) computed
+    without any interval self-join: each user-day span [first event, last
+    event] emits a +1 boundary at its start and a −1 at its end; sorting
+    boundaries in time and running-summing the deltas traces the exact
+    concurrency curve, whose per-day MAX is the answer. The self-join
+    formulation is O(n²) per day; the sweep is O(n log n) and one window
+    pass.
+
+    Determinism: boundaries tie-break ``delta DESC`` so a start at the
+    exact instant of another span's end counts as concurrent (touching =
+    overlapping), identically in both engines; ties WITHIN a (t, delta)
+    group permute only which row carries which intermediate value — the
+    running sum passes the same multiset of values, so the day MAX is
+    invariant. Integer arithmetic throughout.
+
+    At 100 TB: one shuffle to (user, day) spans, one to day-partitioned
+    boundary streams (2 rows per span); per-day sort is the only
+    super-linear step and days bound its width. A day so hot its
+    boundaries overflow one partition would salt into sub-ranges and
+    merge running offsets — noted, not needed at any tested scale."""
+    e = load_table(spark, sf_dir, "events")
+    iv = e.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.min("ts").alias("t0"), F.max("ts").alias("t1")
+    )
+    b = iv.select("day", F.col("t0").alias("t"), F.lit(1).alias("delta")).unionAll(
+        iv.select("day", F.col("t1").alias("t"), F.lit(-1).alias("delta"))
+    )
+    w = (
+        Window.partitionBy("day")
+        .orderBy(F.col("t"), F.col("delta").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        b.select("day", F.sum("delta").over(w).alias("conc"))
+        .groupBy(F.col("day").cast("timestamp").alias("day"))
+        .agg(F.max("conc").cast("int").alias("max_concurrent"))
+        .orderBy("day")
+    )
+
+
+@query(
+    "autocorrelation",
+    oracle="""
+    WITH events_us AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    lagged AS (
+      SELECT event_type, value AS x,
+             LAG(value, 1) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS y1,
+             LAG(value, 2) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS y2,
+             LAG(value, 3) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS y3
+      FROM events_us
+    ), pairs AS (
+      SELECT event_type, 1 AS lag, x, y1 AS y FROM lagged WHERE y1 IS NOT NULL
+      UNION ALL
+      SELECT event_type, 2 AS lag, x, y2 AS y FROM lagged WHERE y2 IS NOT NULL
+      UNION ALL
+      SELECT event_type, 3 AS lag, x, y3 AS y FROM lagged WHERE y3 IS NOT NULL
+    ), m AS (
+      SELECT event_type, lag,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(CAST(x AS DECIMAL(30,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(30,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * x AS DECIMAL(30,6))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y * y AS DECIMAL(30,6))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(x * y AS DECIMAL(30,6))) AS DOUBLE) AS sxy
+      FROM pairs GROUP BY event_type, lag
+    )
+    SELECT event_type, CAST(lag AS INT) AS lag, n_pairs,
+           (CAST(n_pairs AS DOUBLE) * sxy - sx * sy)
+             / (sqrt(CAST(n_pairs AS DOUBLE) * sxx - sx * sx)
+                * sqrt(CAST(n_pairs AS DOUBLE) * syy - sy * sy)) AS acf
+    FROM m ORDER BY event_type, lag
+    """,
+    tags=("A7", "W2"),
+)
+def autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A7/W2] Autocorrelation function (lags 1–3) of each event type's
+    value series — the stationarity/seasonality diagnostic every
+    forecasting pipeline runs before model choice. Pearson r between the
+    series and its k-lagged self over the (ts, event_id) total order,
+    computed from exact moment sums: Σx, Σy, Σx², Σy², Σxy each
+    accumulate per-row-rounded DECIMAL (the per-row products are
+    identical IEEE doubles in both engines, so the rounded terms are
+    identical too), and the final r is one fixed sequence of double ops
+    over those exactly-agreed moments — bit-equal without any output
+    rounding.
+
+    Spark side: ONE window pass produces all three lag columns (same
+    window spec ⇒ one sort), then a ``stack`` generator unpivots them to
+    (lag, x, y) pairs — three ACFs for one shuffle on event_type, versus
+    the naive three self-joins. At 100 TB the per-type window inherits a
+    symbol-bucketed lake's partitioning; moments are map-side-combined."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    lagged = e.select(
+        "event_type",
+        F.col("value").alias("x"),
+        F.lag("value", 1).over(w).alias("y1"),
+        F.lag("value", 2).over(w).alias("y2"),
+        F.lag("value", 3).over(w).alias("y3"),
+    )
+    pairs = lagged.select(
+        "event_type",
+        "x",
+        F.expr("stack(3, 1, y1, 2, y2, 3, y3)").alias("lag", "y"),
+    ).filter(F.col("y").isNotNull())
+    dec = lambda c: F.sum(c.cast(DEC)).cast("double")  # noqa: E731
+    m = pairs.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        dec(F.col("x")).alias("sx"),
+        dec(F.col("y")).alias("sy"),
+        dec(F.col("x") * F.col("x")).alias("sxx"),
+        dec(F.col("y") * F.col("y")).alias("syy"),
+        dec(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n_d = F.col("n_pairs").cast("double")
+    return (
+        m.select(
+            "event_type",
+            F.col("lag").cast("int").alias("lag"),
+            "n_pairs",
+            (
+                (n_d * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / (
+                    F.sqrt(n_d * F.col("sxx") - F.col("sx") * F.col("sx"))
+                    * F.sqrt(n_d * F.col("syy") - F.col("sy") * F.col("sy"))
+                )
+            ).alias("acf"),
+        )
+        .orderBy("event_type", "lag")
+    )
+
+
+@query(
+    "cusum_changepoint",
+    oracle="""
+    WITH events_us AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    stats AS (
+      SELECT event_type,
+             CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS mean,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events_us GROUP BY event_type
+    ), c AS (
+      SELECT e.event_type, e.ts, e.event_id, s.n_events,
+             SUM(CAST(e.value - s.mean AS DECIMAL(30,6)))
+               OVER (PARTITION BY e.event_type ORDER BY e.ts, e.event_id
+                     ROWS UNBOUNDED PRECEDING) AS cum
+      FROM events_us e JOIN stats s ON s.event_type = e.event_type
+    ), r AS (
+      SELECT event_type, ts, n_events, ABS(cum) AS abs_cum,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY ABS(cum) DESC, ts DESC, event_id DESC)
+               AS rn
+      FROM c
+    )
+    SELECT event_type, ts AS change_ts, n_events,
+           CAST(abs_cum AS DOUBLE) AS max_abs_cusum
+    FROM r WHERE rn = 1 ORDER BY event_type
+    """,
+    tags=("W4", "A7"),
+)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[W4/A7] CUSUM change-point locator — for each event type, the
+    timestamp where the cumulative sum of deviations from the series
+    mean peaks in magnitude: the classic distribution-shift detector
+    (|CUSUM| max marks where the level most decisively changed), the
+    monitoring primitive behind data-drift alerts on ingest volume.
+
+    Determinism chain: the mean is an exact-decimal average (identical
+    double in both engines); each deviation is one double subtraction
+    (identical); deviations round per-row into DECIMAL and the running
+    sum is exact decimal — order-fixed by (ts, event_id), no float
+    accumulation drift possible. The argmax row is picked by
+    ROW_NUMBER with a total-order tiebreak (latest among exact-decimal
+    ties), never by LIMIT-after-sort on a double.
+
+    At 100 TB: one broadcast of the per-type stats row, one
+    (symbol-bucketable) window pass; the CUSUM itself is a sequential
+    fold, but per type — the parallel unit of the whole indicator
+    family. The full curve never materializes to the driver; only the
+    argmax row per type survives."""
+    e = load_table(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        davg("value").alias("mean"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    j = e.join(F.broadcast(stats), "event_type")
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = j.select(
+        "event_type",
+        "ts",
+        "event_id",
+        "n_events",
+        F.sum((F.col("value") - F.col("mean")).cast(DEC)).over(wc).alias("cum"),
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cum")).desc(), F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        c.select(
+            "event_type",
+            "ts",
+            "n_events",
+            F.abs(F.col("cum")).alias("abs_cum"),
+            F.row_number().over(wr).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("ts").alias("change_ts"),
+            "n_events",
+            F.col("abs_cum").cast("double").alias("max_abs_cusum"),
+        )
+        .orderBy("event_type")
+    )
