@@ -327,3 +327,96 @@ def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "custkey", "probe_ts", "version", "status")
         .orderBy("l_orderkey")
     )
+
+
+@query(
+    "snapshot_diff",
+    oracle="""
+    WITH events_us AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    a AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(value AS DECIMAL(30,6))) AS s
+      FROM events_us
+      WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-10'
+      GROUP BY user_id, event_type
+    ), b AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(value AS DECIMAL(30,6))) AS s
+      FROM events_us
+      WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-12'
+      GROUP BY user_id, event_type
+    )
+    SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+           COALESCE(a.event_type, b.event_type) AS event_type,
+           CASE WHEN a.user_id IS NULL THEN 'added'
+                WHEN b.user_id IS NULL THEN 'removed'
+                WHEN a.n = b.n AND a.s = b.s THEN 'unchanged'
+                ELSE 'changed' END AS change_type,
+           a.n AS old_n, b.n AS new_n,
+           CAST(a.s AS DOUBLE) AS old_sum, CAST(b.s AS DOUBLE) AS new_sum
+    FROM a FULL OUTER JOIN b
+      ON a.user_id = b.user_id AND a.event_type = b.event_type
+    ORDER BY user_id, event_type
+    """,
+    tags=("J3", "A1"),
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[J3/A1] CDC-style snapshot diff — the change report between two
+    rebuilt states of a keyed mart table (here: per (user, event type)
+    activity state over two adjacent 2-day windows): FULL OUTER join on
+    the key, classifying every key as added / removed / changed /
+    unchanged with old and new values side by side. This is the audit
+    complement of ``scd_upsert`` (which APPLIES changes): it COMPUTES
+    them — what a lakehouse MERGE would write, shown before writing.
+
+    Equality for 'unchanged' compares the exact DECIMAL sums (never
+    derived doubles), so a key flips class identically in both engines;
+    the window filters push into the scan on both branches. All four
+    classes are exercised by the fixture at every SF except 'unchanged'
+    (two continuous-valued sums colliding is measure-zero; the branch is
+    still covered by the count compare).
+
+    At 100 TB: two pruned scans of the events lake (the date filters are
+    partition prunes on a date-partitioned layout) and one shuffle each
+    onto the diff key, then a key-co-located full outer join — diff cost
+    scales with the two snapshots, not with history."""
+    e = load_table(spark, sf_dir, "events")
+
+    def snap(lo: str, hi: str) -> DataFrame:
+        return (
+            e.filter(
+                (F.col("ts") >= F.lit(lo).cast("timestamp"))
+                & (F.col("ts") < F.lit(hi).cast("timestamp"))
+            )
+            .groupBy("user_id", "event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum(F.col("value").cast("decimal(30,6)")).alias("s"),
+            )
+        )
+
+    a = snap("2024-01-08", "2024-01-10")
+    b = snap("2024-01-10", "2024-01-12")
+    an, bn = [c + "_a" for c in a.columns], [c + "_b" for c in b.columns]
+    a, b = a.toDF(*an), b.toDF(*bn)
+    joined = a.join(
+        b,
+        (a["user_id_a"] == b["user_id_b"]) & (a["event_type_a"] == b["event_type_b"]),
+        "full_outer",
+    )
+    return joined.select(
+        F.coalesce("user_id_a", "user_id_b").alias("user_id"),
+        F.coalesce("event_type_a", "event_type_b").alias("event_type"),
+        F.when(F.col("user_id_a").isNull(), "added")
+        .when(F.col("user_id_b").isNull(), "removed")
+        .when(
+            (F.col("n_a") == F.col("n_b")) & (F.col("s_a") == F.col("s_b")),
+            "unchanged",
+        )
+        .otherwise("changed")
+        .alias("change_type"),
+        F.col("n_a").alias("old_n"),
+        F.col("n_b").alias("new_n"),
+        F.col("s_a").cast("double").alias("old_sum"),
+        F.col("s_b").cast("double").alias("new_sum"),
+    ).orderBy("user_id", "event_type")
