@@ -401,3 +401,308 @@ def dormant_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+@query(
+    "nation_market_share",
+    oracle=f"""
+    SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS order_year,
+           CAST(SUM(CAST(CASE WHEN r.r_name = 'ASIA'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0.0 END AS DECIMAL(30,6))) AS DOUBLE)
+             AS asia_revenue,
+           {dsum_expr("l.l_extendedprice * (1 - l.l_discount)")} AS total_revenue,
+           CAST(SUM(CAST(CASE WHEN r.r_name = 'ASIA'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0.0 END AS DECIMAL(30,6))) AS DOUBLE)
+             / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(30,6))) AS DOUBLE) AS asia_share
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY order_year
+    ORDER BY order_year
+    """,
+    tags=("A1", "J1", "J2"),
+)
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A1/J1/J2] TPC-H Q8 shape — a region's market share of revenue by
+    order year: the multi-hop dim chain (lineitem → supplier → nation →
+    region) feeding a conditional-aggregate share, with the order header
+    joined only for its year. The share pattern is the same one-pass
+    numerator/denominator as ``promo_revenue_share`` but the condition
+    comes from a SNOWFLAKED dim three hops away — the plan exercise is
+    that all three dim hops broadcast (supplier→nation→region collapses
+    into one broadcast build of the fully-joined tiny chain), leaving
+    the fact scan with one shuffle on the year.
+
+    Exactness as elsewhere: decimal accumulation on identically-rounded
+    per-row doubles, one double division at the end.
+
+    At 100 TB: orders↔lineitem is the only fact-fact join; on an
+    orderkey-bucketed lake it's zero-Exchange, and AQE converts the dim
+    chain to broadcasts from exact runtime sizes."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    dims = s.join(n, s["s_nationkey"] == n["n_nationkey"]).join(
+        r, n["n_regionkey"] == r["r_regionkey"]
+    ).select("s_suppkey", "r_name")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    asia = F.when(F.col("r_name") == "ASIA", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(dims), li["l_suppkey"] == dims["s_suppkey"])
+        .groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg(
+            F.sum(asia.cast(DEC)).alias("asia_dec"),
+            F.sum(rev.cast(DEC)).alias("total_dec"),
+        )
+        .select(
+            "order_year",
+            F.col("asia_dec").cast("double").alias("asia_revenue"),
+            F.col("total_dec").cast("double").alias("total_revenue"),
+            (
+                F.col("asia_dec").cast("double") / F.col("total_dec").cast("double")
+            ).alias("asia_share"),
+        )
+        .orderBy("order_year")
+    )
+
+
+@query(
+    "disjunctive_predicate_join",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           {dsum_expr("l.l_extendedprice * (1 - l.l_discount)")} AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity >= 10 AND l.l_quantity <= 35)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity >= 20 AND l.l_quantity <= 50)
+    """,
+    tags=("J1", "P8", "A1"),
+)
+def disjunctive_predicate_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[J1/P8] TPC-H Q19 shape — an equi-join whose residual is an
+    OR-of-ANDs mixing columns from BOTH sides: the disjunctive-predicate
+    pattern that separates engines which evaluate the OR as a residual
+    on the joined rows (correct, one pass) from those that union three
+    separate join plans (three fact scans). Spark keeps the equi-join on
+    partkey and applies the disjunction as a post-join filter; Catalyst
+    additionally derives the IMPLIED single-side predicates (brand IN
+    (...) on part, quantity bounds on lineitem) and pushes them into
+    both scans — the scan-level win without any manual rewrite.
+
+    Single-row output (count + decimal-exact revenue): the aggregate is
+    fully map-side-combined. At 100 TB the pushed brand filter makes
+    part a tiny broadcast build side and the quantity envelope prunes
+    lineitem row groups via parquet min/max stats."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    q, sz, br = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    cond = (
+        ((br == "Brand#1") & sz.between(1, 15) & (q >= 1) & (q <= 20))
+        | ((br == "Brand#2") & sz.between(10, 30) & (q >= 10) & (q <= 35))
+        | ((br == "Brand#3") & sz.between(20, 50) & (q >= 20) & (q <= 50))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .filter(cond)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(rev.cast(DEC)).cast("double").alias("revenue"),
+        )
+    )
+
+
+@query(
+    "order_priority_check",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+      )
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=("J4", "A1"),
+)
+def order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[J4/A1] TPC-H Q4 shape — order counts per priority for orders
+    with at least one line shipped after the order date (the fixture has
+    no commitdate column; shipdate-after-orderdate is the same
+    correlated-EXISTS-with-non-equi-condition pattern): a LEFT SEMI join
+    whose condition mixes an equi key with a cross-table inequality,
+    then a tiny grouped count. The semi join is the point — an inner
+    join would double-count orders with several qualifying lines and
+    need a distinct; the semi join emits each order at most once by
+    construction (the existing plan pin ``test_semi_join_not_inner``
+    covers this family).
+
+    At 100 TB: the quarter filter prunes the orders scan; the semi join
+    shuffles on orderkey (zero-Exchange on an orderkey-bucketed lake)
+    and keeps only the 5-row priority aggregate afterwards."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    quarter = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    qualified = quarter.join(
+        li,
+        (quarter["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > quarter["o_orderdate"]),
+        "left_semi",
+    )
+    return (
+        qualified.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "two_nation_volume",
+    oracle=f"""
+    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS ship_year,
+           {dsum_expr("l.l_extendedprice * (1 - l.l_discount)")} AS revenue
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+    WHERE (ns.n_name = 'NATION_0' AND nc.n_name = 'NATION_1')
+       OR (ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_0')
+    GROUP BY supp_nation, cust_nation, ship_year
+    ORDER BY supp_nation, cust_nation, ship_year
+    """,
+    tags=("J1", "J2", "A1"),
+)
+def two_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[J1/J2/A1] TPC-H Q7 shape — bilateral trade volume between two
+    nations by ship year: the two-sided dim-chain join (supplier nation
+    AND customer nation) with a symmetric OR pair predicate. The plan
+    exercise: both nation lookups broadcast, the pair predicate is a
+    residual that CANNOT be pushed to either scan alone (it correlates
+    the two sides), and the only fact-sized shuffles are
+    lineitem↔orders and orders↔customer.
+
+    Spark applies the nation filter to each broadcast dim EARLY (each
+    side keeps only the two named nations — the implied single-side
+    prune Catalyst derives from the OR), so the residual evaluates on a
+    tiny surviving row set. Decimal-exact revenue as everywhere.
+
+    At 100 TB: with orders/lineitem orderkey-bucketed the first join is
+    zero-Exchange; customer joins via its own shuffle (or bucketing);
+    nations are literal broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    two = n.filter(F.col("n_name").isin("NATION_0", "NATION_1"))
+    ns = two.select(F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation"))
+    nc = two.select(F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("cust_nation"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    pair = (
+        ((F.col("supp_nation") == "NATION_0") & (F.col("cust_nation") == "NATION_1"))
+        | ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_0"))
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(nc), c["c_nationkey"] == F.col("nc_key"))
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(ns), s["s_nationkey"] == F.col("ns_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+        )
+        .agg(F.sum(rev.cast(DEC)).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+@query(
+    "returned_item_ranking",
+    oracle=f"""
+    WITH rev AS (
+      SELECT c.c_custkey, c.c_name, n.n_name, c.c_acctbal,
+             {_REV_DEC_SQL} AS rev_dec
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      WHERE l.l_returnflag = 'R'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate < TIMESTAMP '1996-07-01'
+      GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY rev_dec DESC, c_custkey) AS rn
+      FROM rev
+    )
+    SELECT c_custkey, c_name, n_name, c_acctbal,
+           CAST(rev_dec AS DOUBLE) AS revenue
+    FROM ranked WHERE rn <= 20
+    ORDER BY revenue DESC, c_custkey
+    """,
+    tags=("J1", "O4", "A1"),
+)
+def returned_item_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[J1/O4] TPC-H Q10 shape — the "lost revenue" report: top-20
+    customers by revenue on RETURNED lines (returnflag = 'R') in a
+    half-year window, with name/nation context. Combines the
+    returnflag+date scan prune (both filters reach the parquet scans),
+    the fact→dim chain, a per-customer aggregate, and a deterministic
+    top-k: ROW_NUMBER ranks the exact DECIMAL revenue with a custkey
+    tiebreak — two customers with equal 6-digit revenue rank identically
+    in both engines, where a double sort could ULP-flip them.
+
+    At 100 TB: Spark's WindowGroupLimit pushes the rank-≤-20 limit into
+    partial top-k per partition (the same plan shape pinned for
+    ``window_rank_topk``), so the global sort sees ≤20 rows per task,
+    not the full customer set."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    half = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    rev = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(half, li["l_orderkey"] == half["o_orderkey"])
+        .join(c, half["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(_rev_dec().alias("rev_dec"))
+    )
+    w = Window.orderBy(F.desc("rev_dec"), "c_custkey")
+    return (
+        rev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            "c_acctbal",
+            F.col("rev_dec").cast("double").alias("revenue"),
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+    )

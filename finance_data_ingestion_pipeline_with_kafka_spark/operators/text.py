@@ -710,3 +710,106 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "pmi_collocations",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents
+    ), seq AS (
+      SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS pos FROM toks
+    ), big AS (
+      SELECT a.w AS w1, b.w AS w2
+      FROM seq a JOIN seq b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    ), pc AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_pair FROM big GROUP BY w1, w2
+    ), uc AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM seq GROUP BY w
+    ), tot AS (SELECT CAST(SUM(n_pair) AS BIGINT) AS n_pairs_total FROM pc),
+    utot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_tok FROM uc),
+    scored AS (
+      SELECT p.w1, p.w2, p.n_pair,
+             (CAST(p.n_pair AS DOUBLE) / CAST(t.n_pairs_total AS DOUBLE))
+             / ((CAST(u1.n AS DOUBLE) / CAST(ut.n_tok AS DOUBLE))
+                * (CAST(u2.n AS DOUBLE) / CAST(ut.n_tok AS DOUBLE))) AS lift
+      FROM pc p, tot t, utot ut
+      JOIN uc u1 ON u1.w = p.w1
+      JOIN uc u2 ON u2.w = p.w2
+      WHERE p.n_pair >= 5
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY lift DESC, w1, w2) AS rn FROM scored
+    )
+    SELECT w1, w2, n_pair, lift FROM ranked WHERE rn <= 50
+    ORDER BY lift DESC, w1, w2
+    """,
+    tags=("U6",),
+)
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U6] Top collocations by pointwise mutual information — the
+    corpus-linguistics measure of which adjacent word pairs co-occur far
+    above chance (P(ab) / (P(a)·P(b))), the standard phrase-mining and
+    tokenizer-vocabulary signal. Reported as LIFT (the exact probability
+    ratio) rather than its log: the ratio is one fixed sequence of
+    divisions over exact integer counts — bit-identical across engines —
+    whereas log() differs between libm implementations in the last ULP
+    and would need output rounding. Ranking by lift ≡ ranking by PMI
+    (log is monotone), so nothing is lost. Min pair count 5 suppresses
+    the unstable tail; top-50 via ROW_NUMBER with a full (lift, w1, w2)
+    tiebreak, never bare LIMIT. (On this synthetic corpus lifts hover
+    near 1 — honest: the generator has little phrase structure.)
+
+    Spark side builds bigrams NARROWLY — ``arrays_zip`` of the token
+    array with its own 1-shifted slice, exploded — no positional
+    self-join, no shuffle until the (w1, w2) count. Unigram/bigram
+    totals are one-row broadcast frames (literal-carry). At 100 TB the
+    two count aggregations are the only fact-sized shuffles; the scored
+    candidate set (pairs with n≥5) is vocabulary²-bounded and in
+    practice MB-scale, so the global top-50 sort is trivial."""
+    d = load_table(spark, sf_dir, "documents").select(tokens().alias("ws"))
+    pairs = d.select(
+        F.explode(
+            F.arrays_zip(
+                F.expr("slice(ws, 1, greatest(size(ws) - 1, 0))").alias("w1"),
+                F.expr("slice(ws, 2, greatest(size(ws) - 1, 0))").alias("w2"),
+            )
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    pc = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pair")
+    )
+    uc = (
+        d.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    tot = pc.agg(F.sum("n_pair").cast("bigint").alias("n_pairs_total"))
+    utot = uc.agg(F.sum("n").cast("bigint").alias("n_tok"))
+    u1 = uc.toDF("w1_u", "n1")
+    u2 = uc.toDF("w2_u", "n2")
+    scored = (
+        pc.filter(F.col("n_pair") >= 5)
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(utot))
+        .join(u1, F.col("w1") == F.col("w1_u"))
+        .join(u2, F.col("w2") == F.col("w2_u"))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            (
+                (F.col("n_pair").cast("double") / F.col("n_pairs_total").cast("double"))
+                / (
+                    (F.col("n1").cast("double") / F.col("n_tok").cast("double"))
+                    * (F.col("n2").cast("double") / F.col("n_tok").cast("double"))
+                )
+            ).alias("lift"),
+        )
+    )
+    w = Window.orderBy(F.desc("lift"), "w1", "w2")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 50)
+        .drop("rn")
+        .orderBy(F.desc("lift"), "w1", "w2")
+    )
