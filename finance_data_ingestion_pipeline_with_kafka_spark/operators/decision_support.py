@@ -706,3 +706,163 @@ def returned_item_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("revenue"), "c_custkey")
     )
+
+
+@query(
+    "forecast_revenue_change",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,6)))
+                AS DOUBLE) AS potential_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("A1", "P8"),
+)
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A1/P8] TPC-H Q6 shape — the pure predicate-pushdown benchmark:
+    revenue that would move if small-quantity discounts in a band were
+    dropped for a year. No join, one conjunctive range predicate on
+    three columns, one aggregate — the query exists to prove the scan
+    does the work: every filter reaches the parquet reader
+    (PushedFilters), column pruning reads 4 of 11 columns, and the
+    single-row aggregate is entirely map-side. The discount band uses
+    BETWEEN on the stored doubles directly (no arithmetic, so no
+    rounding concern — equality of stored values is bit-equality).
+
+    At 100 TB this is the query where row-group min/max statistics on a
+    shipdate-sorted lake skip almost all IO; anything slower than scan
+    speed here is an engine bug."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast(DEC))
+            .cast("double")
+            .alias("potential_revenue"),
+        )
+    )
+
+
+@query(
+    "small_quantity_revenue",
+    oracle="""
+    WITH pa AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(l_quantity AS DECIMAL(30,6))) AS s
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / 7.0
+             AS avg_yearly
+    FROM lineitem l JOIN pa ON pa.l_partkey = l.l_partkey
+    WHERE CAST(l.l_quantity AS DECIMAL(30,6)) * 5 * pa.n < pa.s
+    """,
+    tags=("J4", "A1"),
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[J4/A1] TPC-H Q17 shape — revenue locked in orders below 20% of
+    their part's average order quantity: the per-GROUP-average threshold
+    join-back (vs ``important_parts``' single global threshold). The
+    textbook form is a correlated scalar subquery per part; the
+    scale-correct plan aggregates per part ONCE and joins back, which is
+    what both the Spark side and the oracle CTE express.
+
+    The threshold compare is exact: ``q * 5 * n < Σq`` multiplies the
+    6-digit-exact quantity by exact integers and compares to the exact
+    decimal sum — algebraically identical to ``q < 0.2 · avg`` but free
+    of the double division that could ULP-flip a boundary line. The
+    ``/ 7.0`` on the output is one double division, identical in both
+    engines.
+
+    At 100 TB: two passes over lineitem (aggregate + probe), both
+    shuffling on l_partkey — on a partkey-bucketed lake both are
+    zero-Exchange, and the per-part aggregate (2 numbers per part)
+    broadcasts if the part count allows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("l_quantity").cast(DEC)).alias("s"),
+    ).toDF("pa_partkey", "n", "s")
+    return (
+        li.join(pa, li["l_partkey"] == pa["pa_partkey"])
+        .filter(F.col("l_quantity").cast(DEC) * 5 * F.col("n") < F.col("s"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            (
+                F.sum(F.col("l_extendedprice").cast(DEC)).cast("double") / 7.0
+            ).alias("avg_yearly"),
+        )
+    )
+
+
+@query(
+    "dominant_part_suppliers",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(30,6))) AS sq
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY l_partkey, l_suppkey
+    ), pt AS (
+      SELECT l_partkey, SUM(sq) AS tq, CAST(COUNT(*) AS BIGINT) AS n_supp
+      FROM ps GROUP BY l_partkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(COUNT(*) AS BIGINT) AS n_dominated_parts
+    FROM ps JOIN pt ON pt.l_partkey = ps.l_partkey
+    JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+    WHERE pt.n_supp >= 2 AND ps.sq * 2 > pt.tq
+    GROUP BY s.s_suppkey, s.s_name
+    ORDER BY n_dominated_parts DESC, s.s_suppkey
+    """,
+    tags=("J4", "A1", "A6"),
+)
+def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[J4/A1] TPC-H Q20 spirit with the fixture's columns — suppliers
+    who shipped a MAJORITY of some contested part's yearly volume
+    (>50% where ≥2 suppliers ship the part): the nested-aggregate
+    pattern — an inner aggregate at (part, supplier) grain rolled up a
+    second time at part grain, with the survivor predicate comparing
+    the two grains. The textbook IN-subquery-with-correlated-aggregate
+    collapses to exactly this two-level aggregate + self-equi-join,
+    which is the one-scan formulation.
+
+    Majority compare is exact: ``sq * 2 > tq`` on DECIMAL sums.
+    Single-supplier parts are excluded (trivially 100%), making the
+    report the concentration-risk view procurement actually wants.
+
+    At 100 TB: one scan (year filter pushed), one shuffle at
+    (part, supplier), a part-grain re-aggregate that reuses the same
+    partitioning's prefix, and a broadcast supplier lookup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    ps = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("sq"))
+    )
+    pt = ps.groupBy("l_partkey").agg(
+        F.sum("sq").alias("tq"), F.count(F.lit(1)).cast("bigint").alias("n_supp")
+    ).toDF("pt_partkey", "tq", "n_supp")
+    return (
+        ps.join(pt, ps["l_partkey"] == pt["pt_partkey"])
+        .filter((F.col("n_supp") >= 2) & (F.col("sq") * 2 > F.col("tq")))
+        .join(F.broadcast(s), ps["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_dominated_parts"))
+        .orderBy(F.desc("n_dominated_parts"), "s_suppkey")
+    )
