@@ -1376,3 +1376,164 @@ def fuzzy_block_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             flag(blocked).cast("double") / F.count(F.lit(1)),
         ).alias("recall"),
     )
+
+
+#: Band configurations for the LSH operating-curve sweep: all exact
+#: divisors of the 16-perm signature, from conservative (2 bands × 8
+#: rows: candidates need an 8-minhash run to agree) to aggressive
+#: (16 × 1: any single shared minhash pairs the docs).
+_SWEEP_CONFIGS = ((2, 8), (4, 4), (8, 2), (16, 1))
+
+
+def _band_rows_cfg(sigs: DataFrame, n_bands: int, n_rows: int) -> DataFrame:
+    """``band_rows`` generalized to an arbitrary (bands × rows) split of
+    the signature array — the production 4×4 split is one point of the
+    sweep."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.concat(
+                        *[
+                            F.element_at("minhash", b * n_rows + r + 1)
+                            for r in range(n_rows)
+                        ]
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return sigs.select("doc_id", F.explode(bands).alias("band")).select(
+        "doc_id", "band.band_id", "band.band_hash"
+    )
+
+
+def _sweep_oracle() -> str:
+    """Oracle SQL for ``minhash_band_sweep``: per-config band/candidate
+    CTEs over the SAME ``sigs`` relation, counted against the exact
+    truth set."""
+    cfg_ctes, cfg_rows = [], []
+    for nb, nr in _SWEEP_CONFIGS:
+        band_selects = " UNION ALL ".join(
+            "SELECT doc_id, {b} AS band_id, md5({parts}) AS band_hash FROM sigs".format(
+                b=b, parts="||".join(f"mh{b * nr + r}" for r in range(nr))
+            )
+            for b in range(nb)
+        )
+        cfg_ctes.append(
+            f"""bands_{nb} AS ({band_selects}),
+    cands_{nb} AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands_{nb} a JOIN bands_{nb} b ON a.band_id = b.band_id
+                                          AND a.band_hash = b.band_hash
+                                          AND a.doc_id < b.doc_id
+    )"""
+        )
+        cfg_rows.append(
+            f"""SELECT CAST({nb} AS INT) AS n_bands, CAST({nr} AS INT) AS n_rows,
+           CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
+           CAST((SELECT COUNT(*) FROM cands_{nb}) AS BIGINT) AS n_candidates,
+           CAST((SELECT COUNT(*) FROM cands_{nb} c
+                 JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+                AS BIGINT) AS n_hits"""
+        )
+    return (
+        ",\n    ".join(cfg_ctes)
+        + ", rows_ AS (" + " UNION ALL ".join(cfg_rows) + ")"
+        + """
+    SELECT n_bands, n_rows, n_truth, n_candidates, n_hits,
+           CASE WHEN n_truth > 0
+                THEN CAST(n_hits AS DOUBLE) / n_truth END AS recall,
+           CASE WHEN n_candidates > 0
+                THEN CAST(n_hits AS DOUBLE) / n_candidates END AS candidate_precision
+    FROM rows_ ORDER BY n_bands"""
+    )
+
+
+@query(
+    "minhash_band_sweep",
+    oracle=f"WITH {_minhash_cte()},\n    {_TRUTH_CTE},\n    {_sweep_oracle()}",
+    tags=("U4",),
+    prepared=False,  # localCheckpoint materializes per-config counts at build
+    crossover=False,
+)
+def minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U4] LSH operating curve for the MinHash dedup family — recall AND
+    candidate precision as a function of the band split, over the SAME
+    16-permutation signatures production uses: the dedup counterpart of
+    ``ivf_probe_sweep`` (which plays this role for ANN). One row per
+    (bands × rows) divisor config from 2×8 to 16×1; the acceptance
+    property is the LSH S-curve itself — recall is monotonically
+    non-decreasing and candidate precision non-increasing as bands grow
+    (more bands = looser collision requirement), which is what lets an
+    operator CHOOSE a config against a recall target instead of
+    trusting the 4×4 default blindly. Hits are ``candidates ∩ truth``
+    (a pair passes the exact rounded-Jaccard ≥ 0.8 verify iff it is in
+    the truth set, so no per-config Jaccard pass is needed).
+
+    All counts are exact integers from engine-identical md5 pipelines;
+    ratios are single double divisions. Truth is the AUDIT-path
+    inverted-index kernel (see ``minhash_recall`` for its scale
+    contract); signatures and truth are persisted once and shared by
+    all four configs, so the sweep costs one signature build + four
+    banded self-joins — at lake scale, four probes of one stored
+    signature table."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs).persist()
+    truth = exact_truth_pairs(docs).persist()
+    n_truth = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+    rows = []
+    for nb, nr in _SWEEP_CONFIGS:
+        cands = _band_rows_cfg(sigs, nb, nr)
+        cands = (
+            cands.alias("a")
+            .join(
+                cands.alias("b"),
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.band_hash") == F.col("b.band_hash"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .distinct()
+            .persist()
+        )
+        counts = (
+            cands.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+            .crossJoin(  # 1-row frames: literal-carry, not cartesian
+                cands.join(truth, ["doc_a", "doc_b"]).agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_hits")
+                )
+            )
+            .crossJoin(n_truth)
+            .select(
+                F.lit(nb).cast("int").alias("n_bands"),
+                F.lit(nr).cast("int").alias("n_rows"),
+                "n_truth",
+                "n_candidates",
+                "n_hits",
+            )
+            .localCheckpoint(eager=True)  # materialize the 1-row result now
+        )
+        cands.unpersist()
+        rows.append(counts)
+    sigs.unpersist()
+    truth.unpersist()
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.select(
+        "n_bands",
+        "n_rows",
+        "n_truth",
+        "n_candidates",
+        "n_hits",
+        F.when(
+            F.col("n_truth") > 0, F.col("n_hits").cast("double") / F.col("n_truth")
+        ).alias("recall"),
+        F.when(
+            F.col("n_candidates") > 0,
+            F.col("n_hits").cast("double") / F.col("n_candidates"),
+        ).alias("candidate_precision"),
+    ).orderBy("n_bands")

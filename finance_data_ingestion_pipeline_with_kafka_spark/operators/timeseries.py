@@ -2137,3 +2137,137 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "seasonal_profile",
+    oracle="""
+    WITH events_us AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    cells AS (
+      SELECT event_type,
+             CAST(isodow(ts) - 1 AS INT) AS dow,
+             CAST(hour(ts) AS INT) AS hour,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*)
+               AS avg_value
+      FROM events_us GROUP BY event_type, dow, hour
+    )
+    SELECT event_type, dow, hour, n_events, avg_value,
+           CAST(n_events AS DOUBLE)
+             / SUM(n_events) OVER (PARTITION BY event_type) AS volume_share
+    FROM cells ORDER BY event_type, dow, hour
+    """,
+    tags=("A1", "W4"),
+)
+def seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A1/W4] Calendar seasonality profile — the (weekday × hour)
+    activity matrix per event type: event count, exact-decimal average
+    value, and each cell's share of the type's total volume. The
+    capacity-planning / anomaly-baseline view (what a "normal Tuesday
+    3 PM" looks like) that the harmonic time-bucket windows (T7/T8)
+    deliberately don't express — those bucket by elapsed time, this
+    folds onto the repeating calendar grid.
+
+    Cross-engine date semantics pinned explicitly: Spark ``weekday``
+    (0 = Monday) equals DuckDB ``isodow − 1`` — the only agreed-on
+    weekday numbering without a session-dependent week start. Counts
+    are exact; the share is one double division of exact ints; the
+    average is the standard exact-decimal-sum-over-count.
+
+    At 100 TB: one shuffle onto at most |types|×168 cells (map-side
+    combine collapses the fact volume), then a window over the tiny
+    cell frame — the scan is the whole cost, as it should be."""
+    e = load_table(spark, sf_dir, "events")
+    cells = e.groupBy(
+        "event_type",
+        F.weekday("ts").cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hour"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        davg("value").alias("avg_value"),
+    )
+    w = Window.partitionBy("event_type")
+    return (
+        cells.select(
+            "event_type",
+            "dow",
+            "hour",
+            "n_events",
+            "avg_value",
+            (
+                F.col("n_events").cast("double") / F.sum("n_events").over(w)
+            ).alias("volume_share"),
+        )
+        .orderBy("event_type", "dow", "hour")
+    )
+
+
+@query(
+    "volume_zscore_anomaly",
+    oracle="""
+    WITH events_us AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    buckets AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events_us GROUP BY event_type, bucket_ts
+    ), stats AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_buckets,
+             CAST(SUM(n_events) AS DOUBLE) AS sx,
+             CAST(SUM(n_events * n_events) AS DOUBLE) AS sxx
+      FROM buckets GROUP BY event_type
+    ), scored AS (
+      SELECT b.event_type, b.bucket_ts, b.n_events,
+             (CAST(b.n_events AS DOUBLE) - s.sx / s.n_buckets)
+               / sqrt((s.sxx - s.sx * s.sx / s.n_buckets) / (s.n_buckets - 1))
+               AS zscore
+      FROM buckets b JOIN stats s ON s.event_type = b.event_type
+      WHERE s.n_buckets > 1
+    )
+    SELECT event_type, bucket_ts, n_events, zscore
+    FROM scored WHERE zscore > 2.5 OR zscore < -2.5
+    ORDER BY event_type, bucket_ts
+    """,
+    tags=("A7", "P8"),
+)
+def volume_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A7/P8] Ingest-volume anomaly detection — hourly event counts per
+    type flagged where the count sits more than 2.5 sample standard
+    deviations from the type's mean: the monitoring rule behind "why did
+    clicks spike at 14:00", complementing ``psi_value_drift`` (value
+    distribution shift) and ``cusum_changepoint`` (sustained level
+    shift) with the point-anomaly view.
+
+    Every input to the z-score is an exact integer (bucket counts and
+    their sums/squares are BIGINTs — no decimal rounding is even
+    needed), so mean, variance and z are the same fixed double
+    expression in both engines and the 2.5σ threshold can never
+    ULP-flip a boundary bucket differently. Sample (n−1) variance;
+    single-bucket types are excluded (no variance defined).
+
+    At 100 TB: the hourly aggregate collapses the fact table map-side;
+    stats are |types| rows broadcast back over |types|×|hours| buckets —
+    cost is one scan plus noise, and the same two-level shape runs
+    incrementally by maintaining the per-(type, hour) counts."""
+    e = load_table(spark, sf_dir, "events")
+    buckets = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket_ts")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    stats = buckets.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.sum("n_events").cast("double").alias("sx"),
+        F.sum(F.col("n_events") * F.col("n_events")).cast("double").alias("sxx"),
+    )
+    z = (
+        F.col("n_events").cast("double") - F.col("sx") / F.col("n_buckets")
+    ) / F.sqrt(
+        (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n_buckets"))
+        / (F.col("n_buckets") - 1)
+    )
+    return (
+        buckets.join(F.broadcast(stats), "event_type")
+        .filter(F.col("n_buckets") > 1)
+        .select("event_type", "bucket_ts", "n_events", z.alias("zscore"))
+        .filter((F.col("zscore") > 2.5) | (F.col("zscore") < -2.5))
+        .orderBy("event_type", "bucket_ts")
+    )

@@ -1618,3 +1618,29 @@ def test_conversion_funnel_temporal_invariants(spark, sf_dir):
                 assert r["t_purchase"] == first_after(
                     u, "purchase", expect_signup
                 )
+
+
+def test_minhash_band_sweep_monotone_and_consistent(spark, sf_dir):
+    """The LSH operating curve: recall must be non-decreasing and
+    candidate count non-decreasing as bands grow (looser collision
+    requirement can only ADD candidate pairs — each config's band
+    agreement is implied by the finer split sharing a full band), and
+    the production 4×4 row's hit set size must equal minhash_recall's
+    n_verified (same signatures, same truth)."""
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.dedup import (
+        MINHASH_BANDS,
+        minhash_band_sweep,
+        minhash_recall,
+    )
+
+    rows = sorted(minhash_band_sweep(spark, sf_dir).collect(), key=lambda r: r["n_bands"])
+    assert [r["n_bands"] for r in rows] == [2, 4, 8, 16]
+    for lo, hi in zip(rows, rows[1:]):
+        assert hi["n_candidates"] >= lo["n_candidates"], rows
+        rlo = lo["recall"] if lo["recall"] is not None else 0.0
+        rhi = hi["recall"] if hi["recall"] is not None else 0.0
+        assert rhi >= rlo - 1e-12, rows
+    prod = next(r for r in rows if r["n_bands"] == MINHASH_BANDS)
+    mr = minhash_recall(spark, sf_dir).collect()[0]
+    assert prod["n_hits"] == mr["n_verified"]
+    assert prod["n_truth"] == mr["n_truth"]
