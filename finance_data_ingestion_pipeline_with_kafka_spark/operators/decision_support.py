@@ -866,3 +866,130 @@ def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_dominated_parts"))
         .orderBy(F.desc("n_dominated_parts"), "s_suppkey")
     )
+
+
+@query(
+    "customer_ltv_pareto",
+    oracle=f"""
+    WITH rev AS (
+      SELECT o.o_custkey, {_REV_DEC_SQL.replace('l_extendedprice', 'l.l_extendedprice').replace('(1 - l_discount)', '(1 - l.l_discount)')} AS rev_dec
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      GROUP BY o.o_custkey
+    ), tiled AS (
+      SELECT o_custkey, rev_dec,
+             CAST(NTILE(10) OVER (ORDER BY rev_dec DESC, o_custkey) AS INT)
+               AS decile
+      FROM rev
+    ), tot AS (SELECT SUM(rev_dec) AS total_dec FROM rev)
+    SELECT d.decile,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(d.rev_dec) AS DOUBLE) AS revenue,
+           CAST(SUM(d.rev_dec) AS DOUBLE) / CAST(t.total_dec AS DOUBLE)
+             AS revenue_share
+    FROM tiled d, tot t
+    GROUP BY d.decile, t.total_dec
+    ORDER BY d.decile
+    """,
+    tags=("W5", "A1"),
+)
+def customer_ltv_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[W5/A1] Revenue concentration curve — customers ranked into
+    NTILE(10) deciles by lifetime revenue, with each decile's share of
+    total revenue: the Pareto ("do 20% of customers drive 80% of
+    revenue") report every commercial team runs, and the decile-bucket
+    companion of ``important_parts``' single-threshold cut. The NTILE
+    ranks the exact DECIMAL revenue with a custkey tiebreak, so decile
+    boundaries are engine-identical even between equal-revenue
+    customers; shares divide exact decimal sums.
+
+    The total-order NTILE is the exact-oracle formulation (same
+    contract as ``rfm_segmentation``): at billions of customers the
+    decile boundaries would come from ``approx_percentiles`` + a
+    broadcast range lookup, trading exactness for a scan — documented
+    trade, same output schema.
+
+    At 100 TB: one orderkey-co-located fact join, one shuffle to
+    custkey grain, and the single-partition NTILE sort over the
+    aggregated (custkey, revenue) frame — the stated scale boundary."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    rev = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_custkey")
+        .agg(_rev_dec().alias("rev_dec"))
+    )
+    tot = rev.agg(F.sum("rev_dec").alias("total_dec"))
+    w = Window.orderBy(F.desc("rev_dec"), "o_custkey")
+    return (
+        rev.withColumn("decile", F.ntile(10).over(w).cast("int"))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("decile", "total_dec")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("rev_dec").alias("rev_sum_dec"),
+        )
+        .select(
+            "decile",
+            "n_customers",
+            F.col("rev_sum_dec").cast("double").alias("revenue"),
+            (
+                F.col("rev_sum_dec").cast("double") / F.col("total_dec").cast("double")
+            ).alias("revenue_share"),
+        )
+        .orderBy("decile")
+    )
+
+
+@query(
+    "ship_latency_percentiles",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(quantile_cont(datediff('day', CAST(o.o_orderdate AS DATE),
+                                        CAST(l.l_shipdate AS DATE)), 0.5), 4)
+             AS p50_days,
+           ROUND(quantile_cont(datediff('day', CAST(o.o_orderdate AS DATE),
+                                        CAST(l.l_shipdate AS DATE)), 0.9), 4)
+             AS p90_days,
+           CAST(MAX(datediff('day', CAST(o.o_orderdate AS DATE),
+                             CAST(l.l_shipdate AS DATE))) AS INT) AS max_days
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+    tags=("A7", "J1"),
+)
+def ship_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A7/J1] Order-to-ship latency SLA report — exact p50/p90/max of
+    (shipdate − orderdate) days per order priority: the operational
+    latency view (is URGENT actually faster?) built on exact integer
+    day gaps. ``percentile`` (exact, interpolated) equals DuckDB
+    ``quantile_cont`` on the same integer multiset; the 4-digit ROUND
+    follows the ``percentiles`` precedent — interpolation weights are
+    dyadic rationals of integers, so cross-engine drift is far below
+    the rounding grain.
+
+    At 100 TB: the fact join is orderkey-co-located; exact grouped
+    percentiles sort within the 5 priority groups — the stated exact
+    path, with ``approx_percentiles`` as the documented sketch
+    alternative at higher cardinality."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    days = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.round(F.expr(
+                "percentile(datediff(to_date(l_shipdate), to_date(o_orderdate)), 0.5)"
+            ), 4).alias("p50_days"),
+            F.round(F.expr(
+                "percentile(datediff(to_date(l_shipdate), to_date(o_orderdate)), 0.9)"
+            ), 4).alias("p90_days"),
+            F.max(days).cast("int").alias("max_days"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -2271,3 +2271,82 @@ def volume_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("zscore") > 2.5) | (F.col("zscore") < -2.5))
         .orderBy("event_type", "bucket_ts")
     )
+
+
+@query(
+    "rolling_pair_correlation",
+    oracle="""
+    WITH events_us AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    h AS (
+      SELECT date_trunc('hour', ts) AS bucket_ts,
+             CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS x,
+             CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS y
+      FROM events_us GROUP BY bucket_ts
+    ), w AS (
+      SELECT bucket_ts, x, y,
+             CAST(SUM(x) OVER win AS BIGINT) AS sx,
+             CAST(SUM(y) OVER win AS BIGINT) AS sy,
+             CAST(SUM(x * x) OVER win AS BIGINT) AS sxx,
+             CAST(SUM(y * y) OVER win AS BIGINT) AS syy,
+             CAST(SUM(x * y) OVER win AS BIGINT) AS sxy,
+             CAST(COUNT(*) OVER win AS BIGINT) AS n,
+             ROW_NUMBER() OVER (ORDER BY bucket_ts) AS rn
+      FROM h
+      WINDOW win AS (ORDER BY bucket_ts ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+    )
+    SELECT bucket_ts, x, y,
+           (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+             AS corr24
+    FROM w WHERE rn >= 24 ORDER BY bucket_ts
+    """,
+    tags=("W2", "A7"),
+)
+def rolling_pair_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[W2/A7] Rolling 24-hour correlation between two aligned series —
+    hourly click volume vs hourly purchase volume: the lead-indicator
+    diagnostic ("do clicks this day co-move with purchases") that plain
+    per-series windows can't express because it needs ALIGNMENT first.
+    The alignment is one conditional pivot (two FILTERed counts per hour
+    bucket — absent hours for one type contribute 0 in that bucket;
+    hours with no events at all are absent rows, so the frame is over
+    OBSERVED hours, stated contract), then Pearson r over a 24-row
+    trailing frame computed from INTEGER moment sums — counts and their
+    window sums are exact BIGINTs, so the final r is one identical
+    double expression in both engines with no rounding step at all.
+    Partial leading frames (rn < 24) are dropped, as in
+    ``rolling_robust_stats``.
+
+    At 100 TB: the hourly pivot collapses the fact table map-side to
+    |hours| rows; the window runs over that tiny frame. Generalizing to
+    all type pairs is the same query over a pivot of |types| columns."""
+    e = load_table(spark, sf_dir, "events")
+    h = e.groupBy(F.date_trunc("hour", "ts").alias("bucket_ts")).agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).cast("bigint").alias("x"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).cast("bigint").alias("y"),
+    )
+    win = Window.orderBy("bucket_ts").rowsBetween(-23, 0)
+    wr = Window.orderBy("bucket_ts")
+    w = h.select(
+        "bucket_ts",
+        "x",
+        "y",
+        F.sum("x").over(win).cast("bigint").alias("sx"),
+        F.sum("y").over(win).cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(win).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(win).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).over(win).cast("bigint").alias("sxy"),
+        F.count(F.lit(1)).over(win).cast("bigint").alias("n"),
+        F.row_number().over(wr).alias("rn"),
+    )
+    n_d = F.col("n").cast("double")
+    corr = (n_d * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")) / (
+        F.sqrt(n_d * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+        * F.sqrt(n_d * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+    )
+    return (
+        w.filter(F.col("rn") >= 24)
+        .select("bucket_ts", "x", "y", corr.alias("corr24"))
+        .orderBy("bucket_ts")
+    )

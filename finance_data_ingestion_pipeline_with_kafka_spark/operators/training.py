@@ -978,3 +978,226 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         small.cast("bigint").alias("n_violating_rows"),
         (small.cast("double") / F.sum("sz")).alias("violating_share"),
     )
+
+
+@query(
+    "pit_feature_matrix",
+    oracle="""
+    WITH events_us AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INT)
+               AS day_idx,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+               AS n_purchases
+      FROM events_us GROUP BY user_id, day, day_idx
+    ), feat AS (
+      SELECT user_id, day, day_idx, n_events, n_purchases,
+             CAST(COALESCE(SUM(n_events) OVER win, 0) AS BIGINT)
+               AS f_events_prev7,
+             CAST(COALESCE(SUM(n_purchases) OVER win, 0) AS BIGINT)
+               AS f_purchases_prev7
+      FROM daily
+      WINDOW win AS (PARTITION BY user_id ORDER BY day_idx
+                     RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT f.user_id, CAST(f.day AS TIMESTAMP) AS day,
+           f.f_events_prev7, f.f_purchases_prev7,
+           CAST(COALESCE(nxt.n_purchases, 0) AS BIGINT)
+             AS label_next_day_purchases
+    FROM feat f
+    LEFT JOIN daily nxt ON nxt.user_id = f.user_id
+                       AND nxt.day_idx = f.day_idx + 1
+    ORDER BY f.user_id, f.day
+    """,
+    tags=("U6", "W3"),
+)
+def pit_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U6/W3] Point-in-time-correct feature/label matrix — the
+    training-set construction step where most real-world ML pipelines
+    silently leak: for every observed (user, day), trailing-week
+    features computed over days [d−7, d−1] ONLY (a RANGE frame ending
+    at 1 PRECEDING — the current day can never feed its own features),
+    and the label taken from day d+1 by an exact calendar join (LEAD
+    would silently grab the next OBSERVED day across gaps — a subtle
+    leakage-adjacent bug this formulation cannot have; absent next days
+    are honest zero labels).
+
+    All quantities are exact integer counts; the RANGE frame is over an
+    integer day index so frame membership is unambiguous in both
+    engines.
+
+    At 100 TB: one shuffle to (user, day) grain, then the feature
+    window and the label self-join both run user-partitioned — on a
+    user-bucketed lake the whole matrix build is zero-Exchange, which
+    is why the feature-store pattern IS this query run incrementally."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("int")
+        .alias("day_idx"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .cast("bigint")
+        .alias("n_purchases"),
+    )
+    win = (
+        Window.partitionBy("user_id").orderBy("day_idx").rangeBetween(-7, -1)
+    )
+    feat = daily.select(
+        "user_id",
+        "day",
+        "day_idx",
+        F.coalesce(F.sum("n_events").over(win), F.lit(0))
+        .cast("bigint")
+        .alias("f_events_prev7"),
+        F.coalesce(F.sum("n_purchases").over(win), F.lit(0))
+        .cast("bigint")
+        .alias("f_purchases_prev7"),
+    )
+    nxt = daily.select(
+        F.col("user_id").alias("n_user"),
+        (F.col("day_idx") - 1).alias("n_idx"),
+        F.col("n_purchases").alias("next_p"),
+    )
+    return (
+        feat.join(
+            nxt,
+            (feat["user_id"] == nxt["n_user"]) & (feat["day_idx"] == nxt["n_idx"]),
+            "left",
+        )
+        .select(
+            "user_id",
+            F.col("day").cast("timestamp").alias("day"),
+            "f_events_prev7",
+            "f_purchases_prev7",
+            F.coalesce(F.col("next_p"), F.lit(0))
+            .cast("bigint")
+            .alias("label_next_day_purchases"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+@query(
+    "ab_test_readout",
+    oracle="""
+    WITH events_us AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    assign AS (
+      SELECT DISTINCT user_id,
+             CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 'A' ELSE 'B' END AS variant
+      FROM events_us
+    ), conv AS (
+      SELECT DISTINCT user_id FROM events_us WHERE event_type = 'purchase'
+    ), cells AS (
+      SELECT a.variant,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(COUNT(c.user_id) AS BIGINT) AS n_converted
+      FROM assign a LEFT JOIN conv c ON c.user_id = a.user_id
+      GROUP BY a.variant
+    ), wide AS (
+      SELECT
+        (SELECT n_users FROM cells WHERE variant = 'A') AS n_a,
+        (SELECT n_converted FROM cells WHERE variant = 'A') AS conv_a,
+        (SELECT n_users FROM cells WHERE variant = 'B') AS n_b,
+        (SELECT n_converted FROM cells WHERE variant = 'B') AS conv_b
+    )
+    SELECT n_a, conv_a, n_b, conv_b,
+           CAST(conv_a AS DOUBLE) / n_a AS rate_a,
+           CAST(conv_b AS DOUBLE) / n_b AS rate_b,
+           CAST(conv_b AS DOUBLE) / n_b - CAST(conv_a AS DOUBLE) / n_a
+             AS abs_lift,
+           CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b
+                THEN NULL
+                ELSE (CAST(conv_b AS DOUBLE) / n_b - CAST(conv_a AS DOUBLE) / n_a)
+                  / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                         * (1 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                         * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b))
+                END AS z_score
+    FROM wide
+    """,
+    tags=("U6", "A1"),
+)
+def ab_test_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U6/A1] A/B experiment readout — conversion-rate lift with a
+    two-proportion z statistic, over a DETERMINISTIC 50/50 hash
+    assignment (first md5 hex digit of user_id — the same
+    content-hash-bucket mechanism as ``dataset_split``, so assignment
+    is stable across engines, re-runs and incremental rebuilds; no
+    stored assignment table needed). Conversion = any purchase event.
+
+    Every input to the z-score is an exact integer (user and converter
+    counts); pooled rate, lift and z are one fixed double expression —
+    engine-identical with no rounding. The single-row output is the
+    decision artifact: sign of lift, magnitude, and whether |z| clears
+    the 1.96 bar is the reader's one-line takeaway.
+
+    At 100 TB: two distinct-aggregates on user_id (co-located on a
+    user-bucketed lake) and a 2-row aggregate — experiment readouts are
+    scan-bound, never shuffle-bound."""
+    e = load_table(spark, sf_dir, "events")
+    assign = e.select("user_id").distinct().select(
+        "user_id",
+        F.when(F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8", "A")
+        .otherwise("B")
+        .alias("variant"),
+    )
+    conv = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .withColumn("converted", F.lit(1))
+    )
+    cells = (
+        assign.join(conv, "user_id", "left")
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.count("converted").cast("bigint").alias("n_converted"),
+        )
+    )
+    a = cells.filter(F.col("variant") == "A").select(
+        F.col("n_users").alias("n_a"), F.col("n_converted").alias("conv_a")
+    )
+    b = cells.filter(F.col("variant") == "B").select(
+        F.col("n_users").alias("n_b"), F.col("n_converted").alias("conv_b")
+    )
+    rate_a = F.col("conv_a").cast("double") / F.col("n_a")
+    rate_b = F.col("conv_b").cast("double") / F.col("n_b")
+    pooled = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    # degenerate experiment (0% or 100% pooled conversion): the pooled
+    # variance is exactly zero and z is undefined — NULL, decided on the
+    # exact integer counts so both engines agree (ANSI Spark would raise
+    # DIVIDE_BY_ZERO on the 0/0 instead of producing NaN)
+    degenerate = ((F.col("conv_a") + F.col("conv_b")) == 0) | (
+        (F.col("conv_a") + F.col("conv_b")) == (F.col("n_a") + F.col("n_b"))
+    )
+    z = F.when(
+        ~degenerate,
+        (rate_b - rate_a)
+        / F.sqrt(
+            pooled
+            * (1 - pooled)
+            * (
+                F.lit(1).cast("double") / F.col("n_a")
+                + F.lit(1).cast("double") / F.col("n_b")
+            )
+        ),
+    )
+    return a.crossJoin(b).select(  # two 1-row frames: literal-carry
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        rate_a.alias("rate_a"),
+        rate_b.alias("rate_b"),
+        (rate_b - rate_a).alias("abs_lift"),
+        z.alias("z_score"),
+    )
