@@ -68,9 +68,12 @@ def get_spark(
         # query re-runs Janino compilation on every invocation. Measured
         # at sf0.1 (20-query interleaved bench loop): scan-agg family
         # 6.3 s → 3.3 s and dedup family 12.5 s → 8.7 s from this one
-        # setting. Cost is metaspace for ~2000 small classes (a few MB);
-        # static conf, so it must be set at session build.
-        .config("spark.sql.codegen.cache.maxEntries", "2000")
+        # setting. Cost is metaspace for the cached small classes (a few
+        # MB); static conf, so it must be set at session build. Resized
+        # 2000 → 4096 when the catalog reached 200 queries (~8 units
+        # each ≈ 1600 entries left the full-sweep loop within 20% of
+        # eviction; same cost model, double the margin).
+        .config("spark.sql.codegen.cache.maxEntries", "4096")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         # events.parquet carries TIMESTAMP(NANOS), which Spark rejects by

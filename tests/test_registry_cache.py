@@ -197,7 +197,7 @@ def test_session_builder_perf_confs(spark):
     (static conf — silently losing it re-introduces per-query Janino
     recompilation, a 2x bench regression) and the AQE runtime
     broadcast-conversion threshold (exact-bytes check, scale-safe)."""
-    assert spark.conf.get("spark.sql.codegen.cache.maxEntries") == "2000"
+    assert spark.conf.get("spark.sql.codegen.cache.maxEntries") == "4096"
     assert (
         spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold")
         == "33554432"
