@@ -794,3 +794,159 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("top1pct_share"),
         (F.max("c").cast("double") / F.sum("c")).alias("max_share"),
     )
+
+
+#: Numeric lineitem columns profiled by ``correlation_matrix``.
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@query(
+    "correlation_matrix",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             {sums}
+      FROM lineitem
+    )
+    {selects}
+    """.format(
+        sums=",\n             ".join(
+            [
+                f"CAST(SUM(CAST({c} AS DECIMAL(30,6))) AS DOUBLE) AS s_{i}"
+                for i, c in enumerate(_CORR_COLS)
+            ]
+            + [
+                f"CAST(SUM(CAST({_CORR_COLS[i]} * {_CORR_COLS[j]} AS DECIMAL(38,6))) AS DOUBLE) AS p_{i}_{j}"
+                for i in range(len(_CORR_COLS))
+                for j in range(i, len(_CORR_COLS))
+            ]
+        ),
+        selects=" UNION ALL ".join(
+            f"""SELECT '{_CORR_COLS[i]}' AS col_a, '{_CORR_COLS[j]}' AS col_b, n,
+               ROUND((n * p_{i}_{j} - s_{i} * s_{j})
+                 / (sqrt(n * p_{i}_{i} - s_{i} * s_{i})
+                    * sqrt(n * p_{j}_{j} - s_{j} * s_{j})), 6) AS corr
+            FROM m"""
+            for i in range(len(_CORR_COLS))
+            for j in range(i + 1, len(_CORR_COLS))
+        ),
+    )
+    + " ORDER BY col_a, col_b",
+    tags=("A7",),
+)
+def correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A7] Pairwise Pearson correlation matrix over the numeric lineitem
+    columns — the EDA profiling step before any modeling, and the
+    one-pass generalization of ``correlation`` (single pair, grouped):
+    ONE aggregate computes all 4 column sums + 10 upper-triangle product
+    sums (exact DECIMAL, per-row products being identical IEEE doubles),
+    and the 6 off-diagonal pairs expand from that single 1-row frame —
+    never k² scans. ROUND(…, 6) per the grouped-correlation precedent:
+    the moments are exact, so cross-engine drift is zero and the round
+    is presentation-grain.
+
+    At 100 TB: one scan, one 15-number aggregate — map-side combine
+    collapses everything; adding columns grows the aggregate quadratically
+    but the scan cost not at all (the reason profilers batch this way)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = _CORR_COLS
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    aggs += [
+        F.sum(F.col(c).cast("decimal(30,6)")).cast("double").alias(f"s_{i}")
+        for i, c in enumerate(cols)
+    ]
+    aggs += [
+        F.sum((F.col(cols[i]) * F.col(cols[j])).cast("decimal(38,6)"))
+        .cast("double")
+        .alias(f"p_{i}_{j}")
+        for i in range(len(cols))
+        for j in range(i, len(cols))
+    ]
+    m = li.agg(*aggs)
+    pairs = None
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            n_d = F.col("n").cast("double")
+            corr = F.round(
+                (n_d * F.col(f"p_{i}_{j}") - F.col(f"s_{i}") * F.col(f"s_{j}"))
+                / (
+                    F.sqrt(n_d * F.col(f"p_{i}_{i}") - F.col(f"s_{i}") * F.col(f"s_{i}"))
+                    * F.sqrt(n_d * F.col(f"p_{j}_{j}") - F.col(f"s_{j}") * F.col(f"s_{j}"))
+                ),
+                6,
+            )
+            row = m.select(
+                F.lit(cols[i]).alias("col_a"),
+                F.lit(cols[j]).alias("col_b"),
+                "n",
+                corr.alias("corr"),
+            )
+            pairs = row if pairs is None else pairs.unionAll(row)
+    return pairs.orderBy("col_a", "col_b")
+
+
+@query(
+    "winsorized_stats",
+    oracle="""
+    WITH b AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.05) AS lo,
+             quantile_cont(l_extendedprice, 0.95) AS hi
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) FILTER (WHERE l.l_extendedprice < b.lo
+                                    OR l.l_extendedprice > b.hi) AS BIGINT)
+             AS n_clamped,
+           CAST(SUM(CAST(least(greatest(l.l_extendedprice, b.lo), b.hi)
+                         AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*)
+             AS winsorized_mean,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)
+             / COUNT(*) AS raw_mean
+    FROM lineitem l JOIN b ON b.l_returnflag = l.l_returnflag
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
+    """,
+    tags=("A7",),
+)
+def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A7] Winsorized mean per group — the outlier-robust center
+    estimate (clamp to the group's [p5, p95] band, then average) that
+    ``length_outliers``-style z-filters can't provide when the tail IS
+    the signal. Two passes by construction: exact interpolated
+    percentiles per group (broadcast back — 3 rows), then clamp +
+    exact-decimal average in one aggregate, plus the clamped-row count
+    as the audit column.
+
+    Determinism: the percentile boundaries are identical doubles in
+    both engines (same sorted multiset, same type-7 interpolation), so
+    the clamp and the `<`/`>` audit comparisons act on identical
+    values; the clamped values then round per-row into DECIMAL
+    identically. No output rounding needed.
+
+    At 100 TB: grouped exact percentiles are the stated sort-bound
+    path (swap to ``approx_percentile`` bounds for sketch-grade at
+    higher cardinality — same query shape); the second pass is a plain
+    scan-agg with the 3-row bounds frame broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    b = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.05)").alias("lo"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("hi"),
+    ).toDF("b_flag", "lo", "hi")
+    x = F.col("l_extendedprice")
+    clamped = F.least(F.greatest(x, F.col("lo")), F.col("hi"))
+    return (
+        li.join(F.broadcast(b), F.col("l_returnflag") == F.col("b_flag"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.count(F.when((x < F.col("lo")) | (x > F.col("hi")), 1))
+            .cast("bigint")
+            .alias("n_clamped"),
+            (F.sum(clamped.cast("decimal(30,6)")).cast("double") / F.count(F.lit(1)))
+            .alias("winsorized_mean"),
+            davg("l_extendedprice").alias("raw_mean"),
+        )
+        .orderBy("l_returnflag")
+    )

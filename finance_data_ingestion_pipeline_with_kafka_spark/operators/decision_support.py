@@ -68,8 +68,12 @@ def important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "concentration report" (which SKUs matter), and the canonical
     global-threshold plan: the total is a one-row aggregate broadcast
     back over the per-part aggregate (literal-carry cross join, not a
-    cartesian), so the fact table is scanned ONCE and shuffled once on
-    l_partkey.
+    cartesian). Lazy evaluation makes the total a second plan branch —
+    the fact scan appears once per branch, with identical canonical
+    exchanges eligible for runtime reuse; a deployment that persists
+    the per-part aggregate (materialized view) computes the total from
+    it and scans the fact table once. Q11's global scalar is inherently
+    a second pass in every engine that doesn't materialize.
 
     The threshold compare runs on the exact DECIMAL sums
     (``rev_dec * 1000 > total_dec`` — integer-exact at scale 6), never
@@ -77,10 +81,10 @@ def important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically in both engines by construction. Output doubles are
     single casts/divisions of those exact values.
 
-    At 100 TB: one shuffle on l_partkey (the natural bucketing key), a
-    one-row total, and a broadcast join to the ~200 MB part dim — the
-    global threshold costs one extra reduce of the already-aggregated
-    per-part frame, not a second fact scan."""
+    At 100 TB: each branch is one shuffle on l_partkey (the natural
+    bucketing key), a one-row total, and a broadcast join to the part
+    dim; with the per-part aggregate maintained as a table the
+    threshold costs one extra reduce of it, not a fact scan."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name", "p_type")
     rev = li.groupBy("l_partkey").agg(_rev_dec().alias("rev_dec"))

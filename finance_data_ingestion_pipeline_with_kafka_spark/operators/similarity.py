@@ -1400,3 +1400,92 @@ def ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_probe", "query_id")
     )
+
+
+@query(
+    "nearest_centroid_eval",
+    oracle="""
+    WITH dims AS (
+      SELECT vec_id, label,
+             generate_subscripts(embedding, 1) AS d,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ), cents AS (
+      SELECT label AS c_label, d,
+             CAST(SUM(CAST(x AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS c
+      FROM dims GROUP BY c_label, d
+    ), dists AS (
+      SELECT v.vec_id, v.label, ct.c_label,
+             SUM(CAST((v.x - ct.c) * (v.x - ct.c) AS DECIMAL(20,10))) AS dist
+      FROM dims v JOIN cents ct ON ct.d = v.d
+      GROUP BY v.vec_id, v.label, ct.c_label
+    ), assigned AS (
+      SELECT vec_id, label, c_label,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY dist, c_label) AS rn
+      FROM dists
+    )
+    SELECT label, CAST(c_label AS INT) AS predicted_label,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM assigned WHERE rn = 1
+    GROUP BY label, predicted_label
+    ORDER BY label, predicted_label
+    """,
+    tags=("U5", "A7"),
+)
+def nearest_centroid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U5/A7] Nearest-centroid classification confusion matrix — the
+    embedding-quality acceptance check that needs no model: compute each
+    label's centroid, assign every vector to its nearest centroid
+    (squared L2), and report the (true, predicted) count matrix. A
+    diagonal-heavy matrix certifies the embedding space separates the
+    labels; confusion cells show WHICH classes collide — the triage
+    view ``ann_recall`` (retrieval quality) doesn't give.
+
+    Exactness chain on float inputs: each float casts to double
+    (exact), per-dimension centroid sums accumulate in DECIMAL(20,10)
+    (order-free), the centroid is one double division, each squared
+    diff is an identical IEEE double, and the DISTANCE compare runs on
+    the exact DECIMAL sum of per-term-rounded diffs — argmin ties
+    break by label, so assignment is engine-identical even between
+    equidistant centroids. The 10-digit scale keeps the rounding grain
+    ~1e5 below any non-tied distance gap.
+
+    At 100 TB: centroids are a |labels|×|dims| aggregate (KB) broadcast
+    back; the distance pass is one narrow join on dimension index —
+    embarrassingly parallel, no vector ever leaves its partition. The
+    posexplode grain (rows × dims) is the honest cost; the production
+    kernel for much wider vectors is the ``knn_bruteforce`` mapInPandas
+    numpy path, and this SQL-expressible formulation is what makes the
+    metric oracle-checkable."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("d0", "xf"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("d0") + 1).alias("d"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    cents = dims.groupBy(F.col("label").alias("c_label"), "d").agg(
+        (
+            F.sum(F.col("x").cast("decimal(20,10)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("c")
+    )
+    diff = F.col("x") - F.col("c")
+    dists = (
+        dims.join(cents, "d")
+        .groupBy("vec_id", "label", "c_label")
+        .agg(F.sum((diff * diff).cast("decimal(20,10)")).alias("dist"))
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "c_label")
+    return (
+        dists.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("label", F.col("c_label").cast("int").alias("predicted_label"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy("label", "predicted_label")
+    )

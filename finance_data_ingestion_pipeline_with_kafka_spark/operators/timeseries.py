@@ -2350,3 +2350,67 @@ def rolling_pair_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bucket_ts", "x", "y", corr.alias("corr24"))
         .orderBy("bucket_ts")
     )
+
+
+@query(
+    "repeat_purchase_intervals",
+    oracle="""
+    WITH events_us AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    p AS (
+      SELECT user_id, ts, event_id,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_ts
+      FROM events_us WHERE event_type = 'purchase'
+    ), gaps AS (
+      SELECT user_id,
+             CAST(floor(CAST(epoch_us(ts) - epoch_us(prev_ts) AS DOUBLE)
+                        / 3600000000.0) AS INT) AS gap_hours
+      FROM p WHERE prev_ts IS NOT NULL
+    )
+    SELECT gap_hours,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM gaps GROUP BY gap_hours ORDER BY gap_hours
+    """,
+    tags=("W2", "A1"),
+)
+def repeat_purchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[W2/A1] Inter-purchase time distribution — the histogram of hours
+    between a user's consecutive purchases: the repeat-behavior view
+    behind replenishment timing and churn-risk windows ("most
+    repeaters come back within N hours"), complementing
+    ``retention_cohorts`` (calendar-grid retention) with the
+    event-relative view. LAG over the per-user purchase stream, gap
+    floored to whole hours on exact integer microsecond arithmetic
+    (`epoch` differences — no calendar or float ambiguity; floor of
+    the exact-integer-over-constant division agrees across engines),
+    then a two-measure histogram (interval count + distinct users per
+    bucket).
+
+    At 100 TB: the type filter pushes into the scan; one user_id
+    shuffle serves the LAG; the histogram is a few-hundred-row
+    aggregate. The distinct-user measure shuffles (gap_hours, user)
+    once — bounded by purchases, not events."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "event_id")
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .filter(F.col("prev_ts").isNotNull())
+    )
+    gap = F.floor(
+        (
+            F.unix_micros("ts") - F.unix_micros("prev_ts")
+        ).cast("double")
+        / 3600000000.0
+    ).cast("int")
+    return (
+        p.select("user_id", gap.alias("gap_hours"))
+        .groupBy("gap_hours")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+            F.count_distinct(F.col("user_id")).cast("bigint").alias("n_users"),
+        )
+        .orderBy("gap_hours")
+    )
