@@ -950,3 +950,183 @@ def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "value_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT l_returnflag,
+             MIN(l_extendedprice) AS lo,
+             (MAX(l_extendedprice) - MIN(l_extendedprice)) / 20.0 AS w
+      FROM lineitem GROUP BY l_returnflag
+    ), binned AS (
+      SELECT l.l_returnflag,
+             CAST(least(floor((l.l_extendedprice - b.lo) / b.w), 19) AS INT)
+               AS bin,
+             b.lo, b.w
+      FROM lineitem l JOIN b ON b.l_returnflag = l.l_returnflag
+    )
+    SELECT l_returnflag, bin,
+           lo + bin * w AS bin_lo,
+           lo + (bin + 1) * w AS bin_hi,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM binned GROUP BY l_returnflag, bin, lo, w
+    ORDER BY l_returnflag, bin
+    """,
+    tags=("A7", "A1"),
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A7] Equi-width value histogram (20 bins) per group — the
+    distribution profile optimizers and data-quality dashboards build
+    (where ``percentiles``/``customer_ltv_pareto`` give equi-DEPTH
+    views, this gives equi-width: empty bins are visible as absent
+    rows, which IS the skew signal). Bin edges derive from the group's
+    exact min/max; bin assignment is ``least(floor((x − lo)/w), 19)``
+    — every quantity an identical IEEE double in both engines, so a
+    value exactly on a bin edge floors identically; the `least` clamps
+    the x = max row into the last bin.
+
+    Two passes by construction (bounds, then assign+count) with the
+    3-row bounds frame broadcast back — same shape as
+    ``winsorized_stats``, and the same single-pass sketch alternative
+    (approx min/max) applies at higher group cardinality.
+
+    At 100 TB: scan + broadcast + scan; the histogram frame is
+    |groups|×20 rows. At a million groups the bounds frame stops being
+    broadcast-sized and the join shuffles on the group key instead —
+    both plans are the same query text, AQE picks."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    b = li.groupBy("l_returnflag").agg(
+        F.min("l_extendedprice").alias("lo"),
+        ((F.max("l_extendedprice") - F.min("l_extendedprice")) / 20.0).alias("w"),
+    ).toDF("b_flag", "lo", "w")
+    x = F.col("l_extendedprice")
+    bin_ = F.least(F.floor((x - F.col("lo")) / F.col("w")), F.lit(19)).cast("int")
+    return (
+        li.join(F.broadcast(b), F.col("l_returnflag") == F.col("b_flag"))
+        .groupBy("l_returnflag", bin_.alias("bin"), "lo", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(
+            "l_returnflag",
+            "bin",
+            (F.col("lo") + F.col("bin") * F.col("w")).alias("bin_lo"),
+            (F.col("lo") + (F.col("bin") + 1) * F.col("w")).alias("bin_hi"),
+            "n",
+        )
+        .orderBy("l_returnflag", "bin")
+    )
+
+
+@query(
+    "median_absolute_deviation",
+    oracle="""
+    WITH med AS (
+      SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS m
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MAX(med.m), 4) AS median_price,
+           ROUND(quantile_cont(abs(l.l_extendedprice - med.m), 0.5), 4) AS mad
+    FROM lineitem l JOIN med ON med.l_returnflag = l.l_returnflag
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
+    """,
+    tags=("A7",),
+)
+def median_absolute_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A7] Median absolute deviation per group — the robust scale
+    estimate (breakdown point 50%, vs 0% for stddev) that pairs with
+    ``winsorized_stats``' robust center: MAD = median(|x − median(x)|),
+    a two-level exact-percentile composition (the first pass's scalar
+    feeds the second pass's derived column). Each |x − m| is an
+    identical IEEE double in both engines (m itself is a deterministic
+    interpolated percentile), so the second percentile runs on an
+    identical multiset; ROUND-4 per the ``percentiles`` precedent.
+    ``MAX(med.m)`` in the re-aggregate is exact passthrough (one value
+    per group by construction).
+
+    At 100 TB: same contract as every exact-percentile query — grouped
+    sort-bound with the medians frame broadcast between passes;
+    ``approx_percentile`` is the stated sketch swap at high
+    cardinality."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    med = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("m")
+    ).toDF("m_flag", "m")
+    return (
+        li.join(F.broadcast(med), F.col("l_returnflag") == F.col("m_flag"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.max("m"), 4).alias("median_price"),
+            F.round(
+                F.expr("percentile(abs(l_extendedprice - m), 0.5)"), 4
+            ).alias("mad"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "benford_audit",
+    oracle="""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT) AS VARCHAR),
+                         1, 1) AS INT) AS digit
+      FROM lineitem WHERE l_extendedprice >= 1
+    ), counts AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY digit
+    ), tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM counts)
+    SELECT c.digit, c.n,
+           CAST(c.n AS DOUBLE) / t.total AS observed_share,
+           ROUND(log10(1.0 + 1.0 / c.digit), 6) AS benford_share,
+           CAST(c.n AS DOUBLE) / t.total - ROUND(log10(1.0 + 1.0 / c.digit), 6)
+             AS deviation
+    FROM counts c, tot t
+    ORDER BY c.digit
+    """,
+    tags=("A1", "F6"),
+)
+def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A1/F6] Benford's-law first-digit audit — the classic
+    fabricated-numbers screen for financial data (naturally occurring
+    amounts follow P(d) = log10(1 + 1/d); uniform or truncated
+    generators don't): observed first-significant-digit shares vs the
+    Benford expectation, with the deviation column as the audit
+    signal. (The fixture's synthetic prices are roughly uniform, so
+    this SHOWS a strong deviation — which is the tool working, not a
+    fixture bug.)
+
+    The first digit comes from the INTEGER-PART STRING
+    (``substr(cast(floor(x) as bigint) as string), 1, 1)``) — never
+    ``floor(log10 x)``, whose libm drift at exact powers of ten could
+    flip a row's digit between engines. Counts are exact; shares are
+    single divisions; the only transcendental (the Benford expectation
+    on nine exact rationals) is rounded at 6 digits, far above any
+    libm drift.
+
+    At 100 TB: one scan, one 9-row aggregate — free at any scale."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_extendedprice") >= 1)
+    digit = F.substring(
+        F.floor(F.col("l_extendedprice")).cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    counts = li.groupBy(digit.alias("digit")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = counts.agg(F.sum("n").cast("bigint").alias("total"))
+    benford = F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6)
+    return (
+        counts.crossJoin(F.broadcast(tot))  # 1-row literal-carry
+        .select(
+            "digit",
+            "n",
+            (F.col("n").cast("double") / F.col("total")).alias("observed_share"),
+            benford.alias("benford_share"),
+            (
+                F.col("n").cast("double") / F.col("total") - benford
+            ).alias("deviation"),
+        )
+        .orderBy("digit")
+    )

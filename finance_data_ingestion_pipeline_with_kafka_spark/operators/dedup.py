@@ -1537,3 +1537,60 @@ def minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_hits").cast("double") / F.col("n_candidates"),
         ).alias("candidate_precision"),
     ).orderBy("n_bands")
+
+
+@query(
+    "dedup_cluster_stats",
+    oracle=f"""
+    WITH RECURSIVE {_minhash_cte()},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM near_dup
+      UNION ALL SELECT doc_b, doc_a FROM near_dup
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r
+    ),
+    clusters AS (SELECT id AS doc_id, MIN(r) AS keeper FROM reach GROUP BY id),
+    sizes AS (
+      SELECT keeper, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM clusters GROUP BY keeper
+    )
+    SELECT cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(cluster_size - 1) AS BIGINT) AS docs_removed
+    FROM sizes GROUP BY cluster_size ORDER BY cluster_size
+    """,
+    tags=("U4",),
+    prepared=False,  # builds on the iterative components loop
+    crossover=False,
+)
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U4] Cluster-size histogram of the near-dup components — the
+    dedup observability readout an operator checks BEFORE trusting a
+    keeper assignment: how many clusters of each size, and how many
+    documents each size class removes (size − 1 per cluster). A sudden
+    mass in large sizes is the classic symptom of a too-loose banding
+    (or a boilerplate shingle bridging unrelated docs) — this histogram
+    is where that failure is visible, making it the monitoring
+    companion of ``minhash_band_sweep`` (which tunes the config) and
+    ``corpus_build_funnel`` (which audits the attrition).
+
+    Composes the verified ``near_dup_clusters`` assignment; two tiny
+    aggregations on top (keeper grain, then size grain). All counts
+    exact. At scale the cluster table is pairs-bounded — orders of
+    magnitude below the corpus — so the histogram is free."""
+    clusters = near_dup_clusters(spark, sf_dir)
+    sizes = clusters.groupBy("keeper_doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+            F.sum(F.col("cluster_size") - 1).cast("bigint").alias("docs_removed"),
+        )
+        .orderBy("cluster_size")
+    )

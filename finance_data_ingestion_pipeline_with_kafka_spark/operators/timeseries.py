@@ -2414,3 +2414,102 @@ def repeat_purchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gap_hours")
     )
+
+
+@query(
+    "funnel_time_to_convert",
+    oracle="""
+    WITH events_us AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    s1 AS (
+      SELECT user_id, MIN(ts) AS t_view FROM events_us
+      WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events_us e JOIN s1 ON s1.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t_view GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t_signup
+      FROM events_us e JOIN s2 ON s2.user_id = e.user_id
+      WHERE e.event_type = 'signup' AND e.ts > s2.t_click GROUP BY e.user_id
+    ), s4 AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events_us e JOIN s3 ON s3.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s3.t_signup GROUP BY e.user_id
+    ), deltas AS (
+      SELECT '1_view_to_click' AS step,
+             CAST(epoch_us(s2.t_click) - epoch_us(s1.t_view) AS BIGINT) AS us
+      FROM s1 JOIN s2 ON s2.user_id = s1.user_id
+      UNION ALL
+      SELECT '2_click_to_signup',
+             CAST(epoch_us(s3.t_signup) - epoch_us(s2.t_click) AS BIGINT)
+      FROM s2 JOIN s3 ON s3.user_id = s2.user_id
+      UNION ALL
+      SELECT '3_signup_to_purchase',
+             CAST(epoch_us(s4.t_purchase) - epoch_us(s3.t_signup) AS BIGINT)
+      FROM s3 JOIN s4 ON s4.user_id = s3.user_id
+    )
+    SELECT step, CAST(COUNT(*) AS BIGINT) AS n_users,
+           ROUND(quantile_cont(us, 0.5) / 60000000.0, 4) AS p50_minutes,
+           ROUND(quantile_cont(us, 0.9) / 60000000.0, 4) AS p90_minutes
+    FROM deltas GROUP BY step ORDER BY step
+    """,
+    tags=("A7", "A1"),
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A7/A1] Funnel velocity — p50/p90 time BETWEEN funnel steps for
+    users who completed each transition: the "where do users stall"
+    view that ``conversion_funnel`` (who converts) doesn't answer.
+    Same ordered-step stage chain as the funnel (strictly-after MINs),
+    then per-step deltas as EXACT integer microseconds and exact
+    interpolated percentiles converted to minutes (one double division
+    of the interpolated value; ROUND-4 per the ``percentiles``
+    precedent — interpolation of exact ints is deterministic far below
+    that grain).
+
+    At 100 TB: inherits the funnel's monotone-shrinking stage shape
+    (each stage one key-bounded aggregate); the percentile runs over
+    three step groups of converted users — the tiny end of the funnel
+    by construction."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    def stage(etype: str, prev: DataFrame, prev_ts: str, out: str) -> DataFrame:
+        return (
+            e.filter(F.col("event_type") == etype)
+            .join(prev.select("user_id", prev_ts), "user_id")
+            .filter(F.col("ts") > F.col(prev_ts))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out))
+        )
+
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    s2 = stage("click", s1, "t_view", "t_click")
+    s3 = stage("signup", s2, "t_click", "t_signup")
+    s4 = stage("purchase", s3, "t_signup", "t_purchase")
+
+    def delta(label: str, a: DataFrame, ta: str, b: DataFrame, tb: str) -> DataFrame:
+        return (
+            a.join(b, "user_id")
+            .select(
+                F.lit(label).alias("step"),
+                (F.unix_micros(tb) - F.unix_micros(ta)).cast("bigint").alias("us"),
+            )
+        )
+
+    deltas = (
+        delta("1_view_to_click", s1, "t_view", s2, "t_click")
+        .unionAll(delta("2_click_to_signup", s2, "t_click", s3, "t_signup"))
+        .unionAll(delta("3_signup_to_purchase", s3, "t_signup", s4, "t_purchase"))
+    )
+    return (
+        deltas.groupBy("step")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.round(F.expr("percentile(us, 0.5)") / 60000000.0, 4).alias("p50_minutes"),
+            F.round(F.expr("percentile(us, 0.9)") / 60000000.0, 4).alias("p90_minutes"),
+        )
+        .orderBy("step")
+    )
