@@ -1777,6 +1777,49 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+def streaks_from_days(days: DataFrame) -> DataFrame:
+    """Gaps-and-islands kernel over a (user_id, day DATE) frame: the
+    ``day − row_number`` anchor is constant exactly along a consecutive
+    run, so each (user, anchor) group is one streak. Returns one row per
+    user: n_active_days / n_streaks / max_streak. Shared by the catalog
+    query and the Hypothesis property test (which checks it against a
+    brute-force run-length scan on arbitrary generated day sets)."""
+    w = Window.partitionBy("user_id").orderBy("day")
+    g = days.withColumn("anchor", F.date_sub(F.col("day"), F.row_number().over(w)))
+    streaks = g.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).cast("bigint").alias("len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.sum("len").cast("bigint").alias("n_active_days"),
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+        F.max("len").cast("bigint").alias("max_streak"),
+    )
+
+
+def max_concurrency_from_intervals(iv: DataFrame) -> DataFrame:
+    """Sweep-line kernel over a (day, t0, t1) interval frame: +1/−1
+    boundaries, running sum ordered (t, delta DESC) — a start at the
+    exact instant of another span's end counts as concurrent — and the
+    per-day MAX of the concurrency curve. Ties within a (t, delta) group
+    permute only which row carries which intermediate value; the running
+    sum passes the same multiset, so the MAX is order-invariant. Shared
+    by the catalog query and the Hypothesis property test (brute-force
+    containment count at every start instant)."""
+    b = iv.select("day", F.col("t0").alias("t"), F.lit(1).alias("delta")).unionAll(
+        iv.select("day", F.col("t1").alias("t"), F.lit(-1).alias("delta"))
+    )
+    w = (
+        Window.partitionBy("day")
+        .orderBy(F.col("t"), F.col("delta").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        b.select("day", F.sum("delta").over(w).alias("conc"))
+        .groupBy("day")
+        .agg(F.max("conc").cast("int").alias("max_concurrent"))
+    )
+
+
 @query(
     "activity_streaks",
     oracle="""
@@ -1816,20 +1859,7 @@ def activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     per user is its day list, thousands at most."""
     e = load_table(spark, sf_dir, "events")
     days = e.select("user_id", F.to_date("ts").alias("day")).distinct()
-    w = Window.partitionBy("user_id").orderBy("day")
-    g = days.withColumn("anchor", F.date_sub(F.col("day"), F.row_number().over(w)))
-    streaks = g.groupBy("user_id", "anchor").agg(
-        F.count(F.lit(1)).cast("bigint").alias("len")
-    )
-    return (
-        streaks.groupBy("user_id")
-        .agg(
-            F.sum("len").cast("bigint").alias("n_active_days"),
-            F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
-            F.max("len").cast("bigint").alias("max_streak"),
-        )
-        .orderBy("user_id")
-    )
+    return streaks_from_days(days).orderBy("user_id")
 
 
 @query(
@@ -1943,18 +1973,9 @@ def interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     iv = e.groupBy("user_id", F.to_date("ts").alias("day")).agg(
         F.min("ts").alias("t0"), F.max("ts").alias("t1")
     )
-    b = iv.select("day", F.col("t0").alias("t"), F.lit(1).alias("delta")).unionAll(
-        iv.select("day", F.col("t1").alias("t"), F.lit(-1).alias("delta"))
-    )
-    w = (
-        Window.partitionBy("day")
-        .orderBy(F.col("t"), F.col("delta").desc())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
     return (
-        b.select("day", F.sum("delta").over(w).alias("conc"))
-        .groupBy(F.col("day").cast("timestamp").alias("day"))
-        .agg(F.max("conc").cast("int").alias("max_concurrent"))
+        max_concurrency_from_intervals(iv)
+        .select(F.col("day").cast("timestamp").alias("day"), "max_concurrent")
         .orderBy("day")
     )
 

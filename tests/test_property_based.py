@@ -360,3 +360,88 @@ def test_rsi_fold_incremental_equals_global(ticks, cuts, lag):
     # and then the older arrival would have been dropped at the gate
     _, _, _, want = rsi_fold(0.0, [], 0, sorted(admitted))
     assert got == want
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    ivs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1),  # day bucket
+            st.integers(min_value=0, max_value=30),  # start second
+            st.integers(min_value=0, max_value=30),  # length seconds
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_sweep_concurrency_matches_bruteforce(ivs):
+    """The sweep-line kernel must equal the brute-force definition on
+    arbitrary generated intervals: max over start instants s of
+    #{[t0, t1] : t0 <= s <= t1} per day — touching counts as
+    concurrent, matching the kernel's +1-before-−1 tie order."""
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.timeseries import (
+        max_concurrency_from_intervals,
+    )
+
+    spark = get_test_spark()
+    rows = [(d, float(s), float(s + ln)) for d, s, ln in ivs]
+    iv = spark.createDataFrame(rows, "day int, t0 double, t1 double")
+    got = {
+        r["day"]: r["max_concurrent"]
+        for r in max_concurrency_from_intervals(iv).collect()
+    }
+    expect = {}
+    for d in {r[0] for r in rows}:
+        day_ivs = [(t0, t1) for dd, t0, t1 in rows if dd == d]
+        expect[d] = max(
+            sum(1 for t0, t1 in day_ivs if t0 <= s <= t1) for s, _ in day_ivs
+        )
+    assert got == expect
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    users=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),  # user
+            st.sets(st.integers(min_value=0, max_value=25), min_size=1, max_size=15),
+        ),
+        min_size=1,
+        max_size=3,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_streaks_kernel_matches_runlength_scan(users):
+    """The gaps-and-islands kernel must equal a brute-force run-length
+    scan over arbitrary generated day sets: n_active_days = |days|,
+    and (n_streaks, max_streak) from scanning sorted days for
+    consecutive runs."""
+    import datetime as dt
+
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.timeseries import (
+        streaks_from_days,
+    )
+
+    spark = get_test_spark()
+    base = dt.date(2024, 1, 1)
+    rows = [
+        (u, base + dt.timedelta(days=d)) for u, days in users for d in days
+    ]
+    df = spark.createDataFrame(rows, "user_id long, day date")
+    got = {
+        r["user_id"]: (r["n_active_days"], r["n_streaks"], r["max_streak"])
+        for r in streaks_from_days(df).collect()
+    }
+    expect = {}
+    for u, days in users:
+        ds = sorted(days)
+        runs, cur = [], 1
+        for a, b in zip(ds, ds[1:]):
+            if b == a + 1:
+                cur += 1
+            else:
+                runs.append(cur)
+                cur = 1
+        runs.append(cur)
+        expect[u] = (len(ds), len(runs), max(runs))
+    assert got == expect
