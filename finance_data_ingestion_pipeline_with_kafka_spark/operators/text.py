@@ -813,3 +813,62 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .orderBy(F.desc("lift"), "w1", "w2")
     )
+
+
+@query(
+    "language_id_eval",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {_lang_score_sql("en")} AS score_en,
+             {_lang_score_sql("es")} AS score_es,
+             {_lang_score_sql("fr")} AS score_fr,
+             {_lang_score_sql("de")} AS score_de
+      FROM documents
+    ), pred AS (
+      SELECT lang,
+             CASE GREATEST(score_en, score_es, score_fr, score_de)
+                  WHEN 0 THEN 'und'
+                  WHEN score_en THEN 'en'
+                  WHEN score_es THEN 'es'
+                  WHEN score_fr THEN 'fr'
+                  ELSE 'de' END AS predicted_lang
+      FROM scored
+    )
+    SELECT lang, predicted_lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) AS DOUBLE)
+             / SUM(COUNT(*)) OVER (PARTITION BY lang) AS share_of_lang
+    FROM pred GROUP BY lang, predicted_lang
+    ORDER BY lang, predicted_lang
+    """,
+    tags=("U6", "A1"),
+)
+def language_id_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U6/A1] Confusion matrix for the stopword-anchor language
+    classifier — the acceptance metric the ``language_id`` operator was
+    missing (the same role ``ann_recall`` plays for ANN and
+    ``nearest_centroid_eval`` for embeddings): per (true lang, predicted
+    lang), the count and the row-normalized share. The diagonal is the
+    per-language recall; off-diagonal mass names the confusion pairs
+    (and the 'und' column shows where the stopword anchors simply don't
+    fire — zh has no Latin stopword overlap, so its row IS the honest
+    boundary of the heuristic).
+
+    Composes the verified classifier output (same scoring expressions,
+    same en→es→fr→de tie order); counts exact, shares single divisions
+    over a window on the tiny matrix. At 100 TB: the classifier pass is
+    the scan cost; the matrix is |langs|² rows."""
+    pred = language_id(spark, sf_dir).select("lang", "predicted_lang")
+    w = Window.partitionBy("lang")
+    return (
+        pred.groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(
+            "lang",
+            "predicted_lang",
+            "n",
+            (F.col("n").cast("double") / F.sum("n").over(w)).alias("share_of_lang"),
+        )
+        .orderBy("lang", "predicted_lang")
+    )
