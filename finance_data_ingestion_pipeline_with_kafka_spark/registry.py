@@ -382,6 +382,10 @@ def query(
 #:         in round 6 but its latest driver row is round 5;
 #:         fingerprint_containment's denominator changed to
 #:         least(n_fp_a, n_fp_b) in round 7 after its r6 row.
+#:   (1.75) ``_DEFER_NEW_R8`` — new-query overflow beyond the 50-slot
+#:         window (sessions 2–3 registered 55 new queries); parked just
+#:         below the promoted tier so they lead round 8. See the tier's
+#:         own docstring for the selection rationale.
 #:   (2) ``_STALE_R4`` — latest green evidence is round 4.
 #:   (3) ``_VERIFIED_R5`` — green in CORRECTNESS_r05.
 #:   (4) ``_VERIFIED_R6`` — green in CORRECTNESS_r06 (freshest, below
@@ -408,6 +412,26 @@ _STALE_R4 = frozenset((
     "stratified_sample", "string_functions", "table_profile",
     "udtf_bigrams", "udtf_tokenize", "union_feeds", "url_domain_dedup",
     "variant_json_agg", "wav_decode", "word_entropy",
+))
+#: Brand-new (never-driver-verified) queries DEFERRED below the r7
+#: window. Sessions 2–3 of round 7 registered 55 new queries — more than
+#: the driver's ~50-slot window — which would have evicted the
+#: stale-evidence tiers the round-7 rotation plan owes fresh rows
+#: (VERDICT r6 ask #1: the r3-stale rows and the two promoted
+#: oracle-changed rows). The 12 deferred here are the new queries with
+#: the strongest ALTERNATIVE evidence — pure re-compositions of
+#: long-verified mechanics (the ``percentiles`` ROUND-4 precedent,
+#: decimal moment sums, the verified funnel/cluster/classifier outputs)
+#: plus unit-pinned acceptance curves — so deferring their first driver
+#: row one round costs the least. They rank immediately after the
+#: promoted tier: first in line for round 8 alongside that round's
+#: leftovers. Window arithmetic: 55 − 12 new + 5 r3 + 2 promoted = 50.
+_DEFER_NEW_R8 = frozenset((
+    "benford_audit", "correlation_matrix", "dedup_cluster_stats",
+    "funnel_time_to_convert", "language_id_eval",
+    "median_absolute_deviation", "minhash_band_sweep",
+    "repeat_purchase_intervals", "seasonal_profile",
+    "ship_latency_percentiles", "value_histogram", "winsorized_stats",
 ))
 _VERIFIED_R5 = frozenset((
     "ann_lsh_bucketed", "asof_join", "asof_join_forward", "bm25_score",
@@ -472,18 +496,21 @@ def load_all() -> dict[str, QuerySpec]:
 
     def rank(item: tuple[str, QuerySpec]) -> tuple[int, int]:
         name, _spec = item
+        if name in _DEFER_NEW_R8:
+            return (3, reg_order[name])
         if name in _STALE_R3:
             return (1, reg_order[name])
         if name in _PROMOTED_R7:
             return (2, reg_order[name])
         if name in _STALE_R4:
-            return (3, reg_order[name])
-        if name in _VERIFIED_R5:
             return (4, reg_order[name])
-        if name in _VERIFIED_R6:
+        if name in _VERIFIED_R5:
             return (5, reg_order[name])
+        if name in _VERIFIED_R6:
+            return (6, reg_order[name])
         # brand-new queries (registered after CORRECTNESS_r06 was
-        # written): no driver row yet, so they lead the window
+        # written): no driver row yet, so they lead the window —
+        # except the _DEFER_NEW_R8 overflow (see that tier's docstring)
         return (0, reg_order[name])
 
     return dict(sorted(QUERIES.items(), key=rank))

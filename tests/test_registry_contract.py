@@ -35,13 +35,16 @@ def test_stalest_evidence_leads_the_window():
     the 5 rows whose latest green evidence is round 3, then the promoted
     oracle-changed row (session_window_agg — ADVICE r6), then round-4
     evidence; CORRECTNESS_r05/r06 greens sit below the fold."""
+    from finance_data_ingestion_pipeline_with_kafka_spark.registry import _DEFER_NEW_R8
+
     order = list(load_all())
     tiers = (
         set(_STALE_R3) | set(_STALE_R4) | set(_VERIFIED_R5) | set(_VERIFIED_R6)
     )
-    new = [n for n in order if n not in tiers]
+    new = [n for n in order if n not in tiers and n not in _DEFER_NEW_R8]
     # tier sets partition cleanly (the promoted row stays a member of its
-    # original r5 tier; the rank fn checks promotion first)
+    # original r5 tier; the rank fn checks promotion first; the deferred
+    # tier holds only never-driver-verified names)
     assert _STALE_R3 & _STALE_R4 == frozenset()
     assert _STALE_R3 & _VERIFIED_R5 == frozenset()
     assert _STALE_R4 & _VERIFIED_R5 == frozenset()
@@ -49,16 +52,25 @@ def test_stalest_evidence_leads_the_window():
     assert _STALE_R4 & _VERIFIED_R6 == frozenset()
     assert _VERIFIED_R5 & _VERIFIED_R6 == frozenset()
     assert _PROMOTED_R7 <= (_VERIFIED_R5 | _VERIFIED_R6)
-    # new queries lead, then stale-r3, promoted, stale-r4, r5, r6 greens
+    assert _DEFER_NEW_R8 & tiers == frozenset()
+    # undeferred new queries lead, then stale-r3, promoted, the deferred
+    # new overflow, stale-r4, r5, r6 greens
     n_new, n1, np = len(new), len(_STALE_R3), len(_PROMOTED_R7)
-    n2 = len(_STALE_R4)
+    nd, n2 = len(_DEFER_NEW_R8), len(_STALE_R4)
     assert set(order[:n_new]) == set(new)
     assert set(order[n_new : n_new + n1]) == set(_STALE_R3)
     assert set(order[n_new + n1 : n_new + n1 + np]) == set(_PROMOTED_R7)
-    assert set(order[n_new + n1 + np : n_new + n1 + np + n2]) == set(_STALE_R4)
-    assert set(order[n_new + n1 + np + n2 :]) == (
+    assert set(order[n_new + n1 + np : n_new + n1 + np + nd]) == set(_DEFER_NEW_R8)
+    assert set(order[n_new + n1 + np + nd : n_new + n1 + np + nd + n2]) == set(
+        _STALE_R4
+    )
+    assert set(order[n_new + n1 + np + nd + n2 :]) == (
         set(_VERIFIED_R5) | set(_VERIFIED_R6)
     ) - set(_PROMOTED_R7)
+    # the window arithmetic the deferral exists for: exactly 50 entries
+    # ahead of the deferred tier — the driver window is new + r3-stale +
+    # promoted, nothing evicted
+    assert n_new + n1 + np == 50, (n_new, n1, np)
     # the ~50-entry window must contain no r5/r6-green row other than
     # the explicitly promoted (oracle-changed) ones
     window = set(order[:50])
@@ -69,14 +81,21 @@ def test_stalest_evidence_leads_the_window():
 
 def test_brand_new_queries_sort_into_the_window():
     """A query in no verified tier (i.e. added after the last driver
-    round) must rank ahead of all verified rows."""
+    round) must rank ahead of all verified rows — except the explicit
+    ``_DEFER_NEW_R8`` overflow, which must still rank ahead of every
+    STALE/VERIFIED row below the promoted tier."""
+    from finance_data_ingestion_pipeline_with_kafka_spark.registry import _DEFER_NEW_R8
+
     order = list(load_all())
     known = (
         set(_STALE_R3) | set(_STALE_R4) | set(_VERIFIED_R5) | set(_VERIFIED_R6)
     )
     first_known = min(order.index(n) for n in known)
-    for name in set(order) - known:
+    for name in set(order) - known - set(_DEFER_NEW_R8):
         assert order.index(name) < first_known, name
+    first_r4 = min(order.index(n) for n in _STALE_R4)
+    for name in _DEFER_NEW_R8:
+        assert order.index(name) < first_r4, name
 
 
 def test_duplicate_registration_rejected():
