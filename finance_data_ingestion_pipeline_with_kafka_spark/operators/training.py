@@ -1045,9 +1045,28 @@ def pit_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_purchases"),
     )
-    win = (
-        Window.partitionBy("user_id").orderBy("day_idx").rangeBetween(-7, -1)
+    return (
+        pit_features_from_daily(daily)
+        .select(
+            "user_id",
+            F.col("day").cast("timestamp").alias("day"),
+            "f_events_prev7",
+            "f_purchases_prev7",
+            "label_next_day_purchases",
+        )
+        .orderBy("user_id", "day")
     )
+
+
+def pit_features_from_daily(daily: DataFrame) -> DataFrame:
+    """Point-in-time kernel over a (user_id, day, day_idx, n_events,
+    n_purchases) daily-grain frame: trailing-week features from a RANGE
+    frame over days [d−7, d−1] (the current day can never feed its own
+    features) and the label from day d+1 by exact calendar index join
+    (absent next days are zero labels). Shared by the catalog query and
+    the Hypothesis no-leakage property (brute-force window recount on
+    arbitrary generated day grids)."""
+    win = Window.partitionBy("user_id").orderBy("day_idx").rangeBetween(-7, -1)
     feat = daily.select(
         "user_id",
         "day",
@@ -1064,22 +1083,19 @@ def pit_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("day_idx") - 1).alias("n_idx"),
         F.col("n_purchases").alias("next_p"),
     )
-    return (
-        feat.join(
-            nxt,
-            (feat["user_id"] == nxt["n_user"]) & (feat["day_idx"] == nxt["n_idx"]),
-            "left",
-        )
-        .select(
-            "user_id",
-            F.col("day").cast("timestamp").alias("day"),
-            "f_events_prev7",
-            "f_purchases_prev7",
-            F.coalesce(F.col("next_p"), F.lit(0))
-            .cast("bigint")
-            .alias("label_next_day_purchases"),
-        )
-        .orderBy("user_id", "day")
+    return feat.join(
+        nxt,
+        (feat["user_id"] == nxt["n_user"]) & (feat["day_idx"] == nxt["n_idx"]),
+        "left",
+    ).select(
+        "user_id",
+        "day",
+        "day_idx",
+        "f_events_prev7",
+        "f_purchases_prev7",
+        F.coalesce(F.col("next_p"), F.lit(0))
+        .cast("bigint")
+        .alias("label_next_day_purchases"),
     )
 
 

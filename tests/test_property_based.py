@@ -445,3 +445,55 @@ def test_streaks_kernel_matches_runlength_scan(users):
         runs.append(cur)
         expect[u] = (len(ds), len(runs), max(runs))
     assert got == expect
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    cells=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),  # user
+            st.integers(min_value=0, max_value=15),  # day_idx
+            st.integers(min_value=1, max_value=9),  # n_events
+            st.integers(min_value=0, max_value=3),  # n_purchases
+        ),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda t: (t[0], t[1]),
+    )
+)
+def test_pit_features_no_leakage(cells):
+    """The point-in-time kernel must equal a brute-force recount on
+    arbitrary daily grids: features are sums over days [d−7, d−1] ONLY
+    (never the current day — the leakage contract), and the label is
+    the purchases at EXACTLY day d+1 (0 when absent, never the next
+    observed day across a gap)."""
+    import datetime as dt
+
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.training import (
+        pit_features_from_daily,
+    )
+
+    spark = get_test_spark()
+    base = dt.date(2024, 1, 1)
+    rows = [
+        (u, base + dt.timedelta(days=d), d, e, min(p, e))
+        for u, d, e, p in cells
+    ]
+    daily = spark.createDataFrame(
+        rows, "user_id long, day date, day_idx int, n_events long, n_purchases long"
+    )
+    got = {
+        (r["user_id"], r["day_idx"]): (
+            r["f_events_prev7"],
+            r["f_purchases_prev7"],
+            r["label_next_day_purchases"],
+        )
+        for r in pit_features_from_daily(daily).collect()
+    }
+    grid = {(u, d): (e, min(p, e)) for u, d, e, p in cells}
+    for (u, d), _ in grid.items():
+        fe = sum(grid.get((u, k), (0, 0))[0] for k in range(d - 7, d))
+        fp = sum(grid.get((u, k), (0, 0))[1] for k in range(d - 7, d))
+        label = grid.get((u, d + 1), (0, 0))[1]
+        assert got[(u, d)] == (fe, fp, label), (u, d)
+    assert len(got) == len(grid)
