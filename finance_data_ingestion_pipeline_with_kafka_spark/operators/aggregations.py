@@ -823,9 +823,12 @@ _CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
         ),
         selects=" UNION ALL ".join(
             f"""SELECT '{_CORR_COLS[i]}' AS col_a, '{_CORR_COLS[j]}' AS col_b, n,
-               ROUND((n * p_{i}_{j} - s_{i} * s_{j})
-                 / (sqrt(n * p_{i}_{i} - s_{i} * s_{i})
-                    * sqrt(n * p_{j}_{j} - s_{j} * s_{j})), 6) AS corr
+               CASE WHEN n * p_{i}_{i} - s_{i} * s_{i} > 0
+                     AND n * p_{j}_{j} - s_{j} * s_{j} > 0
+                    THEN ROUND((n * p_{i}_{j} - s_{i} * s_{j})
+                      / (sqrt(n * p_{i}_{i} - s_{i} * s_{i})
+                         * sqrt(n * p_{j}_{j} - s_{j} * s_{j})), 6)
+               END AS corr
             FROM m"""
             for i in range(len(_CORR_COLS))
             for j in range(i + 1, len(_CORR_COLS))
@@ -867,13 +870,18 @@ def correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(len(cols)):
         for j in range(i + 1, len(cols)):
             n_d = F.col("n").cast("double")
-            corr = F.round(
-                (n_d * F.col(f"p_{i}_{j}") - F.col(f"s_{i}") * F.col(f"s_{j}"))
-                / (
-                    F.sqrt(n_d * F.col(f"p_{i}_{i}") - F.col(f"s_{i}") * F.col(f"s_{i}"))
-                    * F.sqrt(n_d * F.col(f"p_{j}_{j}") - F.col(f"s_{j}") * F.col(f"s_{j}"))
+            # zero-variance guard (see autocorrelation): constant column
+            # on a regenerated fixture degrades to NULL, never an ANSI
+            # DIVIDE_BY_ZERO
+            vi = n_d * F.col(f"p_{i}_{i}") - F.col(f"s_{i}") * F.col(f"s_{i}")
+            vj = n_d * F.col(f"p_{j}_{j}") - F.col(f"s_{j}") * F.col(f"s_{j}")
+            corr = F.when(
+                (vi > 0) & (vj > 0),
+                F.round(
+                    (n_d * F.col(f"p_{i}_{j}") - F.col(f"s_{i}") * F.col(f"s_{j}"))
+                    / (F.sqrt(vi) * F.sqrt(vj)),
+                    6,
                 ),
-                6,
             )
             row = m.select(
                 F.lit(cols[i]).alias("col_a"),
@@ -962,8 +970,9 @@ def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem GROUP BY l_returnflag
     ), binned AS (
       SELECT l.l_returnflag,
-             CAST(least(floor((l.l_extendedprice - b.lo) / b.w), 19) AS INT)
-               AS bin,
+             CAST(CASE WHEN b.w = 0 THEN 0
+                       ELSE least(floor((l.l_extendedprice - b.lo) / b.w), 19)
+                  END AS INT) AS bin,
              b.lo, b.w
       FROM lineitem l JOIN b ON b.l_returnflag = l.l_returnflag
     )
@@ -1002,7 +1011,13 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.max("l_extendedprice") - F.min("l_extendedprice")) / 20.0).alias("w"),
     ).toDF("b_flag", "lo", "w")
     x = F.col("l_extendedprice")
-    bin_ = F.least(F.floor((x - F.col("lo")) / F.col("w")), F.lit(19)).cast("int")
+    # zero-width guard: a constant group puts every row in bin 0 instead
+    # of dividing by zero (ANSI raise) on a degenerate fixture draw
+    bin_ = (
+        F.when(F.col("w") == 0, F.lit(0))
+        .otherwise(F.least(F.floor((x - F.col("lo")) / F.col("w")), F.lit(19)))
+        .cast("int")
+    )
     return (
         li.join(F.broadcast(b), F.col("l_returnflag") == F.col("b_flag"))
         .groupBy("l_returnflag", bin_.alias("bin"), "lo", "w")

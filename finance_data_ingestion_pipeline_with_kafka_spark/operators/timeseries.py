@@ -2007,9 +2007,12 @@ def interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM pairs GROUP BY event_type, lag
     )
     SELECT event_type, CAST(lag AS INT) AS lag, n_pairs,
-           (CAST(n_pairs AS DOUBLE) * sxy - sx * sy)
-             / (sqrt(CAST(n_pairs AS DOUBLE) * sxx - sx * sx)
-                * sqrt(CAST(n_pairs AS DOUBLE) * syy - sy * sy)) AS acf
+           CASE WHEN (CAST(n_pairs AS DOUBLE) * sxx - sx * sx) > 0
+                 AND (CAST(n_pairs AS DOUBLE) * syy - sy * sy) > 0
+                THEN (CAST(n_pairs AS DOUBLE) * sxy - sx * sy)
+                  / (sqrt(CAST(n_pairs AS DOUBLE) * sxx - sx * sx)
+                     * sqrt(CAST(n_pairs AS DOUBLE) * syy - sy * sy))
+           END AS acf
     FROM m ORDER BY event_type, lag
     """,
     tags=("A7", "W2"),
@@ -2055,17 +2058,21 @@ def autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec(F.col("x") * F.col("y")).alias("sxy"),
     )
     n_d = F.col("n_pairs").cast("double")
+    # zero-variance guard: a constant series (or constant lagged slice)
+    # has an undefined ACF — NULL, decided on the same derived doubles in
+    # both engines (ANSI Spark would raise DIVIDE_BY_ZERO on the 0/0; a
+    # regenerated fixture must degrade to NULL, not a query error)
+    varx = n_d * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = n_d * F.col("syy") - F.col("sy") * F.col("sy")
     return (
         m.select(
             "event_type",
             F.col("lag").cast("int").alias("lag"),
             "n_pairs",
-            (
+            F.when(
+                (varx > 0) & (vary > 0),
                 (n_d * F.col("sxy") - F.col("sx") * F.col("sy"))
-                / (
-                    F.sqrt(n_d * F.col("sxx") - F.col("sx") * F.col("sx"))
-                    * F.sqrt(n_d * F.col("syy") - F.col("sy") * F.col("sy"))
-                )
+                / (F.sqrt(varx) * F.sqrt(vary)),
             ).alias("acf"),
         )
         .orderBy("event_type", "lag")
@@ -2244,6 +2251,7 @@ def seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS zscore
       FROM buckets b JOIN stats s ON s.event_type = b.event_type
       WHERE s.n_buckets > 1
+        AND s.sxx - s.sx * s.sx / s.n_buckets > 0
     )
     SELECT event_type, bucket_ts, n_events, zscore
     FROM scored WHERE zscore > 2.5 OR zscore < -2.5
@@ -2285,9 +2293,18 @@ def volume_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n_buckets"))
         / (F.col("n_buckets") - 1)
     )
+    # zero-variance guard: a type with identical counts in every bucket
+    # has no defined z — filtered on the same derived-double condition in
+    # both engines (ANSI Spark would raise on the division)
     return (
         buckets.join(F.broadcast(stats), "event_type")
-        .filter(F.col("n_buckets") > 1)
+        .filter(
+            (F.col("n_buckets") > 1)
+            & (
+                F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n_buckets")
+                > 0
+            )
+        )
         .select("event_type", "bucket_ts", "n_events", z.alias("zscore"))
         .filter((F.col("zscore") > 2.5) | (F.col("zscore") < -2.5))
         .orderBy("event_type", "bucket_ts")
@@ -2316,10 +2333,12 @@ def volume_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW win AS (ORDER BY bucket_ts ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
     )
     SELECT bucket_ts, x, y,
-           (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-             / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-                * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
-             AS corr24
+           CASE WHEN CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+                 AND CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy > 0
+                THEN (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                  / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                     * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+           END AS corr24
     FROM w WHERE rn >= 24 ORDER BY bucket_ts
     """,
     tags=("W2", "A7"),
@@ -2362,9 +2381,16 @@ def rolling_pair_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(wr).alias("rn"),
     )
     n_d = F.col("n").cast("double")
-    corr = (n_d * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")) / (
-        F.sqrt(n_d * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
-        * F.sqrt(n_d * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+    # zero-variance guard: 24 identical counts in a window (e.g. a type
+    # absent for a whole day on a regenerated fixture) has no defined r —
+    # NULL, same derived-double condition in both engines, never an ANSI
+    # DIVIDE_BY_ZERO
+    varx = n_d * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    vary = n_d * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    corr = F.when(
+        (varx > 0) & (vary > 0),
+        (n_d * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
+        / (F.sqrt(varx) * F.sqrt(vary)),
     )
     return (
         w.filter(F.col("rn") >= 24)

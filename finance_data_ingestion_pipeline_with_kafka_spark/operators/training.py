@@ -1110,25 +1110,24 @@ def pit_features_from_daily(daily: DataFrame) -> DataFrame:
       FROM events_us
     ), conv AS (
       SELECT DISTINCT user_id FROM events_us WHERE event_type = 'purchase'
-    ), cells AS (
-      SELECT a.variant,
-             CAST(COUNT(*) AS BIGINT) AS n_users,
-             CAST(COUNT(c.user_id) AS BIGINT) AS n_converted
-      FROM assign a LEFT JOIN conv c ON c.user_id = a.user_id
-      GROUP BY a.variant
     ), wide AS (
       SELECT
-        (SELECT n_users FROM cells WHERE variant = 'A') AS n_a,
-        (SELECT n_converted FROM cells WHERE variant = 'A') AS conv_a,
-        (SELECT n_users FROM cells WHERE variant = 'B') AS n_b,
-        (SELECT n_converted FROM cells WHERE variant = 'B') AS conv_b
+        CAST(COUNT(*) FILTER (WHERE a.variant = 'A') AS BIGINT) AS n_a,
+        CAST(COUNT(c.user_id) FILTER (WHERE a.variant = 'A') AS BIGINT)
+          AS conv_a,
+        CAST(COUNT(*) FILTER (WHERE a.variant = 'B') AS BIGINT) AS n_b,
+        CAST(COUNT(c.user_id) FILTER (WHERE a.variant = 'B') AS BIGINT)
+          AS conv_b
+      FROM assign a LEFT JOIN conv c ON c.user_id = a.user_id
     )
     SELECT n_a, conv_a, n_b, conv_b,
-           CAST(conv_a AS DOUBLE) / n_a AS rate_a,
-           CAST(conv_b AS DOUBLE) / n_b AS rate_b,
-           CAST(conv_b AS DOUBLE) / n_b - CAST(conv_a AS DOUBLE) / n_a
-             AS abs_lift,
-           CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b
+           CASE WHEN n_a > 0 THEN CAST(conv_a AS DOUBLE) / n_a END AS rate_a,
+           CASE WHEN n_b > 0 THEN CAST(conv_b AS DOUBLE) / n_b END AS rate_b,
+           CASE WHEN n_a > 0 AND n_b > 0
+                THEN CAST(conv_b AS DOUBLE) / n_b - CAST(conv_a AS DOUBLE) / n_a
+           END AS abs_lift,
+           CASE WHEN n_a = 0 OR n_b = 0
+                  OR conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b
                 THEN NULL
                 ELSE (CAST(conv_b AS DOUBLE) / n_b - CAST(conv_a AS DOUBLE) / n_a)
                   / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
@@ -1169,35 +1168,43 @@ def ab_test_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("converted", F.lit(1))
     )
-    cells = (
-        assign.join(conv, "user_id", "left")
-        .groupBy("variant")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_users"),
-            F.count("converted").cast("bigint").alias("n_converted"),
-        )
+    wide = assign.join(conv, "user_id", "left").agg(
+        F.count(F.when(F.col("variant") == "A", 1)).cast("bigint").alias("n_a"),
+        F.count(F.when(F.col("variant") == "A", F.col("converted")))
+        .cast("bigint")
+        .alias("conv_a"),
+        F.count(F.when(F.col("variant") == "B", 1)).cast("bigint").alias("n_b"),
+        F.count(F.when(F.col("variant") == "B", F.col("converted")))
+        .cast("bigint")
+        .alias("conv_b"),
     )
-    a = cells.filter(F.col("variant") == "A").select(
-        F.col("n_users").alias("n_a"), F.col("n_converted").alias("conv_a")
+    # every rate/lift/z is NULL-guarded on EXACT INTEGER conditions: an
+    # empty arm (possible on a regenerated fixture draw — the old
+    # filter-into-two-frames shape would then emit ZERO rows while the
+    # oracle emits one) and the degenerate 0%/100% pooled conversion
+    # both degrade to NULL instead of an ANSI DIVIDE_BY_ZERO; the single
+    # conditional aggregate always returns exactly one row
+    rate_a = F.when(
+        F.col("n_a") > 0, F.col("conv_a").cast("double") / F.col("n_a")
     )
-    b = cells.filter(F.col("variant") == "B").select(
-        F.col("n_users").alias("n_b"), F.col("n_converted").alias("conv_b")
+    rate_b = F.when(
+        F.col("n_b") > 0, F.col("conv_b").cast("double") / F.col("n_b")
     )
-    rate_a = F.col("conv_a").cast("double") / F.col("n_a")
-    rate_b = F.col("conv_b").cast("double") / F.col("n_b")
     pooled = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
         F.col("n_a") + F.col("n_b")
     )
-    # degenerate experiment (0% or 100% pooled conversion): the pooled
-    # variance is exactly zero and z is undefined — NULL, decided on the
-    # exact integer counts so both engines agree (ANSI Spark would raise
-    # DIVIDE_BY_ZERO on the 0/0 instead of producing NaN)
-    degenerate = ((F.col("conv_a") + F.col("conv_b")) == 0) | (
-        (F.col("conv_a") + F.col("conv_b")) == (F.col("n_a") + F.col("n_b"))
+    degenerate = (
+        (F.col("n_a") == 0)
+        | (F.col("n_b") == 0)
+        | ((F.col("conv_a") + F.col("conv_b")) == 0)
+        | ((F.col("conv_a") + F.col("conv_b")) == (F.col("n_a") + F.col("n_b")))
     )
     z = F.when(
         ~degenerate,
-        (rate_b - rate_a)
+        (
+            F.col("conv_b").cast("double") / F.col("n_b")
+            - F.col("conv_a").cast("double") / F.col("n_a")
+        )
         / F.sqrt(
             pooled
             * (1 - pooled)
@@ -1207,13 +1214,17 @@ def ab_test_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
-    return a.crossJoin(b).select(  # two 1-row frames: literal-carry
+    return wide.select(
         "n_a",
         "conv_a",
         "n_b",
         "conv_b",
         rate_a.alias("rate_a"),
         rate_b.alias("rate_b"),
-        (rate_b - rate_a).alias("abs_lift"),
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            F.col("conv_b").cast("double") / F.col("n_b")
+            - F.col("conv_a").cast("double") / F.col("n_a"),
+        ).alias("abs_lift"),
         z.alias("z_score"),
     )
