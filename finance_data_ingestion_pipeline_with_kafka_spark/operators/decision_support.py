@@ -997,3 +997,156 @@ def ship_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "basket_pair_lift",
+    oracle="""
+    WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n_orders AS (
+      SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM po
+    ), marg AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_part FROM po
+      GROUP BY l_partkey
+    ), pairs AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+             CAST(COUNT(*) AS BIGINT) AS n_pair
+      FROM po a JOIN po b ON a.l_orderkey = b.l_orderkey
+                         AND a.l_partkey < b.l_partkey
+      GROUP BY p1, p2
+    ), scored AS (
+      SELECT p.p1, p.p2, p.n_pair,
+             (CAST(p.n_pair AS DOUBLE) / t.n)
+               / ((CAST(m1.n_part AS DOUBLE) / t.n)
+                  * (CAST(m2.n_part AS DOUBLE) / t.n)) AS lift
+      FROM pairs p, n_orders t
+      JOIN marg m1 ON m1.l_partkey = p.p1
+      JOIN marg m2 ON m2.l_partkey = p.p2
+      WHERE p.n_pair >= 2
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY lift DESC, p1, p2) AS rn
+      FROM scored
+    )
+    SELECT p1, p2, n_pair, lift FROM ranked WHERE rn <= 50
+    ORDER BY lift DESC, p1, p2
+    """,
+    tags=("J1", "A1", "U4"),
+)
+def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[J1/A1] Market-basket affinity — part pairs co-purchased in the
+    same order far above chance, ranked by lift (P(both)/(P(a)·P(b)) on
+    order-level presence): the association-rule staple behind
+    "frequently bought together", and the commerce twin of
+    ``pmi_collocations`` (same exact-ratio-not-log determinism
+    contract, same top-50 ROW_NUMBER tiebreak). The pair space is
+    bounded by per-order basket size (not the catalog²): the self-join
+    pairs within orderkey only, ~k² per order for k-line baskets.
+
+    Counts exact; lift is a fixed sequence of divisions of exact
+    integers; min pair support 2 suppresses the singleton tail. At
+    100 TB: the distinct (order, part) projection collapses the fact
+    table; the within-order pair explosion shuffles on orderkey (lake
+    bucketing makes it zero-Exchange) and the marginals broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    po = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = po.agg(
+        F.count_distinct(F.col("l_orderkey")).cast("bigint").alias("n")
+    )
+    marg = po.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_part")
+    )
+    a, b = po.alias("a"), po.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pair"))
+        .filter(F.col("n_pair") >= 2)
+    )
+    m1 = marg.toDF("m1_key", "n_part1")
+    m2 = marg.toDF("m2_key", "n_part2")
+    n_d = F.col("n").cast("double")
+    scored = (
+        pairs.crossJoin(F.broadcast(n_orders))  # 1-row literal-carry
+        .join(F.broadcast(m1), F.col("p1") == F.col("m1_key"))
+        .join(F.broadcast(m2), F.col("p2") == F.col("m2_key"))
+        .select(
+            "p1",
+            "p2",
+            "n_pair",
+            (
+                (F.col("n_pair").cast("double") / n_d)
+                / (
+                    (F.col("n_part1").cast("double") / n_d)
+                    * (F.col("n_part2").cast("double") / n_d)
+                )
+            ).alias("lift"),
+        )
+    )
+    w = Window.orderBy(F.desc("lift"), "p1", "p2")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 50)
+        .drop("rn")
+        .orderBy(F.desc("lift"), "p1", "p2")
+    )
+
+
+@query(
+    "hhi_concentration",
+    oracle=f"""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey, {_REV_DEC_SQL} AS r
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), pt AS (
+      SELECT l_partkey, SUM(r) AS t, CAST(COUNT(*) AS BIGINT) AS n_suppliers
+      FROM ps GROUP BY l_partkey
+    )
+    SELECT ps.l_partkey AS p_partkey, pt.n_suppliers,
+           CAST(SUM(CAST((CAST(ps.r AS DOUBLE) / CAST(pt.t AS DOUBLE))
+                         * (CAST(ps.r AS DOUBLE) / CAST(pt.t AS DOUBLE))
+                         AS DECIMAL(20,12))) AS DOUBLE) AS hhi
+    FROM ps JOIN pt ON pt.l_partkey = ps.l_partkey
+    WHERE pt.n_suppliers >= 2
+    GROUP BY p_partkey, pt.n_suppliers
+    ORDER BY hhi DESC, p_partkey
+    """,
+    tags=("A1", "A7"),
+)
+def hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A1/A7] Herfindahl–Hirschman supply-concentration index per part
+    — Σ(supplier revenue share)² over each part's suppliers, the
+    antitrust/procurement-risk scalar that ``dominant_part_suppliers``'
+    binary majority cut coarsens (HHI ranks ALL parts on a continuous
+    0→1 concentration scale; 1/n = perfectly split, 1 = monopolized).
+    Single-supplier parts are excluded (trivially 1).
+
+    Determinism: supplier revenues are exact DECIMAL sums; each share
+    is one double division of two exactly-agreed values; the share² sum
+    accumulates per-term-rounded DECIMAL(20,12) (order-free), and the
+    DESC ordering ranks those exact decimals. Two-grain nested
+    aggregate + same-key join — one shuffle at (part, supplier), the
+    part-grain rollup and the join reuse the partitioning prefix."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(_rev_dec().alias("r"))
+    pt = ps.groupBy("l_partkey").agg(
+        F.sum("r").alias("t"),
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+    ).toDF("pt_key", "t", "n_suppliers")
+    share = F.col("r").cast("double") / F.col("t").cast("double")
+    return (
+        ps.join(pt, F.col("l_partkey") == F.col("pt_key"))
+        .filter(F.col("n_suppliers") >= 2)
+        .groupBy(F.col("l_partkey").alias("p_partkey"), "n_suppliers")
+        .agg(
+            F.sum((share * share).cast("decimal(20,12)"))
+            .cast("double")
+            .alias("hhi")
+        )
+        .orderBy(F.desc("hhi"), "p_partkey")
+    )

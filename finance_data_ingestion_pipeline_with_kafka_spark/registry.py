@@ -427,9 +427,9 @@ _STALE_R4 = frozenset((
 #: promoted tier: first in line for round 8 alongside that round's
 #: leftovers. Window arithmetic: 55 − 12 new + 5 r3 + 2 promoted = 50.
 _DEFER_NEW_R8 = frozenset((
-    "benford_audit", "correlation_matrix", "dedup_cluster_stats",
-    "funnel_time_to_convert", "language_id_eval",
-    "median_absolute_deviation", "minhash_band_sweep",
+    "basket_pair_lift", "benford_audit", "correlation_matrix",
+    "dedup_cluster_stats", "funnel_time_to_convert", "hhi_concentration",
+    "language_id_eval", "median_absolute_deviation", "minhash_band_sweep",
     "repeat_purchase_intervals", "seasonal_profile",
     "ship_latency_percentiles", "value_histogram", "winsorized_stats",
 ))
