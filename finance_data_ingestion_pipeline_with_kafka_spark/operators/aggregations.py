@@ -8,7 +8,7 @@ DECIMAL accumulation so results are order-independent (registry docstring).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -1144,4 +1144,128 @@ def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("deviation"),
         )
         .orderBy("digit")
+    )
+
+
+@query(
+    "dominant_event_type",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id, event_type
+    ), t AS (
+      SELECT user_id, CAST(SUM(n) AS BIGINT) AS total FROM c GROUP BY user_id
+    ), r AS (
+      SELECT c.user_id, c.event_type, c.n, t.total,
+             ROW_NUMBER() OVER (PARTITION BY c.user_id
+                                ORDER BY c.n DESC, c.event_type) AS rn
+      FROM c JOIN t ON t.user_id = c.user_id
+    )
+    SELECT user_id, event_type AS mode_event_type, n AS n_events,
+           CAST(n AS DOUBLE) / total AS mode_share
+    FROM r WHERE rn = 1 ORDER BY user_id
+    """,
+    tags=("A1", "W1"),
+)
+def dominant_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A1/W1] Mode aggregate with a deterministic tiebreak — each
+    user's most frequent event type and its share of their activity:
+    the "what kind of user is this" label, and the aggregate SQL
+    famously lacks (MODE() exists in some dialects but with unspecified
+    tie behavior — here ties break lexicographically on the type name,
+    pinned identically in both engines via ROW_NUMBER over (count DESC,
+    type)). Counts exact; the share is one division of exact ints.
+
+    Shape: count at (user, type) grain, roll up the total at user
+    grain, rank within user — all three share the user_id hash
+    partitioning, so one Exchange serves the chain. At 100 TB on a
+    user-bucketed lake the whole query is zero-Exchange."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    t = c.groupBy("user_id").agg(F.sum("n").cast("bigint").alias("total"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), "event_type")
+    return (
+        c.join(t, "user_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("mode_event_type"),
+            F.col("n").alias("n_events"),
+            (F.col("n").cast("double") / F.col("total")).alias("mode_share"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "sort_partition_balance",
+    oracle="""
+    WITH b AS (
+      SELECT quantile_cont(o_totalprice,
+                           [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875])
+               AS qs
+      FROM orders
+    ), binned AS (
+      SELECT CAST(
+               CASE WHEN o.o_totalprice < b.qs[1] THEN 0
+                    WHEN o.o_totalprice < b.qs[2] THEN 1
+                    WHEN o.o_totalprice < b.qs[3] THEN 2
+                    WHEN o.o_totalprice < b.qs[4] THEN 3
+                    WHEN o.o_totalprice < b.qs[5] THEN 4
+                    WHEN o.o_totalprice < b.qs[6] THEN 5
+                    WHEN o.o_totalprice < b.qs[7] THEN 6
+                    ELSE 7 END AS INT) AS part_id
+      FROM orders o, b
+    )
+    SELECT part_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS DOUBLE)
+             / (SELECT COUNT(*) FROM orders) AS row_share
+    FROM binned GROUP BY part_id ORDER BY part_id
+    """,
+    tags=("O2", "A7"),
+)
+def sort_partition_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[O2/A7] Range-partitioner balance audit — the distribution a
+    global sort's range partitioning would produce: 8 ranges bounded at
+    the exact octile boundaries of the sort key, with each range's row
+    count and share. A balanced partitioner shows ~0.125 per range;
+    skewed shares are exactly the straggler-stage warning a 100 TB
+    ORDER BY needs BEFORE running (Spark's own RangePartitioner samples
+    — this audit computes the truth the sample approximates, which is
+    what makes it the calibration/debugging tool for O2 at scale).
+
+    Boundary compares run on exact interpolated percentiles — identical
+    doubles in both engines (same sorted multiset, same type-7
+    interpolation), so every row bins identically; strict `<` on each
+    upper bound makes the ranges half-open like the partitioner's.
+    Counts exact, shares single divisions.
+
+    At 100 TB: exact octiles are the audit path (sort-bound);
+    ``approx_percentiles`` bounds give the sketch-grade audit at a scan
+    — same query shape, stated trade."""
+    o = load_table(spark, sf_dir, "orders")
+    qs = o.agg(
+        F.expr(
+            "percentile(o_totalprice,"
+            " array(0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875))"
+        ).alias("qs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+    )
+    x = F.col("o_totalprice")
+    part = F.lit(7)
+    for i in range(6, -1, -1):
+        part = F.when(x < F.element_at("qs", i + 1), i).otherwise(part)
+    return (
+        o.crossJoin(F.broadcast(qs))  # 1-row literal-carry
+        .groupBy(part.cast("int").alias("part_id"), "n_total")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        .select(
+            "part_id",
+            "n_rows",
+            (F.col("n_rows").cast("double") / F.col("n_total")).alias("row_share"),
+        )
+        .orderBy("part_id")
     )

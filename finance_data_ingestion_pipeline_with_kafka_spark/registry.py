@@ -428,10 +428,12 @@ _STALE_R4 = frozenset((
 #: leftovers. Window arithmetic: 55 − 12 new + 5 r3 + 2 promoted = 50.
 _DEFER_NEW_R8 = frozenset((
     "basket_pair_lift", "benford_audit", "correlation_matrix",
-    "dedup_cluster_stats", "funnel_time_to_convert", "hhi_concentration",
+    "dedup_cluster_stats", "dominant_event_type",
+    "funnel_time_to_convert", "hhi_concentration",
     "language_id_eval", "median_absolute_deviation", "minhash_band_sweep",
     "repeat_purchase_intervals", "seasonal_profile",
-    "ship_latency_percentiles", "value_histogram", "winsorized_stats",
+    "ship_latency_percentiles", "sort_partition_balance",
+    "value_histogram", "winsorized_stats",
 ))
 _VERIFIED_R5 = frozenset((
     "ann_lsh_bucketed", "asof_join", "asof_join_forward", "bm25_score",
