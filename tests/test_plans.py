@@ -268,3 +268,25 @@ def test_pit_feature_matrix_single_daily_shuffle(spark, sf_dir):
     than the two key layouts require, and nothing may cartesian."""
     p = executed_plan(q(spark, sf_dir, "pit_feature_matrix"))
     assert "CartesianProduct" not in p
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "basket_pair_lift",
+        "hhi_concentration",
+        "dominant_event_type",
+        "sort_partition_balance",
+        "customer_ltv_pareto",
+        "nation_market_share",
+        "two_nation_volume",
+        "returned_item_ranking",
+        "dominant_part_suppliers",
+    ],
+)
+def test_new_family_no_cartesian(spark, sf_dir, name):
+    """None of the session's join-bearing report queries may plan a
+    CartesianProduct — every cross join in the catalog is a 1-row
+    literal-carry broadcast (which plans as BroadcastNestedLoopJoin over
+    a single-row build, not a cartesian)."""
+    assert "CartesianProduct" not in executed_plan(q(spark, sf_dir, name))
