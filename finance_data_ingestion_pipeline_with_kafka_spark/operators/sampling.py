@@ -135,3 +135,71 @@ def reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sample_rank") <= RESERVOIR_K)
         .orderBy("lang", "sample_rank")
     )
+
+
+#: 32-bit Knuth multiplicative hash constants for the weighted sampler:
+#: exact int64 arithmetic both engines share (md5-hex buckets, the
+#: catalog's usual source of determinism, compare as strings — fine for
+#: uniform thresholds but useless for weight-PROPORTIONAL ones, which
+#: need a numeric uniform).
+_U32 = 4294967296
+_KNUTH = 2654435761
+
+
+@query(
+    "weighted_hash_sample",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, lang, n_chars,
+             (doc_id % {_U32}) * {_KNUTH} % {_U32} AS hash_val
+      FROM documents
+    ), m AS (SELECT CAST(MAX(n_chars) AS BIGINT) AS max_chars FROM documents)
+    SELECT h.doc_id, h.lang, h.n_chars,
+           CAST(h.n_chars AS DOUBLE) / m.max_chars AS p_include
+    FROM h, m
+    WHERE h.hash_val * m.max_chars < h.n_chars * {_U32}
+    ORDER BY h.doc_id
+    """,
+    tags=("U6", "P8"),
+)
+def weighted_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic WEIGHTED sampling — inclusion probability
+    proportional to document length (p = n_chars / max_chars), the
+    curation move behind length-weighted or quality-weighted corpus
+    mixes that the uniform/stratified/reservoir/token-budget samplers
+    can't express. The md5-hex-bucket mechanism those samplers share
+    compares hex strings and cannot scale a threshold by a weight, so
+    this uses a numeric uniform: a 32-bit Knuth multiplicative hash of
+    doc_id, with the inclusion test kept ENTIRELY in exact int64
+    arithmetic — ``hash · max_chars < n_chars · 2³²`` is the
+    cross-multiplied form of ``hash/2³² < n_chars/max_chars`` with no
+    float anywhere in the decision (both products stay far inside
+    int64), so every engine, rerun and subset agrees on every row.
+    ``p_include`` is emitted as the audit column (one double division
+    of exact ints).
+
+    Narrow except the one-row max (literal-carry broadcast); at 100 TB
+    this is a free extra predicate on the ingest pass, like
+    ``dataset_split``."""
+    d = load_table(spark, sf_dir, "documents")
+    h = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        ((F.col("doc_id") % _U32) * _KNUTH % _U32).alias("hash_val"),
+    )
+    m = d.agg(F.max("n_chars").cast("bigint").alias("max_chars"))
+    return (
+        h.crossJoin(F.broadcast(m))  # 1-row literal-carry
+        .filter(
+            F.col("hash_val") * F.col("max_chars")
+            < F.col("n_chars").cast("bigint") * _U32
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            (F.col("n_chars").cast("double") / F.col("max_chars")).alias("p_include"),
+        )
+        .orderBy("doc_id")
+    )

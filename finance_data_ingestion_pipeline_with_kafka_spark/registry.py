@@ -433,7 +433,7 @@ _DEFER_NEW_R8 = frozenset((
     "language_id_eval", "median_absolute_deviation", "minhash_band_sweep",
     "repeat_purchase_intervals", "seasonal_profile",
     "ship_latency_percentiles", "sort_partition_balance",
-    "value_histogram", "winsorized_stats",
+    "value_histogram", "weighted_hash_sample", "winsorized_stats",
 ))
 _VERIFIED_R5 = frozenset((
     "ann_lsh_bucketed", "asof_join", "asof_join_forward", "bm25_score",
