@@ -806,3 +806,137 @@ def macd_stream(ticks: DataFrame, watermark: str = "10 minutes") -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+BOLLINGER_SCHEMA = StructType(
+    [
+        StructField("symbol", StringType()),
+        StructField("datetime", TimestampType()),
+        StructField("sma", DoubleType()),
+        StructField("sigma", DoubleType()),
+        StructField("lower_band", DoubleType()),
+        StructField("upper_band", DoubleType()),
+        StructField("n_obs", LongType()),
+    ]
+)
+
+#: ring10 holds the last <= 10 INTEGER-CENTS prices (the batch query's
+#: exact-moment frame); buf_* is the watermark-ordering buffer.
+_BOLLINGER_STATE_SCHEMA = StructType(
+    [
+        StructField("ring10", ArrayType(LongType())),
+        StructField("n_obs", LongType()),
+        StructField("buf_ms", ArrayType(LongType())),
+        StructField("buf_px", ArrayType(DoubleType())),
+    ]
+)
+
+_BOLL_WINDOW = 10
+
+
+def bollinger_fold(ring10: list, n: int, ripe: list) -> tuple[list, int, list]:
+    """Pure event-time-ordered Bollinger fold step — arithmetic-identical
+    to the batch ``bollinger_bands`` catalog query: prices round to
+    EXACT integer cents (``floor(x*100 + 0.5)``), both moments are exact
+    integer sums over the 10-cent ring (Python ints ≡ the window's
+    BIGINTs), and mean/σ/bands replay the identical IEEE double sequence
+    (cast → divide → divide, computational-formula variance with the
+    max(·, 0) clamp, UNROUNDED outputs). A stream fed the batch's rows
+    therefore emits the batch's values EXACTLY — the same
+    bit-equality contract as ``macd_fold``. Emits only full windows
+    (the batch's ``n = 10`` filter): one row per tick from the 10th
+    tick of each symbol onward."""
+    from math import floor, sqrt
+
+    rows: list[tuple] = []
+    for ts_ms, x in ripe:
+        ring10.append(int(floor(x * 100 + 0.5)))
+        if len(ring10) > _BOLL_WINDOW:
+            del ring10[0]
+        n += 1
+        if len(ring10) == _BOLL_WINDOW:
+            s1c = sum(ring10)
+            s2c = sum(c * c for c in ring10)
+            sma = float(s1c) / _BOLL_WINDOW / 100.0
+            var = max(
+                float(_BOLL_WINDOW * s2c - s1c * s1c)
+                / (_BOLL_WINDOW * _BOLL_WINDOW)
+                / 10000.0,
+                0.0,
+            )
+            sigma = sqrt(var)
+            rows.append(
+                (ts_ms, sma, sigma, sma - 2.0 * sigma, sma + 2.0 * sigma, n)
+            )
+    return ring10, n, rows
+
+
+def _update_bollinger_ordered(
+    key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Watermark-buffered Bollinger state machine — same ordering
+    discipline as ``_update_rsi_ordered``/``_update_macd_ordered``; the
+    fold itself is the pure ``bollinger_fold``."""
+
+    def load():
+        if state.exists:
+            ring10, n, buf_ms, buf_px = state.get
+            return list(ring10 or []), n, list(zip(buf_ms or [], buf_px or []))
+        return [], 0, []
+
+    ring10, n, buf = load()
+    rows: list[tuple] = []
+
+    def emit() -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "symbol": [key[0]] * len(rows),
+                "datetime": [pd.to_datetime(t, unit="ms") for t, *_ in rows],
+                "sma": [r[1] for r in rows],
+                "sigma": [r[2] for r in rows],
+                "lower_band": [r[3] for r in rows],
+                "upper_band": [r[4] for r in rows],
+                "n_obs": [r[5] for r in rows],
+            }
+        )
+
+    if state.hasTimedOut:
+        ring10, n, rows = bollinger_fold(ring10, n, sorted(buf))
+        state.update((ring10, n, [], []))
+        if rows:
+            yield emit()
+        return
+
+    for pdf in pdf_iter:
+        for ts, x in zip(pdf["datetime"], pdf["last_price"]):
+            if x is None or pd.isna(x):
+                continue
+            buf.append((int(ts.value // 1_000_000), float(x)))
+    wm = state.getCurrentWatermarkMs()
+    buf.sort()
+    ripe = [(t, x) for t, x in buf if t <= wm]
+    pending = [(t, x) for t, x in buf if t > wm]
+    ring10, n, rows = bollinger_fold(ring10, n, ripe)
+    state.update((ring10, n, [t for t, _ in pending], [x for _, x in pending]))
+    if pending:
+        state.setTimeoutTimestamp(max(t for t, _ in pending) + 1)
+    if rows:
+        yield emit()
+
+
+def bollinger_stream(ticks: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """T10/A3: streaming Bollinger bands (10-period SMA ± 2σ from exact
+    integer-cents moments) over a (symbol, datetime, last_price) tick
+    stream — the third indicator on the live pipeline, with EXACT value
+    parity against the same arithmetic run as a batch window (see
+    ``bollinger_fold``). Order-correct via the watermark buffer; state
+    per symbol is O(10 + watermark-horizon ticks); append-mode, one row
+    per event-time tick from the 10th onward, exactly once."""
+    wm = ticks.withWatermark("datetime", watermark) if ticks.isStreaming else ticks
+    return wm.groupBy("symbol").applyInPandasWithState(
+        _update_bollinger_ordered,
+        outputStructType=BOLLINGER_SCHEMA,
+        stateStructType=_BOLLINGER_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

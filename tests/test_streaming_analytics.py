@@ -1249,3 +1249,119 @@ def test_macd_stream_matches_batch_query(spark, tmp_path, sf_dir):
 
     assert len(got) == len(want) == len(rows)
     assert got == want  # EXACT equality, every tick, both lines
+
+
+def test_bollinger_stream_matches_batch_window(spark, tmp_path, sf_dir):
+    """EXACT cross-surface parity for the third streaming indicator: the
+    streaming Bollinger fed the sf0.001 events rows (as out-of-order
+    micro-batches) must emit value-for-value the batch window
+    formulation's sma/sigma/bands — no tolerance, because
+    ``bollinger_fold`` replays the batch plan's exact integer-cents
+    moments and IEEE double sequence."""
+    import datetime as _dt
+    import os as _os
+    import time as _time
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from finance_data_ingestion_pipeline_with_kafka_spark.streaming.stateful import (
+        bollinger_stream,
+    )
+
+    events_df = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "event_id",
+        "event_type AS symbol",
+        "CAST(ts AS TIMESTAMP) AS datetime",
+        "CAST(value AS DOUBLE) AS last_price",
+    )
+    rows = [
+        (r["symbol"], r["datetime"], r["last_price"]) for r in events_df.collect()
+    ]
+    src = tmp_path / "boll_ticks"
+    src.mkdir()
+    for b in range(3):
+        chunk = [r for i, r in enumerate(rows) if i % 3 == b]
+        spark.createDataFrame(
+            chunk, "symbol string, datetime timestamp, last_price double"
+        ).coalesce(1).write.parquet(str(src / f"b{b}"))
+    spark.createDataFrame(
+        [("ZZZZ", _dt.datetime(2025, 6, 1), 1.0)],
+        "symbol string, datetime timestamp, last_price double",
+    ).coalesce(1).write.parquet(str(src / "b3"))
+    paths = [str(src / f"b{b}") for b in range(4)]
+    now = _time.time()
+    for i, p in enumerate(paths):
+        for f in _os.listdir(p):
+            _os.utime(_os.path.join(p, f), (now - 60 + 15 * i, now - 60 + 15 * i))
+
+    stream = (
+        spark.readStream.schema("symbol string, datetime timestamp, last_price double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "b*"))
+    )
+    out = drain(
+        spark,
+        bollinger_stream(stream, watermark="100 days"),
+        "boll_parity_t",
+        mode="append",
+    ).collect()
+    got = {
+        (r["symbol"], r["n_obs"]): (
+            r["sma"],
+            r["sigma"],
+            r["lower_band"],
+            r["upper_band"],
+        )
+        for r in out
+        if r["symbol"] != "ZZZZ"
+    }
+
+    # batch twin: the SAME exact-cents window arithmetic as the
+    # bollinger_bands catalog query, over the same tick series
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy("datetime", "event_id")
+        .rowsBetween(-9, 0)
+    )
+    wr = Window.partitionBy("symbol").orderBy("datetime", "event_id")
+    c = F.floor(F.col("last_price") * 100 + 0.5).cast("bigint")
+    acc = events_df.select(
+        "symbol",
+        F.sum(c).over(w).alias("s1c"),
+        F.sum(c * c).over(w).alias("s2c"),
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.row_number().over(wr).alias("k"),
+    )
+    n = F.col("n")
+    mean = F.col("s1c").cast("double") / n / F.lit(100.0)
+    var = F.greatest(
+        (n * F.col("s2c") - F.col("s1c") * F.col("s1c")).cast("double")
+        / (n * n)
+        / F.lit(10000.0),
+        F.lit(0.0),
+    )
+    sigma = F.sqrt(var)
+    batch = (
+        acc.filter(F.col("n") == 10)
+        .select(
+            "symbol",
+            "k",
+            mean.alias("sma"),
+            sigma.alias("sigma"),
+            (mean - 2.0 * sigma).alias("lower_band"),
+            (mean + 2.0 * sigma).alias("upper_band"),
+        )
+        .collect()
+    )
+    want = {
+        (r["symbol"], r["k"]): (
+            r["sma"],
+            r["sigma"],
+            r["lower_band"],
+            r["upper_band"],
+        )
+        for r in batch
+    }
+    assert len(got) == len(want)
+    assert got == want  # EXACT equality, every tick, all four outputs
