@@ -372,102 +372,87 @@ def query(
 #: and after that the window refreshes the STALEST evidence (testdata
 #: regenerates between rounds, so old green rows decay).
 #:
-#: Round-7 ordering (all 155 catalog names are cumulatively hash-green
-#: after CORRECTNESS_r06; derived by ``tools/rotate_verified.py``):
+#: Round-8 ordering (cumulative after CORRECTNESS_r07: 198/215
+#: hash-green, zero latest-run failures; tiers derived by
+#: ``tools/rotate_verified.py`` over CORRECTNESS_r01..r07):
 #:   (0) brand-new queries registered this round — no driver row at all.
-#:   (1) ``_STALE_R3`` — latest green evidence is round 3 (stalest).
-#:   (1.5) ``_PROMOTED_R7`` — promoted into the window out of staleness
-#:         order because the oracle changed after the last verification
-#:         (ADVICE r6): session_window_agg's gap boundary went >= → >
-#:         in round 6 but its latest driver row is round 5;
-#:         fingerprint_containment's denominator changed to
-#:         least(n_fp_a, n_fp_b) in round 7 after its r6 row.
-#:   (1.75) ``_DEFER_NEW_R8`` — new-query overflow beyond the 50-slot
-#:         window (sessions 2–3 registered 55 new queries); parked just
-#:         below the promoted tier so they lead round 8. See the tier's
-#:         own docstring for the selection rationale.
-#:   (2) ``_STALE_R4`` — latest green evidence is round 4.
-#:   (3) ``_VERIFIED_R5`` — green in CORRECTNESS_r05.
-#:   (4) ``_VERIFIED_R6`` — green in CORRECTNESS_r06 (freshest, below
+#:   (1) ``_NEVER_VERIFIED`` — the 17 round-7 new-query overflow
+#:       (the former ``_DEFER_NEW_R8`` tier): judge-green in the r7
+#:       215-query sweep but never driver-verified. VERDICT r7 ask #1
+#:       says they lead the round-8 window.
+#:   (2) ``_STALE_R4`` — latest green driver evidence is round 4
+#:       (stalest refresh debt; the window tail takes the first ~33).
+#:   (3) ``_VERIFIED_R5`` — latest green row is CORRECTNESS_r05.
+#:   (4) ``_VERIFIED_R6`` — latest green row is CORRECTNESS_r06.
+#:   (5) ``_VERIFIED_R7`` — green in CORRECTNESS_r07 (freshest, below
 #:       the fold).
-_STALE_R3 = frozenset((
-    "bigram_lm_score", "length_outliers", "psi_value_drift",
-    "vocab_coverage", "zscore_by_group",
+
+_NEVER_VERIFIED = frozenset((
+    "basket_pair_lift", "benford_audit", "correlation_matrix", "dedup_cluster_stats",
+    "dominant_event_type", "funnel_time_to_convert", "hhi_concentration", "language_id_eval",
+    "median_absolute_deviation", "minhash_band_sweep", "repeat_purchase_intervals", "seasonal_profile",
+    "ship_latency_percentiles", "sort_partition_balance", "value_histogram", "weighted_hash_sample",
+    "winsorized_stats",
 ))
-_PROMOTED_R7 = frozenset(("session_window_agg", "fingerprint_containment"))
 _STALE_R4 = frozenset((
-    "approx_distinct", "array_functions", "asof_join_tolerance",
-    "bmp_decode", "bmp_features", "correlated_exists",
-    "dataset_interleave", "dataset_split", "date_arithmetic",
-    "datetime_functions", "donchian_channel", "ewma", "except_feeds",
-    "explode_outer_numbers", "filter_project", "frame_sample",
-    "funnel_analysis", "grouped_pandas_sign_flips", "hash_functions",
-    "intersect_feeds", "json_extraction", "kmeans_refine", "kmv_distinct",
-    "map_functions", "membership_predicate", "multimodal_metadata",
-    "null_conditional", "null_safe_join", "order_count_histogram",
-    "pandas_udf_token_count", "part_supplier_stats",
-    "quantile_sketch_merge", "range_join", "regional_revenue",
-    "reservoir_sample", "retention_cohorts", "rolling_volatility",
-    "running_drawdown", "scalar_subquery", "semantic_dedup",
-    "stratified_sample", "string_functions", "table_profile",
-    "udtf_bigrams", "udtf_tokenize", "union_feeds", "url_domain_dedup",
-    "variant_json_agg", "wav_decode", "word_entropy",
-))
-#: Brand-new (never-driver-verified) queries DEFERRED below the r7
-#: window. Sessions 2–3 of round 7 registered 55 new queries — more than
-#: the driver's ~50-slot window — which would have evicted the
-#: stale-evidence tiers the round-7 rotation plan owes fresh rows
-#: (VERDICT r6 ask #1: the r3-stale rows and the two promoted
-#: oracle-changed rows). The 12 deferred here are the new queries with
-#: the strongest ALTERNATIVE evidence — pure re-compositions of
-#: long-verified mechanics (the ``percentiles`` ROUND-4 precedent,
-#: decimal moment sums, the verified funnel/cluster/classifier outputs)
-#: plus unit-pinned acceptance curves — so deferring their first driver
-#: row one round costs the least. They rank immediately after the
-#: promoted tier: first in line for round 8 alongside that round's
-#: leftovers. Window arithmetic: 55 − 12 new + 5 r3 + 2 promoted = 50.
-_DEFER_NEW_R8 = frozenset((
-    "basket_pair_lift", "benford_audit", "correlation_matrix",
-    "dedup_cluster_stats", "dominant_event_type",
-    "funnel_time_to_convert", "hhi_concentration",
-    "language_id_eval", "median_absolute_deviation", "minhash_band_sweep",
-    "repeat_purchase_intervals", "seasonal_profile",
-    "ship_latency_percentiles", "sort_partition_balance",
-    "value_histogram", "weighted_hash_sample", "winsorized_stats",
+    "approx_distinct", "array_functions", "asof_join_tolerance", "bmp_decode",
+    "bmp_features", "correlated_exists", "dataset_interleave", "dataset_split",
+    "date_arithmetic", "datetime_functions", "donchian_channel", "ewma",
+    "except_feeds", "explode_outer_numbers", "filter_project", "frame_sample",
+    "funnel_analysis", "grouped_pandas_sign_flips", "hash_functions", "intersect_feeds",
+    "json_extraction", "kmeans_refine", "kmv_distinct", "map_functions",
+    "membership_predicate", "multimodal_metadata", "null_conditional", "null_safe_join",
+    "order_count_histogram", "pandas_udf_token_count", "part_supplier_stats", "quantile_sketch_merge",
+    "range_join", "regional_revenue", "reservoir_sample", "retention_cohorts",
+    "rolling_volatility", "running_drawdown", "scalar_subquery", "semantic_dedup",
+    "stratified_sample", "string_functions", "table_profile", "udtf_bigrams",
+    "udtf_tokenize", "union_feeds", "url_domain_dedup", "variant_json_agg",
+    "wav_decode", "word_entropy",
 ))
 _VERIFIED_R5 = frozenset((
     "ann_lsh_bucketed", "asof_join", "asof_join_forward", "bm25_score",
-    "boilerplate_ngrams", "chunk_documents", "contamination_check",
-    "cube_subtotals", "dataset_card", "distinct_count", "distinct_rows",
-    "domain_mix_weights", "embedding_near_dup", "embedding_quantize",
-    "except_all_multiset", "grouped_stats", "intersect_all_multiset",
-    "ivf_ann", "knn_bruteforce", "last_closed_bar", "minhash_incremental",
-    "multi_resolution_bars", "ohlcv_bars", "ols_regression",
+    "boilerplate_ngrams", "chunk_documents", "contamination_check", "cube_subtotals",
+    "dataset_card", "distinct_count", "distinct_rows", "domain_mix_weights",
+    "embedding_near_dup", "embedding_quantize", "except_all_multiset", "grouped_stats",
+    "intersect_all_multiset", "ivf_ann", "knn_bruteforce", "last_closed_bar",
+    "minhash_incremental", "multi_resolution_bars", "ohlcv_bars", "ols_regression",
     "percentiles", "pii_redaction", "pivot_matrix", "png_decode",
     "pq_ann", "pq_encode", "pricing_summary", "repetition_filter",
-    "rollup_subtotals", "sequence_packing", "session_window_agg",
-    "sliding_window_agg", "sql_entry_revenue", "stddev_variance",
-    "token_budget_sample", "tumbling_window_agg", "union_by_name_missing",
+    "rollup_subtotals", "sequence_packing", "sliding_window_agg", "sql_entry_revenue",
+    "stddev_variance", "token_budget_sample", "tumbling_window_agg", "union_by_name_missing",
     "vwap", "window_cume_nth", "window_cumulative", "window_first_last",
-    "window_lag_returns", "window_moving_avg", "window_ntile_pctrank",
-    "window_range_frame", "window_rank_topk",
+    "window_lag_returns", "window_moving_avg", "window_ntile_pctrank", "window_range_frame",
+    "window_rank_topk",
 ))
 _VERIFIED_R6 = frozenset((
     "ann_recall", "anti_join", "approx_percentiles", "argmax_order",
-    "bloom_join_prune", "bollinger_bands", "bpe_token_count",
-    "broadcast_dim_join", "corpus_build_funnel", "correlation",
-    "count_min_freq", "cross_join_pairs", "dedup_survivors",
-    "doc_fingerprint", "embedding_normalize", "exact_dedup",
-    "fingerprint_containment", "fuzzy_prefix_join", "gapfill_bars",
-    "grouping_sets", "hll_sketch_users", "ivf_probe_sweep", "language_id",
-    "macd", "media_features", "media_resize", "min_cost_supplier",
-    "minhash_jaccard_estimate", "minhash_near_dup", "near_dup_clusters",
-    "ngram_jaccard_pairs", "obv_flow", "outer_join_counts",
+    "bloom_join_prune", "bollinger_bands", "bpe_token_count", "broadcast_dim_join",
+    "corpus_build_funnel", "correlation", "count_min_freq", "cross_join_pairs",
+    "dedup_survivors", "doc_fingerprint", "embedding_normalize", "exact_dedup",
+    "fuzzy_prefix_join", "gapfill_bars", "grouping_sets", "hll_sketch_users",
+    "ivf_probe_sweep", "language_id", "macd", "media_features",
+    "media_resize", "min_cost_supplier", "minhash_jaccard_estimate", "minhash_near_dup",
+    "near_dup_clusters", "ngram_jaccard_pairs", "obv_flow", "outer_join_counts",
     "position_ledger", "quality_score", "rsi_indicator", "scd2_intervals",
-    "scd2_point_in_time", "scd_upsert", "semi_join",
-    "session_fold_sessions", "simhash_near_dup", "stochastic_oscillator",
-    "tfidf_top_terms", "token_stats", "top_revenue_orders", "twap",
-    "unpivot_metrics", "winnow_fingerprints", "word_frequency",
+    "scd2_point_in_time", "scd_upsert", "semi_join", "session_fold_sessions",
+    "simhash_near_dup", "stochastic_oscillator", "tfidf_top_terms", "token_stats",
+    "top_revenue_orders", "twap", "unpivot_metrics", "winnow_fingerprints",
+    "word_frequency",
+))
+_VERIFIED_R7 = frozenset((
+    "ab_test_readout", "activity_streaks", "autocorrelation", "bigram_lm_score",
+    "conversion_funnel", "customer_ltv_pareto", "cusum_changepoint", "disjunctive_predicate_join",
+    "dominant_part_suppliers", "dormant_high_balance", "event_transitions", "fingerprint_containment",
+    "forecast_revenue_change", "fuzzy_block_recall", "important_parts", "incremental_join_view",
+    "incremental_ohlcv", "interval_concurrency", "k_anonymity_audit", "key_skew_profile",
+    "large_volume_customers", "length_outliers", "minhash_recall", "nation_market_share",
+    "nearest_centroid_eval", "order_priority_check", "pit_feature_matrix", "pmi_collocations",
+    "promo_revenue_share", "psi_value_drift", "returned_item_ranking", "rfm_segmentation",
+    "rolling_pair_correlation", "rolling_robust_stats", "running_distinct_users", "salted_skew_join",
+    "session_window_agg", "simhash_recall", "small_quantity_revenue", "snapshot_diff",
+    "sq8_recall", "suppliers_kept_waiting", "table_expectations", "top_supplier_revenue",
+    "two_nation_volume", "unigram_logprob", "vocab_coverage", "volume_zscore_anomaly",
+    "zorder_skipping", "zscore_by_group",
 ))
 
 
@@ -479,6 +464,7 @@ def load_all() -> dict[str, QuerySpec]:
         aggregations,
         decision_support,
         dedup,
+        jpeg,
         joins,
         layout,
         multimodal,
@@ -498,23 +484,19 @@ def load_all() -> dict[str, QuerySpec]:
 
     def rank(item: tuple[str, QuerySpec]) -> tuple[int, int]:
         name, _spec = item
-        if name in _DEFER_NEW_R8:
-            return (3, reg_order[name])
-        if name in _STALE_R3:
+        if name in _NEVER_VERIFIED:
             return (1, reg_order[name])
-        if name in _PROMOTED_R7:
-            return (2, reg_order[name])
         if name in _STALE_R4:
-            return (4, reg_order[name])
+            return (2, reg_order[name])
         if name in _VERIFIED_R5:
-            return (5, reg_order[name])
+            return (3, reg_order[name])
         if name in _VERIFIED_R6:
-            return (6, reg_order[name])
-        # brand-new queries (registered after CORRECTNESS_r06 was
-        # written): no driver row yet, so they lead the window —
-        # except the _DEFER_NEW_R8 overflow (see that tier's docstring)
+            return (4, reg_order[name])
+        if name in _VERIFIED_R7:
+            return (5, reg_order[name])
+        # brand-new queries (registered after CORRECTNESS_r07 was
+        # written): no driver row yet, so they lead the window ahead of
+        # even the never-verified r7 overflow
         return (0, reg_order[name])
 
     return dict(sorted(QUERIES.items(), key=rank))
-
-

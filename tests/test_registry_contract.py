@@ -8,14 +8,16 @@ load-bearing, not cosmetic.
 import pytest
 
 from finance_data_ingestion_pipeline_with_kafka_spark.registry import (
-    _PROMOTED_R7,
-    _STALE_R3,
+    _NEVER_VERIFIED,
     _STALE_R4,
     _VERIFIED_R5,
     _VERIFIED_R6,
+    _VERIFIED_R7,
     load_all,
     query,
 )
+
+_ALL_TIERS = (_NEVER_VERIFIED, _STALE_R4, _VERIFIED_R5, _VERIFIED_R6, _VERIFIED_R7)
 
 
 def test_every_query_has_an_oracle():
@@ -29,73 +31,62 @@ def test_bench_specs_are_oracle_checked():
     assert all(s.oracle is not None for s in cat.values() if s.bench)
 
 
+def test_tiers_partition_the_round7_catalog():
+    """The five tier sets are disjoint and cover exactly the 215 names
+    that existed when CORRECTNESS_r07 was written; any name outside them
+    is brand-new this round."""
+    union = set()
+    total = 0
+    for tier in _ALL_TIERS:
+        assert not (union & tier), sorted(union & tier)
+        union |= tier
+        total += len(tier)
+    assert total == len(union) == 215
+    assert union <= set(load_all())
+
+
 def test_stalest_evidence_leads_the_window():
     """The driver verifies only the first ~50 catalog entries per round.
-    Round-7 contract: brand-new queries (no driver row) rank first, then
-    the 5 rows whose latest green evidence is round 3, then the promoted
-    oracle-changed row (session_window_agg — ADVICE r6), then round-4
-    evidence; CORRECTNESS_r05/r06 greens sit below the fold."""
-    from finance_data_ingestion_pipeline_with_kafka_spark.registry import _DEFER_NEW_R8
-
+    Round-8 contract (VERDICT r7 ask #1): brand-new queries (no driver
+    row) rank first, then the 17 never-driver-verified round-7 overflow
+    names, then round-4-stale evidence; r5/r6/r7 greens sit below the
+    fold in staleness order."""
     order = list(load_all())
-    tiers = (
-        set(_STALE_R3) | set(_STALE_R4) | set(_VERIFIED_R5) | set(_VERIFIED_R6)
-    )
-    new = [n for n in order if n not in tiers and n not in _DEFER_NEW_R8]
-    # tier sets partition cleanly (the promoted row stays a member of its
-    # original r5 tier; the rank fn checks promotion first; the deferred
-    # tier holds only never-driver-verified names)
-    assert _STALE_R3 & _STALE_R4 == frozenset()
-    assert _STALE_R3 & _VERIFIED_R5 == frozenset()
-    assert _STALE_R4 & _VERIFIED_R5 == frozenset()
-    assert _STALE_R3 & _VERIFIED_R6 == frozenset()
-    assert _STALE_R4 & _VERIFIED_R6 == frozenset()
-    assert _VERIFIED_R5 & _VERIFIED_R6 == frozenset()
-    assert _PROMOTED_R7 <= (_VERIFIED_R5 | _VERIFIED_R6)
-    assert _DEFER_NEW_R8 & tiers == frozenset()
-    # undeferred new queries lead, then stale-r3, promoted, the deferred
-    # new overflow, stale-r4, r5, r6 greens
-    n_new, n1, np = len(new), len(_STALE_R3), len(_PROMOTED_R7)
-    nd, n2 = len(_DEFER_NEW_R8), len(_STALE_R4)
+    known = set().union(*_ALL_TIERS)
+    new = [n for n in order if n not in known]
+    n_new, n1, n2 = len(new), len(_NEVER_VERIFIED), len(_STALE_R4)
     assert set(order[:n_new]) == set(new)
-    assert set(order[n_new : n_new + n1]) == set(_STALE_R3)
-    assert set(order[n_new + n1 : n_new + n1 + np]) == set(_PROMOTED_R7)
-    assert set(order[n_new + n1 + np : n_new + n1 + np + nd]) == set(_DEFER_NEW_R8)
-    assert set(order[n_new + n1 + np + nd : n_new + n1 + np + nd + n2]) == set(
-        _STALE_R4
+    assert set(order[n_new : n_new + n1]) == set(_NEVER_VERIFIED)
+    assert set(order[n_new + n1 : n_new + n1 + n2]) == set(_STALE_R4)
+    assert set(order[n_new + n1 + n2 :]) == (
+        set(_VERIFIED_R5) | set(_VERIFIED_R6) | set(_VERIFIED_R7)
     )
-    assert set(order[n_new + n1 + np + nd + n2 :]) == (
-        set(_VERIFIED_R5) | set(_VERIFIED_R6)
-    ) - set(_PROMOTED_R7)
-    # the window arithmetic the deferral exists for: exactly 50 entries
-    # ahead of the deferred tier — the driver window is new + r3-stale +
-    # promoted, nothing evicted
-    assert n_new + n1 + np == 50, (n_new, n1, np)
-    # the ~50-entry window must contain no r5/r6-green row other than
-    # the explicitly promoted (oracle-changed) ones
+    # r5 greens (stalest of the verified) ahead of r6, r6 ahead of r7
+    last_r5 = max(order.index(n) for n in _VERIFIED_R5)
+    first_r6 = min(order.index(n) for n in _VERIFIED_R6)
+    last_r6 = max(order.index(n) for n in _VERIFIED_R6)
+    first_r7 = min(order.index(n) for n in _VERIFIED_R7)
+    assert last_r5 < first_r6 < last_r6 < first_r7
+    # the 50-slot window: every never-verified name must be inside it
+    # (they cannot be evicted by any plausible number of new queries —
+    # guard the arithmetic: new + 17 must fit)
     window = set(order[:50])
-    assert window & (_VERIFIED_R5 | _VERIFIED_R6) <= _PROMOTED_R7, sorted(
-        window & (_VERIFIED_R5 | _VERIFIED_R6) - _PROMOTED_R7
+    assert set(_NEVER_VERIFIED) <= window, sorted(set(_NEVER_VERIFIED) - window)
+    assert n_new + n1 <= 50, (n_new, n1)
+    # no freshly-verified (r6/r7) row may waste a window slot
+    assert window & (set(_VERIFIED_R6) | set(_VERIFIED_R7)) == set(), sorted(
+        window & (set(_VERIFIED_R6) | set(_VERIFIED_R7))
     )
 
 
 def test_brand_new_queries_sort_into_the_window():
-    """A query in no verified tier (i.e. added after the last driver
-    round) must rank ahead of all verified rows — except the explicit
-    ``_DEFER_NEW_R8`` overflow, which must still rank ahead of every
-    STALE/VERIFIED row below the promoted tier."""
-    from finance_data_ingestion_pipeline_with_kafka_spark.registry import _DEFER_NEW_R8
-
+    """A query in no tier (i.e. added after CORRECTNESS_r07) must rank
+    ahead of every tiered row, including the never-verified overflow."""
     order = list(load_all())
-    known = (
-        set(_STALE_R3) | set(_STALE_R4) | set(_VERIFIED_R5) | set(_VERIFIED_R6)
-    )
+    known = set().union(*_ALL_TIERS)
     first_known = min(order.index(n) for n in known)
-    for name in set(order) - known - set(_DEFER_NEW_R8):
+    for name in set(order) - known:
         assert order.index(name) < first_known, name
-    first_r4 = min(order.index(n) for n in _STALE_R4)
-    for name in _DEFER_NEW_R8:
-        assert order.index(name) < first_r4, name
 
 
 def test_duplicate_registration_rejected():
