@@ -6,11 +6,13 @@ never round-trip through Python row-by-row. ``decode_media`` carries REAL
 dependency-free codecs for uncompressed 24-bit BMP (``decode_bmp``:
 header parse, bottom-up row un-flip, 4-byte padding strip, BGR→RGB), for
 8-bit truecolor PNG (``decode_png``: chunk walk + CRC, stdlib-zlib IDAT
-inflate, all five scanline-filter inverses), and for 16-bit PCM WAV —
-each oracle-checked end-to-end by its ``*_decode`` query. Codecs that
-need native libraries (JPEG/MP3/video) raise NotImplementedError; the
-Spark-side plumbing — schema, partitioning, UDF signature, Arrow batch
-shape — is decoder-agnostic and fully tested.
+inflate, all five scanline-filter inverses), for 16-bit PCM WAV, and for
+baseline JPEG (``operators/jpeg.py``: full JFIF marker walk, canonical
+Huffman entropy decode, IDCT, YCbCr→RGB) — each oracle-checked
+end-to-end by its ``*_decode`` query. Codecs that need native libraries
+(MP3/video) raise NotImplementedError; the Spark-side plumbing — schema,
+partitioning, UDF signature, Arrow batch shape — is decoder-agnostic and
+fully tested.
 
 At 100 TB: binary payloads dominate bytes → the scan must prune metadata-
 only queries to the metadata columns (columnar parquet gives this for
@@ -62,10 +64,11 @@ def decode_media(payload: bytes, mime: str) -> bytes:
     """Decode kernel: text passthrough, plus real (dependency-free)
     codecs for uncompressed 24-bit BMP (header parse, bottom-up row
     order, 4-byte row padding, BGR→RGB), 8-bit truecolor PNG (chunk walk
-    + CRC, stdlib-zlib IDAT inflate, all five scanline filters), and
-    16-bit PCM RIFF/WAVE (chunk-walking parser). Codecs needing native
-    libraries (JPEG/MP3/video) still raise; the surrounding Spark
-    plumbing (schema, batching, partitioning) is decoder-agnostic."""
+    + CRC, stdlib-zlib IDAT inflate, all five scanline filters), 16-bit
+    PCM RIFF/WAVE (chunk-walking parser), and baseline JPEG
+    (``operators/jpeg.py`` — entropy decode + IDCT + YCbCr→RGB). Codecs
+    needing native libraries (MP3/video) still raise; the surrounding
+    Spark plumbing (schema, batching, partitioning) is decoder-agnostic."""
     if mime == "text/plain":
         return payload
     if mime == "image/bmp":
@@ -77,10 +80,16 @@ def decode_media(payload: bytes, mime: str) -> bytes:
     if mime in ("audio/wav", "audio/x-wav", "audio/wave"):
         _rate, _ch, pcm = decode_wav(payload)
         return pcm
+    if mime == "image/jpeg":
+        from .jpeg import decode_jpeg
+
+        _w, _h, pixels = decode_jpeg(payload)
+        return pixels
     raise NotImplementedError(
         f"decoder for {mime!r} requires media libraries not present in this "
-        "environment; plug a real decoder in here — the surrounding Spark "
-        "plumbing (schema, batching, partitioning) is decoder-agnostic"
+        "environment (MP3/video); plug a real decoder in here — the "
+        "surrounding Spark plumbing (schema, batching, partitioning) is "
+        "decoder-agnostic"
     )
 
 

@@ -71,8 +71,13 @@ def test_rejects_non_bmp_and_unsupported():
         decode_bmp(rle)
     with pytest.raises(ValueError, match="truncated"):
         decode_bmp(_bmp_bytes(4, 2, [bytes(12)]))  # claims 2 rows, has 1
+    # JPEG is a real codec now (operators/jpeg.py): truncated input gets
+    # a clean parse error, and the honest NotImplementedError boundary
+    # has moved to the native-lib formats (MP3/video)
+    with pytest.raises(ValueError, match="truncated JPEG"):
+        decode_media(b"\xff\xd8\xff", "image/jpeg")
     with pytest.raises(NotImplementedError):
-        decode_media(b"\xff\xd8\xff", "image/jpeg")  # still-stubbed codec
+        decode_media(b"\x00", "audio/mpeg")
 
 
 # --- WAV (16-bit PCM RIFF/WAVE) ---

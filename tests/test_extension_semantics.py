@@ -110,10 +110,13 @@ def test_featurizer_exact_histogram(spark):
 
 def test_decode_stub_refuses_unknown_codec():
     assert decode_media(b"abc", "text/plain") == b"abc"
-    # JPEG remains the honest native-lib boundary (PNG gained a real
-    # stdlib-zlib codec in round 5 — see test_bmp_codec.py)
+    # JPEG gained a real dependency-free codec in round 8
+    # (operators/jpeg.py — see tests/test_jpeg.py); the honest
+    # native-lib boundary is now MP3/video
     with pytest.raises(NotImplementedError):
-        decode_media(b"\xff\xd8\xff\xe0", "image/jpeg")
+        decode_media(b"\x00\x01", "video/mp4")
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x00\x01", "audio/mpeg")
 
 
 def test_approx_distinct_within_rsd(spark, sf_dir):
