@@ -19,6 +19,20 @@ from ..catalog import load_table
 from ..functions.core import DEC, davg, dsum
 from ..registry import query
 
+MACD_WINDOW = 50  # lag truncation, matching the `ewma` query's frame
+_MACD_Q_FAST = 11 / 13  # 1 - 2/(12+1)
+_MACD_Q_SLOW = 25 / 27  # 1 - 2/(26+1)
+_MACD_Q_SIG = 0.8  # 1 - 2/(9+1)
+#: truncation-mass normalizers 1 - q^N: dividing each truncated EMA by
+#: its actual weight mass removes the systematic bias truncation leaves
+#: (at q=25/27, N=50 the missing tail mass is ~2.1% — a constant series
+#: would otherwise show macd ≈ 0.021·x instead of 0). Python-computed
+#: double literals, embedded identically in both engines (used by both
+#: the ``macd`` batch query and the ``macd_fold_series`` twin).
+_MACD_W_FAST = 1 - _MACD_Q_FAST**MACD_WINDOW
+_MACD_W_SLOW = 1 - _MACD_Q_SLOW**MACD_WINDOW
+_MACD_W_SIG = 1 - _MACD_Q_SIG**9
+
 
 @query(
     "tumbling_window_agg",
@@ -1009,6 +1023,248 @@ def session_fold_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rsi_fold_series",
+    oracle="""
+    WITH cents AS (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+      FROM orders
+    ), px AS (
+      SELECT o_custkey, o_orderkey,
+             ROW_NUMBER() OVER w AS n_obs,
+             c - LAG(c) OVER w AS diff
+      FROM cents
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ), acc AS (
+      SELECT o_custkey, o_orderkey, n_obs,
+             CAST(SUM(CASE WHEN diff > 0 THEN diff ELSE 0 END) OVER w7
+                  AS DOUBLE) AS gain,
+             CAST(SUM(CASE WHEN diff < 0 THEN -diff ELSE 0 END) OVER w7
+                  AS DOUBLE) AS loss,
+             COUNT(diff) OVER w7 AS n_diffs
+      FROM px
+      WINDOW w7 AS (PARTITION BY o_custkey ORDER BY n_obs
+                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT o_custkey, o_orderkey,
+           CASE WHEN loss = 0.0 THEN 100.0
+                ELSE 100.0 - 100.0 / (1.0 + gain / loss) END AS rsi,
+           CAST(n_obs AS BIGINT) AS n_obs
+    FROM acc WHERE n_diffs = 7
+    ORDER BY o_custkey, o_orderkey
+    """,
+    tags=("T10", "A3"),
+)
+def rsi_fold_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[T10 batch twin] The streaming ``rsi_stream`` state machine's
+    pure fold (``streaming/stateful.py: rsi_fold`` — the EXACT code the
+    stateful operator executes per micro-batch) run over each customer's
+    full order history via ``applyInPandas``, so the driver's DuckDB
+    hash-compare verifies the fold itself, not a parallel
+    reimplementation (the ``position_ledger`` /
+    ``session_fold_sessions`` pattern). Prices are framed as exact
+    integer cents BEFORE the fold: the fold's plain-double
+    left-to-right gain/loss sums are then sums of small integers —
+    exact in IEEE doubles, hence order-independent and equal to the
+    oracle's BIGINT window sums — and the final RSI expression is the
+    identical double op sequence in both engines (zero-loss branch pins
+    100 exactly). Scale: one shuffle on the series key; the streaming
+    variant holds only a 7-diff ring per key."""
+    import math
+
+    import pandas as pd
+
+    from ..streaming.stateful import RSI_PERIOD, rsi_fold
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["o_orderdate", "o_orderkey"])
+        custkey = pdf["o_custkey"].iloc[0]
+        ripe = [
+            (int(k), float(math.floor(p * 100 + 0.5)))
+            for k, p in zip(pdf["o_orderkey"], pdf["o_totalprice"])
+        ]
+        _px, _diffs, _n, rows = rsi_fold(0.0, [], 0, ripe)
+        return pd.DataFrame(
+            {
+                "o_custkey": [custkey] * len(rows),
+                "o_orderkey": [r[0] for r in rows],
+                "rsi": [r[1] for r in rows],
+                "n_obs": [r[2] for r in rows],
+            }
+        )
+
+    assert RSI_PERIOD == 7  # the oracle's n_diffs filter is hardwired
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    return (
+        o.groupBy("o_custkey")
+        .applyInPandas(fold, "o_custkey long, o_orderkey long, rsi double, n_obs long")
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@query(
+    "macd_fold_series",
+    oracle=f"""
+    WITH events_us AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    m AS (
+      SELECT event_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS n_obs,
+             ROUND({2 / 13!r} * list_reduce(
+                     list(value) OVER w50, (acc, x) -> acc * {_MACD_Q_FAST!r} + x)
+                     / {_MACD_W_FAST!r}
+                   - {2 / 27!r} * list_reduce(
+                     list(value) OVER w50, (acc, x) -> acc * {_MACD_Q_SLOW!r} + x)
+                     / {_MACD_W_SLOW!r},
+                   6) AS macd_line
+      FROM events_us
+      WHERE value IS NOT NULL
+      WINDOW w50 AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN {MACD_WINDOW - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, event_type, macd_line,
+           ROUND({0.2!r} * list_reduce(
+                   list(macd_line) OVER w9, (acc, x) -> acc * {_MACD_Q_SIG!r} + x)
+                   / {_MACD_W_SIG!r},
+                 6) AS signal_line,
+           CAST(n_obs AS BIGINT) AS n_obs
+    FROM m
+    WINDOW w9 AS (PARTITION BY event_type ORDER BY n_obs
+                  ROWS BETWEEN 8 PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+    """,
+    tags=("T10", "A3"),
+)
+def macd_fold_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[T10 batch twin] The streaming ``macd_stream`` state machine's
+    pure fold (``streaming/stateful.py: macd_fold``) over each
+    event_type's full tick history via ``applyInPandas`` — the driver
+    hashes the output of the very truncated-Horner/round-then-fold code
+    the stateful operator runs, against the batch ``macd`` query's
+    proven DuckDB oracle (list_reduce left-folds). The unit suite pins
+    stream≡batch bit-equality (``test_macd_stream_matches_batch_query``);
+    this entry gives the fold a driver-hashed row of its own. Scale: one
+    shuffle on the series key; streaming state is a 50-price +
+    9-macd ring per key."""
+    import pandas as pd
+
+    from ..streaming.stateful import macd_fold
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        etype = pdf["event_type"].iloc[0]
+        ripe = [(int(k), float(v)) for k, v in zip(pdf["event_id"], pdf["value"])]
+        _r50, _r9, _n, rows = macd_fold([], [], 0, ripe)
+        return pd.DataFrame(
+            {
+                "event_id": [r[0] for r in rows],
+                "event_type": [etype] * len(rows),
+                "macd_line": [r[1] for r in rows],
+                "signal_line": [r[2] for r in rows],
+                "n_obs": [r[3] for r in rows],
+            }
+        )
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_id", "event_type", "ts", "value")
+    )
+    return (
+        e.groupBy("event_type")
+        .applyInPandas(
+            fold,
+            "event_id long, event_type string, macd_line double, "
+            "signal_line double, n_obs long",
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "bollinger_fold_series",
+    oracle="""
+    WITH cents AS (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+      FROM orders
+    ), acc AS (
+      SELECT o_custkey, o_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS n_obs,
+             SUM(c) OVER w AS s1c,
+             SUM(c * c) OVER w AS s2c,
+             COUNT(*) OVER w AS n
+      FROM cents
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    )
+    SELECT o_custkey, o_orderkey, sma, sigma,
+           sma - 2.0 * sigma AS lower_band,
+           sma + 2.0 * sigma AS upper_band,
+           CAST(n_obs AS BIGINT) AS n_obs
+    FROM (
+      SELECT o_custkey, o_orderkey, n_obs, n,
+             CAST(s1c AS DOUBLE) / 10 / 100.0 AS sma,
+             sqrt(GREATEST(CAST(10 * s2c - s1c * s1c AS DOUBLE)
+                           / (10 * 10) / 10000.0, 0.0)) AS sigma
+      FROM acc
+    ) WHERE n = 10
+    ORDER BY o_custkey, o_orderkey
+    """,
+    tags=("T10", "A3"),
+)
+def bollinger_fold_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[T10 batch twin] The streaming ``bollinger_stream`` state
+    machine's pure fold (``streaming/stateful.py: bollinger_fold``) over
+    each customer's full order history via ``applyInPandas`` — exact
+    integer-cents moments inside the fold, identical IEEE
+    mean/σ/band expressions in the oracle, so the driver hash-verifies
+    the very code the stateful operator executes per micro-batch
+    (stream≡batch already unit-pinned by
+    ``test_bollinger_stream_matches_batch_window``). Scale: one shuffle
+    on the series key; streaming state is a 10-cent ring per key."""
+    import pandas as pd
+
+    from ..streaming.stateful import bollinger_fold
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["o_orderdate", "o_orderkey"])
+        custkey = pdf["o_custkey"].iloc[0]
+        ripe = [
+            (int(k), float(p))
+            for k, p in zip(pdf["o_orderkey"], pdf["o_totalprice"])
+        ]
+        _ring, _n, rows = bollinger_fold([], 0, ripe)
+        return pd.DataFrame(
+            {
+                "o_custkey": [custkey] * len(rows),
+                "o_orderkey": [r[0] for r in rows],
+                "sma": [r[1] for r in rows],
+                "sigma": [r[2] for r in rows],
+                "lower_band": [r[3] for r in rows],
+                "upper_band": [r[4] for r in rows],
+                "n_obs": [r[5] for r in rows],
+            }
+        )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    return (
+        o.groupBy("o_custkey")
+        .applyInPandas(
+            fold,
+            "o_custkey long, o_orderkey long, sma double, sigma double, "
+            "lower_band double, upper_band double, n_obs long",
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@query(
     "rsi_indicator",
     oracle="""
     WITH px AS (
@@ -1175,20 +1431,6 @@ def obv_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "ts", "event_id")
     )
-
-
-MACD_WINDOW = 50  # lag truncation, matching the `ewma` query's frame
-_MACD_Q_FAST = 11 / 13  # 1 - 2/(12+1)
-_MACD_Q_SLOW = 25 / 27  # 1 - 2/(26+1)
-_MACD_Q_SIG = 0.8  # 1 - 2/(9+1)
-#: truncation-mass normalizers 1 - q^N: dividing each truncated EMA by
-#: its actual weight mass removes the systematic bias truncation leaves
-#: (at q=25/27, N=50 the missing tail mass is ~2.1% — a constant series
-#: would otherwise show macd ≈ 0.021·x instead of 0). Python-computed
-#: double literals, embedded identically in both engines.
-_MACD_W_FAST = 1 - _MACD_Q_FAST**MACD_WINDOW
-_MACD_W_SLOW = 1 - _MACD_Q_SLOW**MACD_WINDOW
-_MACD_W_SIG = 1 - _MACD_Q_SIG**9
 
 
 @query(
