@@ -1150,3 +1150,73 @@ def hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("hhi"), "p_partkey")
     )
+
+
+@query(
+    "product_profit_by_nation",
+    oracle="""
+    SELECT n.n_name, CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         - 0.6 * p.p_retailprice * l.l_quantity
+                         AS DECIMAL(30,6))) AS DOUBLE) AS profit,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_name LIKE 'red %'
+    GROUP BY n.n_name, o_year
+    ORDER BY n.n_name, o_year
+    """,
+    tags=("J1", "J2", "A1"),
+)
+def product_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[J1/J2/A1] TPC-H Q9 shape — profit per supplying nation per order
+    year for one product family, the five-table join report (lineitem ⋈
+    orders ⋈ supplier ⋈ nation ⋈ part). The reference's fixture carries
+    no partsupp table, so the Q9 supply-cost term uses the deterministic
+    proxy ``0.6 · p_retailprice`` — the JOIN TOPOLOGY and the
+    amount-expression shape (revenue minus quantity-scaled cost inside
+    one aggregate) are what Q9 exercises, and both are faithful.
+
+    Numeric contract: the per-line amount is ONE double expression
+    (identical literal 0.6, identical op order in both engines) cast to
+    DECIMAL(30,6) per row and summed exactly — order-independent under
+    partial aggregation (the ``dsum`` rule). Year extraction is
+    engine-agreed on timestamps.
+
+    Scale: the only fact-fact edge (lineitem ⋈ orders) shuffles on the
+    orderkey both sides; supplier/nation/part are broadcast dims (part
+    after its pushed-down LIKE prune). On an orderkey-bucketed lake the
+    big edge is zero-Exchange; the groupBy output is
+    nations × years — trivially small."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = F.broadcast(
+        load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    )
+    n = F.broadcast(
+        load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    )
+    p = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red %"))
+        .select("p_partkey", "p_retailprice")
+    )
+    amount = (
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+        - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast(DEC)
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(n, s["s_nationkey"] == n["n_nationkey"])
+        .join(p, li["l_partkey"] == p["p_partkey"])
+        .groupBy("n_name", F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            F.sum(amount).cast("double").alias("profit"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+        .orderBy("n_name", "o_year")
+    )

@@ -1489,3 +1489,123 @@ def nearest_centroid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         .orderBy("label", "predicted_label")
     )
+
+
+MATRYOSHKA_DIMS = 16  # truncation budget: the first quarter of the 64 dims
+
+
+@query(
+    "matryoshka_recall",
+    oracle=f"""
+    WITH vecs AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             list_transform(embedding, x -> CAST(x AS DOUBLE))[1:{MATRYOSHKA_DIMS}] AS tv
+      FROM embeddings
+    ), ok AS (
+      SELECT vec_id, v, tv FROM vecs
+      WHERE list_dot_product(v, v) > 0 AND list_dot_product(tv, tv) > 0
+    ), q AS (
+      SELECT vec_id AS query_id, v AS qv, tv AS qtv FROM ok
+      WHERE vec_id < {N_QUERY_VECS}
+    ), scored AS (
+      SELECT q.query_id, ok.vec_id,
+             ROUND(list_dot_product(q.qv, ok.v)
+                   / (sqrt(list_dot_product(q.qv, q.qv))
+                      * sqrt(list_dot_product(ok.v, ok.v))), 6) AS full_sim,
+             ROUND(list_dot_product(q.qtv, ok.tv)
+                   / (sqrt(list_dot_product(q.qtv, q.qtv))
+                      * sqrt(list_dot_product(ok.tv, ok.tv))), 6) AS trunc_sim
+      FROM q JOIN ok ON ok.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT query_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY full_sim DESC, vec_id) AS rn_full,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY trunc_sim DESC, vec_id) AS rn_trunc
+      FROM scored
+    )
+    SELECT query_id,
+           CAST(SUM(CASE WHEN rn_full <= {TOP_K} AND rn_trunc <= {TOP_K}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           CAST(SUM(CASE WHEN rn_full <= {TOP_K} AND rn_trunc <= {TOP_K}
+                         THEN 1 ELSE 0 END) AS DOUBLE) / {TOP_K} AS recall_at_k
+    FROM ranked GROUP BY query_id ORDER BY query_id
+    """,
+    tags=("U5",),
+)
+def matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U5] Matryoshka / truncated-dimension acceptance metric: recall@k
+    of cosine top-k computed on only the FIRST {MATRYOSHKA_DIMS} of the
+    64 embedding dims against the full-dimension exact ranking — the
+    number a vector-store operator reads before shipping
+    Matryoshka-style dimension truncation (Kusupati et al. 2022) as a
+    cheap first-stage retriever (4× less memory and FLOPs per
+    comparison). Completes the acceptance layer: ``ann_recall`` audits
+    IVF/PQ, ``sq8_recall`` audits scalar quantization, this audits
+    dimension truncation.
+
+    Determinism (the family contract): both rankings use the identical
+    left-to-right HOF dot folds as DuckDB's ``list_dot_product``, ROUND
+    at 6 digits, vec_id tie-break; candidates require BOTH the full and
+    truncated norms positive (one engine-identical predicate) so neither
+    ranking ever scores a NaN. The 5-row query side is a broadcast
+    literal-carry (the ``ann_recall`` spine), not a cartesian: cost is
+    linear in the corpus.
+
+    Scale: identical envelope to ``knn_bruteforce`` — one corpus pass
+    scoring 5 queries, two window ranks over ≤ corpus rows per query,
+    output is one row per query."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    e = e.withColumn("tv", F.slice("v", 1, MATRYOSHKA_DIMS))
+    ok = e.filter((dot("v", "v") > 0) & (dot("tv", "tv") > 0))
+    q = (
+        ok.filter(F.col("vec_id") < N_QUERY_VECS)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("tv").alias("qtv"),
+        )
+    )
+    scored = (
+        ok.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                dot("qv", "v") / (F.sqrt(dot("qv", "qv")) * F.sqrt(dot("v", "v"))),
+                6,
+            ).alias("full_sim"),
+            F.round(
+                dot("qtv", "tv")
+                / (F.sqrt(dot("qtv", "qtv")) * F.sqrt(dot("tv", "tv"))),
+                6,
+            ).alias("trunc_sim"),
+        )
+    )
+    w_full = Window.partitionBy("query_id").orderBy(
+        F.desc("full_sim"), F.col("vec_id")
+    )
+    w_trunc = Window.partitionBy("query_id").orderBy(
+        F.desc("trunc_sim"), F.col("vec_id")
+    )
+    ranked = scored.select(
+        "query_id",
+        "vec_id",
+        F.row_number().over(w_full).alias("rn_full"),
+        F.row_number().over(w_trunc).alias("rn_trunc"),
+    )
+    hit = F.when(
+        (F.col("rn_full") <= TOP_K) & (F.col("rn_trunc") <= TOP_K), 1
+    ).otherwise(0)
+    return (
+        ranked.groupBy("query_id")
+        .agg(
+            F.sum(hit).cast("bigint").alias("n_hits"),
+            (F.sum(hit).cast("double") / F.lit(float(TOP_K))).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )

@@ -1228,3 +1228,126 @@ def ab_test_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("abs_lift"),
         z.alias("z_score"),
     )
+
+
+DSIR_BUCKETS = 64
+#: "wiki-like" target domain for the importance-weight estimate: four of
+#: the twenty synthetic sources (20% of the corpus), so both the target
+#: and raw unigram models are estimated from the fixtures themselves.
+DSIR_TARGET_SOURCES = ("src0", "src1", "src2", "src3")
+
+
+@query(
+    "dsir_importance_selection",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, unnest(string_split_regex(trim(text), '\\s+')) AS w
+      FROM documents
+    ), tb AS (
+      SELECT doc_id, source,
+             CAST(('0x' || substring(md5(w), 1, 15)) AS BIGINT) % {DSIR_BUCKETS} AS b
+      FROM toks
+    ), raw_counts AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS r_b FROM tb GROUP BY b
+    ), tgt_counts AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS t_b FROM tb
+      WHERE source IN {DSIR_TARGET_SOURCES!r} GROUP BY b
+    ), totals AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS r_tot,
+             CAST(SUM(CASE WHEN source IN {DSIR_TARGET_SOURCES!r}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS t_tot
+      FROM tb
+    ), bstats AS (
+      SELECT rc.b, rc.r_b, COALESCE(tc.t_b, 0) AS t_b
+      FROM raw_counts rc LEFT JOIN tgt_counts tc USING (b)
+    ), dbc AS (
+      SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS k FROM tb GROUP BY doc_id, b
+    ), terms AS (
+      SELECT d.doc_id, d.k,
+             CAST(d.k * ln(CAST((s.t_b + 1) * (t.r_tot + {DSIR_BUCKETS}) AS DOUBLE)
+                           / CAST((s.r_b + 1) * (t.t_tot + {DSIR_BUCKETS}) AS DOUBLE))
+                  AS DECIMAL(30,6)) AS term
+      FROM dbc d JOIN bstats s USING (b) CROSS JOIN totals t
+    )
+    SELECT doc_id,
+           CAST(SUM(k) AS BIGINT) AS n_tokens,
+           CAST(SUM(term) AS DOUBLE) / SUM(k) AS avg_logratio,
+           CAST(CASE WHEN SUM(term) > 0 THEN 1 ELSE 0 END AS BIGINT) AS selected
+    FROM terms GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("U6",),
+)
+def dsir_importance_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U6] DSIR-style data selection (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): every document gets
+    an importance log-ratio under hashed-unigram bag-of-words models of
+    a TARGET domain versus the RAW corpus — the published recipe for
+    choosing pretraining data that "looks like" a trusted domain without
+    training a classifier. Features are md5-hashed token buckets
+    (``DSIR_BUCKETS`` = 64, the engine-portable 15-hex-char hash the
+    SimHash family established), models are add-one-smoothed bucket
+    unigrams, and a document is ``selected`` when its total log-ratio is
+    positive (importance weight > 1 — target-typical).
+
+    Numeric contract (the ``unigram_logprob`` pattern): each per-bucket
+    term is ``k · ln(exact-integer ratio)`` — the ratio's numerator and
+    denominator are exact BIGINT products, the single ``ln`` drifts
+    ~1e-12 across libms, and the term is rounded into DECIMAL(30,6)
+    before the order-free exact sum; the ``selected`` flag compares the
+    EXACT decimal sum to zero, and ``avg_logratio`` is the UNROUNDED
+    quotient of that exact sum by the exact token count — bit-identical
+    inputs through the identical IEEE divide, with no final ROUND to
+    hit the cross-engine .5e-6 boundary (which a sf0.1 draw did hit).
+
+    Scale: one token explode, two 64-row bucket aggregations (map-side
+    partials absorb token skew) broadcast back, a per-(doc, bucket)
+    regroup, and one 1-row totals carry — no Python, no pairwise joins;
+    at 100 TB this is two passes over the token stream, the same cost
+    envelope as TF-IDF."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "source", F.explode(tokens()).alias("w"))
+    tb = toks.select(
+        "doc_id",
+        "source",
+        (
+            F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long")
+            % DSIR_BUCKETS
+        ).alias("b"),
+    )
+    is_target = F.col("source").isin(*DSIR_TARGET_SOURCES)
+    raw_counts = tb.groupBy("b").agg(F.count(F.lit(1)).cast("bigint").alias("r_b"))
+    tgt_counts = (
+        tb.filter(is_target)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t_b"))
+    )
+    totals = tb.agg(
+        F.count(F.lit(1)).cast("bigint").alias("r_tot"),
+        F.sum(F.when(is_target, 1).otherwise(0)).cast("bigint").alias("t_tot"),
+    )
+    bstats = (
+        raw_counts.join(tgt_counts, "b", "left")
+        .select("b", "r_b", F.coalesce("t_b", F.lit(0)).alias("t_b"))
+        .crossJoin(F.broadcast(totals))
+    )
+    dbc = tb.groupBy("doc_id", "b").agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    term = (
+        F.col("k")
+        * F.log(
+            ((F.col("t_b") + 1) * (F.col("r_tot") + DSIR_BUCKETS)).cast("double")
+            / ((F.col("r_b") + 1) * (F.col("t_tot") + DSIR_BUCKETS)).cast("double")
+        )
+    ).cast("decimal(30,6)")
+    return (
+        dbc.join(F.broadcast(bstats), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").cast("bigint").alias("n_tokens"),
+            (F.sum(term).cast("double") / F.sum("k")).alias("avg_logratio"),
+            F.when(F.sum(term) > 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("selected"),
+        )
+        .orderBy("doc_id")
+    )
