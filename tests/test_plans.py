@@ -290,3 +290,47 @@ def test_new_family_no_cartesian(spark, sf_dir, name):
     literal-carry broadcast (which plans as BroadcastNestedLoopJoin over
     a single-row build, not a cartesian)."""
     assert "CartesianProduct" not in executed_plan(q(spark, sf_dir, name))
+
+
+def test_q9_profit_broadcasts_dims_no_cartesian(spark, sf_dir):
+    """product_profit_by_nation (TPC-H Q9 shape): supplier/nation/part
+    are broadcast dims, the only shuffle-join edge is lineitem ⋈ orders,
+    and the part LIKE filter is pushed to its scan."""
+    df = q(spark, sf_dir, "product_profit_by_nation")
+    p = executed_plan(df)
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastHashJoin") >= 3
+    # exactly one non-broadcast (shuffle/sort-merge) join edge at most:
+    # the fact-fact lineitem ⋈ orders one
+    assert p.count("SortMergeJoin") + p.count("ShuffledHashJoin") <= 1
+    assert "partial_sum" in executed_plan(df, run=True)
+
+
+def test_dsir_two_pass_tokens_broadcast_stats(spark, sf_dir):
+    """dsir_importance_selection: the 64-row bucket-stats side and the
+    1-row totals carry broadcast; no cartesian; the per-doc aggregate is
+    map-side partial."""
+    df = q(spark, sf_dir, "dsir_importance_selection")
+    p = executed_plan(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert "partial_count" in executed_plan(df, run=True)
+
+
+def test_matryoshka_query_side_is_broadcast_carry(spark, sf_dir):
+    """matryoshka_recall: the 5-row query side must broadcast (a
+    literal-carry BroadcastNestedLoopJoin, the ann_recall spine), never
+    a CartesianProduct — cost stays linear in the corpus."""
+    p = executed_plan(q(spark, sf_dir, "matryoshka_recall"))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p
+
+
+def test_fold_twins_single_series_shuffle(spark, sf_dir):
+    """The three streaming-fold batch twins shuffle once on the series
+    key into applyInPandas (FlatMapGroupsInPandas) — no extra exchanges,
+    no cartesian."""
+    for name in ("rsi_fold_series", "macd_fold_series", "bollinger_fold_series"):
+        p = executed_plan(q(spark, sf_dir, name))
+        assert "CartesianProduct" not in p, name
+        assert "FlatMapGroupsInPandas" in p, name
