@@ -1,0 +1,286 @@
+"""MPEG-1 Layer III (MP3) frame-structure codec — dependency-free
+container parser plus the catalog query proving it end-to-end.
+
+Scope and honesty boundary: this module parses and writes the MP3
+*container* — ID3v2 tag skip (syncsafe size), frame-sync walk, header
+field decode (version/layer/bitrate/samplerate/padding via the public
+ISO 11172-3 tables), per-frame length arithmetic, payload slicing. It
+does NOT synthesize PCM (the polyphase filterbank/IMDCT audio decode
+stays behind the documented ``NotImplementedError`` in
+``multimodal.decode_media`` — parsing structure is what a 100 TB
+audio-corpus ingest needs for metadata/stats/dedup before any native
+decoder runs). Reference parity note: the reference pipeline
+(``plugins/Operators/SparkProcessOperator.py``) never touches media at
+all; this extends the engine's training-data surface per SURVEY §2.10.
+
+Design for an exact oracle (the ``jpeg_decode`` recipe): the frame
+payload layer is perfectly lossless — document bytes are framed as the
+payloads of a standard MP3 stream (ID3v2 tag first, then frames
+alternating two bitrates so the walker must actually evaluate the
+bitrate table per frame), parsed back, and the recovered payload must
+be byte-identical to the document prefix, whose length the DuckDB
+oracle knows analytically from the alternating frame geometry.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+from ..registry import query
+
+#: MPEG-1 Layer III bitrate table (kbps), indexed by the 4-bit header
+#: field; index 0 = "free format", 15 = forbidden (ISO 11172-3 Table B).
+BITRATE_KBPS_V1L3 = (
+    None, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, None
+)
+#: Sampling-rate table (Hz) for MPEG-1, indexed by the 2-bit field.
+SAMPLE_RATE_V1 = (44100, 48000, 32000, None)
+
+HEADER_BYTES = 4
+
+
+def frame_length(bitrate_kbps: int, sample_rate: int, padding: int) -> int:
+    """ISO frame-length arithmetic for Layer III, MPEG-1:
+    ``floor(144 · bitrate / sample_rate) + padding`` bytes, header
+    included."""
+    return 144 * bitrate_kbps * 1000 // sample_rate + padding
+
+
+def _syncsafe(n: int) -> bytes:
+    """ID3v2 syncsafe 28-bit size: 4 bytes, 7 bits each, MSB clear."""
+    return bytes(((n >> s) & 0x7F) for s in (21, 14, 7, 0))
+
+
+def _unsyncsafe(b: bytes) -> int:
+    return (b[0] << 21) | (b[1] << 14) | (b[2] << 7) | b[3]
+
+
+def encode_id3v2(comment: bytes = b"engine") -> bytes:
+    """Minimal ID3v2.3 tag: 10-byte header + one TXXX-ish body blob.
+    Parsers must skip ``10 + syncsafe-size`` bytes — the classic place
+    naive frame walkers desync (a tag body may contain 0xFF bytes)."""
+    body = b"TXXX" + len(comment).to_bytes(4, "big") + b"\x00\x00" + comment
+    return b"ID3\x03\x00\x00" + _syncsafe(len(body)) + body
+
+
+def encode_mp3_frames(
+    payload: bytes,
+    bitrate_indices: list[int],
+    sample_rate_index: int = 0,
+    with_id3: bool = True,
+) -> bytes:
+    """Wrap ``payload`` bytes as the payloads of consecutive MPEG-1
+    Layer III frames (protection bit set = no CRC16; joint stereo). The
+    k-th frame uses ``bitrate_indices[k]``; payload must exactly fill
+    the frames (``frame_length − 4`` bytes each) — the caller owns the
+    geometry, which is what lets the oracle know the framed prefix
+    length analytically."""
+    sr = SAMPLE_RATE_V1[sample_rate_index]
+    out = bytearray(encode_id3v2() if with_id3 else b"")
+    pos = 0
+    for bi in bitrate_indices:
+        kbps = BITRATE_KBPS_V1L3[bi]
+        flen = frame_length(kbps, sr, padding=0)
+        body = payload[pos : pos + flen - HEADER_BYTES]
+        if len(body) != flen - HEADER_BYTES:
+            raise ValueError(
+                f"payload underfills frame {len(body)} != {flen - HEADER_BYTES}"
+            )
+        pos += len(body)
+        # header: 11 sync bits | version 11 (MPEG-1) | layer 01 (III) |
+        # protection 1 (no CRC) -> 0xFF 0xFB; then bitrate/samplerate/
+        # padding/private; then channel mode 01 (joint stereo)
+        out += bytes(
+            [0xFF, 0xFB, (bi << 4) | (sample_rate_index << 2) | 0, 0x40]
+        )
+        out += body
+    if pos != len(payload):
+        raise ValueError(f"{len(payload) - pos} payload bytes left over")
+    return bytes(out)
+
+
+class Mp3Frame:
+    __slots__ = ("bitrate_kbps", "sample_rate", "padding", "length", "payload")
+
+    def __init__(self, bitrate_kbps, sample_rate, padding, length, payload):
+        self.bitrate_kbps = bitrate_kbps
+        self.sample_rate = sample_rate
+        self.padding = padding
+        self.length = length
+        self.payload = payload
+
+
+def parse_mp3(data: bytes) -> tuple[list[Mp3Frame], bytes]:
+    """Walk an MP3 stream: skip a leading ID3v2 tag (syncsafe size),
+    then decode consecutive frame headers (sync check, version/layer
+    validation, bitrate + sampling-rate table lookups, padding bit,
+    length arithmetic) and slice each frame's payload. Returns the frame
+    list and the concatenated payload bytes. Raises ``ValueError`` on a
+    broken sync, a reserved table index, or a frame that overruns the
+    buffer — truncated containers fail loudly (the ``decode_wav``
+    contract), they do not return partial audio silently."""
+    pos = 0
+    if data[:3] == b"ID3":
+        if len(data) < 10:
+            raise ValueError("truncated ID3v2 header")
+        pos = 10 + _unsyncsafe(data[6:10])
+    frames: list[Mp3Frame] = []
+    payload = bytearray()
+    while pos < len(data):
+        if pos + HEADER_BYTES > len(data):
+            raise ValueError("truncated MP3: header cut off")
+        b0, b1, b2, _b3 = data[pos : pos + HEADER_BYTES]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            raise ValueError(f"lost frame sync at byte {pos}")
+        version = (b1 >> 3) & 0x03
+        layer = (b1 >> 1) & 0x03
+        if version != 0b11 or layer != 0b01:
+            raise NotImplementedError(
+                "only MPEG-1 Layer III frames supported "
+                f"(version bits {version:02b}, layer bits {layer:02b})"
+            )
+        protection = b1 & 0x01
+        bi = (b2 >> 4) & 0x0F
+        sri = (b2 >> 2) & 0x03
+        padding = (b2 >> 1) & 0x01
+        kbps = BITRATE_KBPS_V1L3[bi]
+        sr = SAMPLE_RATE_V1[sri]
+        if kbps is None or sr is None:
+            raise ValueError(f"reserved bitrate/samplerate index at byte {pos}")
+        flen = frame_length(kbps, sr, padding)
+        if pos + flen > len(data):
+            raise ValueError(
+                f"truncated MP3: frame declares {flen} bytes, "
+                f"{len(data) - pos} remain"
+            )
+        body_start = pos + HEADER_BYTES + (2 if protection == 0 else 0)
+        body = data[body_start : pos + flen]
+        frames.append(Mp3Frame(kbps, sr, padding, flen, body))
+        payload += body
+        pos += flen
+    return frames, bytes(payload)
+
+
+# ---------------------------------------------------------------------------
+# Catalog query geometry: frames alternate 32 kbps (104 B, payload 100)
+# and 48 kbps (156 B, payload 152) at 44.1 kHz, up to 4 frames per
+# document — cumulative payload prefix lengths 100 / 252 / 352 / 504, so
+# ~87% of the synthetic documents carry ≥1 frame and the bitrate table
+# is exercised on every 2-frame document.
+MP3_BITRATE_CYCLE = (1, 3)  # indices: 32 kbps, 48 kbps
+MP3_MAX_FRAMES = 4
+_SR = SAMPLE_RATE_V1[0]
+#: payload capacity of the k-th frame in the cycle
+_FRAME_PAYLOADS = [
+    frame_length(BITRATE_KBPS_V1L3[MP3_BITRATE_CYCLE[k % 2]], _SR, 0)
+    - HEADER_BYTES
+    for k in range(MP3_MAX_FRAMES)
+]
+#: cumulative payload lengths after 1..MP3_MAX_FRAMES frames
+MP3_CUM_PAYLOAD = [
+    sum(_FRAME_PAYLOADS[: k + 1]) for k in range(MP3_MAX_FRAMES)
+]
+
+
+def _n_frames_sql(n: str) -> str:
+    """CASE expression: frames a document of n bytes fills."""
+    cases = " ".join(
+        f"WHEN {n} >= {cum} THEN {k + 1}"
+        for k, cum in reversed(list(enumerate(MP3_CUM_PAYLOAD)))
+    )
+    return f"CASE {cases} ELSE 0 END"
+
+
+def _prefix_sql(n: str) -> str:
+    cases = " ".join(
+        f"WHEN {n} >= {cum} THEN {cum}"
+        for k, cum in reversed(list(enumerate(MP3_CUM_PAYLOAD)))
+    )
+    return f"CASE {cases} ELSE 0 END"
+
+
+@query(
+    "mp3_frame_scan",
+    oracle=f"""
+    WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
+                      octet_length(encode(text)) AS n
+               FROM documents)
+    SELECT doc_id,
+           CAST({_n_frames_sql("n")} AS BIGINT) AS n_frames,
+           CAST({_prefix_sql("n")} AS BIGINT) AS n_payload_bytes,
+           md5(substring(hx, 1, CAST(2 * ({_prefix_sql("n")}) AS INT)))
+             AS payload_md5
+    FROM h WHERE n >= {MP3_CUM_PAYLOAD[0]} ORDER BY doc_id
+    """,
+    tags=("U7",),
+)
+def mp3_frame_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U7] REAL MP3 container roundtrip (no stub, no native lib): each
+    document's leading bytes are framed as the payloads of a standard
+    MPEG-1 Layer III stream — an ID3v2 tag the walker must skip via the
+    syncsafe size, then up to {MP3_MAX_FRAMES} frames ALTERNATING 32 and
+    48 kbps so every multi-frame document forces per-frame bitrate-table
+    evaluation and length arithmetic — and parsed back by the
+    dependency-free walker (``parse_mp3``). The recovered payload must
+    be byte-identical to the document prefix, whose length the oracle
+    computes analytically from the frame geometry: any error in the
+    ID3 skip, sync check, table lookup, or frame-length formula shifts
+    every subsequent byte and breaks the md5 compare. The audio (PCM)
+    layer is deliberately out of scope — the honest boundary
+    (``multimodal.decode_media``) still raises for ``audio/mpeg``
+    because structure parsing is not audio decoding. Arrow-batched
+    ``mapInPandas`` — per-document work, no shuffle."""
+    from .multimodal import media_table
+
+    m = media_table(spark, sf_dir).filter(
+        F.col("meta.n_bytes") >= MP3_CUM_PAYLOAD[0]
+    )
+
+    def _roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                n_frames = 0
+                for k, cum in enumerate(MP3_CUM_PAYLOAD):
+                    if len(raw) >= cum:
+                        n_frames = k + 1
+                prefix = raw[: MP3_CUM_PAYLOAD[n_frames - 1]]
+                stream = encode_mp3_frames(
+                    prefix,
+                    [MP3_BITRATE_CYCLE[k % 2] for k in range(n_frames)],
+                )
+                frames, recovered = parse_mp3(stream)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "n_frames": len(frames),
+                        "n_payload_bytes": len(recovered),
+                        "payload": recovered,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_frames", "n_payload_bytes", "payload"],
+            )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("n_frames", LongType()),
+            StructField("n_payload_bytes", LongType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+    out = m.select("doc_id", "payload").mapInPandas(_roundtrip, schema)
+    return out.select(
+        "doc_id",
+        "n_frames",
+        "n_payload_bytes",
+        F.md5(F.hex("payload")).alias("payload_md5"),
+    ).orderBy("doc_id")

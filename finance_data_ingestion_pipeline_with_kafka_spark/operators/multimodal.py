@@ -87,9 +87,11 @@ def decode_media(payload: bytes, mime: str) -> bytes:
         return pixels
     raise NotImplementedError(
         f"decoder for {mime!r} requires media libraries not present in this "
-        "environment (MP3/video); plug a real decoder in here — the "
-        "surrounding Spark plumbing (schema, batching, partitioning) is "
-        "decoder-agnostic"
+        "environment (MP3/video PCM/pixel synthesis); MP3 container "
+        "STRUCTURE parsing is real and dependency-free (operators/mp3.py: "
+        "parse_mp3 — frame walk, ID3 skip, header tables), this boundary "
+        "is only the audio decode itself. The surrounding Spark plumbing "
+        "(schema, batching, partitioning) is decoder-agnostic"
     )
 
 

@@ -466,6 +466,7 @@ def load_all() -> dict[str, QuerySpec]:
         dedup,
         jpeg,
         joins,
+        mp3,
         layout,
         multimodal,
         pandas_udfs,
