@@ -1,0 +1,193 @@
+"""ISO-BMFF (MP4) box-structure codec — dependency-free container
+walker plus the catalog query proving it end-to-end.
+
+Completes the U7 container triad: JPEG (image — ``operators/jpeg.py``),
+MP3 (audio — ``operators/mp3.py``), and this module for video
+containers. Same honesty boundary as MP3: the BOX STRUCTURE layer
+(size/type walk, 64-bit largesize, container nesting, mdat payload
+slicing) is real and tested; codec-payload synthesis (H.264 etc.)
+stays behind ``multimodal.decode_media``'s ``NotImplementedError`` —
+structure parsing is what corpus ingest needs (dedup keys, stream
+counts, payload stats) before any native decoder runs.
+
+Exact-oracle recipe (the ``jpeg_decode``/``mp3_frame_scan`` pattern):
+document bytes ride as the ``mdat`` payload of a standard box tree
+(``ftyp`` + ``moov``/``mvhd``/``udta`` + ``mdat``); the walker must
+recover them byte-identically, and the DuckDB oracle knows the framed
+prefix length analytically.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+from ..registry import query
+
+#: Box types that contain child boxes directly (ISO 14496-12 §8); the
+#: walker recurses into these and only these.
+CONTAINER_BOXES = frozenset(
+    {"moov", "trak", "mdia", "minf", "stbl", "udta", "edts", "mvex", "dinf"}
+)
+
+
+def _box(btype: bytes, payload: bytes, largesize: bool = False) -> bytes:
+    """Serialize one box; ``largesize`` forces the 64-bit size form
+    (size field = 1, actual size in the following 8 bytes)."""
+    if largesize:
+        return struct.pack(">I", 1) + btype + struct.pack(">Q", 16 + len(payload)) + payload
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def encode_mp4(mdat_payload: bytes, large_mdat: bool = False) -> bytes:
+    """Minimal but standard-shaped MP4: ``ftyp`` (isom), a ``moov``
+    containing a version-0 ``mvhd`` (fixed timescale/duration fields)
+    and a ``udta`` with one ``meta`` blob, then the ``mdat`` carrying
+    the payload. ``large_mdat`` exercises the 64-bit size path."""
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isommp41")
+    mvhd = _box(
+        b"mvhd",
+        b"\x00\x00\x00\x00"  # version 0 + flags
+        + struct.pack(">II", 0, 0)  # creation/modification time
+        + struct.pack(">II", 1000, 0)  # timescale, duration
+        + struct.pack(">i", 0x00010000)  # rate 1.0
+        + struct.pack(">h", 0x0100)  # volume 1.0
+        + b"\x00" * 10  # reserved
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24  # pre-defined
+        + struct.pack(">I", 2),  # next track id
+    )
+    udta = _box(b"udta", _box(b"meta", b"\x00\x00\x00\x00engine"))
+    moov = _box(b"moov", mvhd + udta)
+    mdat = _box(b"mdat", mdat_payload, largesize=large_mdat)
+    return ftyp + moov + mdat
+
+
+def parse_mp4(data: bytes) -> tuple[list[tuple[str, str, int]], bytes]:
+    """Walk an ISO-BMFF stream: top-level and nested boxes (size + 4cc,
+    size==1 → 64-bit largesize, size==0 → box extends to EOF), recursing
+    into the standard container types. Returns the box list as
+    ``(path, type, size)`` rows in document order plus the concatenated
+    ``mdat`` payload bytes. Truncated or malformed sizes raise
+    ``ValueError`` loudly (the family contract)."""
+    boxes: list[tuple[str, str, int]] = []
+    payload = bytearray()
+
+    def walk(lo: int, hi: int, path: str) -> None:
+        pos = lo
+        while pos < hi:
+            if pos + 8 > hi:
+                raise ValueError(f"truncated box header at byte {pos}")
+            size = struct.unpack_from(">I", data, pos)[0]
+            btype_raw = data[pos + 4 : pos + 8]
+            try:
+                btype = btype_raw.decode("ascii")
+            except UnicodeDecodeError as ex:
+                raise ValueError(f"non-ASCII box type at byte {pos}") from ex
+            header = 8
+            if size == 1:
+                if pos + 16 > hi:
+                    raise ValueError(f"truncated largesize at byte {pos}")
+                size = struct.unpack_from(">Q", data, pos + 8)[0]
+                header = 16
+            elif size == 0:  # box runs to end of enclosing scope
+                size = hi - pos
+            if size < header or pos + size > hi:
+                raise ValueError(
+                    f"box {btype!r} at byte {pos} declares {size} bytes, "
+                    f"{hi - pos} remain in scope"
+                )
+            boxes.append((path, btype, size))
+            if btype in CONTAINER_BOXES:
+                walk(pos + header, pos + size, f"{path}/{btype}")
+            elif btype == "mdat":
+                payload.extend(data[pos + header : pos + size])
+            pos += size
+
+    walk(0, len(data), "")
+    return boxes, bytes(payload)
+
+
+# Catalog query geometry: the mdat carries min(n, 512) document bytes —
+# every document qualifies (even empty mdat is legal, but we keep a
+# 16-byte floor so the md5 prefix is never trivial).
+MP4_MAX_PAYLOAD = 512
+MP4_MIN_PAYLOAD = 16
+#: boxes the fixed tree always contains: ftyp, moov, mvhd, udta, meta, mdat
+MP4_FIXED_BOX_COUNT = 6
+
+
+@query(
+    "mp4_box_scan",
+    oracle=f"""
+    WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
+                      octet_length(encode(text)) AS n
+               FROM documents)
+    SELECT doc_id,
+           CAST({MP4_FIXED_BOX_COUNT} AS BIGINT) AS n_boxes,
+           CAST(LEAST(n, {MP4_MAX_PAYLOAD}) AS BIGINT) AS mdat_bytes,
+           md5(substring(hx, 1, CAST(2 * LEAST(n, {MP4_MAX_PAYLOAD}) AS INT)))
+             AS payload_md5
+    FROM h WHERE n >= {MP4_MIN_PAYLOAD} ORDER BY doc_id
+    """,
+    tags=("U7",),
+)
+def mp4_box_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U7] REAL ISO-BMFF (MP4) container roundtrip (no stub, no native
+    lib): each document's leading bytes ride as the ``mdat`` payload of
+    a standard box tree (``ftyp``/``moov``/``mvhd``/``udta``/``meta``/
+    ``mdat``, alternating the 32-bit and 64-bit mdat size forms by
+    doc_id parity so BOTH size paths run on real data) and are recovered
+    by the dependency-free walker (``parse_mp4``: size+4cc walk,
+    largesize, container recursion, scope-bounds validation). The
+    recovered payload must be byte-identical to the document prefix and
+    the parsed box count must equal the fixed tree's — any error in
+    size arithmetic, nesting, or the largesize path shifts bytes or
+    miscounts boxes and breaks the compare. Video codec-payload decode
+    stays behind the documented boundary (structure ≠ synthesis).
+    Arrow-batched ``mapInPandas`` — per-document, no shuffle."""
+    from .multimodal import media_table
+
+    m = media_table(spark, sf_dir).filter(
+        F.col("meta.n_bytes") >= MP4_MIN_PAYLOAD
+    )
+
+    def _roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)[:MP4_MAX_PAYLOAD]
+                stream = encode_mp4(raw, large_mdat=bool(doc_id % 2))
+                boxes, recovered = parse_mp4(stream)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "n_boxes": len(boxes),
+                        "mdat_bytes": len(recovered),
+                        "payload": recovered,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_boxes", "mdat_bytes", "payload"]
+            )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("n_boxes", LongType()),
+            StructField("mdat_bytes", LongType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+    out = m.select("doc_id", "payload").mapInPandas(_roundtrip, schema)
+    return out.select(
+        "doc_id",
+        "n_boxes",
+        "mdat_bytes",
+        F.md5(F.hex("payload")).alias("payload_md5"),
+    ).orderBy("doc_id")

@@ -467,6 +467,7 @@ def load_all() -> dict[str, QuerySpec]:
         jpeg,
         joins,
         mp3,
+        mp4,
         layout,
         multimodal,
         pandas_udfs,
