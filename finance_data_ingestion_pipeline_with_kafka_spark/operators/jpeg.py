@@ -293,8 +293,12 @@ class _BitReader:
         self._nbits = 0
 
     def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated JPEG: entropy stream ends mid-block")
         b = self.data[self.pos]
         if b == 0xFF:
+            if self.pos + 1 >= len(self.data):
+                raise ValueError("truncated JPEG: entropy stream ends mid-block")
             nxt = self.data[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2
@@ -321,14 +325,22 @@ class _BitReader:
         """Skip pad bits and consume the next marker (e.g. RSTn)."""
         self._acc = 0
         self._nbits = 0
-        while self.data[self.pos] != 0xFF or self.data[self.pos + 1] == 0x00:
+        while (
+            self.pos + 1 < len(self.data)
+            and (self.data[self.pos] != 0xFF or self.data[self.pos + 1] == 0x00)
+        ):
             self.pos += 1
+        if self.pos + 1 >= len(self.data):
+            raise ValueError("truncated JPEG: no marker before end of data")
         marker = 0xFF00 | self.data[self.pos + 1]
         self.pos += 2
         return marker
 
 
 class _MarkerReached(Exception):
+    """Internal control flow only — every path that decodes entropy data
+    converts this to ValueError before it can escape the module."""
+
     def __init__(self, marker: int) -> None:
         self.marker = marker
 
@@ -416,6 +428,8 @@ def decode_jpeg_structure(payload: bytes) -> JpegFrame:
         if pos + 2 > len(payload):
             raise ValueError("truncated JPEG: marker segment header cut off")
         length = struct.unpack(">H", payload[pos : pos + 2])[0]
+        if length < 2:
+            raise ValueError(f"malformed segment length {length} at byte {pos}")
         if pos + length > len(payload):
             raise ValueError(
                 f"truncated JPEG: segment declares {length} bytes, "
@@ -427,12 +441,14 @@ def decode_jpeg_structure(payload: bytes) -> JpegFrame:
             while i < len(seg):
                 pq, tq = seg[i] >> 4, seg[i] & 0x0F
                 i += 1
+                width = 128 if pq else 64
+                if i + width > len(seg):
+                    raise ValueError("malformed DQT: table cut off")
                 if pq:
                     vals = np.frombuffer(seg[i : i + 128], dtype=">u2").astype(np.uint16)
-                    i += 128
                 else:
                     vals = np.frombuffer(seg[i : i + 64], dtype=np.uint8).astype(np.uint16)
-                    i += 64
+                i += width
                 nat = np.empty(64, dtype=np.uint16)
                 nat[ZIGZAG] = vals  # DQT stores zigzag order
                 frame.quant[tq] = nat
@@ -440,22 +456,37 @@ def decode_jpeg_structure(payload: bytes) -> JpegFrame:
             i = 0
             while i < len(seg):
                 tc, th = seg[i] >> 4, seg[i] & 0x0F
+                if i + 17 > len(seg):
+                    raise ValueError("malformed DHT: BITS table cut off")
                 bits = list(seg[i + 1 : i + 17])
                 n = sum(bits)
+                if i + 17 + n > len(seg):
+                    raise ValueError("malformed DHT: HUFFVAL cut off")
                 values = list(seg[i + 17 : i + 17 + n])
                 (huff_ac if tc else huff_dc)[th] = _HuffTable(bits, values)
                 i += 17 + n
         elif marker == 0xDD:  # DRI
+            if len(seg) < 2:
+                raise ValueError("malformed DRI segment")
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xC0:  # SOF0 baseline
+            if len(seg) < 6:
+                raise ValueError("malformed SOF0: frame header cut off")
             precision, frame.height, frame.width, nc = struct.unpack(">BHHB", seg[:6])
             if precision != 8:
                 raise ValueError("only 8-bit baseline supported")
+            if nc < 1 or len(seg) < 6 + 3 * nc:
+                raise ValueError("malformed SOF0: component specs cut off")
+            if frame.width == 0 or frame.height == 0:
+                raise ValueError("malformed SOF0: zero frame dimensions")
             frame.n_components = nc
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                h, v = hv >> 4, hv & 0x0F
+                if not (1 <= h <= 4 and 1 <= v <= 4):
+                    raise ValueError(f"illegal sampling factors {h}x{v}")
                 comp_ids.append(cid)
-                frame.sampling.append((hv >> 4, hv & 0x0F))
+                frame.sampling.append((h, v))
                 frame.quant_ids.append(tq)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
@@ -463,12 +494,23 @@ def decode_jpeg_structure(payload: bytes) -> JpegFrame:
                 "arithmetic/lossless JPEG) — baseline (SOF0) only"
             )
         elif marker == 0xDA:  # SOS — entropy-coded data follows
+            if not seg or not frame.sampling:
+                raise ValueError("malformed SOS: no frame header or empty scan")
             ns = seg[0]
+            if len(seg) < 1 + 2 * ns:
+                raise ValueError("malformed SOS: component selectors cut off")
             scan_tables = []
             for c in range(ns):
                 cs, tdta = seg[1 + 2 * c : 3 + 2 * c]
+                if cs not in comp_ids:
+                    raise ValueError(f"SOS references unknown component {cs}")
                 ci = comp_ids.index(cs)
-                scan_tables.append((ci, tdta >> 4, tdta & 0x0F))
+                td, ta = tdta >> 4, tdta & 0x0F
+                if td not in huff_dc or ta not in huff_ac:
+                    raise ValueError(
+                        f"SOS references undeclared Huffman table DC{td}/AC{ta}"
+                    )
+                scan_tables.append((ci, td, ta))
             hmax = max(h for h, _ in frame.sampling)
             vmax = max(v for _, v in frame.sampling)
             mcus_x = -(-frame.width // (8 * hmax))
@@ -477,41 +519,58 @@ def decode_jpeg_structure(payload: bytes) -> JpegFrame:
             reader = _BitReader(payload, pos + length)
             prev_dc = [0] * frame.n_components
             n_mcus = mcus_x * mcus_y
-            for m in range(n_mcus):
-                if restart_interval and m and m % restart_interval == 0:
-                    marker_seen = reader.align_to_marker()
-                    if not (0xFFD0 <= marker_seen <= 0xFFD7):
-                        raise ValueError("expected RST marker")
-                    prev_dc = [0] * frame.n_components
-                for ci, td, ta in scan_tables:
-                    h, v = frame.sampling[ci]
-                    for _ in range(h * v):
-                        block = np.zeros(64, dtype=np.int64)
-                        s = huff_dc[td].decode(reader)
-                        diff = _extend(reader.read_bits(s), s)
-                        prev_dc[ci] += diff
-                        block[0] = prev_dc[ci]
-                        k = 1
-                        while k < 64:
-                            rs = huff_ac[ta].decode(reader)
-                            if rs == 0x00:  # EOB
-                                break
-                            if rs == 0xF0:  # ZRL
-                                k += 16
-                                continue
-                            run, size = rs >> 4, rs & 0x0F
-                            k += run
-                            block[k] = _extend(reader.read_bits(size), size)
-                            k += 1
-                        per_comp[ci].append(block)
+            try:
+                for m in range(n_mcus):
+                    if restart_interval and m and m % restart_interval == 0:
+                        marker_seen = reader.align_to_marker()
+                        if not (0xFFD0 <= marker_seen <= 0xFFD7):
+                            raise ValueError("expected RST marker")
+                        prev_dc = [0] * frame.n_components
+                    for ci, td, ta in scan_tables:
+                        h, v = frame.sampling[ci]
+                        for _ in range(h * v):
+                            block = np.zeros(64, dtype=np.int64)
+                            s = huff_dc[td].decode(reader)
+                            if s > 11:
+                                raise ValueError(f"illegal DC category {s}")
+                            diff = _extend(reader.read_bits(s), s)
+                            prev_dc[ci] += diff
+                            block[0] = prev_dc[ci]
+                            k = 1
+                            while k < 64:
+                                rs = huff_ac[ta].decode(reader)
+                                if rs == 0x00:  # EOB
+                                    break
+                                if rs == 0xF0:  # ZRL
+                                    k += 16
+                                    continue
+                                run, size = rs >> 4, rs & 0x0F
+                                k += run
+                                if k > 63 or size > 10:
+                                    raise ValueError(
+                                        "corrupt entropy data: AC run/size "
+                                        f"overflows the block (k={k}, size={size})"
+                                    )
+                                block[k] = _extend(reader.read_bits(size), size)
+                                k += 1
+                            per_comp[ci].append(block)
+            except _MarkerReached as ex:
+                raise ValueError(
+                    f"unexpected marker 0x{ex.marker:04X} inside "
+                    "entropy-coded data (truncated or corrupt scan)"
+                ) from None
             for ci in range(frame.n_components):
                 h, v = frame.sampling[ci]
                 frame.coefs.append(np.array(per_comp[ci], dtype=np.int64))
                 frame.blocks_wh.append((mcus_x * h, mcus_y * v))
             pos = reader.pos
             # skip pad bits / find EOI
-            while payload[pos] != 0xFF or payload[pos + 1] == 0x00:
+            while pos + 1 < len(payload) and (
+                payload[pos] != 0xFF or payload[pos + 1] == 0x00
+            ):
                 pos += 1
+            if pos + 1 >= len(payload):
+                raise ValueError("truncated JPEG: no EOI after scan")
             continue
         else:
             pass  # APPn/COM: skip
@@ -523,6 +582,11 @@ def _component_pixels(frame: JpegFrame, ci: int) -> np.ndarray:
     """Dequantize + inverse zigzag + IDCT + level shift one component;
     returns the full sampled grid (may exceed frame dims by padding)."""
     bw, bh = frame.blocks_wh[ci]
+    if frame.quant_ids[ci] not in frame.quant:
+        raise ValueError(
+            f"component {ci} references undeclared quant table "
+            f"{frame.quant_ids[ci]}"
+        )
     q = frame.quant[frame.quant_ids[ci]].astype(np.float64)
     out = np.empty((bh * 8, bw * 8), dtype=np.float64)
     coefs = frame.coefs[ci]
