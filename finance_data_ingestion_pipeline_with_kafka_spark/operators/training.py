@@ -1237,10 +1237,10 @@ DSIR_BUCKETS = 64
 DSIR_TARGET_SOURCES = ("src0", "src1", "src2", "src3")
 
 
-@query(
-    "dsir_importance_selection",
-    oracle=f"""
-    WITH toks AS (
+#: Shared oracle CTE chain for the DSIR family: token → md5 bucket →
+#: target/raw unigram models → per-(doc, bucket) log-ratio terms.
+_DSIR_CTES = f"""
+    toks AS (
       SELECT doc_id, source, unnest(string_split_regex(trim(text), '\\s+')) AS w
       FROM documents
     ), tb AS (
@@ -1268,7 +1268,13 @@ DSIR_TARGET_SOURCES = ("src0", "src1", "src2", "src3")
                            / CAST((s.r_b + 1) * (t.t_tot + {DSIR_BUCKETS}) AS DOUBLE))
                   AS DECIMAL(30,6)) AS term
       FROM dbc d JOIN bstats s USING (b) CROSS JOIN totals t
-    )
+    )"""
+
+
+@query(
+    "dsir_importance_selection",
+    oracle=f"""
+    WITH {_DSIR_CTES}
     SELECT doc_id,
            CAST(SUM(k) AS BIGINT) AS n_tokens,
            CAST(SUM(term) AS DOUBLE) / SUM(k) AS avg_logratio,
@@ -1350,4 +1356,89 @@ def dsir_importance_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("selected"),
         )
         .orderBy("doc_id")
+    )
+
+
+@query(
+    "dsir_selection_eval",
+    oracle=f"""
+    WITH {_DSIR_CTES}, sel AS (
+      SELECT doc_id,
+             CAST(CASE WHEN SUM(term) > 0 THEN 1 ELSE 0 END AS BIGINT) AS selected
+      FROM terms GROUP BY doc_id
+    ), truth AS (
+      SELECT doc_id,
+             CAST(CASE WHEN source IN {DSIR_TARGET_SOURCES!r}
+                       THEN 1 ELSE 0 END AS BIGINT) AS is_target
+      FROM documents
+    ), conf AS (
+      SELECT CAST(SUM(selected * is_target) AS BIGINT) AS tp,
+             CAST(SUM(selected * (1 - is_target)) AS BIGINT) AS fp,
+             CAST(SUM((1 - selected) * is_target) AS BIGINT) AS fn,
+             CAST(SUM((1 - selected) * (1 - is_target)) AS BIGINT) AS tn
+      FROM sel JOIN truth USING (doc_id)
+    )
+    SELECT tp, fp, fn, tn,
+           CASE WHEN tp + fp > 0
+                THEN CAST(tp AS DOUBLE) / (tp + fp) END AS precision_sel,
+           CASE WHEN tp + fn > 0
+                THEN CAST(tp AS DOUBLE) / (tp + fn) END AS recall_sel,
+           CAST(tp + fp AS BIGINT) AS n_selected
+    FROM conf
+    """,
+    tags=("U6", "A1"),
+)
+def dsir_selection_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U6/A1] Acceptance metric for ``dsir_importance_selection`` (the
+    r7 acceptance-metric layer extended to the new selector): since the
+    fixtures carry true source labels, the hashed-unigram importance
+    selector can be scored as a domain classifier — confusion counts
+    plus precision/recall of ``selected`` against actual target-source
+    membership. This is the number a data-curation operator reads
+    before trusting DSIR weights to compose a pretraining mix: a recall
+    near the positive base rate means the bag-of-hashed-words models
+    carry no domain signal at this corpus (the honest expected outcome
+    on the synthetic uniform-source fixtures); on real multi-domain
+    corpora the same query is the selector's dashboard. Composes the
+    verified selector query verbatim (one extra doc-keyed join + a
+    one-row conditional aggregate — exact integer counts, ratio guards
+    on exact ints per the ANSI DIVIDE_BY_ZERO rule)."""
+    sel = dsir_importance_selection(spark, sf_dir).select("doc_id", "selected")
+    d = load_table(spark, sf_dir, "documents")
+    truth = d.select(
+        "doc_id",
+        F.when(F.col("source").isin(*DSIR_TARGET_SOURCES), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("is_target"),
+    )
+    conf = (
+        sel.join(truth, "doc_id")
+        .agg(
+            F.sum(F.col("selected") * F.col("is_target")).cast("bigint").alias("tp"),
+            F.sum(F.col("selected") * (1 - F.col("is_target")))
+            .cast("bigint")
+            .alias("fp"),
+            F.sum((1 - F.col("selected")) * F.col("is_target"))
+            .cast("bigint")
+            .alias("fn"),
+            F.sum((1 - F.col("selected")) * (1 - F.col("is_target")))
+            .cast("bigint")
+            .alias("tn"),
+        )
+    )
+    return conf.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.when(
+            F.col("tp") + F.col("fp") > 0,
+            F.col("tp").cast("double") / (F.col("tp") + F.col("fp")),
+        ).alias("precision_sel"),
+        F.when(
+            F.col("tp") + F.col("fn") > 0,
+            F.col("tp").cast("double") / (F.col("tp") + F.col("fn")),
+        ).alias("recall_sel"),
+        (F.col("tp") + F.col("fp")).cast("bigint").alias("n_selected"),
     )
