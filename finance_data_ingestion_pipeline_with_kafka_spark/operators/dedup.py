@@ -514,14 +514,17 @@ def minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, g, unnest([bkt - 2, bkt - 1, bkt, bkt + 1, bkt + 2]) AS probe
       FROM grams
     )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           ROUND(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
-                 / len(list_distinct(a.g || b.g)), 6) AS jaccard
-    FROM probes a JOIN grams b ON a.probe = b.bkt AND a.doc_id < b.doc_id
-                               AND 3 * greatest(len(a.g), len(b.g))
-                                   <= 10 * least(len(a.g), len(b.g))
-    WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
-          / len(list_distinct(a.g || b.g)) >= 0.3
+    SELECT doc_a, doc_b,
+           ROUND(CAST(i AS DOUBLE) / (na + nb - i), 6) AS jaccard
+    FROM (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.g, b.g)) AS i,
+             len(a.g) AS na, len(b.g) AS nb
+      FROM probes a JOIN grams b ON a.probe = b.bkt AND a.doc_id < b.doc_id
+                                 AND 3 * greatest(len(a.g), len(b.g))
+                                     <= 10 * least(len(a.g), len(b.g))
+    )
+    WHERE 13 * i >= 3 * (na + nb)
     ORDER BY doc_a, doc_b
     """,
     tags=("U4",),
@@ -578,9 +581,13 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     size_ok = (
         3 * F.greatest("n_a", "n_b") <= 10 * F.least("n_a", "n_b")
     )
-    jac = F.size(F.array_intersect("g_a", "g_b")).cast("double") / F.size(
-        F.array_union("g_a", "g_b")
-    )
+    # |A∪B| = |A| + |B| − |A∩B| exactly (both arrays are distinct), so
+    # only the intersect is ever materialized per pair — the former
+    # array_union scan was the other half of the per-pair cost
+    # (measured at sf0.1: 2.6-2.8 → 1.2-1.5 s warm). The J ≥ 0.3 gate is the
+    # EXACT integer inequality 13·i ≥ 3·(n_a + n_b) (algebra of
+    # i/(n_a+n_b−i) ≥ 3/10) — no double compares a boundary.
+    i = F.size(F.array_intersect("g_a", "g_b"))
     return (
         probes.join(
             b,
@@ -588,8 +595,16 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("doc_a") < F.col("doc_b"))
             & size_ok,
         )
-        .withColumn("jaccard", F.round(jac, 6))
-        .filter(jac >= 0.3)
+        .withColumn("i", i)
+        .filter(13 * F.col("i") >= 3 * (F.col("n_a") + F.col("n_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("i").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("i")),
+                6,
+            ),
+        )
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
     )
