@@ -372,42 +372,35 @@ def query(
 #: and after that the window refreshes the STALEST evidence (testdata
 #: regenerates between rounds, so old green rows decay).
 #:
-#: Round-8 ordering (cumulative after CORRECTNESS_r07: 198/215
+#: Round-9 ordering (cumulative after CORRECTNESS_r08: 225/225
 #: hash-green, zero latest-run failures; tiers derived by
-#: ``tools/rotate_verified.py`` over CORRECTNESS_r01..r07):
+#: ``tools/rotate_verified.py`` over CORRECTNESS_r01..r08):
 #:   (0) brand-new queries registered this round — no driver row at all.
-#:   (1) ``_NEVER_VERIFIED`` — the 17 round-7 new-query overflow
-#:       (the former ``_DEFER_NEW_R8`` tier): judge-green in the r7
-#:       215-query sweep but never driver-verified. VERDICT r7 ask #1
-#:       says they lead the round-8 window.
+#:   (1) ``_R8_MODIFIED`` — VERDICT r8 ask #1: the five queries whose
+#:       Spark-side verification kernels were rewritten in round 8
+#:       (commits 867846c/0dc6a88 — union-identity ``exact_jaccard``)
+#:       AFTER their latest driver verification (r5–r7). Standing rule:
+#:       code-changed ⇒ next driver window.
 #:   (2) ``_STALE_R4`` — latest green driver evidence is round 4
-#:       (stalest refresh debt; the window tail takes the first ~33).
+#:       (stalest refresh debt; VERDICT r8 ask #1 second half).
 #:   (3) ``_VERIFIED_R5`` — latest green row is CORRECTNESS_r05.
 #:   (4) ``_VERIFIED_R6`` — latest green row is CORRECTNESS_r06.
-#:   (5) ``_VERIFIED_R7`` — green in CORRECTNESS_r07 (freshest, below
+#:   (5) ``_VERIFIED_R7`` — latest green row is CORRECTNESS_r07.
+#:   (6) ``_VERIFIED_R8`` — green in CORRECTNESS_r08 (freshest, below
 #:       the fold).
 
-_NEVER_VERIFIED = frozenset((
-    "basket_pair_lift", "benford_audit", "correlation_matrix", "dedup_cluster_stats",
-    "dominant_event_type", "funnel_time_to_convert", "hhi_concentration", "language_id_eval",
-    "median_absolute_deviation", "minhash_band_sweep", "repeat_purchase_intervals", "seasonal_profile",
-    "ship_latency_percentiles", "sort_partition_balance", "value_histogram", "weighted_hash_sample",
-    "winsorized_stats",
+_R8_MODIFIED = frozenset((
+    "minhash_incremental", "minhash_jaccard_estimate", "minhash_near_dup",
+    "minhash_recall", "ngram_jaccard_pairs",
 ))
 _STALE_R4 = frozenset((
-    "approx_distinct", "array_functions", "asof_join_tolerance", "bmp_decode",
-    "bmp_features", "correlated_exists", "dataset_interleave", "dataset_split",
+    "array_functions", "asof_join_tolerance", "dataset_interleave", "dataset_split",
     "date_arithmetic", "datetime_functions", "donchian_channel", "ewma",
-    "except_feeds", "explode_outer_numbers", "filter_project", "frame_sample",
-    "funnel_analysis", "grouped_pandas_sign_flips", "hash_functions", "intersect_feeds",
-    "json_extraction", "kmeans_refine", "kmv_distinct", "map_functions",
-    "membership_predicate", "multimodal_metadata", "null_conditional", "null_safe_join",
-    "order_count_histogram", "pandas_udf_token_count", "part_supplier_stats", "quantile_sketch_merge",
-    "range_join", "regional_revenue", "reservoir_sample", "retention_cohorts",
-    "rolling_volatility", "running_drawdown", "scalar_subquery", "semantic_dedup",
-    "stratified_sample", "string_functions", "table_profile", "udtf_bigrams",
-    "udtf_tokenize", "union_feeds", "url_domain_dedup", "variant_json_agg",
-    "wav_decode", "word_entropy",
+    "except_feeds", "explode_outer_numbers", "funnel_analysis", "hash_functions",
+    "intersect_feeds", "json_extraction", "kmeans_refine", "kmv_distinct",
+    "map_functions", "reservoir_sample", "retention_cohorts", "rolling_volatility",
+    "running_drawdown", "semantic_dedup", "stratified_sample", "string_functions",
+    "table_profile", "union_feeds", "variant_json_agg",
 ))
 _VERIFIED_R5 = frozenset((
     "ann_lsh_bucketed", "asof_join", "asof_join_forward", "bm25_score",
@@ -415,7 +408,7 @@ _VERIFIED_R5 = frozenset((
     "dataset_card", "distinct_count", "distinct_rows", "domain_mix_weights",
     "embedding_near_dup", "embedding_quantize", "except_all_multiset", "grouped_stats",
     "intersect_all_multiset", "ivf_ann", "knn_bruteforce", "last_closed_bar",
-    "minhash_incremental", "multi_resolution_bars", "ohlcv_bars", "ols_regression",
+    "multi_resolution_bars", "ohlcv_bars", "ols_regression",
     "percentiles", "pii_redaction", "pivot_matrix", "png_decode",
     "pq_ann", "pq_encode", "pricing_summary", "repetition_filter",
     "rollup_subtotals", "sequence_packing", "sliding_window_agg", "sql_entry_revenue",
@@ -431,8 +424,8 @@ _VERIFIED_R6 = frozenset((
     "dedup_survivors", "doc_fingerprint", "embedding_normalize", "exact_dedup",
     "fuzzy_prefix_join", "gapfill_bars", "grouping_sets", "hll_sketch_users",
     "ivf_probe_sweep", "language_id", "macd", "media_features",
-    "media_resize", "min_cost_supplier", "minhash_jaccard_estimate", "minhash_near_dup",
-    "near_dup_clusters", "ngram_jaccard_pairs", "obv_flow", "outer_join_counts",
+    "media_resize", "min_cost_supplier",
+    "near_dup_clusters", "obv_flow", "outer_join_counts",
     "position_ledger", "quality_score", "rsi_indicator", "scd2_intervals",
     "scd2_point_in_time", "scd_upsert", "semi_join", "session_fold_sessions",
     "simhash_near_dup", "stochastic_oscillator", "tfidf_top_terms", "token_stats",
@@ -445,7 +438,7 @@ _VERIFIED_R7 = frozenset((
     "dominant_part_suppliers", "dormant_high_balance", "event_transitions", "fingerprint_containment",
     "forecast_revenue_change", "fuzzy_block_recall", "important_parts", "incremental_join_view",
     "incremental_ohlcv", "interval_concurrency", "k_anonymity_audit", "key_skew_profile",
-    "large_volume_customers", "length_outliers", "minhash_recall", "nation_market_share",
+    "large_volume_customers", "length_outliers", "nation_market_share",
     "nearest_centroid_eval", "order_priority_check", "pit_feature_matrix", "pmi_collocations",
     "promo_revenue_share", "psi_value_drift", "returned_item_ranking", "rfm_segmentation",
     "rolling_pair_correlation", "rolling_robust_stats", "running_distinct_users", "salted_skew_join",
@@ -453,6 +446,21 @@ _VERIFIED_R7 = frozenset((
     "sq8_recall", "suppliers_kept_waiting", "table_expectations", "top_supplier_revenue",
     "two_nation_volume", "unigram_logprob", "vocab_coverage", "volume_zscore_anomaly",
     "zorder_skipping", "zscore_by_group",
+))
+_VERIFIED_R8 = frozenset((
+    "approx_distinct", "basket_pair_lift", "benford_audit", "bmp_decode",
+    "bmp_features", "bollinger_fold_series", "correlated_exists", "correlation_matrix",
+    "dedup_cluster_stats", "dominant_event_type", "dsir_importance_selection", "dsir_selection_eval",
+    "filter_project", "frame_sample", "funnel_time_to_convert", "grouped_pandas_sign_flips",
+    "hhi_concentration", "jpeg_decode", "language_id_eval", "macd_fold_series",
+    "matryoshka_recall", "median_absolute_deviation", "membership_predicate", "minhash_band_sweep",
+    "mp3_frame_scan", "mp4_box_scan", "multimodal_metadata", "null_conditional",
+    "null_safe_join", "order_count_histogram", "pandas_udf_token_count", "part_supplier_stats",
+    "product_profit_by_nation", "quantile_sketch_merge", "range_join", "regional_revenue",
+    "repeat_purchase_intervals", "rsi_fold_series", "scalar_subquery", "seasonal_profile",
+    "ship_latency_percentiles", "sort_partition_balance", "udtf_bigrams", "udtf_tokenize",
+    "url_domain_dedup", "value_histogram", "wav_decode", "weighted_hash_sample",
+    "winsorized_stats", "word_entropy",
 ))
 
 
@@ -486,7 +494,7 @@ def load_all() -> dict[str, QuerySpec]:
 
     def rank(item: tuple[str, QuerySpec]) -> tuple[int, int]:
         name, _spec = item
-        if name in _NEVER_VERIFIED:
+        if name in _R8_MODIFIED:
             return (1, reg_order[name])
         if name in _STALE_R4:
             return (2, reg_order[name])
@@ -496,9 +504,11 @@ def load_all() -> dict[str, QuerySpec]:
             return (4, reg_order[name])
         if name in _VERIFIED_R7:
             return (5, reg_order[name])
-        # brand-new queries (registered after CORRECTNESS_r07 was
+        if name in _VERIFIED_R8:
+            return (6, reg_order[name])
+        # brand-new queries (registered after CORRECTNESS_r08 was
         # written): no driver row yet, so they lead the window ahead of
-        # even the never-verified r7 overflow
+        # even the code-modified re-verification tier
         return (0, reg_order[name])
 
     return dict(sorted(QUERIES.items(), key=rank))
