@@ -488,6 +488,20 @@ def decode_jpeg_structure(payload: bytes) -> JpegFrame:
                 comp_ids.append(cid)
                 frame.sampling.append((h, v))
                 frame.quant_ids.append(tq)
+            # nearest-neighbor upsampling replicates by integer factors
+            # hmax//h and vmax//v — legal-but-exotic non-divisible
+            # combinations (e.g. 3x1 alongside 2x1) would otherwise
+            # produce an undersized grid and crash np.stack downstream,
+            # so reject them cleanly at parse time
+            hmax = max(h for h, _ in frame.sampling)
+            vmax = max(v for _, v in frame.sampling)
+            for h, v in frame.sampling:
+                if hmax % h or vmax % v:
+                    raise NotImplementedError(
+                        f"sampling factors {h}x{v} do not divide the "
+                        f"frame maxima {hmax}x{vmax} — integer-ratio "
+                        "chroma upsampling only"
+                    )
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
                 f"non-baseline SOF marker 0xFF{marker:02X} (progressive/"

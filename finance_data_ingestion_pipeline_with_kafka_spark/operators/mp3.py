@@ -129,6 +129,11 @@ def parse_mp3(data: bytes) -> tuple[list[Mp3Frame], bytes]:
         if len(data) < 10:
             raise ValueError("truncated ID3v2 header")
         pos = 10 + _unsyncsafe(data[6:10])
+        if pos > len(data):
+            raise ValueError(
+                f"truncated MP3: ID3v2 tag declares {pos - 10} bytes, "
+                f"{len(data) - 10} remain"
+            )
     frames: list[Mp3Frame] = []
     payload = bytearray()
     while pos < len(data):

@@ -35,6 +35,13 @@ CONTAINER_BOXES = frozenset(
     {"moov", "trak", "mdia", "minf", "stbl", "udta", "edts", "mvex", "dinf"}
 )
 
+#: Maximum container-nesting depth the walker will follow. Legal files
+#: nest ~6 levels (moov/trak/mdia/minf/stbl, plus udta/meta variants);
+#: 32 is far above any real layout while keeping a crafted stream of
+#: nested container headers (8 bytes per level — enough to blow
+#: Python's recursion limit at ~8 KB) inside the ValueError contract.
+MP4_MAX_DEPTH = 32
+
 
 def _box(btype: bytes, payload: bytes, largesize: bool = False) -> bytes:
     """Serialize one box; ``largesize`` forces the 64-bit size form
@@ -74,11 +81,18 @@ def parse_mp4(data: bytes) -> tuple[list[tuple[str, str, int]], bytes]:
     into the standard container types. Returns the box list as
     ``(path, type, size)`` rows in document order plus the concatenated
     ``mdat`` payload bytes. Truncated or malformed sizes raise
-    ``ValueError`` loudly (the family contract)."""
+    ``ValueError`` loudly (the family contract). Nesting is capped at
+    ``MP4_MAX_DEPTH`` container levels so a crafted stream of nested
+    container headers (8 bytes/level) raises ``ValueError`` instead of
+    escaping the contract via ``RecursionError``."""
     boxes: list[tuple[str, str, int]] = []
     payload = bytearray()
 
-    def walk(lo: int, hi: int, path: str) -> None:
+    def walk(lo: int, hi: int, path: str, depth: int = 0) -> None:
+        if depth > MP4_MAX_DEPTH:
+            raise ValueError(
+                f"box nesting exceeds {MP4_MAX_DEPTH} levels at byte {lo}"
+            )
         pos = lo
         while pos < hi:
             if pos + 8 > hi:
@@ -104,7 +118,7 @@ def parse_mp4(data: bytes) -> tuple[list[tuple[str, str, int]], bytes]:
                 )
             boxes.append((path, btype, size))
             if btype in CONTAINER_BOXES:
-                walk(pos + header, pos + size, f"{path}/{btype}")
+                walk(pos + header, pos + size, f"{path}/{btype}", depth + 1)
             elif btype == "mdat":
                 payload.extend(data[pos + header : pos + size])
             pos += size

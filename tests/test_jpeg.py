@@ -356,3 +356,12 @@ def test_grayscale_via_decode_media():
     # and the boundary for still-stubbed codecs is intact
     with pytest.raises(NotImplementedError):
         decode_media(b"\x00", "video/mp4")
+
+
+def test_non_divisible_sampling_rejected_at_parse_time():
+    # ADVICE r8: 3x1 alongside 2x1 is legal JPEG but integer-ratio
+    # nearest-neighbor upsampling can't express it — reject cleanly in
+    # decode_jpeg_structure, not via a raw np.stack shape ValueError.
+    s = _encode_color(0, 0, 0, 48, 8, [(3, 1), (2, 1), (1, 1)])
+    with pytest.raises(NotImplementedError, match="do not divide"):
+        decode_jpeg_structure(s)

@@ -109,3 +109,19 @@ def test_catalog_framing_property(raw):
     frames, rec = parse_mp3(s)
     assert rec == prefix
     assert len(frames) == n_frames
+
+
+def test_id3v2_size_overrunning_buffer_raises():
+    # ADVICE r8: an ID3v2 tag whose declared syncsafe size overruns the
+    # buffer must raise, not return ([], b'') as silent success.
+    hdr = b"ID3\x04\x00\x00" + bytes([0x00, 0x00, 0x7F, 0x7F])  # ~16 KB declared
+    with pytest.raises(ValueError, match="ID3v2 tag declares"):
+        parse_mp3(hdr + b"\x00" * 50)  # only 50 tag bytes present
+
+
+def test_id3v2_tag_exactly_filling_file_yields_zero_frames():
+    # a tag that exactly fills the buffer is a complete (if empty)
+    # container, not a truncated one — zero frames, loud is wrong here
+    hdr = b"ID3\x04\x00\x00" + bytes([0x00, 0x00, 0x00, 0x0A])
+    frames, payload = parse_mp3(hdr + b"\x00" * 10)
+    assert frames == [] and payload == b""

@@ -84,3 +84,23 @@ def test_catalog_framing_property(raw, large):
     boxes, rec = parse_mp4(encode_mp4(prefix, large_mdat=large))
     assert rec == prefix
     assert len(boxes) == MP4_FIXED_BOX_COUNT
+
+
+def test_nested_container_bomb_raises_valueerror_not_recursionerror():
+    # ADVICE r8: a crafted stream of nested container headers (8 bytes
+    # per level) must stay inside the ValueError contract instead of
+    # escaping via RecursionError (~1000 frames default limit).
+    levels = 2000
+    inner = b""
+    for depth in range(levels):
+        size = 8 * (levels - depth)
+        inner += struct.pack(">I", size) + b"moov"
+    with pytest.raises(ValueError, match="nesting exceeds"):
+        parse_mp4(inner)
+
+
+def test_legal_nesting_depth_unaffected_by_cap():
+    # the fixed tree nests 3 deep (moov/udta/meta) — far below the cap
+    boxes, payload = parse_mp4(encode_mp4(b"x" * 32))
+    assert payload == b"x" * 32
+    assert any(p.startswith("/moov/udta") for p, _, _ in boxes)

@@ -58,13 +58,34 @@ def main() -> int:
     args = sys.argv[1:]
     jvms = 3
     sf_dir = "/root/testdata/sf0.1"
-    if "--jvms" in args:
-        jvms = int(args[args.index("--jvms") + 1])
-    for a in args:
-        if a.startswith("--sf="):
+    streaming = False
+    names: list[str] = []
+    i = 0
+    while i < len(args):
+        a = args[i]
+        if a.startswith("--jvms="):
+            jvms = int(a.split("=", 1)[1])
+        elif a == "--jvms":
+            if i + 1 >= len(args):
+                raise SystemExit("--jvms requires a value")
+            jvms = int(args[i + 1])
+            i += 1
+        elif a.startswith("--sf="):
             sf_dir = a.split("=", 1)[1]
-    streaming = "--streaming" in args
-    names = [a for a in args if not a.startswith("--") and not a.isdigit()]
+        elif a == "--sf":
+            if i + 1 >= len(args):
+                raise SystemExit("--sf requires a value (e.g. --sf /root/testdata/sf0.1)")
+            sf_dir = args[i + 1]
+            i += 1
+        elif a == "--streaming":
+            streaming = True
+        elif a.startswith("--"):
+            raise SystemExit(f"unknown flag {a!r}")
+        else:
+            names.append(a)
+        i += 1
+    if not streaming and not names:
+        raise SystemExit("usage: attr_floor.py QUERY_NAME [--jvms N] [--sf DIR] | --streaming")
 
     draws = []
     for i in range(jvms):

@@ -24,12 +24,34 @@ TABLES = (
 ).split()
 
 
-def main() -> int:
-    names = [a for a in sys.argv[1:] if not a.startswith("--")]
+def parse_args(argv: list[str]) -> tuple[list[str], list[str]]:
+    """Accept both ``--sf=X,Y`` and ``--sf X,Y``; everything else is a
+    query name. Unknown ``--`` flags and a missing ``--sf`` value error
+    instead of leaking into the name list."""
+    names: list[str] = []
     sfs = ["sf0.001", "sf0.01", "sf0.1"]
-    for a in sys.argv[1:]:
-        if a.startswith("--sf"):
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a.startswith("--sf="):
             sfs = a.split("=", 1)[1].split(",")
+        elif a == "--sf":
+            if i + 1 >= len(argv):
+                raise SystemExit("--sf requires a value (e.g. --sf sf0.01)")
+            sfs = argv[i + 1].split(",")
+            i += 1
+        elif a.startswith("--"):
+            raise SystemExit(f"unknown flag {a!r}")
+        else:
+            names.append(a)
+        i += 1
+    if not names:
+        raise SystemExit("usage: check_queries.py NAME [NAME...] [--sf sf0.01,...]")
+    return names, sfs
+
+
+def main() -> int:
+    names, sfs = parse_args(sys.argv[1:])
     from finance_data_ingestion_pipeline_with_kafka_spark.registry import load_all
 
     spark = (
