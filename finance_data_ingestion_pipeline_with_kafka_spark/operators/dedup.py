@@ -167,29 +167,92 @@ def band_rows(sigs: DataFrame) -> DataFrame:
     )
 
 
-def minhash_candidates(sigs: DataFrame) -> DataFrame:
+#: Band-bucket members above which the all-pairs self-join inside the
+#: bucket is replaced by star pairing to the bucket's min doc_id. A
+#: boilerplate clique of b clones lands all b docs in one bucket per
+#: band; all-pairs would emit O(b²) candidates — at 100 TB that single
+#: degenerate bucket is the *expected* case (license headers, templated
+#: pages), not an adversarial one. Star pairing emits b−1 candidates and
+#: preserves clique connectivity through the hub after exact-Jaccard
+#: verification. The cap is mirrored verbatim in the DuckDB oracle CTE
+#: (``_minhash_cte``), so the driver compare stays exact whether or not
+#: any bucket trips it; at the shipped test SFs the max observed bucket
+#: is 4 members (sf0.1), far below the cap.
+HOT_BUCKET_CAP = 32
+
+
+def minhash_candidates(
+    sigs: DataFrame, hot_bucket_cap: int = HOT_BUCKET_CAP
+) -> DataFrame:
     """LSH banding self-join: docs sharing any (band_id, band_hash)
-    bucket become candidate pairs."""
-    banded = band_rows(sigs)
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    bucket become candidate pairs — all pairs inside buckets of
+    ≤ ``hot_bucket_cap`` members, star pairs (each member with the
+    bucket's min doc_id) above it, so one degenerate bucket can never
+    emit O(b²) candidates (VERDICT r8 ask #3). The window and the
+    self-join hash on the same (band_id, band_hash) key — one exchange
+    feeds both; the hot path after the window is narrow (no join)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band_id", "band_hash")
+    sized = band_rows(sigs).select(
+        "doc_id",
+        "band_id",
+        "band_hash",
+        F.count(F.lit(1)).over(w).alias("bsz"),
+        F.min("doc_id").over(w).alias("bmin"),
     )
+    a = sized.filter(F.col("bsz") <= hot_bucket_cap).alias("a")
+    b = sized.filter(F.col("bsz") <= hot_bucket_cap).alias("b")
+    small = a.join(
+        b,
+        (F.col("a.band_id") == F.col("b.band_id"))
+        & (F.col("a.band_hash") == F.col("b.band_hash"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    hot = (
+        sized.filter((F.col("bsz") > hot_bucket_cap) & (F.col("doc_id") != F.col("bmin")))
+        .select(F.col("bmin").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    return small.unionByName(hot).distinct()
 
 
-def _minhash_cte() -> str:
+def _minhash_cte(hot_bucket_cap: int | None = HOT_BUCKET_CAP) -> str:
     """Shared oracle CTE chain reproducing the full MinHash pipeline in
     DuckDB — same shingles, same ``md5(i || ":" || md5(shingle))``
-    permutations, same banded candidates, same exact-Jaccard verify —
-    terminating in a ``near_dup`` relation of verified pairs."""
+    permutations, same banded candidates (including the hot-bucket star
+    guard, mirrored verbatim from ``minhash_candidates`` so the compare
+    stays exact whether or not a bucket trips the cap), same
+    exact-Jaccard verify — terminating in a ``near_dup`` relation of
+    verified pairs. ``hot_bucket_cap=None`` emits the UNGUARDED all-pairs
+    candidate CTE — the twin of the incremental delta-probe path, which
+    reports every delta-involving pair (its quadratic exposure is bounded
+    by |delta| x bucket occupancy, not bucket size squared)."""
+    if hot_bucket_cap is None:
+        cands_cte = """cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band_id = b.band_id
+                                AND a.band_hash = b.band_hash
+                                AND a.doc_id < b.doc_id
+    )"""
+    else:
+        cands_cte = f"""sized_bands AS (
+      SELECT doc_id, band_id, band_hash,
+             COUNT(*) OVER (PARTITION BY band_id, band_hash) AS bsz,
+             MIN(doc_id) OVER (PARTITION BY band_id, band_hash) AS bmin
+      FROM bands
+    ),
+    cands AS (
+      SELECT DISTINCT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sized_bands a JOIN sized_bands b
+          ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+        WHERE a.bsz <= {hot_bucket_cap}
+        UNION ALL
+        SELECT bmin AS doc_a, doc_id AS doc_b
+        FROM sized_bands WHERE bsz > {hot_bucket_cap} AND doc_id <> bmin
+      )
+    )"""
     n_seeds = (MINHASH_PERMS + _PERMS_PER_SEED - 1) // _PERMS_PER_SEED
     seed_cols = ", ".join(f"md5('{s}:' || base) AS h{s}" for s in range(n_seeds))
     mh_cols = ", ".join(
@@ -216,12 +279,7 @@ def _minhash_cte() -> str:
     seeded AS (SELECT doc_id, {seed_cols} FROM hashed),
     sigs AS (SELECT doc_id, {mh_cols} FROM seeded GROUP BY doc_id),
     bands AS ({band_selects}),
-    cands AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b ON a.band_id = b.band_id
-                                AND a.band_hash = b.band_hash
-                                AND a.doc_id < b.doc_id
-    ), sets AS (SELECT doc_id, list_distinct(list(sh)) AS shset FROM grams GROUP BY doc_id),
+    {cands_cte}, sets AS (SELECT doc_id, list_distinct(list(sh)) AS shset FROM grams GROUP BY doc_id),
     near_dup AS (
       SELECT doc_a, doc_b, jaccard FROM (
         SELECT c.doc_a, c.doc_b,
@@ -356,7 +414,7 @@ INCR_DELTA_MOD = 10
 @query(
     "minhash_incremental",
     oracle=(
-        f"WITH {_minhash_cte()} SELECT doc_a, doc_b, jaccard FROM near_dup "
+        f"WITH {_minhash_cte(hot_bucket_cap=None)} SELECT doc_a, doc_b, jaccard FROM near_dup "
         f"WHERE doc_a % {INCR_DELTA_MOD} = 0 OR doc_b % {INCR_DELTA_MOD} = 0"
     ),
     tags=("U4",),
@@ -370,7 +428,11 @@ def minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     to delta-involving pairs is EXACTLY what the incremental path must
     surface (a pair sharing an LSH bucket with a delta member ⇔ the
     delta probe finds it), so the driver hash-compares incrementality
-    against the batch ground truth."""
+    against the batch ground truth. The oracle uses the UNGUARDED
+    candidate CTE (``hot_bucket_cap=None``): the delta probe reports all
+    delta-involving pairs — its quadratic exposure is |delta members| ×
+    bucket occupancy, not occupancy², so the batch path's hot-bucket
+    star guard does not apply here."""
     docs = load_table(spark, sf_dir, "documents")
     is_delta = (F.col("doc_id") % INCR_DELTA_MOD) == 0
     return minhash_incremental_pairs(docs.filter(~is_delta), docs.filter(is_delta))
@@ -811,85 +873,107 @@ def simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
-    """Connected components by iterative min-label propagation (the
-    union-find step that turns pairwise near-dup matches into dedup
-    clusters). ``edges``: (src, dst) undirected. Returns (id, component)
-    with component = smallest member id.
-
-    Each iteration is a neighbor-min propagation step followed by a
-    pointer-jumping step (component ← component's own current component),
-    so labels converge in O(log diameter) rounds, not O(diameter): a
-    length-1000 chain of gradually edited boilerplate needs ~10 rounds,
-    not 1000. Dense near-dup clusters still finish in 2-3 rounds. The
-    driver loop only checks a scalar convergence count per round; all
-    data work is distributed. ``localCheckpoint(eager=True)`` per round
-    truncates lineage (bounded plan depth) without leaving persisted
-    blocks pinned for the session's lifetime — superseded checkpoint RDDs
-    are released by the ContextCleaner once unreferenced.
-
-    Raises ``RuntimeError`` if the labels have not converged after
-    ``max_iter`` rounds (with pointer jumping that means diameter
-    > ~2^max_iter — practically impossible); returning silently would
-    hand the caller wrong keeper assignments."""
-    both = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    labels = (
-        both.select(F.col("src").alias("id"))
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star operation (Kiveris et al., "Connected Components in
+    MapReduce and Beyond"): for every node u, connect each strictly
+    LARGER neighbor v to m = min(Γ(u) ∪ {u}). Emitted edges (m, v) are
+    already canonical (m ≤ u < v). Input and output are canonical
+    (u < v) distinct edge sets."""
+    both = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = (
+        both.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select("u", F.least(F.col("mn"), F.col("u")).alias("m"))
+    )
+    return (
+        both.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("m").alias("u"), F.col("v").alias("v"))
         .distinct()
-        .select("id", F.col("id").alias("component"))
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star operation: direct each edge from its larger endpoint,
+    so node c's neighborhood N(c) = {u : (u, c) ∈ E, u < c}; connect
+    every x ∈ N(c) ∪ {c} except m itself to m = min(N(c)). Both emitted
+    shapes are canonical (m < x). Input/output canonical distinct sets."""
+    mins = e.groupBy("v").agg(F.min("u").alias("m"))
+    leaf = (
+        e.join(mins, "v")
+        .filter(F.col("u") != F.col("m"))
+        .select(F.col("m").alias("u"), F.col("u").alias("v"))
+    )
+    center = mins.select(F.col("m").alias("u"), F.col("v").alias("v"))
+    return leaf.unionByName(center).distinct()
+
+
+def connected_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:
+    """Connected components by alternating large-star/small-star
+    contraction (Kiveris et al. 2014) — the union-find step that turns
+    pairwise near-dup matches into dedup clusters. ``edges``: (src, dst)
+    undirected. Returns (id, component) with component = smallest member
+    id.
+
+    Why this shape and not min-label propagation: each round's shuffle is
+    bounded by the CURRENT edge count, and both star operations contract
+    the graph toward a star forest geometrically — on a dense clone
+    clique (the boilerplate case that is *expected* at 100 TB) the first
+    large-star collapses the clique to a star in one round, so total
+    shuffle stays ~linear in input edges. The r8 pointer-jumping loop
+    measured 16.8× shuffle at 10× data on the densified clone-graph soak
+    (SCALE.md §Round 8); with the hot-bucket star guard upstream the CC
+    input is near-star already and rounds are cheap. Convergence is
+    O(log² n) worst case, 2-4 rounds on real dedup graphs.
+
+    Each round checkpoints the (shrinking) edge set — bounded plan depth,
+    superseded checkpoint RDDs released by the ContextCleaner — and runs
+    one count-based fixed-point check (both sides distinct, so
+    "union groupBy count ≠ 2 is empty" ⇔ sets equal). At the fixed point
+    of small∘large the edge set is a star forest whose centers are the
+    component minima; labels read directly off the star edges.
+
+    Raises ``RuntimeError`` if not converged after ``max_iter`` rounds;
+    returning silently would hand the caller wrong keeper assignments."""
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
         .localCheckpoint(eager=True)
     )
-    prev_sum = None  # label sum of the previous round (monotone decreasing)
     for _ in range(max_iter):
-        neighbor_min = (
-            both.join(labels, both["src"] == labels["id"])
-            .select(F.col("dst").alias("id"), "component")
-            .groupBy("id")
-            .agg(F.min("component").alias("nbr_min"))
+        new_e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        n_changed = (
+            new_e.unionByName(e)
+            .groupBy("u", "v")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") != 2)
+            .limit(1)
+            .count()
         )
-        prop = labels.join(neighbor_min, "id", "left").select(
-            "id",
-            F.least(
-                F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
-            ).alias("component"),
-        )
-        # pointer jumping: component ← component's current component.
-        # Labels are always real node ids, so the self-join resolves one
-        # hop of indirection per round — path lengths halve each round.
-        new_labels = (
-            prop.alias("l")
-            .join(
-                prop.select(
-                    F.col("id").alias("cid"), F.col("component").alias("ccomp")
-                ),
-                F.col("l.component") == F.col("cid"),
+        old, e = e, new_e
+        if n_changed == 0:
+            # star forest: every edge is (component_min, member)
+            return nodes.join(
+                e.select(F.col("v").alias("id"), F.col("u").alias("component")),
+                "id",
                 "left",
+            ).select(
+                "id", F.coalesce(F.col("component"), F.col("id")).alias("component")
             )
-            .select(
-                F.col("l.id").alias("id"),
-                F.least(
-                    F.col("l.component"),
-                    F.coalesce(F.col("ccomp"), F.col("l.component")),
-                ).alias("component"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        # Convergence check without a labels⋈labels join: component
-        # labels only ever DECREASE (both steps take min/least), so the
-        # label sum is strictly monotone — equal sums ⇔ no label moved.
-        # One aggregation on the fresh checkpoint per round.
-        # decimal(38) sum: id sums at corpus scale can exceed int64
-        new_sum = new_labels.agg(
-            F.sum(F.col("component").cast("decimal(38,0)"))
-        ).collect()[0][0]
-        labels = new_labels
-        if new_sum == prev_sum:
-            return labels
-        prev_sum = new_sum
     raise RuntimeError(
-        f"connected_components did not converge in {max_iter} rounds "
-        "(label sum still decreasing); raise max_iter — pointer-jumping "
-        "min-label propagation needs O(log graph diameter) rounds"
+        f"connected_components did not converge in {max_iter} rounds; "
+        "alternating star contraction needs O(log^2 n) rounds worst case "
+        "- raise max_iter"
     )
 
 
@@ -922,9 +1006,10 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the actionable dedup output (drop everything where doc_id !=
     keeper_doc_id). The oracle recomputes the same md5 minhash pairs and
     resolves components with a recursive transitive-closure CTE (min
-    reachable id) — fine at oracle SF, while the Spark side's pointer-
-    jumping loop is the shape that scales; transitivity is additionally
-    pinned by chain-graph unit tests."""
+    reachable id) — fine at oracle SF, while the Spark side's
+    alternating large-star/small-star contraction is the shape that
+    scales; transitivity is additionally pinned by chain-graph unit
+    tests and a Hypothesis union-find equivalence property."""
     pairs = minhash_near_dup(spark, sf_dir).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
@@ -968,7 +1053,7 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduplicated corpus; the drop set plus keeper pointer is the
     provenance record. One broadcast-or-key-bounded left join from the
     corpus to the (small) cluster table on top of
-    ``near_dup_clusters``'s pointer-jumping components."""
+    ``near_dup_clusters``'s star-contraction components."""
     clusters = near_dup_clusters(spark, sf_dir).withColumnRenamed(
         "keeper_doc_id", "cluster_keeper"
     )

@@ -351,17 +351,80 @@ def test_connected_components_transitive(spark):
 
 
 def test_connected_components_long_chain_converges(spark):
-    """A path graph far longer than max_iter converges thanks to pointer
-    jumping (O(log diameter) rounds) — plain min-label propagation would
+    """A path graph far longer than max_iter converges thanks to the
+    geometric contraction of alternating large-star/small-star
+    (O(log² n) rounds worst case) — naive min-label propagation would
     need one round per hop and raise."""
     from finance_data_ingestion_pipeline_with_kafka_spark.operators.dedup import (
         connected_components,
     )
 
-    n = 80  # diameter 79 ≫ max_iter=20
+    n = 80  # diameter 79 ≫ max_iter
     edges = spark.createDataFrame([(i, i + 1) for i in range(n)], ["src", "dst"])
     comp = {r["id"]: r["component"] for r in connected_components(edges).collect()}
     assert comp == {i: 0 for i in range(n + 1)}
+
+
+def test_connected_components_matches_union_find(spark):
+    """Property: star-contraction components equal a reference union-find
+    on assorted adversarial graph shapes (clique, chain+bridge, binary
+    tree, two cliques joined by one edge, shuffled ids)."""
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.dedup import (
+        connected_components,
+    )
+
+    cases = [
+        [(i, j) for i in range(1, 9) for j in range(i + 1, 9)],  # clique
+        [(i, i + 1) for i in range(10)] + [(5, 100), (100, 101)],
+        [(i, 2 * i) for i in range(1, 16)] + [(i, 2 * i + 1) for i in range(1, 16)],
+        [(1, 2), (2, 3), (1, 3), (7, 8), (8, 9), (7, 9), (3, 7)],
+        [(97, 13), (13, 55), (42, 7), (7, 97)],  # unordered ids, src>dst rows
+    ]
+    for edges in cases:
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expect = {x: find(x) for x in parent}
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        got = {r["id"]: r["component"] for r in connected_components(df).collect()}
+        assert got == expect, edges
+
+
+def test_minhash_hot_bucket_guard_star_pairs(spark):
+    """A clone clique whose band bucket exceeds the cap must emit star
+    pairs (b−1 candidates), not all pairs (b(b−1)/2); below the cap the
+    exact all-pairs set is preserved; and clustering through the star
+    hub keeps the clique in one component."""
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.dedup import (
+        connected_components,
+    )
+
+    clique = [(i, BASE) for i in range(1, 11)]  # 10 identical docs
+    docs = spark.createDataFrame(clique + [(20, FAR)], ["doc_id", "text"])
+    sigs = minhash_signatures(docs)
+    capped = minhash_candidates(sigs, hot_bucket_cap=4).collect()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in capped}
+    assert pairs == {(1, b) for b in range(2, 11)}  # star to the min member
+    # below the cap: the exact quadratic pair set
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_candidates(sigs, hot_bucket_cap=32).collect()
+    }
+    assert exact == {(a, b) for a in range(1, 11) for b in range(a + 1, 11)}
+    # connectivity through the hub survives verification (all J = 1.0)
+    edges = spark.createDataFrame(sorted(pairs), ["src", "dst"])
+    comp = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    assert comp == {i: 1 for i in range(1, 11)}
 
 
 def test_approx_percentile_rank_error_bound(spark, sf_dir):
