@@ -168,17 +168,39 @@ def main() -> None:
             detail["deep_crossover_30x"] = _deep_crossover_subprocess(sf_dir)
         except Exception as ex:
             detail["deep_crossover_30x"] = {"error": str(ex)[:200]}
+        try:
+            # Dedup/ANN family at 10× volume (VERDICT r8 ask #7): the
+            # 100 TB-posture numbers, driver-produced every round instead
+            # of a one-off soak-tool run. Spark-only walls — the DuckDB
+            # RECURSIVE closure twin is super-linear at 10× by design and
+            # would measure the oracle, not the engine.
+            detail["dedup_crossover_10x"] = _dedup_crossover(spark, sf_dir)
+        except Exception as ex:
+            detail["dedup_crossover_10x"] = {"error": str(ex)[:200]}
 
     # The driver captures only the TAIL (~2000 chars) of stdout: the full
     # per-query detail goes to stderr for humans/logs, and the FINAL stdout
     # line is a compact scalar summary guaranteed to fit the capture
     # window (BENCH_r02 lost every round-2 metric to an oversized line).
+    # The complete detail payload — including the full named per-query
+    # crossover tables the tail truncates (VERDICT r8 ask #2) — is also
+    # written to BENCH_DETAIL.json beside this script, a durable artifact
+    # committed per round.
     print(json.dumps(detail), file=sys.stderr)
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json"), "w") as fh:
+            json.dump(detail, fh, indent=1)
+    except OSError as ex:
+        print(f"BENCH_DETAIL.json write failed: {ex}", file=sys.stderr)
     compact = _compact_line(detail, bench_specs)
     line = json.dumps(compact)
     if len(line) >= 1900:  # hard driver-contract guard, belt over the test
-        compact.pop("deep_crossover_30x", None)
-        line = json.dumps(compact)
+        for drop in ("dedup_crossover_10x", "deep_crossover_30x"):
+            compact.pop(drop, None)
+            line = json.dumps(compact)
+            if len(line) < 1900:
+                break
     print(line)
 
 
@@ -266,6 +288,20 @@ def _compact_line(detail: dict, bench_specs: dict) -> dict:
             n: [v["ratio_1x"], v["ratio_30x"], v["spark_scaling"], v["duckdb_scaling"]]
             for n, v in deep.items()
         }
+    dxo = detail.get("dedup_crossover_10x")
+    if isinstance(dxo, dict) and "error" not in dxo:
+        # {name: [spark_1x, spark_10x, spark_scaling]} — Spark-only walls
+        # for the dedup/ANN family under clone-clique replication.
+        out["dedup_crossover_10x"] = {
+            n: [v["spark_1x"], v["spark_10x"], v["spark_scaling"]]
+            for n, v in dxo["queries"].items()
+        }
+        out["dedup_crossover_scaling_total"] = dxo["spark_scaling_total"]
+    if detail.get("scale_crossover_10x") or detail.get("deep_crossover_30x"):
+        # full named per-query crossover tables (the compact line carries
+        # only totals for the 16-query 10x phase) live in this committed
+        # artifact — the driver tail can't truncate them away
+        out["detail_file"] = "BENCH_DETAIL.json"
     return out
 
 
@@ -378,6 +414,56 @@ def _scale_crossover(spark, sf_dir: str, factor: int = 10) -> dict:
             sum(spark_nx.values()) / max(sum(duck_nx.values()), 1e-6), 2
         ),
         "n_queries_ratio_improving": n_improving,
+    }
+
+
+#: The dedup/ANN queries whose 10× posture the bench measures directly
+#: (same set as tools/soak_sf1.py, which adds per-stage shuffle bytes).
+DEDUP_CROSSOVER = (
+    "minhash_near_dup",
+    "near_dup_clusters",
+    "ivf_ann",
+    "pq_ann",
+)
+
+
+def _dedup_crossover(spark, sf_dir: str, factor: int = 10) -> dict:
+    """Spark wall-clock for the dedup/ANN family at 1× and ``factor``×
+    volume (key-shifted replication — the clone-clique worst case, since
+    replicas have identical text). One warm pass (plan + codegen at N×)
+    then one timed pass per (query, rep); the scaling column is the
+    posture number — under 10× replication the near-dup EDGE set grows
+    ~1000× (every doc becomes a 10-clone clique), so wall scaling ≈10×
+    here means strongly sublinear in edges. Shuffle-byte detail for the
+    same queries lives in tools/soak_sf1.py output (SCALE.md)."""
+    specs = {n: load_all()[n] for n in DEDUP_CROSSOVER}
+    walls: dict[int, dict[str, float]] = {}
+    for rep in (1, factor):
+        os.environ["ENGINE_SCAN_REPLICATE"] = str(rep)
+        walls[rep] = {}
+        try:
+            for name, spec in specs.items():
+                _force(spec.fn(spark, sf_dir))  # warm
+                t0 = time.perf_counter()
+                _force(spec.fn(spark, sf_dir))
+                walls[rep][name] = round(time.perf_counter() - t0, 4)
+        finally:
+            os.environ.pop("ENGINE_SCAN_REPLICATE", None)
+    table = {
+        name: {
+            "spark_1x": walls[1][name],
+            f"spark_{factor}x": walls[factor][name],
+            "spark_scaling": round(walls[factor][name] / max(walls[1][name], 1e-6), 2),
+        }
+        for name in specs
+    }
+    t1, tn = sum(walls[1].values()), sum(walls[factor].values())
+    return {
+        "factor": factor,
+        "queries": table,
+        "spark_total_1x": round(t1, 3),
+        f"spark_total_{factor}x": round(tn, 3),
+        "spark_scaling_total": round(tn / max(t1, 1e-6), 2),
     }
 
 

@@ -184,36 +184,46 @@ HOT_BUCKET_CAP = 32
 def minhash_candidates(
     sigs: DataFrame, hot_bucket_cap: int = HOT_BUCKET_CAP
 ) -> DataFrame:
-    """LSH banding self-join: docs sharing any (band_id, band_hash)
+    """LSH banding candidates: docs sharing any (band_id, band_hash)
     bucket become candidate pairs — all pairs inside buckets of
     ≤ ``hot_bucket_cap`` members, star pairs (each member with the
     bucket's min doc_id) above it, so one degenerate bucket can never
-    emit O(b²) candidates (VERDICT r8 ask #3). The window and the
-    self-join hash on the same (band_id, band_hash) key — one exchange
-    feeds both; the hot path after the window is narrow (no join)."""
-    from pyspark.sql import Window
+    emit O(b²) candidates (VERDICT r8 ask #3).
 
-    w = Window.partitionBy("band_id", "band_hash")
-    sized = band_rows(sigs).select(
-        "doc_id",
-        "band_id",
-        "band_hash",
-        F.count(F.lit(1)).over(w).alias("bsz"),
-        F.min("doc_id").over(w).alias("bmin"),
+    Plan shape: ONE groupBy on the band key collecting each bucket's
+    member array, then pure array expressions emit the pairs — no
+    bucket self-join at all (the r8 shape shuffled the band table on
+    both join sides; this is one shuffle, and the guarded all-pairs
+    expansion is bounded by cap²/2 per bucket by construction). The
+    pair SET is identical to the windowed/self-join formulation, so the
+    oracle CTE (windowed bucket size + min in DuckDB) compares exact."""
+    members = (
+        band_rows(sigs)
+        .groupBy("band_id", "band_hash")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ms"))
+        .select("ms")
     )
-    a = sized.filter(F.col("bsz") <= hot_bucket_cap).alias("a")
-    b = sized.filter(F.col("bsz") <= hot_bucket_cap).alias("b")
-    small = a.join(
-        b,
-        (F.col("a.band_id") == F.col("b.band_id"))
-        & (F.col("a.band_hash") == F.col("b.band_hash"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-    hot = (
-        sized.filter((F.col("bsz") > hot_bucket_cap) & (F.col("doc_id") != F.col("bmin")))
-        .select(F.col("bmin").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    n = F.size("ms")
+    all_pairs = F.flatten(
+        F.transform(
+            "ms",
+            lambda a, i: F.transform(
+                F.slice("ms", i + 2, F.greatest(n - i - 1, F.lit(0))),
+                lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
+            ),
+        )
     )
-    return small.unionByName(hot).distinct()
+    star_pairs = F.transform(
+        F.slice("ms", 2, F.greatest(n - 1, F.lit(0))),
+        lambda b: F.struct(F.element_at("ms", 1).alias("doc_a"), b.alias("doc_b")),
+    )
+    pairs = F.when(n <= hot_bucket_cap, all_pairs).otherwise(star_pairs)
+    return (
+        members.filter(n >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .distinct()
+    )
 
 
 def _minhash_cte(hot_bucket_cap: int | None = HOT_BUCKET_CAP) -> str:

@@ -79,6 +79,20 @@ def _full_detail(specs) -> dict:
             }
             for n in bench.FLOOR_BOUND
         },
+        "dedup_crossover_10x": {
+            "factor": 10,
+            "queries": {
+                n: {
+                    "spark_1x": 123.4567,
+                    "spark_10x": 123.4567,
+                    "spark_scaling": 123.45,
+                }
+                for n in bench.DEDUP_CROSSOVER
+            },
+            "spark_total_1x": 12345.678,
+            "spark_total_10x": 12345.678,
+            "spark_scaling_total": 123.45,
+        },
     }
 
 
@@ -113,6 +127,9 @@ def test_compact_line_carries_headline_scalars():
         "crossover_ratio_total_10x",
         "crossover_n_improving",
         "deep_crossover_30x",
+        "dedup_crossover_10x",
+        "dedup_crossover_scaling_total",
+        "detail_file",
     ):
         assert key in out, key
     # no per-query dicts may sneak back into the compact line

@@ -292,6 +292,24 @@ def test_new_family_no_cartesian(spark, sf_dir, name):
     assert "CartesianProduct" not in executed_plan(q(spark, sf_dir, name))
 
 
+def test_q3_topk_aqe_broadcasts_dim_and_pushes_dates(spark, sf_dir):
+    """shipping_priority_topk (TPC-H Q3 shape, keep_aqe): AQE's RUNTIME
+    size estimate must broadcast the filtered customer dim (no explicit
+    broadcast hint in the query — the decision is the planner's), both
+    date predicates must reach their scans, and the top-k must plan as
+    TakeOrderedAndProject, not a global sort."""
+    df = q(spark, sf_dir, "shipping_priority_topk")
+    p = executed_plan(df, run=True)  # final AQE plan after runtime re-plan
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "TakeOrderedAndProject" in p
+    # date pushdown on BOTH fact scans: orders (o_orderdate) and
+    # lineitem (l_shipdate)
+    scans = [seg.split("]")[0] for seg in p.split("PushedFilters:")[1:]]
+    assert any("l_shipdate" in s for s in scans), scans
+    assert any("o_orderdate" in s for s in scans), scans
+
+
 def test_q9_profit_broadcasts_dims_no_cartesian(spark, sf_dir):
     """product_profit_by_nation (TPC-H Q9 shape): supplier/nation/part
     are broadcast dims, the only shuffle-join edge is lineitem ⋈ orders,
