@@ -2802,3 +2802,77 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("step")
     )
+
+
+@query(
+    "asof_fold_series",
+    oracle="""
+    WITH events_us AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+    SELECT l.event_id, l.user_id, l.ts, l.value AS purchase_value,
+           r.ts AS last_click_ts, r.value AS last_click_value
+    FROM (SELECT * FROM events_us WHERE event_type = 'purchase') l
+    ASOF LEFT JOIN (SELECT user_id, ts, max_by(value, event_id) AS value
+                    FROM events_us WHERE event_type = 'click'
+                    GROUP BY user_id, ts) r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    ORDER BY l.event_id
+    """,
+    tags=("T10", "J5"),
+)
+def asof_fold_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[T10 batch twin of the streaming as-of join] The streaming
+    ``asof_enrich_stream`` state machine's pure fold
+    (``streaming/stateful.py: asof_fold`` — the EXACT code the stateful
+    operator executes per micro-batch) run over each user's full tagged
+    purchase/click series via ``applyInPandas``, so the driver's DuckDB
+    ASOF-JOIN hash-compare verifies the streaming kernel itself — same
+    feed, same output columns, same oracle as the batch ``asof_join``
+    recipe, which makes the three-way contract explicit: window-carry
+    recipe ≡ streaming fold ≡ native ASOF. Tie semantics ride the fold's
+    input sort ``(ts, side, event_id)``: right before left at equal ts
+    (inclusive), equal-ts clicks resolve to the max event_id — identical
+    to ``asof_join``'s struct-carry rules, NULL click values carried
+    intact. Scale: one shuffle on the series key; the streaming variant
+    holds one carried bar + a watermark-horizon buffer per key."""
+    import pandas as pd
+
+    from ..streaming.stateful import asof_fold
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "side", "event_id"])
+        uid = int(pdf["user_id"].iloc[0])
+        ripe = [
+            (ts, int(side), int(eid), None if pd.isna(v) else float(v))
+            for ts, side, eid, v in zip(
+                pdf["ts"], pdf["side"], pdf["event_id"], pdf["value"]
+            )
+        ]
+        _cts, _cv, rows = asof_fold(None, None, ripe)
+        return pd.DataFrame(
+            {
+                "event_id": pd.array([r[1] for r in rows], dtype="int64"),
+                "user_id": pd.array([uid] * len(rows), dtype="int64"),
+                "ts": pd.to_datetime([r[0] for r in rows]),
+                "purchase_value": pd.array([r[2] for r in rows], dtype="float64"),
+                "last_click_ts": pd.to_datetime([r[3] for r in rows]),
+                "last_click_value": pd.array([r[4] for r in rows], dtype="float64"),
+            }
+        )
+
+    e = load_table(spark, sf_dir, "events")
+    tagged = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value", F.lit(1).alias("side")
+    ).unionByName(
+        e.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts", "value", F.lit(0).alias("side")
+        )
+    )
+    return (
+        tagged.groupBy("user_id")
+        .applyInPandas(
+            fold,
+            "event_id long, user_id long, ts timestamp, purchase_value double, "
+            "last_click_ts timestamp, last_click_value double",
+        )
+        .orderBy("event_id")
+    )

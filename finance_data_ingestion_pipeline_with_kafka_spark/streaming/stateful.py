@@ -12,6 +12,7 @@ from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
@@ -938,5 +939,179 @@ def bollinger_stream(ticks: DataFrame, watermark: str = "10 minutes") -> DataFra
         outputStructType=BOLLINGER_SCHEMA,
         stateStructType=_BOLLINGER_STATE_SCHEMA,
         outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+# --- streaming as-of join: trades enriched with the last bar at-or-before ---
+# (VERDICT r8 ask #5 — the finance-native streaming form of the batch J5
+# recipe in operators/timeseries.py:asof_join, for the reference's two
+# live streams: finnhub trades enriched with the latest yfinance bar,
+# finnhub_processing.py:21 vs yfinance_processing.py:17.)
+
+ASOF_SCHEMA = StructType(
+    [
+        StructField("symbol", StringType()),
+        StructField("datetime", TimestampType()),
+        StructField("trade_id", StringType()),
+        StructField("trade_value", DoubleType()),
+        StructField("bar_ts", TimestampType()),
+        StructField("bar_value", DoubleType()),
+    ]
+)
+
+#: carry_* is the single carried right row (the whole point: as-of state
+#: is ONE row per key, not a windowed buffer of the right stream);
+#: buf_* is the watermark-ordering buffer shared with every *_ordered
+#: operator in this module — bounded by the watermark horizon.
+_ASOF_STATE_SCHEMA = StructType(
+    [
+        StructField("carry_us", LongType()),
+        StructField("carry_val", DoubleType()),
+        StructField("buf_us", ArrayType(LongType())),
+        StructField("buf_side", ArrayType(LongType())),
+        StructField("buf_id", ArrayType(StringType())),
+        StructField("buf_val", ArrayType(DoubleType())),
+    ]
+)
+
+
+def asof_fold(carry_ts, carry_val, ripe):
+    """The pure as-of enrichment fold — the EXACT kernel both the
+    streaming operator (micro-batch by micro-batch) and the batch
+    ``asof_fold_series`` catalog twin (whole series at once) execute.
+
+    ``ripe``: finalized rows as ``(ts, side, row_id, value)`` tuples,
+    PRE-SORTED ascending by ``(ts, side, row_id)``; ``ts`` is any
+    comparable (int µs in streaming state, pandas Timestamp in the batch
+    twin). side 0 = right/bar rows (update the carry), side 1 =
+    left/trade rows (emit enriched). The sort order IS the tie contract
+    of the batch ``asof_join`` recipe: right before left at equal ts
+    (inclusive >= semantics), equal-ts right rows resolve to the largest
+    row_id (later overwrite wins). Returns ``(carry_ts, carry_val,
+    rows)`` with rows = ``(ts, row_id, value, matched_ts, matched_val)``
+    per left row."""
+    rows = []
+    for ts, side, rid, val in ripe:
+        if side == 0:
+            carry_ts, carry_val = ts, val
+        else:
+            rows.append((ts, rid, val, carry_ts, carry_val))
+    return carry_ts, carry_val, rows
+
+
+def _asof_emit(key: str, rows: list) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "symbol": pd.array([key] * len(rows), dtype="string"),
+            "datetime": pd.to_datetime([r[0] for r in rows], unit="us"),
+            "trade_id": pd.array([r[1] for r in rows], dtype="string"),
+            "trade_value": pd.array([r[2] for r in rows], dtype="float64"),
+            "bar_ts": pd.to_datetime([r[3] for r in rows], unit="us"),
+            "bar_value": pd.array([r[4] for r in rows], dtype="float64"),
+        }
+    )
+
+
+def _update_asof(
+    key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Watermark-buffered as-of state machine: tagged rows wait in state
+    until the watermark finalizes them, then fold through ``asof_fold``
+    in true event-time order — so a late-but-within-watermark bar lands
+    BEFORE the trades it should enrich, exactly as in the batch join."""
+    if state.hasTimedOut:
+        carry_us, carry_val, buf_us, buf_side, buf_id, buf_val = state.get
+        pending = sorted(
+            zip(buf_us or [], buf_side or [], buf_id or [], buf_val or [])
+        )
+        carry_us, carry_val, rows = asof_fold(carry_us, carry_val, pending)
+        state.update((carry_us, carry_val, [], [], [], []))
+        if rows:
+            yield _asof_emit(key[0], rows)
+        return
+
+    if state.exists:
+        carry_us, carry_val, buf_us, buf_side, buf_id, buf_val = state.get
+        buf = list(zip(buf_us or [], buf_side or [], buf_id or [], buf_val or []))
+    else:
+        carry_us, carry_val, buf = None, None, []
+    for pdf in pdf_iter:
+        for ts, side, rid, val in zip(
+            pdf["datetime"], pdf["side"], pdf["id"], pdf["value"]
+        ):
+            buf.append(
+                (
+                    int(ts.value // 1_000),  # ns → µs
+                    int(side),
+                    str(rid),
+                    None if pd.isna(val) else float(val),
+                )
+            )
+    wm_us = state.getCurrentWatermarkMs() * 1_000
+    buf.sort(key=lambda r: (r[0], r[1], r[2]))
+    ripe = [r for r in buf if r[0] <= wm_us]
+    pending = [r for r in buf if r[0] > wm_us]
+    carry_us, carry_val, rows = asof_fold(carry_us, carry_val, ripe)
+    state.update(
+        (
+            carry_us,
+            carry_val,
+            [r[0] for r in pending],
+            [r[1] for r in pending],
+            [r[2] for r in pending],
+            [r[3] for r in pending],
+        )
+    )
+    if pending:
+        # fire once the watermark passes the YOUNGEST buffered row
+        state.setTimeoutTimestamp(max(r[0] for r in pending) // 1_000 + 1)
+    if rows:
+        yield _asof_emit(key[0], rows)
+
+
+def asof_enrich_stream(
+    trades: DataFrame, bars: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """T10/J5: streaming as-of join — each finnhub-shaped trade
+    (symbol, datetime, last_price, id) enriched with the latest
+    yfinance-shaped bar (ticker, datetime, close, id) at-or-before its
+    event time, under one shared watermark.
+
+    Shape: union the two streams with a side tag (the same union the
+    batch recipe uses instead of a range join), group by symbol, and run
+    the ``asof_fold`` carry through ``applyInPandasWithState``. State
+    per symbol is ONE carried bar plus the watermark-horizon ordering
+    buffer — O(symbols) steady state, the property that makes the as-of
+    join viable on an unbounded stream where a stream-stream interval
+    join would retain a whole watermark window of BOTH sides. Emits each
+    trade exactly once (update mode), out-of-order-correct within the
+    watermark: parity with the batch ``asof_join`` tie semantics is
+    pinned by ``test_asof_stream_parity_out_of_order``."""
+    left = trades.select(
+        "symbol",
+        "datetime",
+        "id",
+        F.col("last_price").cast("double").alias("value"),
+        F.lit(1).alias("side"),
+    )
+    right = bars.select(
+        F.col("ticker").alias("symbol"),
+        "datetime",
+        "id",
+        F.col("close").cast("double").alias("value"),
+        F.lit(0).alias("side"),
+    )
+    tagged = left.unionByName(right)
+    wm = (
+        tagged.withWatermark("datetime", watermark)
+        if tagged.isStreaming
+        else tagged
+    )
+    return wm.groupBy("symbol").applyInPandasWithState(
+        _update_asof,
+        outputStructType=ASOF_SCHEMA,
+        stateStructType=_ASOF_STATE_SCHEMA,
+        outputMode="update",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

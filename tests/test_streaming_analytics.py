@@ -1365,3 +1365,142 @@ def test_bollinger_stream_matches_batch_window(spark, tmp_path, sf_dir):
     }
     assert len(got) == len(want)
     assert got == want  # EXACT equality, every tick, all four outputs
+
+
+def _yf_bar_msg(ticker, offset_s, close):
+    iso = __import__("datetime").datetime.utcfromtimestamp(
+        BASE_MS // 1000 + offset_s
+    ).isoformat()
+    return json.dumps(
+        {
+            "Datetime": iso,
+            "Open": close,
+            "High": close,
+            "Low": close,
+            "Close": close,
+            "Adj Close": close,
+            "Volume": 50,
+            "Dividends": 0.0,
+            "Stock Splits": 0.0,
+            "ticker": ticker,
+        }
+    )
+
+
+def test_asof_fold_kernel_ties():
+    """The pure kernel's tie contract: bar-before-trade at equal ts
+    (inclusive >=), equal-ts bars resolve to the max row id, trades
+    before any bar match NULL."""
+    from finance_data_ingestion_pipeline_with_kafka_spark.streaming.stateful import (
+        asof_fold,
+    )
+
+    ripe = sorted(
+        [
+            (5, 1, "t0", 9.0),  # trade before any bar -> no match
+            (10, 0, "b1", 1.0),
+            (10, 0, "b2", 2.0),  # same-ts bar, larger id wins
+            (10, 1, "t1", 8.0),  # equal ts: bar first (inclusive)
+            (20, 1, "t2", 7.0),  # later trade reuses the carry
+        ]
+    )
+    carry_ts, carry_val, rows = asof_fold(None, None, ripe)
+    assert (carry_ts, carry_val) == (10, 2.0)
+    assert rows == [
+        (5, "t0", 9.0, None, None),
+        (10, "t1", 8.0, 10, 2.0),
+        (20, "t2", 7.0, 10, 2.0),
+    ]
+    # the carry survives across fold calls (micro-batch boundary)
+    _, _, rows2 = asof_fold(carry_ts, carry_val, [(30, 1, "t3", 6.0)])
+    assert rows2 == [(30, "t3", 6.0, 10, 2.0)]
+
+
+def test_asof_stream_parity_out_of_order(spark, tmp_path):
+    """Streaming as-of join vs an independent brute-force reference:
+    trades and bars for 3 symbols arrive round-robin-interleaved across
+    micro-batches (each batch carries rows far older than earlier
+    batches' maxima, all within the watermark). Every trade must be
+    enriched with the latest bar at-or-before its event time exactly
+    once — equal to per-trade brute force over the full series."""
+    import os as _os
+    import time as _time
+
+    from finance_data_ingestion_pipeline_with_kafka_spark.streaming.pipeline import (
+        yfinance_pipeline,
+    )
+    from finance_data_ingestion_pipeline_with_kafka_spark.streaming.stateful import (
+        asof_enrich_stream,
+    )
+
+    symbols = ["A1", "B2", "C3"]
+    trades, bars = [], []
+    for k, sym in enumerate(symbols):
+        t = 7 * k
+        for i in range(40):
+            t += ((i * 13 + k * 5) % 23) + 1
+            trades.append((sym, t, 100.0 + (i % 9)))
+        b = 3 * k
+        for i in range(15):
+            b += ((i * 17 + k * 3) % 55) + 2
+            bars.append((sym, b, 200.0 + i))
+
+    tsrc, bsrc = tmp_path / "asof_trades", tmp_path / "asof_bars"
+    n_batches = 4
+    tfiles, bfiles = [], []
+    for nb in range(n_batches):
+        tfiles.append(
+            write_json_fixture(
+                str(tsrc),
+                [fh_msg(s, t, p) for i, (s, t, p) in enumerate(trades) if i % n_batches == nb],
+                f"t{nb}.json",
+            )
+        )
+        bfiles.append(
+            write_json_fixture(
+                str(bsrc),
+                [_yf_bar_msg(s, t, p) for i, (s, t, p) in enumerate(bars) if i % n_batches == nb],
+                f"b{nb}.json",
+            )
+        )
+    # sentinel trade far in the future flushes every pending buffer
+    tfiles.append(write_json_fixture(str(tsrc), [fh_msg("ZZZZ", 10**6)], "tz.json"))
+    now = _time.time()
+    for i, f in enumerate(tfiles + bfiles):
+        _os.utime(f, (now - 120 + 7 * i, now - 120 + 7 * i))
+
+    t_stream = finnhub_pipeline(
+        kafka_shaped_file_stream(spark, str(tsrc), max_files_per_trigger=1),
+        dedup_watermark=None,
+    )
+    b_stream = yfinance_pipeline(
+        kafka_shaped_file_stream(spark, str(bsrc), max_files_per_trigger=1)
+    )
+    out = drain(
+        spark,
+        asof_enrich_stream(t_stream, b_stream, watermark="100 hours"),
+        "asof_t",
+        mode="update",
+    ).collect()
+    got = {
+        (r["symbol"], r["datetime"].timestamp(), r["trade_value"]): (
+            None if r["bar_ts"] is None else r["bar_ts"].timestamp(),
+            r["bar_value"],
+        )
+        for r in out
+        if r["symbol"] != "ZZZZ"
+    }
+    # exactly-once: every non-sentinel trade emitted once
+    assert len([r for r in out if r["symbol"] != "ZZZZ"]) == len(trades)
+    base_s = BASE_MS / 1000
+    import numpy as np
+
+    for sym, t, p in trades:
+        prior = [(bt, bp) for bs, bt, bp in bars if bs == sym and bt <= t]
+        want = max(prior) if prior else None
+        key = (sym, base_s + t, float(np.float32(p)))
+        assert key in got, key
+        if want is None:
+            assert got[key] == (None, None), key
+        else:
+            assert got[key] == (base_s + want[0], want[1]), key
