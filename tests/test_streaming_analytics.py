@@ -1504,3 +1504,86 @@ def test_asof_stream_parity_out_of_order(spark, tmp_path):
             assert got[key] == (None, None), key
         else:
             assert got[key] == (base_s + want[0], want[1]), key
+
+
+def test_asof_stream_state_survives_restart(spark, tmp_path):
+    """The as-of carry + ordering buffer must round-trip through the
+    state store across a full query restart: run 1 folds an early bar
+    and a first trade (watermark passes them), the query STOPS; run 2 on
+    the SAME checkpoint delivers a later bar, a trade BETWEEN the two
+    bars (must match the run-1 bar from restored carry state), a trade
+    after the new bar, and the sentinel. Exactly-once, no re-emission of
+    the run-1 enrichment."""
+    import os as _os
+    import time as _time
+
+    from finance_data_ingestion_pipeline_with_kafka_spark.streaming.pipeline import (
+        yfinance_pipeline,
+    )
+    from finance_data_ingestion_pipeline_with_kafka_spark.streaming.stateful import (
+        asof_enrich_stream,
+    )
+
+    tsrc, bsrc = tmp_path / "asr_trades", tmp_path / "asr_bars"
+    cp, sink = str(tmp_path / "asr_cp"), str(tmp_path / "asr_out")
+
+    def run(trade_files, bar_files):
+        for name, msgs in trade_files:
+            write_json_fixture(str(tsrc), msgs, name)
+        for name, msgs in bar_files:
+            write_json_fixture(str(bsrc), msgs, name)
+        now = _time.time()
+        for d in (tsrc, bsrc):
+            for i, f in enumerate(sorted(_os.listdir(str(d)))):
+                fp = _os.path.join(str(d), f)
+                _os.utime(fp, (now - 600 + 10 * i, now - 600 + 10 * i))
+        t_stream = finnhub_pipeline(
+            kafka_shaped_file_stream(spark, str(tsrc), max_files_per_trigger=1),
+            dedup_watermark=None,
+        )
+        b_stream = yfinance_pipeline(
+            kafka_shaped_file_stream(spark, str(bsrc), max_files_per_trigger=1)
+        )
+        q = (
+            asof_enrich_stream(t_stream, b_stream, watermark="5 seconds")
+            .writeStream.outputMode("update")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # run 1: bar@0 (close 200), trade@10 (matches bar@0), flusher trade
+    # far enough that the 5s watermark finalizes both
+    run(
+        [("t1.json", [fh_msg("AAPL", 10, 101.0), fh_msg("AAPL", 100, 102.0)])],
+        [("b1.json", [_yf_bar_msg("AAPL", 0, 200.0)])],
+    )
+    # run 2 (restart): bar@150, trade@120 (between bars -> must hit the
+    # RESTORED carry bar@0), trade@180 (hits bar@150), sentinel
+    run(
+        [
+            (
+                "t2.json",
+                [fh_msg("AAPL", 120, 103.0), fh_msg("AAPL", 180, 104.0)],
+            ),
+            ("t3.json", [fh_msg("ZZZZ", 10**6)]),
+        ],
+        [("b2.json", [_yf_bar_msg("AAPL", 150, 201.0)])],
+    )
+    rows = [r for r in spark.read.parquet(sink).collect() if r["symbol"] == "AAPL"]
+    base_s = BASE_MS / 1000
+    got = sorted(
+        (r["datetime"].timestamp() - base_s, r["trade_value"],
+         None if r["bar_ts"] is None else r["bar_ts"].timestamp() - base_s,
+         r["bar_value"])
+        for r in rows
+    )
+    assert got == [
+        (10.0, 101.0, 0.0, 200.0),
+        (100.0, 102.0, 0.0, 200.0),
+        (120.0, 103.0, 0.0, 200.0),   # restored carry across restart
+        (180.0, 104.0, 150.0, 201.0),
+    ]
