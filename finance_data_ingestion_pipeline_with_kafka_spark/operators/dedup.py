@@ -318,7 +318,13 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     including which candidate pairs the banding surfaces — has an exact
     DuckDB twin and the driver hash-compares it; injected-near-dup tests
     additionally pin recall behavior."""
-    docs = load_table(spark, sf_dir, "documents")
+    return minhash_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def minhash_pairs(docs: DataFrame) -> DataFrame:
+    """The full verified-pair pipeline over an arbitrary (doc_id, text)
+    frame — the body of ``minhash_near_dup``, factored out so corpus
+    slices (``incremental_clusters``' base corpus) reuse it."""
     # Persist the signature table: it is read by both sides of the bucket
     # self-join. At lake scale this persist is "write the signature table
     # once, reuse it for every dedup run". Both intermediates are
@@ -354,6 +360,59 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs.unpersist()
     cands.unpersist()
     return out
+
+
+@query(
+    "lsh_bucket_profile",
+    oracle=f"""
+    WITH {_minhash_cte()}
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(MAX(c) AS BIGINT) AS max_bucket,
+           CAST(COALESCE(SUM(CASE WHEN c > {HOT_BUCKET_CAP} THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_hot_buckets,
+           CAST(COALESCE(SUM(CASE WHEN c <= {HOT_BUCKET_CAP}
+                                  THEN c * (c - 1) // 2 ELSE c - 1 END), 0)
+                AS BIGINT) AS guarded_pair_slots,
+           CAST(COALESCE(SUM(c * (c - 1) // 2), 0) AS BIGINT)
+             AS unguarded_pair_slots
+    FROM (SELECT band_id, band_hash, COUNT(*) AS c FROM bands GROUP BY 1, 2)
+    """,
+    tags=("U4", "A1"),
+)
+def lsh_bucket_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U4] Skew audit for the LSH banding layer — the query an operator
+    runs BEFORE a 100 TB dedup pass to see whether the corpus carries
+    degenerate boilerplate buckets and what the hot-bucket star guard
+    will save: bucket count, max occupancy, buckets over
+    ``HOT_BUCKET_CAP``, and the candidate-PAIR-SLOT totals the banding
+    would emit with and without the guard (pre-``distinct`` multiset
+    across bands — the join WORK metric, not the result-set size). The
+    guard arithmetic here is the same ``all-pairs ≤ cap, star above``
+    rule ``minhash_candidates`` executes, so the driver hash-verifies
+    the guard's bucket math every round even while the shipped fixtures
+    never trip the cap (max observed bucket: 4). One extra aggregation
+    over the band table — no pair materialization anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = F.col("n")
+    quad = (c * (c - 1) / 2).cast("bigint")
+    return (
+        band_rows(minhash_signatures(docs))
+        .groupBy("band_id", "band_hash")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            F.max("n").cast("bigint").alias("max_bucket"),
+            F.coalesce(
+                F.sum(F.when(c > HOT_BUCKET_CAP, 1).otherwise(0)), F.lit(0)
+            ).cast("bigint").alias("n_hot_buckets"),
+            F.coalesce(
+                F.sum(F.when(c <= HOT_BUCKET_CAP, quad).otherwise(c - 1)), F.lit(0)
+            ).cast("bigint").alias("guarded_pair_slots"),
+            F.coalesce(F.sum(quad), F.lit(0)).cast("bigint").alias(
+                "unguarded_pair_slots"
+            ),
+        )
+    )
 
 
 def minhash_incremental_pairs(base_docs: DataFrame, delta_docs: DataFrame) -> DataFrame:
@@ -1702,3 +1761,91 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+def _minhash_cte_sfx(
+    suffix: str,
+    hot_bucket_cap: int | None = HOT_BUCKET_CAP,
+    source: str = "documents",
+) -> str:
+    """``_minhash_cte`` with every CTE name suffixed and the source
+    relation swapped — lets one WITH clause carry TWO independent
+    minhash chains (``incremental_clusters``: a guarded base-corpus
+    chain next to the unguarded full-corpus delta chain)."""
+    import re
+
+    cte = _minhash_cte(hot_bucket_cap)
+    cte = cte.replace("FROM documents", f"FROM {source}")
+    for name in (
+        "sized_bands", "near_dup", "hashed", "seeded",
+        "grams", "toks", "sigs", "bands", "cands", "sets",
+    ):
+        cte = re.sub(rf"\b{name}\b", f"{name}{suffix}", cte)
+    return cte
+
+
+@query(
+    "incremental_clusters",
+    oracle=f"""
+    WITH RECURSIVE
+    {_minhash_cte_sfx("_b", source=f"(SELECT * FROM documents WHERE doc_id % {INCR_DELTA_MOD} <> 0)")},
+    {_minhash_cte(hot_bucket_cap=None)},
+    pair_edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM near_dup_b
+      UNION
+      SELECT doc_a, doc_b FROM near_dup
+      WHERE doc_a % {INCR_DELTA_MOD} = 0 OR doc_b % {INCR_DELTA_MOD} = 0
+    ),
+    edges AS (
+      SELECT src, dst FROM pair_edges
+      UNION ALL SELECT dst, src FROM pair_edges
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r
+    )
+    SELECT id AS doc_id, MIN(r) AS keeper_doc_id
+    FROM reach GROUP BY id ORDER BY doc_id
+    """,
+    tags=("U4",),
+    prepared=False,  # two iterative CC loops materialize checkpoints
+    crossover=False,
+)
+def incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U4] Nightly-delta CLUSTER maintenance — the missing incremental
+    rung above ``minhash_incremental``: last night's cluster assignment
+    is merged with tonight's delta-involving pairs WITHOUT re-running
+    connected components over the whole corpus's pair set. Docs with
+    ``doc_id % 10 == 0`` play the delta. Standing state is the base
+    corpus's star edges (keeper → member, one row per clustered doc —
+    exactly what ``near_dup_clusters`` persists); the merge contracts
+    (star edges ∪ delta pairs), whose size is #clustered-base-docs +
+    #delta pairs — independent of the base PAIR set's size, the term
+    that grows quadratically inside clone cliques. Star edges preserve
+    base connectivity and minima, so merged components equal a full
+    recompute over (base pairs ∪ delta pairs); the oracle closes over
+    exactly that union — the guarded base chain (suffixed CTEs) next to
+    the unguarded delta probe chain, mirroring the Spark composition
+    CTE-for-CTE. Output: (doc_id, keeper_doc_id) for every clustered
+    doc, delta-merged clusters re-keyed to the new global min."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_delta = (F.col("doc_id") % INCR_DELTA_MOD) == 0
+    base, delta = docs.filter(~is_delta), docs.filter(is_delta)
+    base_star = (
+        connected_components(
+            minhash_pairs(base).select(
+                F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+            )
+        )
+        .filter(F.col("id") != F.col("component"))
+        .select(F.col("component").alias("src"), F.col("id").alias("dst"))
+    )
+    delta_pairs = minhash_incremental_pairs(base, delta).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    merged = connected_components(base_star.unionByName(delta_pairs))
+    return merged.select(
+        F.col("id").alias("doc_id"), F.col("component").alias("keeper_doc_id")
+    ).orderBy("doc_id")

@@ -1084,10 +1084,12 @@ def asof_enrich_stream(
     per symbol is ONE carried bar plus the watermark-horizon ordering
     buffer — O(symbols) steady state, the property that makes the as-of
     join viable on an unbounded stream where a stream-stream interval
-    join would retain a whole watermark window of BOTH sides. Emits each
-    trade exactly once (update mode), out-of-order-correct within the
+    join would retain a whole watermark window of BOTH sides. Each trade
+    is emitted exactly once with its final enrichment (append mode —
+    file sinks work directly), out-of-order-correct within the
     watermark: parity with the batch ``asof_join`` tie semantics is
-    pinned by ``test_asof_stream_parity_out_of_order``."""
+    pinned by ``test_asof_stream_parity_out_of_order``, state-store
+    round-trip by ``test_asof_stream_state_survives_restart``."""
     left = trades.select(
         "symbol",
         "datetime",
@@ -1112,6 +1114,6 @@ def asof_enrich_stream(
         _update_asof,
         outputStructType=ASOF_SCHEMA,
         stateStructType=_ASOF_STATE_SCHEMA,
-        outputMode="update",
+        outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

@@ -1710,3 +1710,45 @@ def test_minhash_band_sweep_monotone_and_consistent(spark, sf_dir):
     mr = minhash_recall(spark, sf_dir).collect()[0]
     assert prod["n_hits"] == mr["n_verified"]
     assert prod["n_truth"] == mr["n_truth"]
+
+
+def test_incremental_clusters_merge_two_base_clusters(spark):
+    """A delta doc near-dup with members of TWO distinct base clusters
+    must merge them into one component keyed at the global min — via the
+    exact star-edges ∪ delta-pairs composition incremental_clusters
+    runs, without recomputing base pairs."""
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.dedup import (
+        connected_components,
+        minhash_incremental_pairs,
+        minhash_pairs,
+    )
+
+    other = (
+        "an entirely different document about shuffle partitions and "
+        "adaptive execution plans in a distributed engine runtime stack"
+    )
+    base = spark.createDataFrame(
+        [(1, BASE), (2, BASE), (7, other), (9, other)], ["doc_id", "text"]
+    )
+    # delta doc 10 is a clone of BOTH worlds? impossible — instead make
+    # it a clone of BASE and make a second delta 20 clone of `other`,
+    # plus delta 30 bridging nothing (unique)
+    delta = spark.createDataFrame(
+        [(10, BASE), (20, other), (30, "totally unique text with nothing shared here at all")],
+        ["doc_id", "text"],
+    )
+    base_star = (
+        connected_components(
+            minhash_pairs(base).select(
+                F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+            )
+        )
+        .filter(F.col("id") != F.col("component"))
+        .select(F.col("component").alias("src"), F.col("id").alias("dst"))
+    )
+    delta_pairs = minhash_incremental_pairs(base, delta).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    merged = connected_components(base_star.unionByName(delta_pairs))
+    got = {r["id"]: r["component"] for r in merged.collect()}
+    assert got == {1: 1, 2: 1, 10: 1, 7: 7, 9: 7, 20: 7}  # 30 unclustered

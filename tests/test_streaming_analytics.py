@@ -1480,7 +1480,7 @@ def test_asof_stream_parity_out_of_order(spark, tmp_path):
         spark,
         asof_enrich_stream(t_stream, b_stream, watermark="100 hours"),
         "asof_t",
-        mode="update",
+        mode="append",
     ).collect()
     got = {
         (r["symbol"], r["datetime"].timestamp(), r["trade_value"]): (
@@ -1546,7 +1546,7 @@ def test_asof_stream_state_survives_restart(spark, tmp_path):
         )
         q = (
             asof_enrich_stream(t_stream, b_stream, watermark="5 seconds")
-            .writeStream.outputMode("update")
+            .writeStream.outputMode("append")
             .format("parquet")
             .option("path", sink)
             .option("checkpointLocation", cp)
