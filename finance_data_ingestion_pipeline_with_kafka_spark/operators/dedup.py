@@ -806,13 +806,29 @@ def _simhash_cte() -> str:
     ), sim_votes AS (SELECT doc_id, {votes} FROM sim_hashed GROUP BY doc_id),
     sims AS (SELECT doc_id, {sim} AS simhash FROM sim_votes),
     sim_banded AS ({banded}),
+    sim_sized AS (
+      SELECT doc_id, simhash, band_id, band_val,
+             COUNT(*) OVER w AS bsz,
+             MIN(doc_id) OVER w AS bmin,
+             FIRST_VALUE(simhash) OVER
+               (PARTITION BY band_id, band_val ORDER BY doc_id) AS bmin_sim
+      FROM sim_banded
+      WINDOW w AS (PARTITION BY band_id, band_val)
+    ),
     sh_flagged AS (
       SELECT doc_a, doc_b, hamming FROM (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-        FROM sim_banded a JOIN sim_banded b ON a.band_id = b.band_id
+        SELECT DISTINCT doc_a, doc_b, hamming FROM (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+          FROM sim_sized a JOIN sim_sized b ON a.band_id = b.band_id
                                             AND a.band_val = b.band_val
                                             AND a.doc_id < b.doc_id
+          WHERE a.bsz <= {HOT_BUCKET_CAP}
+          UNION ALL
+          SELECT bmin AS doc_a, doc_id AS doc_b,
+                 CAST(bit_count(xor(bmin_sim, simhash)) AS INT) AS hamming
+          FROM sim_sized WHERE bsz > {HOT_BUCKET_CAP} AND doc_id <> bmin
+        )
       ) WHERE hamming <= {SIMHASH_HAMMING}
     )"""
 
@@ -842,7 +858,22 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole pipeline engine-portable — the oracle recomputes identical
     simhashes, bands, and Hamming distances in DuckDB; injected-near-dup
     unit tests additionally pin separation behavior."""
-    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def simhash_pairs(
+    docs: DataFrame, hot_bucket_cap: int = HOT_BUCKET_CAP
+) -> DataFrame:
+    """Guarded SimHash pair generation over an arbitrary (doc_id, text)
+    frame — same plan shape and hot-bucket policy as
+    ``minhash_candidates`` (r9): ONE groupBy on the band key collecting
+    each bucket's sorted (doc_id, simhash) structs, then array
+    expressions emit all pairs (bucket ≤ cap) or star pairs to the min
+    member (above it) with the Hamming distance computed in the same
+    expression — no bucket self-join, and a degenerate clone bucket
+    (identical simhashes by construction) emits b−1 rows instead of
+    O(b²). Mirrored verbatim in the oracle CTE (windowed bucket size,
+    min, and FIRST_VALUE simhash)."""
     sims = simhash_column(docs)
     bands = F.array(
         *[
@@ -855,27 +886,45 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k in range(SIMHASH_BANDS)
         ]
     )
-    banded = sims.select("doc_id", "simhash", F.explode(bands).alias("b")).select(
-        "doc_id", "simhash", "b.band_id", "b.band_val"
+    grouped = (
+        sims.select("doc_id", "simhash", F.explode(bands).alias("b"))
+        .groupBy("b.band_id", "b.band_val")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "simhash"))).alias("ms"))
+        .select("ms")
     )
-    a, b = banded.alias("a"), banded.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    n = F.size("ms")
+
+    def pair(a, b):
+        return F.struct(
+            a["doc_id"].alias("doc_a"),
+            b["doc_id"].alias("doc_b"),
+            F.bit_count(a["simhash"].bitwiseXOR(b["simhash"]))
             .cast("int")
             .alias("hamming"),
         )
-        .distinct()
+
+    all_pairs = F.flatten(
+        F.transform(
+            "ms",
+            lambda a, i: F.transform(
+                F.slice("ms", i + 2, F.greatest(n - i - 1, F.lit(0))),
+                lambda b: pair(a, b),
+            ),
+        )
     )
-    return pairs.filter(F.col("hamming") <= SIMHASH_HAMMING).orderBy("doc_a", "doc_b")
+    star_pairs = F.transform(
+        F.slice("ms", 2, F.greatest(n - 1, F.lit(0))),
+        lambda b: pair(F.element_at("ms", 1), b),
+    )
+    pairs = F.when(n <= hot_bucket_cap, all_pairs).otherwise(star_pairs)
+    return (
+        grouped.filter(n >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.hamming")
+        .distinct()
+        .filter(F.col("hamming") <= SIMHASH_HAMMING)
+        .orderBy("doc_a", "doc_b")
+    )
 
 
 @query(

@@ -1752,3 +1752,26 @@ def test_incremental_clusters_merge_two_base_clusters(spark):
     merged = connected_components(base_star.unionByName(delta_pairs))
     got = {r["id"]: r["component"] for r in merged.collect()}
     assert got == {1: 1, 2: 1, 10: 1, 7: 7, 9: 7, 20: 7}  # 30 unclustered
+
+
+def test_simhash_hot_bucket_guard_star_pairs(spark):
+    """SimHash clone clique above the cap → star pairs only (hamming 0
+    through the hub), below the cap → exact all-pairs; same policy as
+    the MinHash guard."""
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.dedup import (
+        simhash_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, BASE) for i in range(1, 9)] + [(20, FAR)], ["doc_id", "text"]
+    )
+    capped = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_pairs(docs, hot_bucket_cap=4).collect()
+    }
+    assert capped == {(1, b, 0) for b in range(2, 9)}
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_pairs(docs, hot_bucket_cap=64).collect()
+    }
+    assert exact == {(a, b) for a in range(1, 9) for b in range(a + 1, 9)}
