@@ -393,6 +393,15 @@ _R8_MODIFIED = frozenset((
     "minhash_incremental", "minhash_jaccard_estimate", "minhash_near_dup",
     "minhash_recall", "ngram_jaccard_pairs",
 ))
+#: Queries whose Spark kernels or oracle CTEs changed DURING round 9
+#: (hot-bucket guard in the shared minhash CTE, large-star/small-star
+#: connected components, guarded single-shuffle SimHash pairing) after
+#: their last driver verification — same standing rule, same round:
+#: code-changed ⇒ next driver window. Ranked right behind the r8 five.
+_R9_MODIFIED = frozenset((
+    "dedup_cluster_stats", "dedup_survivors", "minhash_band_sweep",
+    "near_dup_clusters", "simhash_near_dup", "simhash_recall",
+))
 _STALE_R4 = frozenset((
     "array_functions", "asof_join_tolerance", "dataset_interleave", "dataset_split",
     "date_arithmetic", "datetime_functions", "donchian_channel", "ewma",
@@ -421,14 +430,14 @@ _VERIFIED_R6 = frozenset((
     "ann_recall", "anti_join", "approx_percentiles", "argmax_order",
     "bloom_join_prune", "bollinger_bands", "bpe_token_count", "broadcast_dim_join",
     "corpus_build_funnel", "correlation", "count_min_freq", "cross_join_pairs",
-    "dedup_survivors", "doc_fingerprint", "embedding_normalize", "exact_dedup",
+    "doc_fingerprint", "embedding_normalize", "exact_dedup",
     "fuzzy_prefix_join", "gapfill_bars", "grouping_sets", "hll_sketch_users",
     "ivf_probe_sweep", "language_id", "macd", "media_features",
     "media_resize", "min_cost_supplier",
-    "near_dup_clusters", "obv_flow", "outer_join_counts",
+    "obv_flow", "outer_join_counts",
     "position_ledger", "quality_score", "rsi_indicator", "scd2_intervals",
     "scd2_point_in_time", "scd_upsert", "semi_join", "session_fold_sessions",
-    "simhash_near_dup", "stochastic_oscillator", "tfidf_top_terms", "token_stats",
+    "stochastic_oscillator", "tfidf_top_terms", "token_stats",
     "top_revenue_orders", "twap", "unpivot_metrics", "winnow_fingerprints",
     "word_frequency",
 ))
@@ -442,7 +451,7 @@ _VERIFIED_R7 = frozenset((
     "nearest_centroid_eval", "order_priority_check", "pit_feature_matrix", "pmi_collocations",
     "promo_revenue_share", "psi_value_drift", "returned_item_ranking", "rfm_segmentation",
     "rolling_pair_correlation", "rolling_robust_stats", "running_distinct_users", "salted_skew_join",
-    "session_window_agg", "simhash_recall", "small_quantity_revenue", "snapshot_diff",
+    "session_window_agg", "small_quantity_revenue", "snapshot_diff",
     "sq8_recall", "suppliers_kept_waiting", "table_expectations", "top_supplier_revenue",
     "two_nation_volume", "unigram_logprob", "vocab_coverage", "volume_zscore_anomaly",
     "zorder_skipping", "zscore_by_group",
@@ -450,10 +459,10 @@ _VERIFIED_R7 = frozenset((
 _VERIFIED_R8 = frozenset((
     "approx_distinct", "basket_pair_lift", "benford_audit", "bmp_decode",
     "bmp_features", "bollinger_fold_series", "correlated_exists", "correlation_matrix",
-    "dedup_cluster_stats", "dominant_event_type", "dsir_importance_selection", "dsir_selection_eval",
+    "dominant_event_type", "dsir_importance_selection", "dsir_selection_eval",
     "filter_project", "frame_sample", "funnel_time_to_convert", "grouped_pandas_sign_flips",
     "hhi_concentration", "jpeg_decode", "language_id_eval", "macd_fold_series",
-    "matryoshka_recall", "median_absolute_deviation", "membership_predicate", "minhash_band_sweep",
+    "matryoshka_recall", "median_absolute_deviation", "membership_predicate",
     "mp3_frame_scan", "mp4_box_scan", "multimodal_metadata", "null_conditional",
     "null_safe_join", "order_count_histogram", "pandas_udf_token_count", "part_supplier_stats",
     "product_profit_by_nation", "quantile_sketch_merge", "range_join", "regional_revenue",
@@ -496,16 +505,18 @@ def load_all() -> dict[str, QuerySpec]:
         name, _spec = item
         if name in _R8_MODIFIED:
             return (1, reg_order[name])
-        if name in _STALE_R4:
+        if name in _R9_MODIFIED:
             return (2, reg_order[name])
-        if name in _VERIFIED_R5:
+        if name in _STALE_R4:
             return (3, reg_order[name])
-        if name in _VERIFIED_R6:
+        if name in _VERIFIED_R5:
             return (4, reg_order[name])
-        if name in _VERIFIED_R7:
+        if name in _VERIFIED_R6:
             return (5, reg_order[name])
-        if name in _VERIFIED_R8:
+        if name in _VERIFIED_R7:
             return (6, reg_order[name])
+        if name in _VERIFIED_R8:
+            return (7, reg_order[name])
         # brand-new queries (registered after CORRECTNESS_r08 was
         # written): no driver row yet, so they lead the window ahead of
         # even the code-modified re-verification tier

@@ -9,6 +9,7 @@ import pytest
 
 from finance_data_ingestion_pipeline_with_kafka_spark.registry import (
     _R8_MODIFIED,
+    _R9_MODIFIED,
     _STALE_R4,
     _VERIFIED_R5,
     _VERIFIED_R6,
@@ -20,6 +21,7 @@ from finance_data_ingestion_pipeline_with_kafka_spark.registry import (
 
 _ALL_TIERS = (
     _R8_MODIFIED,
+    _R9_MODIFIED,
     _STALE_R4,
     _VERIFIED_R5,
     _VERIFIED_R6,
@@ -40,9 +42,10 @@ def test_bench_specs_are_oracle_checked():
 
 
 def test_tiers_partition_the_round8_catalog():
-    """The six tier sets are disjoint and cover exactly the 225 names
+    """The seven tier sets are disjoint and cover exactly the 225 names
     that existed when CORRECTNESS_r08 was written; any name outside them
-    is brand-new this round."""
+    is brand-new this round. (_R9_MODIFIED holds names re-tiered from
+    their freshness tiers after round-9 kernel/oracle changes.)"""
     union = set()
     total = 0
     for tier in _ALL_TIERS:
@@ -63,11 +66,14 @@ def test_stalest_evidence_leads_the_window():
     order = list(load_all())
     known = set().union(*_ALL_TIERS)
     new = [n for n in order if n not in known]
-    n_new, n1, n2 = len(new), len(_R8_MODIFIED), len(_STALE_R4)
+    n_new, n1, n1b, n2 = (
+        len(new), len(_R8_MODIFIED), len(_R9_MODIFIED), len(_STALE_R4)
+    )
     assert set(order[:n_new]) == set(new)
     assert set(order[n_new : n_new + n1]) == set(_R8_MODIFIED)
-    assert set(order[n_new + n1 : n_new + n1 + n2]) == set(_STALE_R4)
-    assert set(order[n_new + n1 + n2 :]) == (
+    assert set(order[n_new + n1 : n_new + n1 + n1b]) == set(_R9_MODIFIED)
+    assert set(order[n_new + n1 + n1b : n_new + n1 + n1b + n2]) == set(_STALE_R4)
+    assert set(order[n_new + n1 + n1b + n2 :]) == (
         set(_VERIFIED_R5) | set(_VERIFIED_R6) | set(_VERIFIED_R7) | set(_VERIFIED_R8)
     )
     # staleness order below the fold: r5 < r6 < r7 < r8
@@ -83,7 +89,8 @@ def test_stalest_evidence_leads_the_window():
     # must fit)
     window = set(order[:50])
     assert set(_R8_MODIFIED) <= window, sorted(set(_R8_MODIFIED) - window)
-    assert n_new + n1 + n2 <= 50, (n_new, n1, n2)
+    assert set(_R9_MODIFIED) <= window, sorted(set(_R9_MODIFIED) - window)
+    assert n_new + n1 + n1b + n2 <= 50, (n_new, n1, n1b, n2)
     # no freshly-verified (r7/r8) row may waste a window slot
     assert window & (set(_VERIFIED_R7) | set(_VERIFIED_R8)) == set(), sorted(
         window & (set(_VERIFIED_R7) | set(_VERIFIED_R8))
