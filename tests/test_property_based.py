@@ -497,3 +497,42 @@ def test_pit_features_no_leakage(cells):
         label = grid.get((u, d + 1), (0, 0))[1]
         assert got[(u, d)] == (fe, fp, label), (u, d)
     assert len(got) == len(grid)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    rows=st.lists(EVENT, min_size=0, max_size=40),
+    cut=st.integers(min_value=0, max_value=40),
+)
+def test_asof_fold_matches_bruteforce_and_is_incremental(rows, cut):
+    """The streaming as-of kernel (``asof_fold``) on an arbitrary tagged
+    series equals per-trade brute force (latest right row at-or-before,
+    max-id tiebreak), and folding in two chunks with carried state
+    equals one global fold — the micro-batch boundary invariant."""
+    from finance_data_ingestion_pipeline_with_kafka_spark.streaming.stateful import (
+        asof_fold,
+    )
+
+    tagged = sorted(
+        (ts, 0 if kind == "click" else 1, eid, float(v))
+        for eid, (_u, ts, kind, v) in enumerate(rows)
+    )
+    _, _, got = asof_fold(None, None, tagged)
+    # brute force per trade
+    rights = [(ts, eid, v) for ts, s, eid, v in tagged if s == 0]
+    want = []
+    for ts, s, eid, v in tagged:
+        if s != 1:
+            continue
+        prior = [(rts, rid, rv) for rts, rid, rv in rights if rts <= ts]
+        if prior:
+            _rts, _rid, rv = max(prior)
+            want.append((ts, eid, v, _rts, rv))
+        else:
+            want.append((ts, eid, v, None, None))
+    assert got == want
+    # incremental: split at an arbitrary point, carry state across
+    k = min(cut, len(tagged))
+    cts, cv, r1 = asof_fold(None, None, tagged[:k])
+    _, _, r2 = asof_fold(cts, cv, tagged[k:])
+    assert r1 + r2 == want
