@@ -289,3 +289,113 @@ def mp3_frame_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_payload_bytes",
         F.md5(F.hex("payload")).alias("payload_md5"),
     ).orderBy("doc_id")
+
+
+def _sum_kbps_sql(nf: str) -> str:
+    """Closed-form Σ of the alternating 32/48 kbps cycle over nf frames."""
+    sums = []
+    total = 0
+    for k in range(MP3_MAX_FRAMES):
+        total += BITRATE_KBPS_V1L3[MP3_BITRATE_CYCLE[k % 2]]
+        sums.append(total)
+    cases = " ".join(f"WHEN {nf} = {k + 1} THEN {s}" for k, s in enumerate(sums))
+    return f"CASE {cases} ELSE 0 END"
+
+
+def _stream_bytes_sql(nf: str) -> str:
+    """Closed-form Σ frame lengths (payload + 4-byte headers) over nf."""
+    cases = " ".join(
+        f"WHEN {nf} = {k + 1} THEN {cum + HEADER_BYTES * (k + 1)}"
+        for k, cum in enumerate(MP3_CUM_PAYLOAD)
+    )
+    return f"CASE {cases} ELSE 0 END"
+
+
+#: µs of audio per MPEG-1 Layer III frame at 44.1 kHz (1152 samples),
+#: truncated integer — the same integer division both engines compute.
+_FRAME_US = 1152 * 1_000_000 // SAMPLE_RATE_V1[0]
+
+
+@query(
+    "mp3_duration_profile",
+    oracle=f"""
+    WITH h AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+    f AS (SELECT doc_id, {_n_frames_sql("n")} AS nf FROM h
+          WHERE n >= {MP3_CUM_PAYLOAD[0]})
+    SELECT doc_id,
+           CAST(nf AS BIGINT) AS n_frames,
+           CAST({_sum_kbps_sql("nf")} AS BIGINT) AS sum_kbps,
+           CAST({_stream_bytes_sql("nf")} AS BIGINT) AS stream_bytes,
+           CAST(nf * {_FRAME_US} AS BIGINT) AS duration_us
+    FROM f ORDER BY doc_id
+    """,
+    tags=("U7", "A1"),
+)
+def mp3_duration_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U7] Container-analytics over the REAL MP3 frame walk — the
+    metadata half ``mp3_frame_scan``'s payload-md5 check does not
+    exercise: per document, the walker's decoded frame count, the Σ of
+    per-frame BITRATES (exercising the ISO table lookup on every
+    alternating-bitrate frame), the total stream length in bytes
+    (header+payload arithmetic), and the audio duration in µs derived
+    from the per-frame SAMPLE RATE field (1152 samples/frame, truncated
+    integer µs — identical integer division in both engines). The oracle
+    computes all four analytically from the fixture geometry, so any
+    walker error in the bitrate table, length formula, or sample-rate
+    table changes a value and breaks the hash — structure parsing
+    feeding plain SQL analytics, the shape a 100 TB media-lake profiling
+    job takes. Arrow-batched ``mapInPandas``, per-document, no
+    shuffle."""
+    from .multimodal import media_table
+
+    m = media_table(spark, sf_dir).filter(
+        F.col("meta.n_bytes") >= MP3_CUM_PAYLOAD[0]
+    )
+
+    def _profile(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                n_frames = 0
+                for k, cum in enumerate(MP3_CUM_PAYLOAD):
+                    if len(raw) >= cum:
+                        n_frames = k + 1
+                prefix = raw[: MP3_CUM_PAYLOAD[n_frames - 1]]
+                stream = encode_mp3_frames(
+                    prefix,
+                    [MP3_BITRATE_CYCLE[k % 2] for k in range(n_frames)],
+                )
+                frames, _recovered = parse_mp3(stream)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "n_frames": len(frames),
+                        "sum_kbps": sum(f.bitrate_kbps for f in frames),
+                        "stream_bytes": sum(f.length for f in frames),
+                        "duration_us": sum(
+                            1152 * 1_000_000 // f.sample_rate for f in frames
+                        ),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_frames", "sum_kbps", "stream_bytes", "duration_us",
+                ],
+            )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("n_frames", LongType()),
+            StructField("sum_kbps", LongType()),
+            StructField("stream_bytes", LongType()),
+            StructField("duration_us", LongType()),
+        ]
+    )
+    return (
+        m.select("doc_id", "payload")
+        .mapInPandas(_profile, schema)
+        .orderBy("doc_id")
+    )

@@ -2876,3 +2876,84 @@ def asof_fold_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "historical_var",
+    oracle="""
+    WITH events_us AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS v
+      FROM events_us WHERE value IS NOT NULL
+      GROUP BY event_type, day
+    ),
+    rets AS (
+      SELECT event_type,
+             (v - prev) / prev AS r
+      FROM (SELECT event_type, v,
+                   LAG(v) OVER (PARTITION BY event_type ORDER BY day) AS prev
+            FROM daily)
+      WHERE prev IS NOT NULL AND prev <> 0
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_returns,
+             list_sort(list(r)) AS sr
+      FROM rets GROUP BY event_type
+    )
+    SELECT event_type, n_returns,
+           sr[CAST((n_returns + 19) // 20 AS INT)] AS var95,
+           list_reduce(sr[1:CAST((n_returns + 19) // 20 AS INT)],
+                       (acc, x) -> acc + x)
+             / ((n_returns + 19) // 20) AS cvar95
+    FROM agg ORDER BY event_type
+    """,
+    tags=("A7", "A3", "W3"),
+)
+def historical_var(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A7/A3] Historical-simulation Value-at-Risk per instrument (event
+    type as the instrument proxy): daily value totals → day-over-day
+    simple returns → 95% VaR and CVaR (expected shortfall). The risk
+    numbers are RANK-based, not threshold-based, for cross-engine
+    exactness: k = ceil(0.05·n) as exact integer arithmetic
+    ((n+19)//20), VaR95 = the k-th smallest return (an order statistic —
+    no interpolation, no boundary compare), CVaR95 = the mean of the k
+    smallest, summed LEFT-TO-RIGHT over the value-sorted list in both
+    engines (sort_array + F.aggregate here, list_sort + list_reduce in
+    the oracle) so the IEEE sequence is identical — the fold-twin
+    summation discipline. Inputs are exact decimal daily sums, and the
+    return expression is the same (v−prev)/prev both sides, so every
+    double is bit-identical and nothing is rounded. A
+    threshold-membership CVaR (mean of returns ≤ VaR) would flip on a
+    1-ULP threshold difference; the k-smallest definition cannot. Scale:
+    one shuffle to daily totals, one to the per-instrument window; the
+    per-group return list is ~one row per day — thousands of elements at
+    any corpus size, safely collectible."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(dsum(F.col("value")).alias("v"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    rets = (
+        daily.withColumn("prev", F.lag("v").over(w))
+        .filter(F.col("prev").isNotNull() & (F.col("prev") != 0))
+        .select(
+            "event_type", ((F.col("v") - F.col("prev")) / F.col("prev")).alias("r")
+        )
+    )
+    n = F.count(F.lit(1)).cast("bigint")
+    agg = rets.groupBy("event_type").agg(
+        n.alias("n_returns"),
+        F.array_sort(F.collect_list("r")).alias("sr"),
+    )
+    k = F.expr("(n_returns + 19) div 20")  # ceil(0.05 n), exact integer division
+    ksum = F.aggregate(
+        F.slice("sr", 1, k.cast("int")), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return agg.select(
+        "event_type",
+        "n_returns",
+        F.element_at("sr", k.cast("int")).alias("var95"),
+        (ksum / k).alias("cvar95"),
+    ).orderBy("event_type")
