@@ -282,6 +282,11 @@ def test_pit_feature_matrix_single_daily_shuffle(spark, sf_dir):
         "two_nation_volume",
         "returned_item_ranking",
         "dominant_part_suppliers",
+        # round 9
+        "historical_var",
+        "asof_fold_series",
+        "lsh_bucket_profile",
+        "mp3_duration_profile",
     ],
 )
 def test_new_family_no_cartesian(spark, sf_dir, name):
