@@ -156,10 +156,15 @@ def main() -> None:
     # DuckDB ratio. On a completed run the final line below supersedes it.
     print(json.dumps(_compact_line(detail, bench_specs)), flush=True)
     if os.environ.get("SPARK_GRAFT_SKIP_CROSSOVER") != "1":
+        # After each phase, re-print the compact line: the driver parses
+        # the LAST stdout line, so if the process is killed mid-phase on
+        # a slow host, whatever phases COMPLETED are still captured
+        # (the single pre-crossover safety line used to lose all of them).
         try:
             detail["scale_crossover_10x"] = _scale_crossover(spark, sf_dir)
         except Exception as ex:  # crossover is diagnostic — never fail the bench
             detail["scale_crossover_10x"] = {"error": str(ex)[:200]}
+        print(json.dumps(_compact_line(detail, bench_specs)), flush=True)
         try:
             # Deep crossover: the queries whose sf0.1 ratio is pure
             # per-action floor get one extra measurement at 30× volume,
@@ -168,6 +173,7 @@ def main() -> None:
             detail["deep_crossover_30x"] = _deep_crossover_subprocess(sf_dir)
         except Exception as ex:
             detail["deep_crossover_30x"] = {"error": str(ex)[:200]}
+        print(json.dumps(_compact_line(detail, bench_specs)), flush=True)
         try:
             # Dedup/ANN family at 10× volume (VERDICT r8 ask #7): the
             # 100 TB-posture numbers, driver-produced every round instead
