@@ -1775,3 +1775,34 @@ def test_simhash_hot_bucket_guard_star_pairs(spark):
         for r in simhash_pairs(docs, hot_bucket_cap=64).collect()
     }
     assert exact == {(a, b) for a in range(1, 9) for b in range(a + 1, 9)}
+
+
+def test_historical_var_rank_semantics(spark, sf_dir, monkeypatch):
+    """Crafted series: 40 daily values ⇒ 39 returns, k = ceil(0.05·39) =
+    2 ⇒ VaR95 = 2nd-smallest return, CVaR95 = mean of the two smallest —
+    rank-based, no threshold compare."""
+    import datetime as dt
+
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators import timeseries
+    from finance_data_ingestion_pipeline_with_kafka_spark.registry import QUERIES
+
+    vals = [100.0 + (i * 7919) % 50 for i in range(40)]
+    vals[5], vals[20] = 40.0, 55.0  # force two deep drawdowns
+    rows = [
+        (i, dt.datetime(2024, 1, 1) + dt.timedelta(days=i), 1, "tick", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    monkeypatch.setattr(timeseries, "load_table", lambda s, d, t: df)
+    out = QUERIES["historical_var"].fn.__wrapped__(spark, sf_dir) if hasattr(
+        QUERIES["historical_var"].fn, "__wrapped__"
+    ) else timeseries.historical_var(spark, sf_dir)
+    got = out.collect()[0]
+    rets = [(b - a) / a for a, b in zip(vals, vals[1:])]
+    srt = sorted(rets)
+    k = (len(rets) + 19) // 20
+    assert got["n_returns"] == len(rets) == 39 and k == 2
+    assert got["var95"] == srt[k - 1]
+    assert got["cvar95"] == (0.0 + srt[0] + srt[1]) / k
