@@ -872,3 +872,123 @@ def language_id_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "predicted_lang")
     )
+
+
+#: Retrieval benchmark geometry: 4 two-term queries drawn from the
+#: corpus's top-8 document-frequency terms (query i = terms 2i−1, 2i of
+#: the df ranking), top-5 documents returned per query.
+RETRIEVAL_N_QUERIES = 4
+RETRIEVAL_TOP_K = 5
+
+
+@query(
+    "bm25_topk_retrieval",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, term
+    ), dl AS (
+      SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CAST(dl AS DECIMAL(30,6))) AS DOUBLE) / COUNT(dl) AS avgdl
+      FROM dl
+    ), df AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ), q AS (
+      SELECT CAST((rn + 1) // 2 AS BIGINT) AS query_id, term, df FROM (
+        SELECT term, df,
+               ROW_NUMBER() OVER (ORDER BY df DESC, term) AS rn
+        FROM df
+      ) WHERE rn <= {2 * RETRIEVAL_N_QUERIES}
+    ), scored AS (
+      SELECT q.query_id, t.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+             SUM(
+               ln((s.n_docs - q.df + 0.5) / (q.df + 0.5) + 1)
+               * t.tf * ({BM25_K1} + 1)
+               / (t.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * d.dl / s.avgdl))
+             ) AS score
+      FROM tf t
+      JOIN q USING (term)
+      JOIN dl d USING (doc_id)
+      CROSS JOIN stats s
+      GROUP BY q.query_id, t.doc_id
+    )
+    SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, n_terms_hit,
+           ROUND(score, 6) AS bm25
+    FROM (
+      SELECT query_id, doc_id, n_terms_hit, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rank
+      FROM scored
+    ) WHERE rank <= {RETRIEVAL_TOP_K}
+    ORDER BY query_id, rank
+    """,
+    tags=("U6", "U5", "O4"),
+)
+def bm25_topk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U6/U5] Multi-query lexical retrieval — the SEARCH output shape on
+    top of ``bm25_score``'s scoring primitive: four two-term queries
+    (derived in-plan from the corpus's top-8 df terms, so the whole
+    benchmark is one declarative plan), each returning its BM25 top-5
+    documents with ranks. The lexical baseline every embedding-ANN
+    variant (``ivf_ann``/``pq_ann``) is compared against in a retrieval
+    stack. Ranking happens on the UNROUNDED score — every BM25 input is
+    an exact integer (tf, df, dl, N) or exact decimal mean (avgdl), so
+    both engines evaluate the identical double formula and order
+    identically; ties break on doc_id; the emitted score is rounded for
+    display only. Scale: the query-term table (8 rows) and corpus stats
+    (1 row) broadcast; scoring is a narrow pass over the tf table; the
+    per-query top-k is a rank-filtered window over query_id partitions —
+    at 100 TB the scored relation is |query terms' postings|, not the
+    corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens()).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), davg("dl").alias("avgdl"))
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.orderBy(F.desc("df"), "term")
+    q = (
+        df_tbl.select("term", "df", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 2 * RETRIEVAL_N_QUERIES)
+        .select(
+            F.expr("(rn + 1) div 2").cast("bigint").alias("query_id"), "term", "df"
+        )
+    )
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    term_score = (
+        idf
+        * F.col("tf")
+        * (BM25_K1 + 1)
+        / (
+            F.col("tf")
+            + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(q), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms_hit"),
+            F.sum(term_score).alias("score"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("score"), "doc_id")
+    return (
+        scored.select(
+            "query_id",
+            F.row_number().over(wr).cast("bigint").alias("rank"),
+            "doc_id",
+            "n_terms_hit",
+            F.round("score", 6).alias("bm25"),
+        )
+        .filter(F.col("rank") <= RETRIEVAL_TOP_K)
+        .orderBy("query_id", "rank")
+    )
