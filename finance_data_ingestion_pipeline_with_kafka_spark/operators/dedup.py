@@ -415,6 +415,13 @@ def lsh_bucket_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Maximum posting length (documents per fingerprint) admitted to the
+#: containment pair join — fingerprints above it are boilerplate
+#: signatures, not containment evidence, and would make one posting
+#: quadratic. Mirrored in the fingerprint_containment oracle.
+FP_POSTING_CAP = 64
+
+
 def minhash_incremental_pairs(base_docs: DataFrame, delta_docs: DataFrame) -> DataFrame:
     """Incremental MinHash near-dup: verified pairs involving ≥1 DELTA doc.
 
@@ -1454,11 +1461,16 @@ def fuzzy_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
              MIN(gh) OVER (PARTITION BY doc_id ORDER BY pos
                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
       FROM grams
+    ), fp_df AS (
+      SELECT fp, COUNT(*) AS fdf FROM fps GROUP BY fp
+    ), kept AS (
+      SELECT f.doc_id, f.fp FROM fps f JOIN fp_df USING (fp)
+      WHERE fp_df.fdf <= 64
     ), sizes AS (
-      SELECT doc_id, COUNT(*) AS n_fp FROM fps GROUP BY doc_id
+      SELECT doc_id, COUNT(*) AS n_fp FROM kept GROUP BY doc_id
     ), pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
-      FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
       GROUP BY doc_a, doc_b
     )
     SELECT p.doc_a, p.doc_b,
@@ -1484,12 +1496,27 @@ def fingerprint_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     not depend on which side got the lower doc_id (ADVICE r6: a fixed
     /|fp(A)| made a big-lower-id ⊃ small-higher-id pair undetectable).
     Exact integer numerator/denominator keep the double ratio
-    engine-identical. Scale: the fp table hash-partitions on fp for the
-    candidate join and on doc for the two size joins — shuffles on keys
-    with corpus-bounded group sizes."""
+    engine-identical.
+
+    Hot-posting guard (r9, same skew class as the LSH hot-bucket cap): a
+    fingerprint carried by b documents yields O(b²) pair rows in the
+    bucket join, and at 100 TB a boilerplate chunk's fingerprint IS
+    carried by millions of documents. Fingerprints whose posting length
+    exceeds ``FP_POSTING_CAP`` are dropped from BOTH the pair join and
+    the per-doc denominators (a fingerprint shared that widely
+    identifies boilerplate, not containment — the same rationale as
+    ``boilerplate_ngrams``); the cap is mirrored verbatim in the oracle
+    (``fp_df``/``kept`` CTEs) so the driver compare stays exact either
+    way. Scale: the fp table hash-partitions on fp for the df count and
+    the candidate join (one key layout) and on doc for the two size
+    joins — shuffles on keys with cap-bounded group sizes."""
     from .text import winnow_fingerprints
 
-    fps = winnow_fingerprints(spark, sf_dir)
+    all_fps = winnow_fingerprints(spark, sf_dir)
+    fp_df = all_fps.groupBy("fp").agg(F.count(F.lit(1)).alias("fdf"))
+    fps = all_fps.join(fp_df.filter(F.col("fdf") <= FP_POSTING_CAP), "fp").select(
+        "doc_id", "fp"
+    )
     sizes = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
     a = fps.select(F.col("doc_id").alias("doc_a"), "fp")
     b = fps.select(F.col("doc_id").alias("doc_b"), "fp")

@@ -399,8 +399,9 @@ _R8_MODIFIED = frozenset((
 #: their last driver verification — same standing rule, same round:
 #: code-changed ⇒ next driver window. Ranked right behind the r8 five.
 _R9_MODIFIED = frozenset((
-    "dedup_cluster_stats", "dedup_survivors", "minhash_band_sweep",
-    "near_dup_clusters", "simhash_near_dup", "simhash_recall",
+    "dedup_cluster_stats", "dedup_survivors", "fingerprint_containment",
+    "minhash_band_sweep", "near_dup_clusters", "simhash_near_dup",
+    "simhash_recall",
 ))
 _STALE_R4 = frozenset((
     "array_functions", "asof_join_tolerance", "dataset_interleave", "dataset_split",
@@ -444,8 +445,9 @@ _VERIFIED_R6 = frozenset((
 _VERIFIED_R7 = frozenset((
     "ab_test_readout", "activity_streaks", "autocorrelation", "bigram_lm_score",
     "conversion_funnel", "customer_ltv_pareto", "cusum_changepoint", "disjunctive_predicate_join",
-    "dominant_part_suppliers", "dormant_high_balance", "event_transitions", "fingerprint_containment",
-    "forecast_revenue_change", "fuzzy_block_recall", "important_parts", "incremental_join_view",
+    "dominant_part_suppliers", "dormant_high_balance", "event_transitions",
+    "forecast_revenue_change", "fuzzy_block_recall", "important_parts",
+    "incremental_join_view",
     "incremental_ohlcv", "interval_concurrency", "k_anonymity_audit", "key_skew_profile",
     "large_volume_customers", "length_outliers", "nation_market_share",
     "nearest_centroid_eval", "order_priority_check", "pit_feature_matrix", "pmi_collocations",

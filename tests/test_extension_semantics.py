@@ -1806,3 +1806,25 @@ def test_historical_var_rank_semantics(spark, sf_dir, monkeypatch):
     assert got["n_returns"] == len(rets) == 39 and k == 2
     assert got["var95"] == srt[k - 1]
     assert got["cvar95"] == (0.0 + srt[0] + srt[1]) / k
+
+
+def test_containment_hot_posting_guard(spark, sf_dir, monkeypatch):
+    """A boilerplate chunk carried by more docs than FP_POSTING_CAP must
+    contribute NO containment pairs (its posting is dropped from both
+    the pair join and the denominators), while a rare-chunk containment
+    pair still surfaces at containment 1.0."""
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators import dedup, text
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.dedup import (
+        FP_POSTING_CAP,
+    )
+
+    boiler = " ".join(f"boil{i}" for i in range(12))
+    rare = " ".join(f"rare{i}" for i in range(12))
+    rows = [(i, boiler) for i in range(1, FP_POSTING_CAP + 6)]  # 69 clones
+    rows += [(500, rare), (501, rare + " unique tail tokens here now")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    monkeypatch.setattr(text, "load_table", lambda s, d, t: df)
+    out = dedup.fingerprint_containment(spark, sf_dir).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r["containment"] for r in out}
+    assert all(a == 500 and b == 501 for a, b in pairs), pairs
+    assert pairs[(500, 501)] == 1.0
