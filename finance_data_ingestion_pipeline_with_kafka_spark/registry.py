@@ -372,70 +372,52 @@ def query(
 #: and after that the window refreshes the STALEST evidence (testdata
 #: regenerates between rounds, so old green rows decay).
 #:
-#: Round-9 ordering (cumulative after CORRECTNESS_r08: 225/225
+#: Round-10 ordering (cumulative after CORRECTNESS_r09: 232/232
 #: hash-green, zero latest-run failures; tiers derived by
-#: ``tools/rotate_verified.py`` over CORRECTNESS_r01..r08):
+#: ``tools/rotate_verified.py`` over CORRECTNESS_r01..r09):
 #:   (0) brand-new queries registered this round — no driver row at all.
-#:   (1) ``_R8_MODIFIED`` — VERDICT r8 ask #1: the five queries whose
-#:       Spark-side verification kernels were rewritten in round 8
-#:       (commits 867846c/0dc6a88 — union-identity ``exact_jaccard``)
-#:       AFTER their latest driver verification (r5–r7). Standing rule:
-#:       code-changed ⇒ next driver window.
-#:   (2) ``_STALE_R4`` — latest green driver evidence is round 4
-#:       (stalest refresh debt; VERDICT r8 ask #1 second half).
-#:   (3) ``_VERIFIED_R5`` — latest green row is CORRECTNESS_r05.
-#:   (4) ``_VERIFIED_R6`` — latest green row is CORRECTNESS_r06.
-#:   (5) ``_VERIFIED_R7`` — latest green row is CORRECTNESS_r07.
-#:   (6) ``_VERIFIED_R8`` — green in CORRECTNESS_r08 (freshest, below
+#:   (1) ``_R10_MODIFIED`` — queries whose Spark kernels or oracle CTEs
+#:       changed during round 10 after their last driver verification.
+#:       Standing rule: code-changed ⇒ next driver window.
+#:   (2) ``_VERIFIED_R5`` — latest green row is CORRECTNESS_r05 (the
+#:       stalest tier; VERDICT r9 ask #1 — the entire window-function
+#:       family, the ANN builders, OHLCV/VWAP/as-of).
+#:   (3) ``_VERIFIED_R6`` — latest green row is CORRECTNESS_r06.
+#:   (4) ``_VERIFIED_R7`` — latest green row is CORRECTNESS_r07.
+#:   (5) ``_VERIFIED_R8`` — latest green row is CORRECTNESS_r08.
+#:   (6) ``_VERIFIED_R9`` — green in CORRECTNESS_r09 (freshest, below
 #:       the fold).
 
-_R8_MODIFIED = frozenset((
-    "minhash_incremental", "minhash_jaccard_estimate", "minhash_near_dup",
-    "minhash_recall", "ngram_jaccard_pairs",
-))
-#: Queries whose Spark kernels or oracle CTEs changed DURING round 9
-#: (hot-bucket guard in the shared minhash CTE, large-star/small-star
-#: connected components, guarded single-shuffle SimHash pairing) after
-#: their last driver verification — same standing rule, same round:
-#: code-changed ⇒ next driver window. Ranked right behind the r8 five.
-_R9_MODIFIED = frozenset((
-    "dedup_cluster_stats", "dedup_survivors", "fingerprint_containment",
-    "minhash_band_sweep", "near_dup_clusters", "simhash_near_dup",
-    "simhash_recall",
-))
-_STALE_R4 = frozenset((
-    "array_functions", "asof_join_tolerance", "dataset_interleave", "dataset_split",
-    "date_arithmetic", "datetime_functions", "donchian_channel", "ewma",
-    "except_feeds", "explode_outer_numbers", "funnel_analysis", "hash_functions",
-    "intersect_feeds", "json_extraction", "kmeans_refine", "kmv_distinct",
-    "map_functions", "reservoir_sample", "retention_cohorts", "rolling_volatility",
-    "running_drawdown", "semantic_dedup", "stratified_sample", "string_functions",
-    "table_profile", "union_feeds", "variant_json_agg",
+#: Kernels/oracles modified during round 10 (re-tiered same round per
+#: the standing rule): the minhash signature/band persist restructure
+#: (VERDICT r9 ask #2) touches the shared ``_minhash_cte`` consumers;
+#: ``historical_var`` oracle fold seed aligned (ADVICE r9);
+#: ``fingerprint_containment`` oracle now interpolates FP_POSTING_CAP.
+_R10_MODIFIED = frozenset((
+    "exact_dedup", "fingerprint_containment", "historical_var",
+    "minhash_near_dup",
 ))
 _VERIFIED_R5 = frozenset((
     "ann_lsh_bucketed", "asof_join", "asof_join_forward", "bm25_score",
     "boilerplate_ngrams", "chunk_documents", "contamination_check", "cube_subtotals",
-    "dataset_card", "distinct_count", "distinct_rows", "domain_mix_weights",
-    "embedding_near_dup", "embedding_quantize", "except_all_multiset", "grouped_stats",
-    "intersect_all_multiset", "ivf_ann", "knn_bruteforce", "last_closed_bar",
-    "multi_resolution_bars", "ohlcv_bars", "ols_regression",
+    "dataset_card", "domain_mix_weights", "embedding_near_dup", "embedding_quantize",
+    "except_all_multiset", "intersect_all_multiset", "ivf_ann", "knn_bruteforce",
+    "last_closed_bar", "multi_resolution_bars", "ohlcv_bars", "ols_regression",
     "percentiles", "pii_redaction", "pivot_matrix", "png_decode",
-    "pq_ann", "pq_encode", "pricing_summary", "repetition_filter",
-    "rollup_subtotals", "sequence_packing", "sliding_window_agg", "sql_entry_revenue",
-    "stddev_variance", "token_budget_sample", "tumbling_window_agg", "union_by_name_missing",
-    "vwap", "window_cume_nth", "window_cumulative", "window_first_last",
-    "window_lag_returns", "window_moving_avg", "window_ntile_pctrank", "window_range_frame",
-    "window_rank_topk",
+    "pq_ann", "pq_encode", "repetition_filter", "rollup_subtotals",
+    "sequence_packing", "sliding_window_agg", "sql_entry_revenue", "stddev_variance",
+    "token_budget_sample", "tumbling_window_agg", "union_by_name_missing", "vwap",
+    "window_cume_nth", "window_cumulative", "window_first_last", "window_lag_returns",
+    "window_moving_avg", "window_ntile_pctrank", "window_range_frame", "window_rank_topk",
 ))
 _VERIFIED_R6 = frozenset((
     "ann_recall", "anti_join", "approx_percentiles", "argmax_order",
     "bloom_join_prune", "bollinger_bands", "bpe_token_count", "broadcast_dim_join",
     "corpus_build_funnel", "correlation", "count_min_freq", "cross_join_pairs",
-    "doc_fingerprint", "embedding_normalize", "exact_dedup",
-    "fuzzy_prefix_join", "gapfill_bars", "grouping_sets", "hll_sketch_users",
+    "doc_fingerprint", "embedding_normalize", "fuzzy_prefix_join",
+    "gapfill_bars", "grouping_sets", "hll_sketch_users",
     "ivf_probe_sweep", "language_id", "macd", "media_features",
-    "media_resize", "min_cost_supplier",
-    "obv_flow", "outer_join_counts",
+    "media_resize", "min_cost_supplier", "obv_flow", "outer_join_counts",
     "position_ledger", "quality_score", "rsi_indicator", "scd2_intervals",
     "scd2_point_in_time", "scd_upsert", "semi_join", "session_fold_sessions",
     "stochastic_oscillator", "tfidf_top_terms", "token_stats",
@@ -473,6 +455,21 @@ _VERIFIED_R8 = frozenset((
     "url_domain_dedup", "value_histogram", "wav_decode", "weighted_hash_sample",
     "winsorized_stats", "word_entropy",
 ))
+_VERIFIED_R9 = frozenset((
+    "array_functions", "asof_fold_series", "asof_join_tolerance", "bm25_topk_retrieval",
+    "dataset_interleave", "dataset_split", "date_arithmetic", "datetime_functions",
+    "dedup_cluster_stats", "dedup_survivors", "distinct_count", "distinct_rows",
+    "donchian_channel", "ewma", "except_feeds", "explode_outer_numbers",
+    "funnel_analysis", "grouped_stats", "hash_functions",
+    "incremental_clusters", "intersect_feeds", "json_extraction",
+    "kmeans_refine", "kmv_distinct", "lsh_bucket_profile", "map_functions",
+    "minhash_band_sweep", "minhash_incremental", "minhash_jaccard_estimate",
+    "minhash_recall", "mp3_duration_profile", "near_dup_clusters", "ngram_jaccard_pairs",
+    "pricing_summary", "reservoir_sample", "retention_cohorts", "rolling_volatility",
+    "running_drawdown", "semantic_dedup", "shipping_priority_topk", "simhash_near_dup",
+    "simhash_recall", "stratified_sample", "string_functions", "table_profile",
+    "union_feeds", "variant_json_agg",
+))
 
 
 def load_all() -> dict[str, QuerySpec]:
@@ -505,21 +502,19 @@ def load_all() -> dict[str, QuerySpec]:
 
     def rank(item: tuple[str, QuerySpec]) -> tuple[int, int]:
         name, _spec = item
-        if name in _R8_MODIFIED:
+        if name in _R10_MODIFIED:
             return (1, reg_order[name])
-        if name in _R9_MODIFIED:
-            return (2, reg_order[name])
-        if name in _STALE_R4:
-            return (3, reg_order[name])
         if name in _VERIFIED_R5:
-            return (4, reg_order[name])
+            return (2, reg_order[name])
         if name in _VERIFIED_R6:
-            return (5, reg_order[name])
+            return (3, reg_order[name])
         if name in _VERIFIED_R7:
-            return (6, reg_order[name])
+            return (4, reg_order[name])
         if name in _VERIFIED_R8:
-            return (7, reg_order[name])
-        # brand-new queries (registered after CORRECTNESS_r08 was
+            return (5, reg_order[name])
+        if name in _VERIFIED_R9:
+            return (6, reg_order[name])
+        # brand-new queries (registered after CORRECTNESS_r09 was
         # written): no driver row yet, so they lead the window ahead of
         # even the code-modified re-verification tier
         return (0, reg_order[name])

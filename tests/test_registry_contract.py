@@ -8,25 +8,23 @@ load-bearing, not cosmetic.
 import pytest
 
 from finance_data_ingestion_pipeline_with_kafka_spark.registry import (
-    _R8_MODIFIED,
-    _R9_MODIFIED,
-    _STALE_R4,
+    _R10_MODIFIED,
     _VERIFIED_R5,
     _VERIFIED_R6,
     _VERIFIED_R7,
     _VERIFIED_R8,
+    _VERIFIED_R9,
     load_all,
     query,
 )
 
 _ALL_TIERS = (
-    _R8_MODIFIED,
-    _R9_MODIFIED,
-    _STALE_R4,
+    _R10_MODIFIED,
     _VERIFIED_R5,
     _VERIFIED_R6,
     _VERIFIED_R7,
     _VERIFIED_R8,
+    _VERIFIED_R9,
 )
 
 
@@ -41,64 +39,61 @@ def test_bench_specs_are_oracle_checked():
     assert all(s.oracle is not None for s in cat.values() if s.bench)
 
 
-def test_tiers_partition_the_round8_catalog():
-    """The seven tier sets are disjoint and cover exactly the 225 names
-    that existed when CORRECTNESS_r08 was written; any name outside them
-    is brand-new this round. (_R9_MODIFIED holds names re-tiered from
-    their freshness tiers after round-9 kernel/oracle changes.)"""
+def test_tiers_partition_the_round9_catalog():
+    """The six tier sets are disjoint and cover exactly the 232 names
+    that existed when CORRECTNESS_r09 was written; any name outside them
+    is brand-new this round. (_R10_MODIFIED holds names re-tiered from
+    their freshness tiers after round-10 kernel/oracle changes.)"""
     union = set()
     total = 0
     for tier in _ALL_TIERS:
         assert not (union & tier), sorted(union & tier)
         union |= tier
         total += len(tier)
-    assert total == len(union) == 225
+    assert total == len(union) == 232
     assert union <= set(load_all())
 
 
 def test_stalest_evidence_leads_the_window():
     """The driver verifies only the first ~50 catalog entries per round.
-    Round-9 contract (VERDICT r8 ask #1): brand-new queries (no driver
-    row) rank first, then the five queries whose verification kernels
-    were rewritten in round 8 AFTER their last driver verification
-    (standing rule: code-changed => next window), then round-4-stale
-    evidence; r5/r6/r7/r8 greens sit below the fold in staleness order."""
+    Round-10 contract (VERDICT r9 ask #1): brand-new queries (no driver
+    row) rank first, then the queries whose verification kernels or
+    oracles changed in round 10 AFTER their last driver verification
+    (standing rule: code-changed => next window), then the round-5-stale
+    tier — the window-function family, the ANN builders, OHLCV/VWAP/
+    as-of; r6/r7/r8/r9 greens sit below the fold in staleness order."""
     order = list(load_all())
     known = set().union(*_ALL_TIERS)
     new = [n for n in order if n not in known]
-    n_new, n1, n1b, n2 = (
-        len(new), len(_R8_MODIFIED), len(_R9_MODIFIED), len(_STALE_R4)
-    )
+    n_new, n_mod, n_r5 = len(new), len(_R10_MODIFIED), len(_VERIFIED_R5)
     assert set(order[:n_new]) == set(new)
-    assert set(order[n_new : n_new + n1]) == set(_R8_MODIFIED)
-    assert set(order[n_new + n1 : n_new + n1 + n1b]) == set(_R9_MODIFIED)
-    assert set(order[n_new + n1 + n1b : n_new + n1 + n1b + n2]) == set(_STALE_R4)
-    assert set(order[n_new + n1 + n1b + n2 :]) == (
-        set(_VERIFIED_R5) | set(_VERIFIED_R6) | set(_VERIFIED_R7) | set(_VERIFIED_R8)
+    assert set(order[n_new : n_new + n_mod]) == set(_R10_MODIFIED)
+    assert set(order[n_new + n_mod : n_new + n_mod + n_r5]) == set(_VERIFIED_R5)
+    assert set(order[n_new + n_mod + n_r5 :]) == (
+        set(_VERIFIED_R6) | set(_VERIFIED_R7) | set(_VERIFIED_R8) | set(_VERIFIED_R9)
     )
-    # staleness order below the fold: r5 < r6 < r7 < r8
-    last_r5 = max(order.index(n) for n in _VERIFIED_R5)
-    first_r6 = min(order.index(n) for n in _VERIFIED_R6)
+    # staleness order below the fold: r6 < r7 < r8 < r9
     last_r6 = max(order.index(n) for n in _VERIFIED_R6)
     first_r7 = min(order.index(n) for n in _VERIFIED_R7)
     last_r7 = max(order.index(n) for n in _VERIFIED_R7)
     first_r8 = min(order.index(n) for n in _VERIFIED_R8)
-    assert last_r5 < first_r6 < last_r6 < first_r7 < last_r7 < first_r8
+    last_r8 = max(order.index(n) for n in _VERIFIED_R8)
+    first_r9 = min(order.index(n) for n in _VERIFIED_R9)
+    assert last_r6 < first_r7 < last_r7 < first_r8 < last_r8 < first_r9
     # the 50-slot window: every code-modified name must be inside it,
-    # and the window arithmetic must hold (new + 5 modified + 27 stale
-    # must fit)
+    # and the window arithmetic must hold (new + modified + the 44-name
+    # r5 tier must fit so the whole stale tier refreshes this round)
     window = set(order[:50])
-    assert set(_R8_MODIFIED) <= window, sorted(set(_R8_MODIFIED) - window)
-    assert set(_R9_MODIFIED) <= window, sorted(set(_R9_MODIFIED) - window)
-    assert n_new + n1 + n1b + n2 <= 50, (n_new, n1, n1b, n2)
-    # no freshly-verified (r7/r8) row may waste a window slot
-    assert window & (set(_VERIFIED_R7) | set(_VERIFIED_R8)) == set(), sorted(
-        window & (set(_VERIFIED_R7) | set(_VERIFIED_R8))
+    assert set(_R10_MODIFIED) <= window, sorted(set(_R10_MODIFIED) - window)
+    assert n_new + n_mod + n_r5 <= 50, (n_new, n_mod, n_r5)
+    # no freshly-verified (r8/r9) row may waste a window slot
+    assert window & (set(_VERIFIED_R8) | set(_VERIFIED_R9)) == set(), sorted(
+        window & (set(_VERIFIED_R8) | set(_VERIFIED_R9))
     )
 
 
 def test_brand_new_queries_sort_into_the_window():
-    """A query in no tier (i.e. added after CORRECTNESS_r08) must rank
+    """A query in no tier (i.e. added after CORRECTNESS_r09) must rank
     ahead of every tiered row, including the code-modified tier."""
     order = list(load_all())
     known = set().union(*_ALL_TIERS)
