@@ -389,13 +389,20 @@ def query(
 #:       the fold).
 
 #: Kernels/oracles modified during round 10 (re-tiered same round per
-#: the standing rule): the minhash signature/band persist restructure
-#: (VERDICT r9 ask #2) touches the shared ``_minhash_cte`` consumers;
-#: ``historical_var`` oracle fold seed aligned (ADVICE r9);
-#: ``fingerprint_containment`` oracle now interpolates FP_POSTING_CAP.
+#: the standing rule): the window-guard rewrite of the LSH pair kernels
+#: (``minhash_candidates`` / ``simhash_pairs`` — ADVICE r9 bounded-array
+#: fix) plus the checkpointed ``minhash_pairs`` (VERDICT r9 ask #2)
+#: re-tier every consumer of those kernels; ``historical_var``'s fold
+#: seed and ``fingerprint_containment``'s interpolated posting cap are
+#: oracle-side changes; ``exact_dedup`` is in scope for the crossover
+#: attribution (ask #3). 12 + 44 (r5 tier) exceeds the 50-slot window by
+#: six — the standing rule outranks staleness (r9 precedent), so the r5
+#: overflow refreshes next round.
 _R10_MODIFIED = frozenset((
-    "exact_dedup", "fingerprint_containment", "historical_var",
-    "minhash_near_dup",
+    "dedup_cluster_stats", "dedup_survivors", "exact_dedup",
+    "fingerprint_containment", "historical_var", "incremental_clusters",
+    "minhash_jaccard_estimate", "minhash_near_dup", "minhash_recall",
+    "near_dup_clusters", "simhash_near_dup", "simhash_recall",
 ))
 _VERIFIED_R5 = frozenset((
     "ann_lsh_bucketed", "asof_join", "asof_join_forward", "bm25_score",
@@ -458,16 +465,16 @@ _VERIFIED_R8 = frozenset((
 _VERIFIED_R9 = frozenset((
     "array_functions", "asof_fold_series", "asof_join_tolerance", "bm25_topk_retrieval",
     "dataset_interleave", "dataset_split", "date_arithmetic", "datetime_functions",
-    "dedup_cluster_stats", "dedup_survivors", "distinct_count", "distinct_rows",
+    "distinct_count", "distinct_rows",
     "donchian_channel", "ewma", "except_feeds", "explode_outer_numbers",
     "funnel_analysis", "grouped_stats", "hash_functions",
-    "incremental_clusters", "intersect_feeds", "json_extraction",
+    "intersect_feeds", "json_extraction",
     "kmeans_refine", "kmv_distinct", "lsh_bucket_profile", "map_functions",
-    "minhash_band_sweep", "minhash_incremental", "minhash_jaccard_estimate",
-    "minhash_recall", "mp3_duration_profile", "near_dup_clusters", "ngram_jaccard_pairs",
+    "minhash_band_sweep", "minhash_incremental",
+    "mp3_duration_profile", "ngram_jaccard_pairs",
     "pricing_summary", "reservoir_sample", "retention_cohorts", "rolling_volatility",
-    "running_drawdown", "semantic_dedup", "shipping_priority_topk", "simhash_near_dup",
-    "simhash_recall", "stratified_sample", "string_functions", "table_profile",
+    "running_drawdown", "semantic_dedup", "shipping_priority_topk",
+    "stratified_sample", "string_functions", "table_profile",
     "union_feeds", "variant_json_agg",
 ))
 
