@@ -86,12 +86,20 @@ def _full_detail(specs) -> dict:
                     "spark_1x": 123.4567,
                     "spark_10x": 123.4567,
                     "spark_scaling": 123.45,
+                    "duckdb_1x": 123.4567,
+                    "duckdb_10x": 123.4567,
+                    "duckdb_scaling": 123.45,
+                    "ratio_10x": 123.45,
                 }
                 for n in bench.DEDUP_CROSSOVER
             },
             "spark_total_1x": 12345.678,
             "spark_total_10x": 12345.678,
             "spark_scaling_total": 123.45,
+            "duckdb_total_1x": 12345.678,
+            "duckdb_total_10x": 12345.678,
+            "duckdb_scaling_total": 123.45,
+            "ratio_total_10x": 123.45,
         },
     }
 
