@@ -42,6 +42,7 @@ def _full_detail(specs) -> dict:
         "lake_cache": True,
         "streaming_msgs_per_sec": 123456.0,
         "streaming_steady_msgs_per_sec": 1234567.0,
+        "streaming_stateful_msgs_per_sec": 123456.0,
         "duckdb_queries": {n: 123.4567 for n in queries},
         "scale_crossover_10x": {
             "factor": 10,
@@ -126,6 +127,7 @@ def test_compact_line_carries_headline_scalars():
         "concurrent_total_sec",
         "streaming_msgs_per_sec",
         "streaming_steady_msgs_per_sec",
+        "streaming_stateful_msgs_per_sec",
         "duckdb_headline_total_sec",
         "vs_duckdb_ratio",
         "vs_duckdb_ratio_median",
