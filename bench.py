@@ -201,6 +201,14 @@ def main() -> None:
             detail["dedup_crossover_10x"] = _dedup_crossover(spark, sf_dir)
         except Exception as ex:
             detail["dedup_crossover_10x"] = {"error": str(ex)[:200]}
+        _write_detail(detail)
+        print(json.dumps(_compact_line(detail, bench_specs)), flush=True)
+        try:
+            # Hot-key join at volume: plain AQE vs the salted plan
+            # (VERDICT r9 ask #6).
+            detail["skew_crossover"] = _skew_crossover(spark, sf_dir)
+        except Exception as ex:
+            detail["skew_crossover"] = {"error": str(ex)[:200]}
 
     # The driver captures only the TAIL (~2000 chars) of stdout: the full
     # per-query detail goes to stderr for humans/logs, and the FINAL stdout
@@ -321,6 +329,10 @@ def _compact_line(detail: dict, bench_specs: dict) -> dict:
         }
         out["dedup_crossover_scaling_total"] = dxo["spark_scaling_total"]
         out["dedup_crossover_ratio_total_10x"] = dxo["ratio_total_10x"]
+    skew = detail.get("skew_crossover")
+    if isinstance(skew, dict) and "error" not in skew:
+        # the whole phase result is six scalars — carry it verbatim
+        out["skew_crossover"] = skew
     # full named per-query tables (the compact line carries only totals
     # for the 16-query 10x phase) live in this committed artifact — the
     # driver tail can't truncate them away; _write_detail refreshes it at
@@ -535,6 +547,92 @@ def _dedup_crossover(spark, sf_dir: str, factor: int = 10) -> dict:
         "duckdb_scaling_total": round(dn / max(d1, 1e-6), 2),
         f"ratio_total_{factor}x": round(tn / max(dn, 1e-6), 2),
     }
+
+
+def _skew_crossover(spark, sf_dir: str, factor: int = 10) -> dict:
+    """Hot-key join at volume: plain AQE vs the explicit salted plan
+    (VERDICT r9 ask #6 — the AAPL case SURVEY §7 names). Fixture: 50% of
+    lineitem rows remapped to ONE supplier key in-plan, joined to the
+    supplier dim and revenue-aggregated, with broadcast disabled so the
+    join actually shuffles (the regime skew matters in; with broadcast
+    on, the tiny dim broadcasts and there is no reducer to skew).
+
+    Measured finding this phase exists to keep honest: at bench volumes
+    AQE's skew-join split does NOT engage on this join+agg shape — the
+    final adaptive plan carries no skew reads even with
+    ``skewedPartitionThresholdInBytes`` lowered to 8 MB and
+    ``forceOptimizeSkewedJoin`` on (the groupBy on the join key reuses
+    the join's hash partitioning, which the skew rule would have to
+    break) — so the hot key's sort+probe rides one task and the
+    deterministic salted join (``operators/skew.py: salted_join``) wins
+    ~2× at 10×. At true lake scale the 256 MB/5×-median defaults can
+    engage, but salting remains the plan-stable portable fix. SCALE.md
+    §Skew records which wins where."""
+    from finance_data_ingestion_pipeline_with_kafka_spark.catalog import load_table
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.skew import (
+        salted_join,
+    )
+    from pyspark.sql import functions as F
+
+    conf_keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    )
+    saved = {k: spark.conf.get(k) for k in conf_keys}
+    for k in conf_keys:
+        spark.conf.set(k, "-1")
+    rev = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
+        "decimal(30,6)"
+    )
+
+    def agg(j):
+        return j.groupBy("k").agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+
+    def timed(fn) -> float:
+        fn()  # warm (plan + codegen at this rep)
+        ts = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(time.perf_counter() - t0)
+        return round(min(ts), 4)
+
+    out: dict = {"factor": factor, "hot_key_share": 0.5, "n_salts": 8}
+    try:
+        for rep in (1, factor):
+            os.environ["ENGINE_SCAN_REPLICATE"] = str(rep)
+            try:
+                li = load_table(spark, sf_dir, "lineitem").select(
+                    "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+                )
+                dim = load_table(spark, sf_dir, "supplier").select(
+                    F.col("s_suppkey").alias("k"), "s_name"
+                )
+                fact = li.withColumn(
+                    "k",
+                    F.when(
+                        F.pmod("l_orderkey", F.lit(2)) == 0, F.lit(1).cast("long")
+                    ).otherwise(F.col("l_suppkey")),
+                )
+            finally:
+                os.environ.pop("ENGINE_SCAN_REPLICATE", None)
+            tag = "1x" if rep == 1 else f"{factor}x"
+            out[f"plain_aqe_{tag}"] = timed(
+                lambda: _force(agg(fact.join(dim, "k")))
+            )
+            out[f"salted_{tag}"] = timed(
+                lambda: _force(agg(salted_join(fact, dim, "k", n_salts=8)))
+            )
+        out[f"salted_speedup_{factor}x"] = round(
+            out[f"plain_aqe_{factor}x"] / max(out[f"salted_{factor}x"], 1e-6), 2
+        )
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    return out
 
 
 def _duck_connect_replicated(sf_dir: str, rep: int):

@@ -102,6 +102,16 @@ def _full_detail(specs) -> dict:
             "duckdb_scaling_total": 123.45,
             "ratio_total_10x": 123.45,
         },
+        "skew_crossover": {
+            "factor": 10,
+            "hot_key_share": 0.5,
+            "n_salts": 8,
+            "plain_aqe_1x": 123.4567,
+            "salted_1x": 123.4567,
+            "plain_aqe_10x": 123.4567,
+            "salted_10x": 123.4567,
+            "salted_speedup_10x": 123.45,
+        },
     }
 
 
@@ -139,6 +149,7 @@ def test_compact_line_carries_headline_scalars():
         "deep_crossover_30x",
         "dedup_crossover_10x",
         "dedup_crossover_scaling_total",
+        "skew_crossover",
         "detail_file",
     ):
         assert key in out, key
