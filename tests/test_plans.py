@@ -357,3 +357,25 @@ def test_fold_twins_single_series_shuffle(spark, sf_dir):
         p = executed_plan(q(spark, sf_dir, name))
         assert "CartesianProduct" not in p, name
         assert "FlatMapGroupsInPandas" in p, name
+
+
+def test_lsh_pair_kernels_share_the_band_exchange(spark, sf_dir):
+    """The r10 window-guard shape of the LSH pair kernels splits the
+    band table into a hot-star branch and a ≤cap collect branch; both
+    sit above the SAME band-key exchange, which AQE must reuse at
+    execution (one shuffle of the band table, signature lineage runs
+    once). If the branches ever diverge canonically below the window,
+    the exchange duplicates and the signature pipeline silently
+    executes twice — this pins the reuse."""
+    from finance_data_ingestion_pipeline_with_kafka_spark.catalog import load_table
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.dedup import (
+        minhash_candidates,
+        minhash_signatures,
+        simhash_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    p = executed_plan(minhash_candidates(minhash_signatures(docs)), run=True)
+    assert "ReusedExchange" in p
+    p2 = executed_plan(simhash_pairs(docs), run=True)
+    assert "ReusedExchange" in p2
