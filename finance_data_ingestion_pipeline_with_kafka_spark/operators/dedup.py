@@ -1241,6 +1241,107 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _quality_survivors_oracle() -> str:
+    from .text import QUALITY_SQL
+
+    return f"""
+    WITH RECURSIVE {_minhash_cte()},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM near_dup
+      UNION ALL SELECT doc_b, doc_a FROM near_dup
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r
+    ),
+    clusters AS (
+      SELECT id AS doc_id, MIN(r) AS keeper FROM reach GROUP BY id
+    ),
+    scored AS (
+      SELECT d.doc_id,
+             COALESCE(c.keeper, d.doc_id) AS cluster_keeper,
+             {QUALITY_SQL} AS quality
+      FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, cluster_keeper, quality,
+             MAX(quality) OVER (PARTITION BY cluster_keeper) AS maxq
+      FROM scored
+    ),
+    best AS (
+      SELECT doc_id, cluster_keeper, quality,
+             MIN(CASE WHEN quality = maxq THEN doc_id END)
+               OVER (PARTITION BY cluster_keeper) AS best_doc_id
+      FROM ranked
+    )
+    SELECT doc_id, cluster_keeper, best_doc_id, quality,
+           doc_id = best_doc_id AS keep
+    FROM best ORDER BY doc_id
+    """
+
+
+@query(
+    "quality_survivors",
+    oracle=_quality_survivors_oracle(),
+    tags=("U4", "U6"),
+    prepared=False,  # builds on the iterative components loop
+    crossover=False,
+)
+def quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U4/U6] Quality-aware dedup survivorship: per near-dup cluster,
+    keep the HIGHEST-quality member (ties → smallest doc_id) instead of
+    ``dedup_survivors``' smallest-id keeper. This is the selection a
+    training-data pipeline actually wants — a scraped clone with
+    boilerplate wrapping often has a LOWER quality score than the clean
+    original, and min-id keeps whichever crawled first. The quality
+    column is the shared ``quality_expr`` heuristic, so the choice is
+    reproducible and oracle-checked end-to-end (clusters from the
+    MinHash pipeline + recursive closure in DuckDB; alternating-star
+    contraction here).
+
+    Selection is two window passes over the SAME cluster partitioning
+    (max quality, then min doc_id among the argmax set) — deliberately
+    not ``max_by`` on a (quality, -doc_id) struct, so both engines make
+    the pick by comparing their own identically-computed rounded
+    doubles, never relying on cross-engine struct-ordering semantics.
+    Scale: corpus→cluster join is key-bounded (cluster table ≪ corpus);
+    window partitions are bounded by cluster size, and unclustered docs
+    are singleton partitions."""
+    from pyspark.sql import Window
+
+    from .text import quality_expr
+
+    clusters = near_dup_clusters(spark, sf_dir).withColumnRenamed(
+        "keeper_doc_id", "cluster_keeper"
+    )
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.round(quality_expr(), 6).alias("quality")
+    )
+    base = d.join(clusters, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("cluster_keeper"), F.col("doc_id")).alias("cluster_keeper"),
+        "quality",
+    )
+    w = Window.partitionBy("cluster_keeper")
+    ranked = base.withColumn("maxq", F.max("quality").over(w))
+    best = F.min(
+        F.when(F.col("quality") == F.col("maxq"), F.col("doc_id"))
+    ).over(w)
+    return (
+        ranked.withColumn("best_doc_id", best)
+        .select(
+            "doc_id",
+            "cluster_keeper",
+            "best_doc_id",
+            "quality",
+            (F.col("doc_id") == F.col("best_doc_id")).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _est_sql() -> str:
     return "(" + " + ".join(
         f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END" for i in range(MINHASH_PERMS)

@@ -743,6 +743,88 @@ def dataset_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("mix_idx")
 
 
+#: Largest power-of-two padding bucket the length-bucketing ladder emits;
+#: documents longer than this land in the terminal bucket. 2^14 = 16384
+#: tokens covers any fixture document with an order of magnitude to spare.
+MAX_BUCKET_POW = 14
+
+
+def _pow2_ladder_sql(col: str) -> str:
+    """CASE ladder mapping a token count to the smallest power of two
+    ≥ it — integer compares only, shared text between both engines so no
+    ``log2`` float is ever evaluated (an exact-power input sitting on the
+    boundary would hinge on libm rounding)."""
+    whens = " ".join(
+        f"WHEN {col} <= {1 << k} THEN {1 << k}" for k in range(MAX_BUCKET_POW + 1)
+    )
+    return f"CASE {whens} ELSE {1 << (MAX_BUCKET_POW + 1)} END"
+
+
+def _pow2_ladder(col: F.Column) -> F.Column:
+    expr = F.lit(1 << (MAX_BUCKET_POW + 1))
+    for k in reversed(range(MAX_BUCKET_POW + 1)):
+        expr = F.when(col <= (1 << k), F.lit(1 << k)).otherwise(expr)
+    return expr
+
+
+@query(
+    "length_bucketing",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+      FROM documents
+    ), b AS (
+      SELECT doc_id, n_tokens,
+             CAST({_pow2_ladder_sql("n_tokens")} AS BIGINT) AS padded_len
+      FROM t
+    )
+    SELECT padded_len,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(padded_len) AS BIGINT) AS padded_tokens,
+           CAST(SUM(padded_len - n_tokens) AS BIGINT) AS wasted_tokens,
+           CAST(SUM(n_tokens) AS DOUBLE) / SUM(padded_len) AS packing_efficiency
+    FROM b GROUP BY padded_len ORDER BY padded_len
+    """,
+    tags=("U6", "A1"),
+)
+def length_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U6] Training-batch length bucketing — the padding-waste audit a
+    dataloader runs before choosing between bucketed batching and
+    sequence packing: documents bucket to the smallest power-of-two
+    sequence length that fits them, and each bucket reports how many
+    tokens a pad-to-bucket batcher would carry versus waste
+    (``packing_efficiency`` = real/padded — compare against
+    ``sequence_packing``, which wastes nothing but splits documents).
+    The bucket boundary is an integer CASE ladder shared textually with
+    the oracle — never ``log2`` on a double, whose behavior at exact
+    powers would hinge on libm rounding. One narrow projection + one
+    groupBy on ≤ {MAX_BUCKET_POW + 2} keys: fully partial-aggregated,
+    scan-bound at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(tokens()).cast("long")
+    b = d.select(
+        n_tokens.alias("n_tokens"),
+        _pow2_ladder(n_tokens).cast("long").alias("padded_len"),
+    )
+    return (
+        b.groupBy("padded_len")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.sum("padded_len").cast("bigint").alias("padded_tokens"),
+            F.sum(F.col("padded_len") - F.col("n_tokens"))
+            .cast("bigint")
+            .alias("wasted_tokens"),
+            (
+                F.sum("n_tokens").cast("double") / F.sum("padded_len")
+            ).alias("packing_efficiency"),
+        )
+        .orderBy("padded_len")
+    )
+
+
 PACK_TOKENS = 256  # training-sequence token budget
 PACK_SHARDS = 8  # parallel packing streams
 

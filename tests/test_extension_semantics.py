@@ -1828,3 +1828,28 @@ def test_containment_hot_posting_guard(spark, sf_dir, monkeypatch):
     pairs = {(r["doc_a"], r["doc_b"]): r["containment"] for r in out}
     assert all(a == 500 and b == 501 for a, b in pairs), pairs
     assert pairs[(500, 501)] == 1.0
+
+
+def test_quality_survivors_picks_best_not_first(spark, sf_dir, monkeypatch):
+    """Crafted cluster where the SMALLEST doc_id is the worst copy: doc 1
+    is doc 2's text with stopword boilerplate appended (still J ≥ 0.8, so
+    they cluster), giving doc 1 a lower quality score. min-id keeping
+    (dedup_survivors) would keep doc 1; quality_survivors must keep
+    doc 2. A far-away singleton keeps itself."""
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators import dedup
+
+    core = " ".join(f"w{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [
+            (1, core + " the of a"),  # boilerplate-wrapped clone: lower quality
+            (2, core),
+            (30, " ".join(f"z{i}" for i in range(40))),
+        ],
+        ["doc_id", "text"],
+    )
+    monkeypatch.setattr(dedup, "load_table", lambda s, d, t: docs)
+    got = {r["doc_id"]: r for r in dedup.quality_survivors(spark, sf_dir).collect()}
+    assert got[1]["cluster_keeper"] == 1 and got[2]["cluster_keeper"] == 1
+    assert got[1]["best_doc_id"] == 2 and got[2]["best_doc_id"] == 2
+    assert (got[1]["keep"], got[2]["keep"], got[30]["keep"]) == (False, True, True)
+    assert got[2]["quality"] > got[1]["quality"]
