@@ -395,9 +395,9 @@ def query(
 #: re-tier every consumer of those kernels; ``historical_var``'s fold
 #: seed and ``fingerprint_containment``'s interpolated posting cap are
 #: oracle-side changes; ``exact_dedup`` is in scope for the crossover
-#: attribution (ask #3). 12 + 44 (r5 tier) exceeds the 50-slot window by
-#: six — the standing rule outranks staleness (r9 precedent), so the r5
-#: overflow refreshes next round.
+#: attribution (ask #3). 2 brand-new queries + 12 modified + 44 (r5
+#: tier) exceed the 50-slot window by eight — the standing rule outranks
+#: staleness (r9 precedent), so the r5 overflow refreshes next round.
 _R10_MODIFIED = frozenset((
     "dedup_cluster_stats", "dedup_survivors", "exact_dedup",
     "fingerprint_containment", "historical_var", "incremental_clusters",

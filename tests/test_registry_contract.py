@@ -82,9 +82,9 @@ def test_stalest_evidence_leads_the_window():
     assert last_r6 < first_r7 < last_r7 < first_r8 < last_r8 < first_r9
     # the 50-slot window: every code-modified name must be inside it
     # (the standing rule outranks staleness), and every remaining slot
-    # must go to the stale r5 tier — 12 modified + 44 stale overflow the
-    # window by six, so the r5 tail refreshes next round rather than a
-    # modified kernel going unverified
+    # must go to the stale r5 tier — 2 new + 12 modified + 44 stale
+    # overflow the window by eight, so the r5 tail refreshes next round
+    # rather than a modified kernel going unverified
     window = set(order[:50])
     assert set(_R10_MODIFIED) <= window, sorted(set(_R10_MODIFIED) - window)
     assert window - set(new) - set(_R10_MODIFIED) <= set(_VERIFIED_R5), sorted(
