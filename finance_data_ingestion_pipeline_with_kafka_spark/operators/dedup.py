@@ -1309,8 +1309,6 @@ def quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: corpus→cluster join is key-bounded (cluster table ≪ corpus);
     window partitions are bounded by cluster size, and unclustered docs
     are singleton partitions."""
-    from pyspark.sql import Window
-
     from .text import quality_expr
 
     clusters = near_dup_clusters(spark, sf_dir).withColumnRenamed(
@@ -1324,6 +1322,18 @@ def quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("cluster_keeper"), F.col("doc_id")).alias("cluster_keeper"),
         "quality",
     )
+    return quality_keeper_selection(base).orderBy("doc_id")
+
+
+def quality_keeper_selection(base: DataFrame) -> DataFrame:
+    """Argmax-quality survivor selection over (doc_id, cluster_keeper,
+    quality) rows: per cluster, ``best_doc_id`` is the smallest doc_id
+    among the maximum-quality members and ``keep`` marks it. Two window
+    passes over ONE cluster partitioning (single shuffle); exactly one
+    keeper per cluster by construction (property-tested against a
+    Python reference in test_property_based)."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy("cluster_keeper")
     ranked = base.withColumn("maxq", F.max("quality").over(w))
     best = F.min(
@@ -1338,7 +1348,6 @@ def quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
             "quality",
             (F.col("doc_id") == F.col("best_doc_id")).alias("keep"),
         )
-        .orderBy("doc_id")
     )
 
 

@@ -536,3 +536,44 @@ def test_asof_fold_matches_bruteforce_and_is_incremental(rows, cut):
     cts, cv, r1 = asof_fold(None, None, tagged[:k])
     _, _, r2 = asof_fold(cts, cv, tagged[k:])
     assert r1 + r2 == want
+
+
+SURVIVOR_ROW = st.tuples(
+    st.integers(min_value=0, max_value=5),   # cluster id
+    st.sampled_from([0.1, 0.25, 0.5, 0.5, 0.9, 1.0]),  # quality (dup values force ties)
+)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=st.lists(SURVIVOR_ROW, min_size=1, max_size=40))
+def test_quality_keeper_selection_is_argmax_min_id(rows):
+    """quality_keeper_selection invariants against a Python reference:
+    exactly one keep per cluster, best = smallest doc_id among the
+    maximum-quality members, best_doc_id constant within a cluster."""
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.dedup import (
+        quality_keeper_selection,
+    )
+
+    spark = get_test_spark()
+    data = [(i, int(c), float(q)) for i, (c, q) in enumerate(rows)]
+    df = spark.createDataFrame(data, ["doc_id", "cluster_keeper", "quality"])
+    got = quality_keeper_selection(df).collect()
+
+    # Python reference
+    by_cluster: dict[int, list[tuple[int, float]]] = {}
+    for i, c, q in data:
+        by_cluster.setdefault(c, []).append((i, q))
+    want_best = {
+        c: min(i for i, q in members if q == max(q2 for _, q2 in members))
+        for c, members in by_cluster.items()
+    }
+
+    assert len(got) == len(data)
+    keeps_per_cluster: dict[int, int] = {}
+    for r in got:
+        assert r["best_doc_id"] == want_best[r["cluster_keeper"]], r
+        assert r["keep"] == (r["doc_id"] == r["best_doc_id"])
+        keeps_per_cluster[r["cluster_keeper"]] = keeps_per_cluster.get(
+            r["cluster_keeper"], 0
+        ) + (1 if r["keep"] else 0)
+    assert all(v == 1 for v in keeps_per_cluster.values()), keeps_per_cluster
