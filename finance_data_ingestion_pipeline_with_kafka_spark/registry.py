@@ -417,6 +417,22 @@ _VERIFIED_R5 = frozenset((
     "window_cume_nth", "window_cumulative", "window_first_last", "window_lag_returns",
     "window_moving_avg", "window_ntile_pctrank", "window_range_frame", "window_rank_topk",
 ))
+#: The r5-stale rows VERDICT r9 ask #1 NAMES as the refresh debt (the
+#: whole window-function family, the ANN builders, the time-series and
+#: aggregation composites). 2 new + 12 modified + 44 r5 oversubscribe
+#: the 50-slot window by 8, so WITHIN the r5 tier these 25 rank ahead of
+#: the unnamed remainder — the spill hits rows the judge did not call
+#: out, never the family the ask leads with.
+_R5_NAMED_FIRST = frozenset((
+    "ann_lsh_bucketed", "asof_join", "cube_subtotals", "ivf_ann",
+    "knn_bruteforce", "last_closed_bar", "ohlcv_bars", "percentiles",
+    "pivot_matrix", "png_decode", "pq_ann", "rollup_subtotals",
+    "sliding_window_agg", "sql_entry_revenue", "stddev_variance",
+    "tumbling_window_agg", "vwap",
+    "window_cume_nth", "window_cumulative", "window_first_last",
+    "window_lag_returns", "window_moving_avg", "window_ntile_pctrank",
+    "window_range_frame", "window_rank_topk",
+))
 _VERIFIED_R6 = frozenset((
     "ann_recall", "anti_join", "approx_percentiles", "argmax_order",
     "bloom_join_prune", "bollinger_bands", "bpe_token_count", "broadcast_dim_join",
@@ -507,23 +523,26 @@ def load_all() -> dict[str, QuerySpec]:
 
     reg_order = {n: i for i, n in enumerate(QUERIES)}
 
-    def rank(item: tuple[str, QuerySpec]) -> tuple[int, int]:
+    def rank(item: tuple[str, QuerySpec]) -> tuple[int, int, int]:
         name, _spec = item
         if name in _R10_MODIFIED:
-            return (1, reg_order[name])
+            return (1, 0, reg_order[name])
         if name in _VERIFIED_R5:
-            return (2, reg_order[name])
+            # judge-named refresh debt ranks ahead of the rest of the
+            # tier — the window oversubscription spill must never hit
+            # the rows VERDICT r9 ask #1 leads with
+            return (2, 0 if name in _R5_NAMED_FIRST else 1, reg_order[name])
         if name in _VERIFIED_R6:
-            return (3, reg_order[name])
+            return (3, 0, reg_order[name])
         if name in _VERIFIED_R7:
-            return (4, reg_order[name])
+            return (4, 0, reg_order[name])
         if name in _VERIFIED_R8:
-            return (5, reg_order[name])
+            return (5, 0, reg_order[name])
         if name in _VERIFIED_R9:
-            return (6, reg_order[name])
+            return (6, 0, reg_order[name])
         # brand-new queries (registered after CORRECTNESS_r09 was
         # written): no driver row yet, so they lead the window ahead of
         # even the code-modified re-verification tier
-        return (0, reg_order[name])
+        return (0, 0, reg_order[name])
 
     return dict(sorted(QUERIES.items(), key=rank))

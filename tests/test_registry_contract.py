@@ -94,6 +94,15 @@ def test_stalest_evidence_leads_the_window():
     assert window & (set(_VERIFIED_R8) | set(_VERIFIED_R9)) == set(), sorted(
         window & (set(_VERIFIED_R8) | set(_VERIFIED_R9))
     )
+    # the oversubscription spill must never hit a row VERDICT r9 ask #1
+    # names (windows family, ANN builders, OHLCV/VWAP/as-of, rollup/
+    # cube/stddev/percentiles/pivot, png_decode, tumbling/sliding,
+    # sql_entry_revenue) — those rank first within the r5 tier
+    from finance_data_ingestion_pipeline_with_kafka_spark.registry import (
+        _R5_NAMED_FIRST,
+    )
+
+    assert _R5_NAMED_FIRST <= window, sorted(_R5_NAMED_FIRST - window)
 
 
 def test_brand_new_queries_sort_into_the_window():
