@@ -1675,15 +1675,24 @@ def fingerprint_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     identifies boilerplate, not containment — the same rationale as
     ``boilerplate_ngrams``); the cap is mirrored verbatim in the oracle
     (``fp_df``/``kept`` CTEs) so the driver compare stays exact either
-    way. Scale: the fp table hash-partitions on fp for the df count and
-    the candidate join (one key layout) and on doc for the two size
-    joins — shuffles on keys with cap-bounded group sizes."""
+    way. Scale: the fp table hash-partitions on fp ONCE — the posting
+    count is a window ``count`` over the fp key carried to each posting
+    row in the same exchange (the r9 shape aggregated counts then
+    equi-joined them back, shuffling the posting table a second time;
+    the r10 window-star rewrite's pattern, measured 2.9 → 2.1 s at
+    sf0.1) — then on doc for the two size joins; every group is
+    cap-bounded."""
+    from pyspark.sql import Window
+
     from .text import winnow_fingerprints
 
     all_fps = winnow_fingerprints(spark, sf_dir)
-    fp_df = all_fps.groupBy("fp").agg(F.count(F.lit(1)).alias("fdf"))
-    fps = all_fps.join(fp_df.filter(F.col("fdf") <= FP_POSTING_CAP), "fp").select(
-        "doc_id", "fp"
+    fps = (
+        all_fps.withColumn(
+            "fdf", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+        )
+        .filter(F.col("fdf") <= FP_POSTING_CAP)
+        .select("doc_id", "fp")
     )
     sizes = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
     a = fps.select(F.col("doc_id").alias("doc_a"), "fp")
