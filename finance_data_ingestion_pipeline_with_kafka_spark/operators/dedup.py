@@ -54,6 +54,29 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def materialize(df: DataFrame) -> DataFrame:
+    """Eagerly materialize a (small) intermediate and truncate its
+    lineage. Default: ``localCheckpoint`` — blocks live on executors, the
+    fastest option, and the right one for interactive/bench sessions
+    where losing an executor fails the query and the retry IS the rerun.
+    On a long 1000-executor run, executor loss mid-pipeline would kill a
+    localCheckpoint-truncated job with no lineage to recompute from —
+    set ``ENGINE_RELIABLE_CHECKPOINT=<dir>`` to route through Spark's
+    reliable ``checkpoint()`` (HDFS-class storage) so materialized
+    intermediates survive executor churn. Same dataframe either way;
+    every dedup-pipeline materialization point goes through here, so the
+    deployment flips with one env var."""
+    import os
+
+    ckpt_dir = os.environ.get("ENGINE_RELIABLE_CHECKPOINT")
+    if ckpt_dir:
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            sc.setCheckpointDir(ckpt_dir)
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 def shingles(col: str = "text", n: int = SHINGLE_N) -> F.Column:
     """Distinct n-word shingles as an array column (built-in exprs only)."""
     toks = F.split(F.trim(F.col(col)), TOKEN_SPLIT)
@@ -354,7 +377,7 @@ def minhash_pairs(docs: DataFrame) -> DataFrame:
     working set. The signature table itself is single-consumer in this
     lineage, so it is deliberately NOT persisted (ADVICE r9)."""
     sigs = minhash_signatures(docs)
-    cands = minhash_candidates(sigs).localCheckpoint(eager=True)
+    cands = materialize(minhash_candidates(sigs))
     # Exact-Jaccard verification only needs shingle SETS for candidate
     # docs (a few hundred), not the whole corpus — semi-join first.
     cand_ids = (
@@ -366,8 +389,8 @@ def minhash_pairs(docs: DataFrame) -> DataFrame:
         shingle_rows(docs.join(cand_ids, "doc_id", "left_semi"))
         .groupBy("doc_id")
         .agg(F.collect_set("sh").alias("sh"))
-        .localCheckpoint(eager=True)
     )
+    sh = materialize(sh)
     verified = (
         cands.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
         .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
@@ -381,7 +404,7 @@ def minhash_pairs(docs: DataFrame) -> DataFrame:
     # the checkpoint also truncates lineage for downstream consumers
     # (near_dup_clusters' iterative loop).
     # presentation sort dropped (order-insensitive compare)
-    return verified.filter(F.col("jaccard") >= 0.8).localCheckpoint(eager=True)
+    return materialize(verified.filter(F.col("jaccard") >= 0.8))
 
 
 @query(
@@ -498,7 +521,7 @@ def minhash_incremental_pairs(base_docs: DataFrame, delta_docs: DataFrame) -> Da
             F.round(exact_jaccard("sh_a", "sh_b"), 6).alias("jaccard"),
         )
     )
-    out = verified.filter(F.col("jaccard") >= 0.8).localCheckpoint(eager=True)
+    out = materialize(verified.filter(F.col("jaccard") >= 0.8))
     delta_sigs.unpersist()
     cands.unpersist()
     return out
@@ -1129,10 +1152,10 @@ def connected_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    e = materialize(e)
     for _ in range(max_iter):
-        new_e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        new_e = materialize(_small_star(_large_star(e)))
         n_changed = (
             new_e.unionByName(e)
             .groupBy("u", "v")

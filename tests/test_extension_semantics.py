@@ -1853,3 +1853,30 @@ def test_quality_survivors_picks_best_not_first(spark, sf_dir, monkeypatch):
     assert got[1]["best_doc_id"] == 2 and got[2]["best_doc_id"] == 2
     assert (got[1]["keep"], got[2]["keep"], got[30]["keep"]) == (False, True, True)
     assert got[2]["quality"] > got[1]["quality"]
+
+
+def test_reliable_checkpoint_path(spark, tmp_path, monkeypatch):
+    """ENGINE_RELIABLE_CHECKPOINT routes every dedup-pipeline
+    materialization through Spark's reliable checkpoint() — same
+    results, files written under the checkpoint dir (the posture for
+    executor-churn-tolerant cluster runs)."""
+    import os
+
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators import dedup
+
+    core = " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, core), (2, core), (30, " ".join(f"z{i}" for i in range(30)))],
+        ["doc_id", "text"],
+    )
+    baseline = {(r.doc_a, r.doc_b) for r in dedup.minhash_pairs(docs).collect()}
+    ckdir = str(tmp_path / "reliable_ck")
+    monkeypatch.setenv("ENGINE_RELIABLE_CHECKPOINT", ckdir)
+    try:
+        got = {(r.doc_a, r.doc_b) for r in dedup.minhash_pairs(docs).collect()}
+    finally:
+        monkeypatch.delenv("ENGINE_RELIABLE_CHECKPOINT", raising=False)
+    assert got == baseline == {(1, 2)}
+    assert any(
+        files for _, _, files in os.walk(ckdir)
+    ), "reliable checkpoint wrote nothing"
