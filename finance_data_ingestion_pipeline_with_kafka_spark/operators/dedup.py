@@ -1957,8 +1957,8 @@ def minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_candidates",
                 "n_hits",
             )
-            .localCheckpoint(eager=True)  # materialize the 1-row result now
         )
+        counts = materialize(counts)  # materialize the 1-row result now
         cands.unpersist()
         rows.append(counts)
     sigs.unpersist()
