@@ -54,27 +54,10 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def materialize(df: DataFrame) -> DataFrame:
-    """Eagerly materialize a (small) intermediate and truncate its
-    lineage. Default: ``localCheckpoint`` — blocks live on executors, the
-    fastest option, and the right one for interactive/bench sessions
-    where losing an executor fails the query and the retry IS the rerun.
-    On a long 1000-executor run, executor loss mid-pipeline would kill a
-    localCheckpoint-truncated job with no lineage to recompute from —
-    set ``ENGINE_RELIABLE_CHECKPOINT=<dir>`` to route through Spark's
-    reliable ``checkpoint()`` (HDFS-class storage) so materialized
-    intermediates survive executor churn. Same dataframe either way;
-    every dedup-pipeline materialization point goes through here, so the
-    deployment flips with one env var."""
-    import os
-
-    ckpt_dir = os.environ.get("ENGINE_RELIABLE_CHECKPOINT")
-    if ckpt_dir:
-        sc = df.sparkSession.sparkContext
-        if sc.getCheckpointDir() is None:
-            sc.setCheckpointDir(ckpt_dir)
-        return df.checkpoint(eager=True)
-    return df.localCheckpoint(eager=True)
+# Every dedup-pipeline materialization point routes through the shared
+# switch (moved to execution.py in round 11 so the PQ path can share it);
+# re-exported here because the dedup pipeline is its historical home.
+from ..execution import materialize  # noqa: E402,F401
 
 
 def shingles(col: str = "text", n: int = SHINGLE_N) -> F.Column:

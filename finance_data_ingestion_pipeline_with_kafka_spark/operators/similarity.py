@@ -14,6 +14,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..execution import materialize
 from ..functions.core import davg
 from ..registry import query
 
@@ -477,13 +478,20 @@ def _ivf_topk(spark: SparkSession, sf_dir: str, n_probe: int) -> DataFrame:
     e = e.withColumn("norm", F.sqrt(dot("v", "v")))
     # centroid training: decimal-deterministic per-cluster means (see
     # decimal_centroids — posexplode's dim is 0-based; the oracle's
-    # range is 1-based)
-    cents = decimal_centroids(e, "label")
+    # range is 1-based). The centroid table feeds TWO broadcast builds
+    # (cell assignment and the query probe list) whose exchange subtrees
+    # never reuse — without materialization the training aggregation
+    # (posexplode × decimal agg over the corpus) runs once per build
+    # (VERDICT r10 ask #6: most of ivf_ann's fixed term was repeated
+    # codebook-training jobs). The frame is KB-sized (one row per label).
+    cents = materialize(decimal_centroids(e, "label"))
     # cell assignment: argmax cosine(corpus vec, centroid) — one broadcast
     # nested-loop pass over the corpus, no shuffle of the big side
     csim = dot("v", "cv") / (F.col("norm") * F.col("cnorm"))
     assigned = (
-        e.join(cents)
+        # explicit broadcast: post-materialize the centroid table is a
+        # LogicalRDD with unknown stats, so the small side must be pinned
+        e.join(F.broadcast(cents))
         .select("vec_id", "label", "v", "norm", "cid", csim.alias("csim"))
         .groupBy("vec_id")
         .agg(
@@ -505,7 +513,7 @@ def _ivf_topk(spark: SparkSession, sf_dir: str, n_probe: int) -> DataFrame:
     qsim = dot("qv", "cv") / (F.col("qnorm") * F.col("cnorm"))
     wq = Window.partitionBy("query_id").orderBy(F.desc(F.round(F.col("qsim"), 9)), "cid")
     probes = F.broadcast(
-        q.join(cents)
+        q.join(F.broadcast(cents))
         .select("query_id", "qv", "qnorm", "cid", qsim.alias("qsim"))
         .withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= n_probe)
@@ -1043,6 +1051,13 @@ def pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("d6")
         )
     )
+    # BOTH branches below (codes, lut) consume the dists subtree — the
+    # most expensive lineage in the query (posexplode × codebook join ×
+    # decimal agg) would otherwise execute twice per action (VERDICT r10
+    # ask #2; the same recompute class the r10 minhash checkpoint fix
+    # killed in dedup). Eager materialization runs it once; the frame is
+    # small (vectors × subspaces × labels rows of 4 scalar columns).
+    dists = materialize(dists)
     codes = dists.groupBy("vec_id", "sub").agg(
         F.min_by("cl", F.struct("d6", "cl")).alias("cl")
     )
