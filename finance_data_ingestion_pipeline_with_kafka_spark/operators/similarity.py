@@ -537,7 +537,7 @@ def _ivf_topk(spark: SparkSession, sf_dir: str, n_probe: int) -> DataFrame:
     )
 
 
-@query("ivf_ann", oracle=_ivf_oracle(), tags=("U5",))
+@query("ivf_ann", oracle=_ivf_oracle(), tags=("U5",), sized_partitions=True)
 def ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[U5] IVF ANN at the default N_PROBE — see ``_ivf_topk`` for the
     full design discussion (the builder is shared with
@@ -1015,7 +1015,7 @@ _PQ_ANN_ORACLE = f"""
 """
 
 
-@query("pq_ann", oracle=_PQ_ANN_ORACLE, tags=("U5",))
+@query("pq_ann", oracle=_PQ_ANN_ORACLE, tags=("U5",), sized_partitions=True)
 def pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[U5] Asymmetric-distance (ADC) search over the PQ codes — the
     end of the product-quantization path: each query precomputes a

@@ -387,14 +387,16 @@ def query(
 #:   (4..7) ``_VERIFIED_R7..R10`` — freshness order below the fold.
 
 #: Kernels/oracles modified during round 11 (re-tiered same round per
-#: the standing rule): ``window_rank_topk`` (VERDICT r10 ask #1 — the
-#: rank/dense_rank-over-survivors rewrite), ``pq_ann`` (ask #2 — the
-#: shared ``dists`` subtree is now materialized once), ``ivf_ann``
-#: (ask #6 — fixed-term collapse). Each modified name entering the
+#: the standing rule): ``pq_ann`` (VERDICT r10 ask #2 — the shared
+#: ``dists`` subtree is now materialized once), ``ivf_ann`` (ask #6 —
+#: centroid training materialized + broadcast-pinned).
+#: ``window_rank_topk`` (ask #1) ended with NO kernel change — the gap
+#: was measured, attributed, and re-based (SCALE.md/BASELINE.md), so it
+#: stays in its r10 freshness tier. Each modified name entering the
 #: window spills one unnamed r6 row to round 12 (the standing rule
 #: outranks staleness; r9/r10 precedent).
 _R11_MODIFIED = frozenset((
-    "ivf_ann", "pq_ann", "window_rank_topk",
+    "ivf_ann", "pq_ann",
 ))
 _VERIFIED_R5 = frozenset((
     "asof_join_forward", "boilerplate_ngrams", "contamination_check", "domain_mix_weights",
@@ -484,7 +486,7 @@ _VERIFIED_R10 = frozenset((
     "sliding_window_agg", "sql_entry_revenue", "stddev_variance", "tumbling_window_agg",
     "union_by_name_missing", "vwap", "window_cume_nth", "window_cumulative",
     "window_first_last", "window_lag_returns", "window_moving_avg", "window_ntile_pctrank",
-    "window_range_frame",
+    "window_range_frame", "window_rank_topk",
 ))
 
 
