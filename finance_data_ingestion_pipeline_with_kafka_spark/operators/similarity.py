@@ -1106,6 +1106,79 @@ def pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_REFINE_ORACLE = f"""
+    WITH pq AS (
+      {_PQ_ANN_ORACLE}
+    ), vecs AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+      WHERE list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                             list_transform(embedding, x -> CAST(x AS DOUBLE))) > 0
+    ), rescored AS (
+      SELECT p.query_id, p.vec_id, p.adc_dist,
+             ROUND(list_dot_product(q.v, c.v)
+                   / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))),
+                   6) AS cosine_sim
+      FROM pq p
+      JOIN vecs q ON q.vec_id = p.query_id
+      JOIN vecs c ON c.vec_id = p.vec_id
+    )
+    SELECT query_id, vec_id, adc_dist, cosine_sim,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, vec_id) AS BIGINT)
+             AS refined_rank
+    FROM rescored
+    ORDER BY query_id, refined_rank
+"""
+
+
+@query("pq_refine_rerank", oracle=_PQ_REFINE_ORACLE, tags=("U5",))
+def pq_refine_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U5] PQ + exact refine — the standard two-stage production
+    retrieval pattern (FAISS ``IndexRefine``): the compressed-code ADC
+    search (``pq_ann``) nominates top-k candidates cheaply, then ONLY
+    those k·queries rows are re-scored with exact cosine over the
+    original float vectors and re-ranked. The output keeps both scores
+    (`adc_dist`, `cosine_sim`) plus the refined rank, so rank movement —
+    the quantization error the refine step exists to undo — is directly
+    observable.
+
+    Scale: this is why PQ fits billion-vector search — the full-float
+    corpus is touched for only k rows per query. The candidate table
+    (queries × k) BROADCASTS into the corpus join; the corpus is never
+    shuffled. Zero-norm vectors can't be cosine-ranked and are dropped
+    by the same ``nonzero`` predicate every similarity oracle applies
+    (a zero query or candidate produces no refined rows)."""
+    cand = pq_ann(spark, sf_dir).select("query_id", "vec_id", "adc_dist")
+    e = nonzero(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").alias("v")
+        )
+    )
+    qv = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    # candidates (queries × k rows) pick up their query vector, then the
+    # tiny enriched table broadcasts into the one corpus probe
+    enriched = cand.join(F.broadcast(qv), "query_id")
+    rescored = e.join(F.broadcast(enriched), "vec_id").select(
+        "query_id",
+        "vec_id",
+        "adc_dist",
+        F.round(
+            dot("qv", "v") / (F.sqrt(dot("qv", "qv")) * F.sqrt(dot("v", "v"))), 6
+        ).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), "vec_id")
+    return rescored.select(
+        "query_id",
+        "vec_id",
+        "adc_dist",
+        "cosine_sim",
+        F.row_number().over(w).cast("bigint").alias("refined_rank"),
+    ).orderBy("query_id", "refined_rank")
+
+
 _ANN_RECALL_ORACLE = f"""
     WITH gt AS (
       {_ORACLE_COSINE.format(nq=N_QUERY_VECS, k=TOP_K)}

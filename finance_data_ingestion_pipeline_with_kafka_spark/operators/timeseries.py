@@ -894,6 +894,121 @@ def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: nearest-direction as-of tolerance: ±30 minutes, in exact µs
+_NEAREST_TOL_US = 30 * 60 * 1_000_000
+
+
+@query(
+    "asof_join_nearest",
+    oracle=f"""
+    WITH events_us AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    l AS (SELECT * FROM events_us WHERE event_type = 'purchase'),
+    cb AS (SELECT user_id, ts, max_by(value, event_id) AS value
+           FROM events_us WHERE event_type = 'click' GROUP BY user_id, ts),
+    cf AS (SELECT user_id, ts, min_by(value, event_id) AS value
+           FROM events_us WHERE event_type = 'click' GROUP BY user_id, ts),
+    b AS (SELECT l.event_id, r.ts AS bts, r.value AS bval
+          FROM l ASOF LEFT JOIN cb r
+            ON l.user_id = r.user_id AND l.ts >= r.ts),
+    f AS (SELECT l.event_id, r.ts AS fts, r.value AS fval
+          FROM l ASOF LEFT JOIN cf r
+            ON l.user_id = r.user_id AND l.ts < r.ts),
+    j AS (
+      SELECT l.event_id, l.user_id, l.ts, l.value AS purchase_value,
+             b.bts, b.bval, f.fts, f.fval,
+             CASE WHEN b.bts IS NOT NULL
+                       AND epoch_us(l.ts) - epoch_us(b.bts) <= {_NEAREST_TOL_US}
+                  THEN epoch_us(l.ts) - epoch_us(b.bts) END AS bdt,
+             CASE WHEN f.fts IS NOT NULL
+                       AND epoch_us(f.fts) - epoch_us(l.ts) <= {_NEAREST_TOL_US}
+                  THEN epoch_us(f.fts) - epoch_us(l.ts) END AS fdt
+      FROM l JOIN b USING (event_id) JOIN f USING (event_id)
+    )
+    SELECT event_id, user_id, ts, purchase_value,
+           CASE WHEN bdt IS NOT NULL AND (fdt IS NULL OR bdt <= fdt) THEN bts
+                WHEN fdt IS NOT NULL THEN fts END AS nearest_click_ts,
+           CASE WHEN bdt IS NOT NULL AND (fdt IS NULL OR bdt <= fdt) THEN bval
+                WHEN fdt IS NOT NULL THEN fval END AS nearest_click_value,
+           CASE WHEN bdt IS NOT NULL AND (fdt IS NULL OR bdt <= fdt) THEN 'backward'
+                WHEN fdt IS NOT NULL THEN 'forward' END AS direction
+    FROM j
+    """,
+    tags=("J5",),
+)
+def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[J5] NEAREST as-of join with tolerance — for each purchase, the
+    click closest in time in EITHER direction within ±30 minutes, ties
+    preferring the at-or-before side (pandas
+    ``merge_asof(direction='nearest', tolerance=...)``). Completes the
+    direction family next to ``asof_join`` (backward),
+    ``asof_join_forward`` and ``asof_join_tolerance``.
+
+    Shape: the same single-shuffle union trick as the other three, but
+    BOTH carries ride one window ordering — backward as
+    ``last(ignorenulls)`` over [unbounded, current] and forward as
+    ``first(ignorenulls)`` over [current, unbounded]. One exchange on
+    user_id, ONE partition sort: with purchases ordered after equal-ts
+    clicks, the backward frame is at-or-before-inclusive (equal-ts tie
+    picks the max event_id — the oracle's ``max_by``) and the forward
+    frame is strictly-after (min event_id at equal future ts — the
+    oracle's ``min_by``); the dt=0 case belongs to backward by the tie
+    rule, so no candidate is counted twice. The nearest election
+    compares exact epoch-µs longs — no float anywhere in the decision."""
+    e = load_table(spark, sf_dir, "events")
+    left = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value", F.lit(1).alias("side")
+    )
+    right = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value", F.lit(0).alias("side")
+    )
+    unioned = left.unionByName(right)
+    order = ["ts", "side", "event_id"]
+    w_b = Window.partitionBy("user_id").orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_f = Window.partitionBy("user_id").orderBy(*order).rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    r_row = F.when(F.col("side") == 0, F.struct("ts", "value"))
+    carried = unioned.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        "side",
+        F.last(r_row, ignorenulls=True).over(w_b).alias("cb"),
+        F.first(r_row, ignorenulls=True).over(w_f).alias("cf"),
+    ).filter(F.col("side") == 1)
+    us = F.unix_micros(F.col("ts"))
+    bdt = F.when(
+        F.col("cb").isNotNull()
+        & ((us - F.unix_micros(F.col("cb.ts"))) <= _NEAREST_TOL_US),
+        us - F.unix_micros(F.col("cb.ts")),
+    )
+    fdt = F.when(
+        F.col("cf").isNotNull()
+        & ((F.unix_micros(F.col("cf.ts")) - us) <= _NEAREST_TOL_US),
+        F.unix_micros(F.col("cf.ts")) - us,
+    )
+    pick_b = bdt.isNotNull() & (fdt.isNull() | (bdt <= fdt))
+    pick_f = fdt.isNotNull()
+    return carried.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("value").alias("purchase_value"),
+        F.when(pick_b, F.col("cb.ts")).when(pick_f, F.col("cf.ts")).alias(
+            "nearest_click_ts"
+        ),
+        F.when(pick_b, F.col("cb.value")).when(pick_f, F.col("cf.value")).alias(
+            "nearest_click_value"
+        ),
+        F.when(pick_b, F.lit("backward")).when(pick_f, F.lit("forward")).alias(
+            "direction"
+        ),
+    )
+
+
 @query(
     "position_ledger",
     oracle="""

@@ -1061,6 +1061,106 @@ def test_asof_join_carries_null_click_value_with_its_ts(spark, sf_dir, monkeypat
     assert row["last_click_value"] is None  # NOT 5.0 from the older click
 
 
+def test_asof_nearest_direction_election(spark, sf_dir, monkeypatch):
+    """asof_join_nearest must pick the temporally closer click, prefer
+    BACKWARD on an exact tie, enforce the ±30-minute tolerance on each
+    side independently, and return NULLs (not a row drop) when nothing
+    qualifies."""
+    import datetime as dt
+
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators import timeseries
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.timeseries import (
+        asof_join_nearest,
+    )
+
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m)
+    crafted = spark.createDataFrame(
+        [
+            # u1: backward click 10 min away beats forward 20 min away
+            (1, 1, t(9, 0), "click", 1.0),
+            (2, 1, t(9, 10), "purchase", 0.0),
+            (3, 1, t(9, 30), "click", 2.0),
+            # u2: exact tie (5 min each side) -> backward wins
+            (4, 2, t(9, 0), "click", 3.0),
+            (5, 2, t(9, 5), "purchase", 0.0),
+            (6, 2, t(9, 10), "click", 4.0),
+            # u3: backward stale (40 min > tol), forward 25 min in-tol
+            (7, 3, t(8, 0), "click", 5.0),
+            (8, 3, t(8, 40), "purchase", 0.0),
+            (9, 3, t(9, 5), "click", 6.0),
+            # u4: both sides out of tolerance -> NULL match, row kept
+            (10, 4, t(8, 0), "click", 7.0),
+            (11, 4, t(9, 0), "purchase", 0.0),
+            (12, 4, t(10, 0), "click", 8.0),
+            # u5: dt=0 click (equal ts) is a backward match
+            (13, 5, t(9, 0), "click", 9.0),
+            (14, 5, t(9, 0), "purchase", 0.0),
+        ],
+        "event_id long, user_id long, ts timestamp, event_type string, value double",
+    )
+    monkeypatch.setattr(timeseries, "load_table", lambda spark, sf_dir, name: crafted)
+    got = {r["user_id"]: r for r in asof_join_nearest(spark, sf_dir).collect()}
+    assert len(got) == 5  # every purchase row survives
+    assert (got[1]["direction"], got[1]["nearest_click_value"]) == ("backward", 1.0)
+    assert (got[2]["direction"], got[2]["nearest_click_value"]) == ("backward", 3.0)
+    assert (got[3]["direction"], got[3]["nearest_click_value"]) == ("forward", 6.0)
+    assert got[4]["direction"] is None and got[4]["nearest_click_ts"] is None
+    assert (got[5]["direction"], got[5]["nearest_click_value"]) == ("backward", 9.0)
+
+
+def test_asof_nearest_single_window_pass(spark, sf_dir):
+    """Both directional carries must ride ONE exchange + ONE partition
+    sort (two frames in one Window operator) — the plan property that
+    makes nearest cost the same as backward alone at 100 TB."""
+    import re
+
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.timeseries import (
+        asof_join_nearest,
+    )
+
+    plan = (
+        asof_join_nearest(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert len(re.findall(r"\bSort \[", plan)) == 1
+    assert plan.count("Window ") == 1
+
+
+def test_pq_refine_reranks_by_exact_cosine(spark, sf_dir):
+    """The refine stage must (a) keep exactly pq_ann's candidate set per
+    query, (b) rank it by exact cosine desc with vec_id tie-break, and
+    (c) never shuffle the corpus (candidates broadcast)."""
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.similarity import (
+        pq_ann,
+        pq_refine_rerank,
+    )
+
+    refined = pq_refine_rerank(spark, sf_dir).collect()
+    cands = pq_ann(spark, sf_dir).collect()
+    by_q = {}
+    for r in refined:
+        by_q.setdefault(r["query_id"], []).append(r)
+    cand_sets = {}
+    for r in cands:
+        cand_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for q, rows in by_q.items():
+        assert {r["vec_id"] for r in rows} <= cand_sets[q]
+        ordered = sorted(rows, key=lambda r: r["refined_rank"])
+        keys = [(-r["cosine_sim"], r["vec_id"]) for r in ordered]
+        assert keys == sorted(keys)
+        assert [r["refined_rank"] for r in ordered] == list(range(1, len(rows) + 1))
+    plan = (
+        pq_refine_rerank(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+
+
 def test_similarity_family_excludes_zero_vectors(spark, sf_dir, monkeypatch):
     """A zero-norm embedding must not participate in cosine ranking
     (0/0 is NaN in DuckDB — ranked GREATEST desc — but NULL in Spark):
