@@ -577,3 +577,65 @@ def test_quality_keeper_selection_is_argmax_min_id(rows):
             r["cluster_keeper"], 0
         ) + (1 if r["keep"] else 0)
     assert all(v == 1 for v in keeps_per_cluster.values()), keeps_per_cluster
+
+
+NEAREST_EVENT = st.tuples(
+    st.integers(min_value=1, max_value=4),  # user_id
+    st.integers(min_value=0, max_value=4000),  # ts seconds (tol = 1800 s bites)
+    st.sampled_from(["purchase", "click"]),
+    st.integers(min_value=1, max_value=100),  # value
+)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=st.lists(NEAREST_EVENT, min_size=1, max_size=40))
+def test_asof_nearest_matches_bruteforce(rows, monkeypatch):
+    """asof_join_nearest vs an exhaustive per-purchase reference: nearest
+    |dt| within the ±30-minute tolerance, ties preferring backward; at
+    equal click ts the backward side picks the max event_id and the
+    forward side the min (the oracle's max_by/min_by dedup)."""
+    import datetime as _dt
+
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators import timeseries
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.timeseries import (
+        _NEAREST_TOL_US,
+        asof_join_nearest,
+    )
+
+    spark = get_test_spark()
+    base = _dt.datetime(2024, 1, 1)
+    data = [
+        (i, u, base + _dt.timedelta(seconds=t), et, float(v))
+        for i, (u, t, et, v) in enumerate(rows)
+    ]
+    crafted = spark.createDataFrame(
+        data, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+    monkeypatch.setattr(
+        timeseries, "load_table", lambda spark, sf_dir, name: crafted
+    )
+    got = {
+        r["event_id"]: (r["nearest_click_ts"], r["nearest_click_value"], r["direction"])
+        for r in asof_join_nearest(spark, "unused").collect()
+    }
+
+    tol_s = _NEAREST_TOL_US / 1_000_000
+    purchases = [d for d in data if d[3] == "purchase"]
+    clicks = [d for d in data if d[3] == "click"]
+    assert set(got) == {p[0] for p in purchases}
+    for pid, pu, pts, _, _ in purchases:
+        back = [c for c in clicks if c[1] == pu and c[2] <= pts
+                and (pts - c[2]).total_seconds() <= tol_s]
+        fwd = [c for c in clicks if c[1] == pu and c[2] > pts
+               and (c[2] - pts).total_seconds() <= tol_s]
+        bbest = max(back, key=lambda c: (c[2], c[0])) if back else None
+        fbest = min(fwd, key=lambda c: (c[2], c[0])) if fwd else None
+        bdt = (pts - bbest[2]).total_seconds() if bbest else None
+        fdt = (fbest[2] - pts).total_seconds() if fbest else None
+        if bdt is not None and (fdt is None or bdt <= fdt):
+            want = (bbest[2], bbest[4], "backward")
+        elif fdt is not None:
+            want = (fbest[2], fbest[4], "forward")
+        else:
+            want = (None, None, None)
+        assert got[pid] == want, (pid, got[pid], want)
