@@ -1980,3 +1980,43 @@ def test_reliable_checkpoint_path(spark, tmp_path, monkeypatch):
     assert any(
         files for _, _, files in os.walk(ckdir)
     ), "reliable checkpoint wrote nothing"
+
+
+def test_reliable_checkpoint_computes_subtree_once(spark, tmp_path, monkeypatch):
+    """Dataset.checkpoint(eager=True) runs a second job that re-executes
+    the lineage to write the files — materialize() must persist first so
+    the subtree computes ONCE (ADVICE r10). Counted with an accumulator
+    bumped per row inside the subtree. Also: a CHANGED env dir must
+    re-route instead of being silently ignored."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    from finance_data_ingestion_pipeline_with_kafka_spark.execution import materialize
+
+    acc = spark.sparkContext.accumulator(0)
+
+    @F.udf(LongType())
+    def bump(x):
+        acc.add(1)
+        return x
+
+    n = 64
+    df = spark.range(n).select(bump(F.col("id")).alias("id"))
+    ck1 = str(tmp_path / "ck1")
+    monkeypatch.setenv("ENGINE_RELIABLE_CHECKPOINT", ck1)
+    try:
+        out = materialize(df)
+        assert acc.value == n, f"subtree ran {acc.value / n:.1f}x, want once"
+        assert out.count() == n
+        assert acc.value == n  # downstream actions read checkpoint blocks
+        # changed dir re-routes: the next materialize writes under ck2
+        ck2 = str(tmp_path / "ck2")
+        monkeypatch.setenv("ENGINE_RELIABLE_CHECKPOINT", ck2)
+        materialize(spark.range(5))
+        assert any(files for _, _, files in os.walk(ck2)), (
+            "changed ENGINE_RELIABLE_CHECKPOINT dir was ignored"
+        )
+    finally:
+        monkeypatch.delenv("ENGINE_RELIABLE_CHECKPOINT", raising=False)
