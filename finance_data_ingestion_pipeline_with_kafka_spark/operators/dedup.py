@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..execution import materialize  # re-export: the dedup pipeline is its historical home
 from ..registry import query
 from .text import TOKEN_SPLIT, tokens
 
@@ -54,10 +55,6 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Every dedup-pipeline materialization point routes through the shared
-# switch (moved to execution.py in round 11 so the PQ path can share it);
-# re-exported here because the dedup pipeline is its historical home.
-from ..execution import materialize  # noqa: E402,F401
 
 
 def shingles(col: str = "text", n: int = SHINGLE_N) -> F.Column:
