@@ -1179,6 +1179,95 @@ def pq_refine_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "refined_rank")
 
 
+#: hash-bucket split for the incremental-assignment query: buckets below
+#: the threshold are the "already indexed" base (~80%), the rest are the
+#: nightly delta (~20%). Content-hash split = SF-independent, rerun-stable.
+_DELTA_BUCKET = "cc"
+
+_IVF_DELTA_ORACLE = f"""
+    WITH vecs AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+      WHERE list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                             list_transform(embedding, x -> CAST(x AS DOUBLE))) > 0
+    ), base AS (
+      SELECT * FROM vecs
+      WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 2) < '{_DELTA_BUCKET}'
+    ), delta AS (
+      SELECT * FROM vecs
+      WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 2) >= '{_DELTA_BUCKET}'
+    ), cd AS (
+      SELECT label AS cid, i,
+             CAST(SUM(CAST(v[i] AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS m
+      FROM base, (SELECT unnest(range(1, {EMBED_DIM + 1})) AS i) dims
+      GROUP BY label, i
+    ), cents AS (
+      SELECT cid, list(m ORDER BY i) AS cv FROM cd GROUP BY cid
+    ), c2 AS (
+      SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cnorm FROM cents
+    ), assigned AS (
+      SELECT vec_id, cell, s9 FROM (
+        SELECT d.vec_id, c.cid AS cell,
+               ROUND(list_dot_product(d.v, c.cv)
+                     / (sqrt(list_dot_product(d.v, d.v)) * c.cnorm), 9) AS s9,
+               ROW_NUMBER() OVER (PARTITION BY d.vec_id
+                 ORDER BY ROUND(list_dot_product(d.v, c.cv)
+                         / (sqrt(list_dot_product(d.v, d.v)) * c.cnorm), 9) DESC,
+                          c.cid) AS rn
+        FROM delta d CROSS JOIN c2 c
+      ) WHERE rn = 1
+    )
+    SELECT vec_id, cell, ROUND(s9, 6) AS centroid_sim
+    FROM assigned ORDER BY vec_id
+"""
+
+
+@query("ivf_delta_assign", oracle=_IVF_DELTA_ORACLE, tags=("U5",))
+def ivf_delta_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U5] Incremental IVF index maintenance — assign a nightly DELTA of
+    new embeddings to the EXISTING centroids without retraining, the
+    index sibling of ``minhash_incremental``/``incremental_clusters``:
+    at 100 TB the coarse quantizer is retrained rarely (centroid drift
+    is slow) while ingest appends vectors continuously, so the nightly
+    job must cost ∝ delta, not ∝ corpus. Base/delta split is a content-
+    hash bucket (~80/20, rerun-stable, SF-independent); centroids train
+    on the base only (same decimal-deterministic ``decimal_centroids``
+    as ``ivf_ann``), broadcast, and the delta takes one broadcast
+    nested-loop argmax — the delta never shuffles and the base corpus is
+    read only by the centroid aggregation. Assignment ranking uses
+    round-9 similarity with cid tie-break, like every IVF-family
+    election."""
+    e = nonzero(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", F.col("embedding").alias("v")
+        )
+    )
+    bucket = F.substring(F.md5(F.col("vec_id").cast("string")), 1, 2)
+    base = e.filter(bucket < _DELTA_BUCKET)
+    delta = e.filter(bucket >= _DELTA_BUCKET).withColumn(
+        "norm", F.sqrt(dot("v", "v"))
+    )
+    cents = decimal_centroids(base, "label")
+    s9 = F.round(dot("v", "cv") / (F.col("norm") * F.col("cnorm")), 9)
+    return (
+        delta.join(cents)
+        .select("vec_id", "cid", s9.alias("s9"))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by("cid", F.struct(F.col("s9"), (-F.col("cid")).alias("tb"))).alias(
+                "cell"
+            ),
+            F.round(
+                F.max(F.struct(F.col("s9"), (-F.col("cid")).alias("tb"))).getField(
+                    "s9"
+                ),
+                6,
+            ).alias("centroid_sim"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 _ANN_RECALL_ORACLE = f"""
     WITH gt AS (
       {_ORACLE_COSINE.format(nq=N_QUERY_VECS, k=TOP_K)}

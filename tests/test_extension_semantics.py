@@ -1161,6 +1161,36 @@ def test_pq_refine_reranks_by_exact_cosine(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_ivf_delta_assign_covers_exactly_the_delta(spark, sf_dir):
+    """The incremental assignment must emit every nonzero DELTA vector
+    exactly once and never a base vector (work ∝ delta), and its cells
+    must come from the base-trained centroid set."""
+    from pyspark.sql import functions as F
+
+    from finance_data_ingestion_pipeline_with_kafka_spark.catalog import load_table
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.similarity import (
+        _DELTA_BUCKET,
+        dot,
+        ivf_delta_assign,
+    )
+
+    rows = ivf_delta_assign(spark, sf_dir).collect()
+    e = load_table(spark, sf_dir, "embeddings")
+    bucket = F.substring(F.md5(F.col("vec_id").cast("string")), 1, 2)
+    expected = {
+        r["vec_id"]
+        for r in e.filter(bucket >= _DELTA_BUCKET)
+        .filter(dot("embedding", "embedding") > 0)
+        .select("vec_id")
+        .collect()
+    }
+    got = [r["vec_id"] for r in rows]
+    assert sorted(got) == sorted(expected)
+    assert len(got) == len(set(got))
+    labels = {r["label"] for r in e.select("label").distinct().collect()}
+    assert {r["cell"] for r in rows} <= labels
+
+
 def test_similarity_family_excludes_zero_vectors(spark, sf_dir, monkeypatch):
     """A zero-norm embedding must not participate in cosine ranking
     (0/0 is NaN in DuckDB — ranked GREATEST desc — but NULL in Spark):
