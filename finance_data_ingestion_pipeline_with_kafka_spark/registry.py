@@ -392,9 +392,11 @@ def query(
 #: centroid training materialized + broadcast-pinned).
 #: ``window_rank_topk`` (ask #1) ended with NO kernel change — the gap
 #: was measured, attributed, and re-based (SCALE.md/BASELINE.md), so it
-#: stays in its r10 freshness tier. Each modified name entering the
-#: window spills one unnamed r6 row to round 12 (the standing rule
-#: outranks staleness; r9/r10 precedent).
+#: stays in its r10 freshness tier. Each modified OR brand-new name
+#: entering the window (3 new this round: ``asof_join_nearest``,
+#: ``pq_refine_rerank``, ``ivf_delta_assign``) spills one unnamed r6
+#: row to round 12 (the standing rule outranks staleness; r9/r10
+#: precedent; ``_R6_NAMED_FIRST`` keeps the spill off judge-named rows).
 _R11_MODIFIED = frozenset((
     "ivf_ann", "pq_ann",
 ))
