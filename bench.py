@@ -726,7 +726,11 @@ def _deep_crossover(spark, sf_dir: str, factor: int = 30) -> dict:
     # a spike that lands on only one engine's measurement window skews the
     # ratio arbitrarily, so both sides of each ratio must share load
     # conditions. Within each side: warm passes (first execution of a plan
-    # at N× runs 2-4× steady state — codegen+JIT), then min-of-3.
+    # at N× runs 2-4× steady state — codegen+JIT), then min-of-5 per
+    # engine (raised from 3 in r11: these four queries are sub-second,
+    # so two extra passes cost seconds, and the r10→r11 session_window
+    # cell swung 2.67→6.99 on co-tenant draws — a deeper min per cell is
+    # the cheap honest variance reduction, applied SYMMETRICALLY).
     def measure(rep: int) -> tuple[dict[str, float], dict[str, float]]:
         con = _duck_connect_replicated(sf_dir, rep)
         duck, spk = {}, {}
@@ -735,7 +739,7 @@ def _deep_crossover(spark, sf_dir: str, factor: int = 30) -> dict:
             for name, spec in specs.items():
                 con.sql(spec.oracle).df()  # warm
                 ts = []
-                for _ in range(3):
+                for _ in range(5):
                     t0 = time.perf_counter()
                     con.sql(spec.oracle).df()
                     ts.append(time.perf_counter() - t0)
@@ -743,7 +747,7 @@ def _deep_crossover(spark, sf_dir: str, factor: int = 30) -> dict:
                 for _ in range(2):
                     _force(spec.fn(spark, sf_dir))
                 ts = []
-                for _ in range(3):
+                for _ in range(5):
                     t0 = time.perf_counter()
                     _force(spec.fn(spark, sf_dir))
                     ts.append(time.perf_counter() - t0)
