@@ -379,3 +379,37 @@ def test_lsh_pair_kernels_share_the_band_exchange(spark, sf_dir):
     assert "ReusedExchange" in p
     p2 = executed_plan(simhash_pairs(docs), run=True)
     assert "ReusedExchange" in p2
+
+
+def test_pq_path_broadcasts_and_materializes_dists(spark, sf_dir):
+    """pq_ann: the codebook and LUT must broadcast (never shuffle the
+    exploded corpus against them), no cartesian anywhere, and the shared
+    dists subtree must enter the plan as ONE materialized scan (the r11
+    shared-subtree rule) — visible as LogicalRDD/ExistingRDD scans
+    feeding both the codes and lut branches instead of two copies of the
+    posexplode+join+agg lineage."""
+    p = executed_plan(q(spark, sf_dir, "pq_ann"))
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+    # the dists lineage (posexplode of the embedding column) must NOT
+    # appear in the executed plan at all: both consumers read the
+    # checkpointed intermediate
+    assert "posexplode" not in p, "dists subtree recomputing in-plan"
+
+
+def test_pq_refine_candidates_broadcast_into_corpus(spark, sf_dir):
+    """pq_refine_rerank: the (queries x k) candidate table broadcasts
+    into the single corpus probe; the corpus is never shuffled and no
+    cartesian appears."""
+    p = executed_plan(q(spark, sf_dir, "pq_refine_rerank"))
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_ivf_delta_base_feeds_only_centroids(spark, sf_dir):
+    """ivf_delta_assign: the centroid table broadcasts into the delta
+    (broadcast nested-loop argmax — the delta side is never re-shuffled
+    for the join) and no cartesian product appears."""
+    p = executed_plan(q(spark, sf_dir, "ivf_delta_assign"))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
