@@ -701,7 +701,9 @@ def _deep_crossover_subprocess(sf_dir: str) -> dict:
         env=env,
         capture_output=True,
         text=True,
-        timeout=240,
+        # headroom for the r11 min-of-5 protocol (~70 s nominal) under
+        # co-tenant spikes; a timeout is caught and recorded, not fatal
+        timeout=360,
     )
     if proc.returncode != 0:
         raise RuntimeError(f"deep subprocess rc={proc.returncode}: {proc.stderr[-200:]}")
