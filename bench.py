@@ -479,8 +479,11 @@ def _dedup_crossover(spark, sf_dir: str, factor: int = 10) -> dict:
     ``factor``× volume (key-shifted replication — the clone-clique worst
     case, since replicas have identical text), giving the family's scale
     grade the same two-engine evidence as scan-agg (VERDICT r9 ask #4).
-    One warm pass (plan + codegen at N×) then min-of-2 timed passes per
-    engine per (query, rep); the scaling columns are the posture
+    One warm pass (plan + codegen at N×) then min-of-5 timed passes per
+    engine per (query, rep) — VERDICT r11 ask #4: these sub-second cells
+    carry BASELINE-quoted grading ratios, and the co-tenant draw variance
+    that swung session_window_agg 2.67→6.99 at 30× swings them too; five
+    draws per cell bound it. The scaling columns are the posture
     numbers — under 10× replication the near-dup EDGE set grows ~1000×
     (every doc becomes a 10-clone clique), so wall scaling ≈10× here
     means strongly sublinear in edges. The DuckDB side runs the SAME
@@ -500,18 +503,22 @@ def _dedup_crossover(spark, sf_dir: str, factor: int = 10) -> dict:
         try:
             for name, spec in specs.items():
                 # symmetric protocol (ADVICE r10): BOTH engines get one
-                # untimed warm pass, then min-of-2 timed passes — the
-                # graded ratio columns must not favor either side
+                # untimed warm pass, then min-of-5 timed passes — the
+                # graded ratio columns must not favor either side. The
+                # ANN cells register prepared=False (r11 HIGH advice), so
+                # every timed Spark pass rebuilds the plan AND re-runs
+                # its materialize() subtrees — the graded ratios include
+                # the materialization cost, never a cached replay.
                 con.sql(spec.oracle).df()  # warm
                 ts = []
-                for _ in range(2):
+                for _ in range(5):
                     t0 = time.perf_counter()
                     con.sql(spec.oracle).df()
                     ts.append(time.perf_counter() - t0)
                 duck[rep][name] = round(min(ts), 4)
                 _force(spec.fn(spark, sf_dir))  # warm
                 ts = []
-                for _ in range(2):
+                for _ in range(5):
                     t0 = time.perf_counter()
                     _force(spec.fn(spark, sf_dir))
                     ts.append(time.perf_counter() - t0)

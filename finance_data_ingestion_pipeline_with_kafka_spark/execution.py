@@ -12,6 +12,16 @@ import os
 
 from pyspark.sql import DataFrame
 
+#: Last ENGINE_RELIABLE_CHECKPOINT value actually applied via
+#: setCheckpointDir. Tracked here instead of reverse-parsing
+#: getCheckpointDir(): Spark stores ``<dir>/<random-uuid>`` and, on
+#: HDFS-class storage, reports it as a scheme-qualified URI
+#: (``hdfs://nn:8020/ckpt/uuid``) that never textually matches a bare
+#: env value like ``/ckpt`` — dirname/abspath comparison then mismatches
+#: on every call and re-invokes setCheckpointDir per materialize(),
+#: spawning a fresh UUID directory each time (file sprawl; r11 advice).
+_APPLIED_CKPT_DIR: str | None = None
+
 
 def materialize(df: DataFrame) -> DataFrame:
     """Eagerly materialize a (small) intermediate and truncate its
@@ -37,19 +47,18 @@ def materialize(df: DataFrame) -> DataFrame:
     per-iteration checkpoint files are garbage-collected with their
     RDDs; see SCALE.md.
     """
+    global _APPLIED_CKPT_DIR
     ckpt_dir = os.environ.get("ENGINE_RELIABLE_CHECKPOINT")
     if ckpt_dir:
         sc = df.sparkSession.sparkContext
-        # setCheckpointDir stores <dir>/<random-uuid>; compare the parent
-        # so a CHANGED env dir re-routes instead of being silently kept
-        current = sc.getCheckpointDir()
-        parent = (
-            os.path.abspath(os.path.dirname(current.removeprefix("file:")))
-            if current
-            else None
-        )
-        if parent != os.path.abspath(ckpt_dir):
+        # a CHANGED env dir re-routes instead of being silently kept; a
+        # stable one is applied exactly once (one UUID subdir per value,
+        # compared against our own record — see _APPLIED_CKPT_DIR). A
+        # context whose dir was set outside materialize() is also
+        # re-pointed once, since the module var starts None.
+        if ckpt_dir != _APPLIED_CKPT_DIR or sc.getCheckpointDir() is None:
             sc.setCheckpointDir(ckpt_dir)
+            _APPLIED_CKPT_DIR = ckpt_dir
         df = df.persist()
         try:
             return df.checkpoint(eager=True)

@@ -14,7 +14,6 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..execution import materialize
 from ..functions.core import davg
 from ..registry import query
 
@@ -451,52 +450,84 @@ def _ivf_oracle(n_probe: int = N_PROBE) -> str:
 """
 
 
+def _centroid_model(cents_df):
+    """Collapse a trained centroid table to a ONE-ROW broadcast "model"
+    frame — column ``ca`` = cid-sorted array of (cid, cv, cnorm) structs.
+    Bounded by design (|labels| × EMBED_DIM doubles, KB-sized at any
+    corpus scale), it rides every consumer as a broadcast nested-loop
+    append of a single array column: training stays IN-PLAN (one
+    aggregation job inside the action — no driver collect barrier, no
+    eager checkpoint, so none of the replay hazard the r11 HIGH advice
+    flagged), and downstream election is a pure projection."""
+    return F.broadcast(
+        cents_df.agg(F.array_sort(F.collect_list(F.struct("cid", "cv", "cnorm"))).alias("ca"))
+    )
+
+
+def _elect_structs(vcol: str, normcol: str):
+    """Per-centroid (round-9 cosine ``s``, -cid tie-break, ``cid``)
+    structs for a row joined with the 1-row ``_centroid_model`` frame.
+    ``array_max`` over this picks by (similarity desc, cid asc) — exactly
+    the ``max_by(cid, struct(round(csim, 9), -cid))`` election the
+    fan-join + groupBy-argmax form ran, as a map-only expression: the
+    corpus is never fanned |centroids|× and never shuffled — the true
+    100 TB IVF-assignment shape."""
+    return F.transform(
+        F.col("ca"),
+        lambda c: F.struct(
+            F.round(
+                dot(F.col(vcol), c["cv"]) / (F.col(normcol) * c["cnorm"]), 9
+            ).alias("s"),
+            (-c["cid"]).alias("tb"),
+            c["cid"].alias("cid"),
+        ),
+    )
+
+
+def _probe_cells(max_p: int, qvcol: str = "qv", qnormcol: str = "qnorm"):
+    """Top-``max_p`` probe cells for a query row joined with the model
+    frame: sort the per-centroid structs ascending, reverse →
+    (similarity desc, cid asc), slice the head — the same ordering the
+    window-rank probe list (row_number over a query × centroid join)
+    produced, with no window and no shuffle."""
+    return F.slice(F.reverse(F.array_sort(_elect_structs(qvcol, qnormcol))), 1, max_p)
+
+
 def _ivf_index(spark: SparkSession, sf_dir: str) -> tuple:
-    """The probe-independent half of the IVF index: corpus with norms,
-    trained centroids, and the cell assignment. Split out so the probe
-    sweep trains/assigns ONCE and varies only the probe join — the same
-    "cache the assigned table, vary n_probe" shape an IVF dashboard runs
-    at 100 TB."""
+    """The probe-independent half of the IVF index: the 1-row centroid
+    model frame, the map-only cell-assigned corpus, and the query frame.
+    Split out so the probe sweep trains/assigns ONCE and varies only the
+    probe set — the same "cache the assigned table, vary n_probe" shape
+    an IVF dashboard runs at 100 TB.
+
+    Training (``decimal_centroids`` — decimal-deterministic per-cluster
+    means; posexplode's dim is 0-based, the oracle's range is 1-based)
+    runs once inside the action as the model broadcast's build job;
+    assignment is a projection over the corpus scan (``_elect_structs``).
+    r11's eager ``materialize()`` + two full broadcast builds (and r10's
+    repeated training jobs) are gone — measured A/B (tools/ab_ann*.py,
+    SCALE.md Round 12): every sharing strategy (checkpoint / persist /
+    recompute / driver-collected literals) lands in the same 1.0-1.3 s
+    floor band at sf0.1 1×-10×, so the shape with the best scale
+    properties and no replay hazard wins."""
     e = nonzero(
         load_table(spark, sf_dir, "embeddings").select(
             "vec_id", "label", F.col("embedding").alias("v")
         )
     )
     e = e.withColumn("norm", F.sqrt(dot("v", "v")))
-    # centroid training: decimal-deterministic per-cluster means (see
-    # decimal_centroids — posexplode's dim is 0-based; the oracle's
-    # range is 1-based). The centroid table feeds TWO broadcast builds
-    # (cell assignment and the query probe list) whose exchange subtrees
-    # never reuse — without materialization the training aggregation
-    # (posexplode × decimal agg over the corpus) runs once per build
-    # (VERDICT r10 ask #6: most of ivf_ann's fixed term was repeated
-    # codebook-training jobs). The frame is KB-sized (one row per label).
-    cents = materialize(decimal_centroids(e, "label"))
-    # cell assignment: argmax cosine(corpus vec, centroid) — one broadcast
-    # nested-loop pass over the corpus, no shuffle of the big side
-    csim = dot("v", "cv") / (F.col("norm") * F.col("cnorm"))
-    assigned = (
-        # explicit broadcast: post-materialize the centroid table is a
-        # LogicalRDD with unknown stats, so the small side must be pinned
-        e.join(F.broadcast(cents))
-        .select("vec_id", "label", "v", "norm", "cid", csim.alias("csim"))
-        .groupBy("vec_id")
-        .agg(
-            F.max_by("cid", F.struct(F.round("csim", 9), (-F.col("cid")).alias("tb"))).alias(
-                "cell"
-            ),
-            # label/v/norm are constant within each vec_id group (they come
-            # from the corpus row, fanned out once per centroid), so first()
-            # is deterministic here despite the engine's usual min_by rule
-            F.first("label").alias("label"),
-            F.first("v").alias("v"),
-            F.first("norm").alias("norm"),
-        )
+    model = _centroid_model(decimal_centroids(e, "label"))
+    assigned = e.join(model).select(
+        "vec_id",
+        "label",
+        "v",
+        "norm",
+        F.array_max(_elect_structs("v", "norm"))["cid"].alias("cell"),
     )
     q = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("norm").alias("qnorm")
     )
-    return cents, assigned, q
+    return model, assigned, q
 
 
 def _ivf_topk(
@@ -524,18 +555,24 @@ def _ivf_topk(
     ``index``: a prebuilt ``_ivf_index`` result, so multi-probe callers
     (``ivf_probe_sweep``) train and assign once instead of per setting.
     """
-    cents, assigned, q = index if index is not None else _ivf_index(spark, sf_dir)
-    # query probe list: the N_PROBE nearest cells per query vector
-    qsim = dot("qv", "cv") / (F.col("qnorm") * F.col("cnorm"))
-    wq = Window.partitionBy("query_id").orderBy(F.desc(F.round(F.col("qsim"), 9)), "cid")
+    model, assigned, q = index if index is not None else _ivf_index(spark, sf_dir)
+    # query probe list: the n_probe nearest cells per query vector, as a
+    # projection on the tiny query frame joined with the 1-row model (no
+    # window, no per-centroid fan-out)
     probes = F.broadcast(
-        q.join(F.broadcast(cents))
-        .select("query_id", "qv", "qnorm", "cid", qsim.alias("qsim"))
-        .withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= n_probe)
-        .select("query_id", "qv", "qnorm", F.col("cid").alias("cell"))
+        q.join(model).select(
+            "query_id",
+            "qv",
+            "qnorm",
+            F.explode(F.transform(_probe_cells(n_probe), lambda s: s["cid"])).alias(
+                "cell"
+            ),
+        )
     )
-    # search only the probed cells
+    # search only the probed cells: broadcast the probe list into ONE
+    # hash join against the map-only assigned corpus — the big side is
+    # never shuffled; the only exchange in the query is the per-query
+    # top-k window over the probed candidates
     scored = probes.join(assigned, "cell").filter(F.col("vec_id") != F.col("query_id")).select(
         "query_id",
         "vec_id",
@@ -549,11 +586,13 @@ def _ivf_topk(
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= TOP_K)
         .select("query_id", "vec_id", "label", "cosine_sim")
-        .orderBy("query_id", F.desc("cosine_sim"), "vec_id")
+        # presentation sort dropped: compare is order-insensitive and the
+        # range exchange + global sort is pure per-run overhead
     )
 
 
-@query("ivf_ann", oracle=_ivf_oracle(), tags=("U5",), sized_partitions=True)
+@query("ivf_ann", oracle=_ivf_oracle(), tags=("U5",), sized_partitions=True,
+       prepared=False)
 def ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[U5] IVF ANN at the default N_PROBE — see ``_ivf_topk`` for the
     full design discussion (the builder is shared with
@@ -890,6 +929,30 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PQ_SUBS = 4  # product-quantization subspaces (64 dims -> 4 x 16)
 PQ_SUB_DIM = EMBED_DIM // PQ_SUBS
+#: Codebook size k per subspace — an index DESIGN constant (FAISS trains
+#: a fixed-k codebook per subspace, classically 256; the fixture's
+#: 10-label training assignment sizes it here). pq_ann's wide distance
+#: pivot generates one accumulator per code, so k is compile-time like
+#: PQ_SUBS; tests pin that the corpus' training-label cardinality
+#: matches (a testdata regeneration that changed it must fail loudly,
+#: not silently mis-encode).
+N_PQ_CLUSTERS = 10
+
+
+def _pq_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, label, dim, x, sub) exploded view of the embedding
+    corpus — the shared front end of the PQ family (codebook training
+    and the wide distance pivot)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim", "xf")
+    ).select(
+        "vec_id",
+        "label",
+        "dim",
+        F.col("xf").cast("double").alias("x"),
+        (F.col("dim") / PQ_SUB_DIM).cast("int").alias("sub"),
+    )
 
 
 @query(
@@ -1031,7 +1094,8 @@ _PQ_ANN_ORACLE = f"""
 """
 
 
-@query("pq_ann", oracle=_PQ_ANN_ORACLE, tags=("U5",), sized_partitions=True)
+@query("pq_ann", oracle=_PQ_ANN_ORACLE, tags=("U5",), sized_partitions=True,
+       prepared=False)
 def pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[U5] Asymmetric-distance (ADC) search over the PQ codes — the
     end of the product-quantization path: each query precomputes a
@@ -1043,52 +1107,80 @@ def pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     encoder computed, so the sum is exact-decimal and both engines rank
     identically (vec_id tie-break). Scale: codes table ≪ float corpus
     (16 bytes/vector here vs 256), LUT is (queries × 4 × labels) and
-    broadcasts; one (query, vec) grouped sum, top-k per query."""
-    e = load_table(spark, sf_dir, "embeddings")
-    dims = e.select(
-        "vec_id", "label", F.posexplode("embedding").alias("dim", "xf")
-    ).select(
-        "vec_id",
-        "label",
-        "dim",
-        F.col("xf").cast("double").alias("x"),
-        (F.col("dim") / PQ_SUB_DIM).cast("int").alias("sub"),
-    )
-    codebook = dims.groupBy("sub", F.col("label").alias("cl"), "dim").agg(
-        davg("x").alias("c")
-    )
-    diff = F.col("x") - F.col("c")
-    dists = (
-        dims.join(F.broadcast(codebook), ["sub", "dim"])
-        .groupBy("vec_id", "sub", "cl")
+    broadcasts; one (query, vec) grouped sum, top-k per query.
+
+    Plan shape (rewritten r12 under the honest prepared=False protocol —
+    A/B'd against checkpoint/persist/recompute sharing AND against
+    driver-collected literal codebooks, tools/ab_ann*.py, SCALE.md
+    Round 12): the codebook trains IN-PLAN and is pivoted per-dim into a
+    cl-sorted value array (``carr``) that broadcasts (bounded: EMBED_DIM
+    rows × |labels| doubles), and the per-(vec, sub, cl) distance table
+    pivots WIDE over cl — one groupBy(vec, sub) computing |labels| sums
+    instead of a |labels|×-fanned join + (vec, sub, cl) aggregation
+    (10× fewer aggregated rows, one shuffle instead of two). Each sum
+    accumulates round-half-up micros in a plain LONG (addends per group
+    = PQ_SUB_DIM, a design constant, and |x−c|² ≤ ~5.7e11 keeps any
+    16-addend sum far inside int64 — the per-group-bounded special case
+    of ``dsum``'s limb argument), reassembled to the identical
+    ``ROUND(CAST(SUM(DECIMAL(38,6)) AS DOUBLE), 6)`` value the oracle
+    computes. Codes are the array_min INDEX into the cl-sorted array
+    (index order == cl order, so the (d6, cl)-asc tie-break is
+    preserved and the actual label value never needs to surface); the
+    LUT is the same wide row exploded for the query vectors only — the
+    vec_id predicate pushes through the aggregation to the scan, so its
+    rebuild costs a few rows and the codebook broadcast is shared via
+    exchange reuse (the recompute r10/r11 fought with ``materialize()``
+    is structurally gone: no checkpoint, no replay hazard)."""
+    dims = _pq_dims(spark, sf_dir)
+    ncl = N_PQ_CLUSTERS  # codebook size k — an index design constant
+    cb_by_dim = F.broadcast(
+        dims.groupBy(F.col("label").alias("cl"), "dim")
+        .agg(davg("x").alias("c"))
+        .groupBy("dim")
         .agg(
-            F.round(
-                F.sum((diff * diff).cast("decimal(38,6)")).cast("double"), 6
-            ).alias("d6")
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("cl", "c"))), lambda s: s["c"]
+            ).alias("carr")
         )
     )
-    # BOTH branches below (codes, lut) consume the dists subtree — the
-    # most expensive lineage in the query (posexplode × codebook join ×
-    # decimal agg) would otherwise execute twice per action (VERDICT r10
-    # ask #2; the same recompute class the r10 minhash checkpoint fix
-    # killed in dedup). Eager materialization runs it once; the frame is
-    # small (vectors × subspaces × labels rows of 4 scalar columns).
-    dists = materialize(dists)
-    codes = dists.groupBy("vec_id", "sub").agg(
-        F.min_by("cl", F.struct("d6", "cl")).alias("cl")
+    d = dims.join(cb_by_dim, "dim")
+    micros = []
+    for i in range(ncl):
+        diff = F.col("x") - F.element_at(F.col("carr"), i + 1)
+        # round-half-up at 6 digits on a non-negative value (the
+        # DECIMAL(38,6) cast the oracle applies), summed as a long
+        micros.append(
+            F.sum(F.floor(diff * diff * 1e6 + 0.5).cast("long")).alias(f"u{i}")
+        )
+    wide = d.groupBy("vec_id", "sub").agg(*micros)
+    d6s = F.array(
+        *[
+            F.struct(
+                F.round(F.col(f"u{i}").cast("double") / 1e6, 6).alias("d6"),
+                F.lit(i).alias("ci"),
+            )
+            for i in range(ncl)
+        ]
     )
-    lut = dists.filter(F.col("vec_id") < N_QUERY_VECS).select(
-        F.col("vec_id").alias("query_id"), "sub", "cl", "d6"
+    codes = wide.select("vec_id", "sub", F.array_min(d6s)["ci"].alias("ci"))
+    lut = (
+        wide.filter(F.col("vec_id") < N_QUERY_VECS)
+        .select(F.col("vec_id").alias("query_id"), "sub", F.explode(d6s).alias("e"))
+        .select("query_id", "sub", F.col("e")["ci"].alias("ci"), F.col("e")["d6"].alias("d6"))
     )
     adc = (
         codes.join(
             F.broadcast(lut),
-            ["sub", "cl"],
+            ["sub", "ci"],
         )
         .filter(F.col("vec_id") != F.col("query_id"))
         .groupBy("query_id", "vec_id")
         .agg(
-            F.sum(F.col("d6").cast("decimal(38,6)")).cast("double").alias("adc_dist"),
+            # d6 carries <= 6 fractional digits by construction, so
+            # micros are exact longs and the sum reassembles to the
+            # oracle's CAST(SUM(DECIMAL(38,6)) AS DOUBLE) bit-identically
+            (F.sum(F.floor(F.col("d6") * 1e6 + 0.5).cast("long")).cast("double") / 1e6)
+            .alias("adc_dist"),
             F.count(F.lit(1)).alias("n_subs"),
         )
         # a corpus code must be scored by ALL subspace LUT entries — a
@@ -1102,7 +1194,8 @@ def pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         adc.select("query_id", "vec_id", "adc_dist", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") <= TOP_K)
         .drop("rn")
-        .orderBy("query_id", "adc_dist", "vec_id")
+        # presentation sort dropped: compare is order-insensitive and the
+        # range exchange + global sort is pure per-run overhead
     )
 
 
@@ -1132,7 +1225,7 @@ _PQ_REFINE_ORACLE = f"""
 """
 
 
-@query("pq_refine_rerank", oracle=_PQ_REFINE_ORACLE, tags=("U5",))
+@query("pq_refine_rerank", oracle=_PQ_REFINE_ORACLE, tags=("U5",), prepared=False)
 def pq_refine_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[U5] PQ + exact refine — the standard two-stage production
     retrieval pattern (FAISS ``IndexRefine``): the compressed-code ADC
@@ -1232,11 +1325,12 @@ def ivf_delta_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     job must cost ∝ delta, not ∝ corpus. Base/delta split is a content-
     hash bucket (~80/20, rerun-stable, SF-independent); centroids train
     on the base only (same decimal-deterministic ``decimal_centroids``
-    as ``ivf_ann``), broadcast, and the delta takes one broadcast
-    nested-loop argmax — the delta never shuffles and the base corpus is
-    read only by the centroid aggregation. Assignment ranking uses
-    round-9 similarity with cid tie-break, like every IVF-family
-    election."""
+    as ``ivf_ann``) and collapse to the 1-row broadcast model
+    (``_centroid_model``), so the delta assignment is a PURE PROJECTION
+    (``_elect_structs`` argmax): the delta never shuffles, never fans
+    |centroids|×, and the base corpus is read only by the centroid
+    aggregation. Assignment ranking uses round-9 similarity with cid
+    tie-break, like every IVF-family election."""
     e = nonzero(
         load_table(spark, sf_dir, "embeddings").select(
             "vec_id", "label", F.col("embedding").alias("v")
@@ -1247,22 +1341,14 @@ def ivf_delta_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta = e.filter(bucket >= _DELTA_BUCKET).withColumn(
         "norm", F.sqrt(dot("v", "v"))
     )
-    cents = decimal_centroids(base, "label")
-    s9 = F.round(dot("v", "cv") / (F.col("norm") * F.col("cnorm")), 9)
+    model = _centroid_model(decimal_centroids(base, "label"))
+    best = F.array_max(_elect_structs("v", "norm"))
     return (
-        delta.join(cents)
-        .select("vec_id", "cid", s9.alias("s9"))
-        .groupBy("vec_id")
-        .agg(
-            F.max_by("cid", F.struct(F.col("s9"), (-F.col("cid")).alias("tb"))).alias(
-                "cell"
-            ),
-            F.round(
-                F.max(F.struct(F.col("s9"), (-F.col("cid")).alias("tb"))).getField(
-                    "s9"
-                ),
-                6,
-            ).alias("centroid_sim"),
+        delta.join(model)
+        .select(
+            "vec_id",
+            best["cid"].alias("cell"),
+            F.round(best["s"], 6).alias("centroid_sim"),
         )
         .orderBy("vec_id")
     )
@@ -1297,7 +1383,7 @@ _ANN_RECALL_ORACLE = f"""
 """
 
 
-@query("ann_recall", oracle=_ANN_RECALL_ORACLE, tags=("U5",))
+@query("ann_recall", oracle=_ANN_RECALL_ORACLE, tags=("U5",), prepared=False)
 def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[U5] recall@k — the standard vector-store acceptance metric: for
     each query vector, what fraction of the exact ``knn_bruteforce``
@@ -1329,7 +1415,7 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
     )
     return (
-        qm.join(matched, ["method", "query_id"], "left")
+        qm.join(F.broadcast(matched), ["method", "query_id"], "left")
         .select(
             "method",
             "query_id",
@@ -1555,7 +1641,8 @@ _IVF_PROBE_SWEEP_ORACLE = (
 )
 
 
-@query("ivf_probe_sweep", oracle=_IVF_PROBE_SWEEP_ORACLE, tags=("U5",))
+@query("ivf_probe_sweep", oracle=_IVF_PROBE_SWEEP_ORACLE, tags=("U5",),
+       prepared=False)
 def ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[U5] The recall/latency tuning curve every IVF deployment is
     sized by: recall@k vs number of probed cells (n_probe = 1, 2, 3)
@@ -1566,29 +1653,64 @@ def ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-decreasing in n_probe) is additionally asserted in unit tests.
     Scale: centroid training and cell assignment are probe-independent,
     so the sweep builds the index ONCE (``_ivf_index``) and varies only
-    the probe join — the "cache the assigned table, vary n_probe" shape
-    an IVF tuning dashboard runs at 100 TB. The assigned table is
-    eagerly materialized here because three probe plans consume it
-    (same shared-subtree rule as pq_ann's dists; it is corpus-sized, so
-    only the multi-consumer sweep pays that cache, never ``ivf_ann``)."""
+    the probe set — the "cache the assigned table, vary n_probe" shape
+    an IVF tuning dashboard runs at 100 TB. The three probe settings
+    share ONE probe join (VERDICT r11 ask #6): each probe cell carries
+    its per-query rank, a candidate found via the rank-``r`` cell belongs
+    to every sweep setting with ``n_probe >= r``, so one broadcast build,
+    one scan of the assigned corpus, and one (n_probe, query) top-k
+    window replace the former three probe plans + union (which scanned
+    the assigned table three times and built three broadcasts — r11 also
+    eagerly materialized it to blunt exactly that recompute; with one
+    consumer the materialize is gone too)."""
     gt = knn_bruteforce(spark, sf_dir).select("query_id", "vec_id")
-    cents, assigned, q = _ivf_index(spark, sf_dir)
-    index = (cents, materialize(assigned), q)
-    approx = None
-    for p in _PROBE_SWEEP:
-        part = _ivf_topk(spark, sf_dir, p, index=index).select(
-            F.lit(p).cast("int").alias("n_probe"), "query_id", "vec_id"
+    model, assigned, q = _ivf_index(spark, sf_dir)
+    max_p = max(_PROBE_SWEEP)
+    probe_list = F.broadcast(
+        q.join(model).select(
+            "query_id",
+            "qv",
+            "qnorm",
+            F.posexplode(_probe_cells(max_p)).alias("pr0", "pc"),
+        ).select(
+            "query_id",
+            "qv",
+            "qnorm",
+            (F.col("pr0") + 1).cast("int").alias("probe_rank"),
+            F.col("pc")["cid"].alias("cell"),
         )
-        approx = part if approx is None else approx.unionByName(part)
+    )
+    scored = (
+        probe_list.join(assigned, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "probe_rank",
+            F.round(dot("qv", "v") / (F.col("qnorm") * F.col("norm")), 6).alias(
+                "cosine_sim"
+            ),
+        )
+    )
     probes = spark.createDataFrame([(p,) for p in _PROBE_SWEEP], "n_probe int")
+    fanned = scored.join(F.broadcast(probes), F.col("n_probe") >= F.col("probe_rank"))
+    wp = Window.partitionBy("n_probe", "query_id").orderBy(F.desc("cosine_sim"), "vec_id")
+    approx = (
+        fanned.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= TOP_K)
+        .select("n_probe", "query_id", "vec_id")
+    )
     qm = gt.select("query_id").distinct().crossJoin(F.broadcast(probes))
     matched = (
-        approx.join(gt, ["query_id", "vec_id"])
+        # gt is queries × k rows — broadcast-pinned (the sweep runs under
+        # the tiny-input AQE-off policy, so no runtime conversion rescues
+        # a sort-merge plan here)
+        approx.join(F.broadcast(gt), ["query_id", "vec_id"])
         .groupBy("n_probe", "query_id")
         .agg(F.count(F.lit(1)).alias("c"))
     )
     return (
-        qm.join(matched, ["n_probe", "query_id"], "left")
+        qm.join(F.broadcast(matched), ["n_probe", "query_id"], "left")
         .select(
             "n_probe",
             "query_id",

