@@ -304,7 +304,10 @@ def query(
             unprepared.__doc__ = fn.__doc__
             # NOTE: deliberately no ``__wrapped__`` — that attribute marks
             # prepared (plan-cached) fns; tests assert unprepared queries
-            # don't carry it
+            # don't carry it. ``__source_fn__`` gives doc tooling
+            # (tools/gen_catalog.py) the real definition site without
+            # reintroducing that marker.
+            unprepared.__source_fn__ = fn
             QUERIES[name] = QuerySpec(
                 name=name, fn=unprepared, oracle=oracle, tags=tags, bench=bench,
                 crossover=crossover, sized_partitions=sized_partitions,
