@@ -505,10 +505,12 @@ def _dedup_crossover(spark, sf_dir: str, factor: int = 10) -> dict:
                 # symmetric protocol (ADVICE r10): BOTH engines get one
                 # untimed warm pass, then min-of-5 timed passes — the
                 # graded ratio columns must not favor either side. The
-                # ANN cells register prepared=False (r11 HIGH advice), so
-                # every timed Spark pass rebuilds the plan AND re-runs
-                # its materialize() subtrees — the graded ratios include
-                # the materialization cost, never a cached replay.
+                # r12 kernels keep every timed pass honest: the ANN
+                # plans contain no materialized subtree (training runs
+                # in-plan, LogicalRDD-free — plan-pinned), so whether a
+                # pass re-wraps a cached plan or rebuilds it, EVERY
+                # stage re-executes; minhash/near_dup stay prepared=False
+                # for their real localCheckpoints.
                 con.sql(spec.oracle).df()  # warm
                 ts = []
                 for _ in range(5):

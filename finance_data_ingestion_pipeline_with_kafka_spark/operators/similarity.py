@@ -10,6 +10,8 @@ is stable under any ULP noise.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -591,8 +593,7 @@ def _ivf_topk(
     )
 
 
-@query("ivf_ann", oracle=_ivf_oracle(), tags=("U5",), sized_partitions=True,
-       prepared=False)
+@query("ivf_ann", oracle=_ivf_oracle(), tags=("U5",), sized_partitions=True)
 def ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[U5] IVF ANN at the default N_PROBE — see ``_ivf_topk`` for the
     full design discussion (the builder is shared with
@@ -1094,8 +1095,7 @@ _PQ_ANN_ORACLE = f"""
 """
 
 
-@query("pq_ann", oracle=_PQ_ANN_ORACLE, tags=("U5",), sized_partitions=True,
-       prepared=False)
+@query("pq_ann", oracle=_PQ_ANN_ORACLE, tags=("U5",), sized_partitions=True)
 def pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[U5] Asymmetric-distance (ADC) search over the PQ codes — the
     end of the product-quantization path: each query precomputes a
@@ -1109,7 +1109,7 @@ def pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     (16 bytes/vector here vs 256), LUT is (queries × 4 × labels) and
     broadcasts; one (query, vec) grouped sum, top-k per query.
 
-    Plan shape (rewritten r12 under the honest prepared=False protocol —
+    Plan shape (rewritten r12 under the honest per-pass protocol —
     A/B'd against checkpoint/persist/recompute sharing AND against
     driver-collected literal codebooks, tools/ab_ann*.py, SCALE.md
     Round 12): the codebook trains IN-PLAN and is pivoted per-dim into a
@@ -1225,7 +1225,7 @@ _PQ_REFINE_ORACLE = f"""
 """
 
 
-@query("pq_refine_rerank", oracle=_PQ_REFINE_ORACLE, tags=("U5",), prepared=False)
+@query("pq_refine_rerank", oracle=_PQ_REFINE_ORACLE, tags=("U5",))
 def pq_refine_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[U5] PQ + exact refine — the standard two-stage production
     retrieval pattern (FAISS ``IndexRefine``): the compressed-code ADC
@@ -1383,6 +1383,9 @@ _ANN_RECALL_ORACLE = f"""
 """
 
 
+# prepared=False: composes knn_bruteforce, whose CONSTRUCTION collects
+# the query vectors into the kernel closure — plan caching would freeze
+# them (stale if lake data changes within a session)
 @query("ann_recall", oracle=_ANN_RECALL_ORACLE, tags=("U5",), prepared=False)
 def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[U5] recall@k — the standard vector-store acceptance metric: for
@@ -1423,6 +1426,135 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 F.coalesce(F.col("c"), F.lit(0)).cast("double") / F.lit(float(TOP_K))
             ).alias("recall_at_k"),
+        )
+        .orderBy("method", "query_id")
+    )
+
+
+#: Position discounts 1/log2(i+1) for nDCG@k, computed ONCE in Python
+#: and embedded as the SAME double literals in the Spark plan
+#: (``F.lit``) and the oracle SQL (``repr`` round-trips exactly) — the
+#: `_MACD_W_*` discipline: no cross-engine libm log2 in either plan, so
+#: every term is a bit-identical double product.
+_NDCG_DISC = [1.0 / math.log2(i + 1) for i in range(1, TOP_K + 1)]
+_NDCG_DISC_SQL = "[" + ", ".join(repr(d) for d in _NDCG_DISC) + "]"
+
+_ANN_NDCG_ORACLE = f"""
+    WITH gt0 AS (
+      {_ORACLE_COSINE.format(nq=N_QUERY_VECS, k=TOP_K)}
+    ), grel AS (
+      SELECT query_id, vec_id, g_rank,
+             CAST({TOP_K} + 1 - g_rank AS DOUBLE) AS rel
+      FROM (SELECT query_id, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine_sim DESC, vec_id) AS g_rank
+            FROM gt0)
+    ), idcg AS (
+      SELECT query_id,
+             CAST(SUM(CAST(rel * ({_NDCG_DISC_SQL})[CAST(g_rank AS INT)]
+                           AS DECIMAL(38,12))) AS DOUBLE) AS idcg
+      FROM grel GROUP BY query_id
+    ), ivf AS (
+      {_ivf_oracle()}
+    ), pq AS (
+      {_PQ_ANN_ORACLE}
+    ), approx AS (
+      SELECT 'ivf' AS method, query_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine_sim DESC, vec_id) AS a_rank
+      FROM ivf
+      UNION ALL
+      SELECT 'pq' AS method, query_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adc_dist, vec_id) AS a_rank
+      FROM pq
+    ), dcg AS (
+      SELECT a.method, a.query_id,
+             CAST(SUM(CAST(g.rel * ({_NDCG_DISC_SQL})[CAST(a.a_rank AS INT)]
+                           AS DECIMAL(38,12))) AS DOUBLE) AS dcg
+      FROM approx a JOIN grel g USING (query_id, vec_id)
+      GROUP BY a.method, a.query_id
+    ), qm AS (
+      SELECT m.method, i.query_id
+      FROM (SELECT DISTINCT query_id FROM grel) i
+      CROSS JOIN (SELECT 'ivf' AS method UNION ALL SELECT 'pq') m
+    )
+    SELECT qm.method, qm.query_id,
+           COALESCE(dcg.dcg, 0.0) AS dcg_at_k,
+           COALESCE(dcg.dcg, 0.0) / idcg.idcg AS ndcg_at_k
+    FROM qm
+    LEFT JOIN dcg ON dcg.method = qm.method AND dcg.query_id = qm.query_id
+    JOIN idcg ON idcg.query_id = qm.query_id
+    ORDER BY qm.method, qm.query_id
+"""
+
+
+# prepared=False: composes knn_bruteforce (see ann_recall)
+@query("ann_ndcg", oracle=_ANN_NDCG_ORACLE, tags=("U5",), prepared=False)
+def ann_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U5] nDCG@k — the rank-aware companion to ``ann_recall``: recall
+    only counts set overlap with the exact top-k, while nDCG scores
+    WHERE each relevant hit lands in the approximate ranking (a result
+    demoted from exact-rank 1 to approx-rank 10 keeps recall flat but
+    costs nDCG). Relevance is graded from the exact ranking (rel =
+    k+1−rank, the standard integer-graded scheme when no human labels
+    exist), DCG discounts by the approximate position, and IDCG
+    normalizes per query. Determinism: the discounts are Python-computed
+    double literals embedded identically in both engines (no libm log2
+    in either plan), rel·disc products are bit-identical doubles, and
+    per-(method, query) sums accumulate in DECIMAL(38,12) — order-
+    independent under partial aggregation — so dcg/ndcg are exact with
+    NO rounding anywhere. Scale: evaluation cost is the index scans;
+    the metric itself joins 2·k·n_queries id pairs against k·n_queries
+    ground-truth rows, all broadcast-sized."""
+    gt0 = knn_bruteforce(spark, sf_dir)
+    disc = F.lit(_NDCG_DISC)
+    wg = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), "vec_id")
+    grel = gt0.select(
+        "query_id", "vec_id", F.row_number().over(wg).alias("g_rank")
+    ).withColumn("rel", (F.lit(TOP_K + 1) - F.col("g_rank")).cast("double"))
+
+    def _dsum12(term):
+        return F.sum(term.cast("decimal(38,12)")).cast("double")
+
+    idcg = grel.groupBy("query_id").agg(
+        _dsum12(F.col("rel") * F.element_at(disc, F.col("g_rank"))).alias("idcg")
+    )
+    wa_ivf = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), "vec_id")
+    wa_pq = Window.partitionBy("query_id").orderBy("adc_dist", "vec_id")
+    approx = (
+        ivf_ann(spark, sf_dir)
+        .select(
+            F.lit("ivf").alias("method"),
+            "query_id",
+            "vec_id",
+            F.row_number().over(wa_ivf).alias("a_rank"),
+        )
+        .unionByName(
+            pq_ann(spark, sf_dir).select(
+                F.lit("pq").alias("method"),
+                "query_id",
+                "vec_id",
+                F.row_number().over(wa_pq).alias("a_rank"),
+            )
+        )
+    )
+    dcg = (
+        approx.join(F.broadcast(grel.select("query_id", "vec_id", "rel")),
+                    ["query_id", "vec_id"])
+        .groupBy("method", "query_id")
+        .agg(_dsum12(F.col("rel") * F.element_at(disc, F.col("a_rank"))).alias("dcg"))
+    )
+    methods = spark.createDataFrame([("ivf",), ("pq",)], "method string")
+    qm = grel.select("query_id").distinct().crossJoin(F.broadcast(methods))
+    return (
+        qm.join(F.broadcast(dcg), ["method", "query_id"], "left")
+        .join(F.broadcast(idcg), "query_id")
+        .select(
+            "method",
+            "query_id",
+            F.coalesce(F.col("dcg"), F.lit(0.0)).alias("dcg_at_k"),
+            (F.coalesce(F.col("dcg"), F.lit(0.0)) / F.col("idcg")).alias("ndcg_at_k"),
         )
         .orderBy("method", "query_id")
     )
@@ -1641,6 +1773,8 @@ _IVF_PROBE_SWEEP_ORACLE = (
 )
 
 
+# prepared=False: composes knn_bruteforce ground truth (construction
+# collects the query vectors into the kernel closure — see ann_recall)
 @query("ivf_probe_sweep", oracle=_IVF_PROBE_SWEEP_ORACLE, tags=("U5",),
        prepared=False)
 def ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -3079,3 +3079,136 @@ def historical_var(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("sr", k.cast("int")).alias("var95"),
         (ksum / k).alias("cvar95"),
     ).orderBy("event_type")
+
+
+#: Backtest geometry for ``var_breach_backtest``: trailing window of
+#: daily returns feeding each day's VaR estimate, and the order
+#: statistic used as the threshold. k = ceil(0.05·W) exact integer
+#: arithmetic, mirroring ``historical_var``. With an exchangeable
+#: return stream, P(next return < k-th smallest of the trailing W) =
+#: k/(W+1) — the exact finite-sample coverage the z-test below is
+#: scored against (not 0.05: the order-statistic estimator's true
+#: coverage at small W is the rank probability, and using it keeps the
+#: expected-breach arithmetic exact instead of asymptotic).
+_VAR_BT_WINDOW = 10
+_VAR_BT_K = (_VAR_BT_WINDOW + 19) // 20  # ceil(0.05 W)
+_VAR_BT_P = repr(_VAR_BT_K / (_VAR_BT_WINDOW + 1))  # exact double literal
+
+
+@query(
+    "var_breach_backtest",
+    oracle=f"""
+    WITH events_us AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS v
+      FROM events_us WHERE value IS NOT NULL
+      GROUP BY event_type, day
+    ),
+    rets AS (
+      SELECT event_type, day, (v - prev) / prev AS r
+      FROM (SELECT event_type, day, v,
+                   LAG(v) OVER (PARTITION BY event_type ORDER BY day) AS prev
+            FROM daily)
+      WHERE prev IS NOT NULL AND prev <> 0
+    ),
+    trailed AS (
+      SELECT event_type, day, r,
+             list(r) OVER (PARTITION BY event_type ORDER BY day
+                           ROWS BETWEEN {_VAR_BT_WINDOW} PRECEDING
+                                    AND 1 PRECEDING) AS trail
+      FROM rets
+    ),
+    tested AS (
+      SELECT event_type, r,
+             list_sort(trail)[{_VAR_BT_K}] AS var_t
+      FROM trailed WHERE len(trail) = {_VAR_BT_WINDOW}
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_tested,
+             CAST(COALESCE(SUM(CASE WHEN r < var_t THEN 1 END), 0) AS BIGINT)
+               AS n_breaches
+      FROM tested GROUP BY event_type
+    )
+    SELECT event_type, n_tested, n_breaches,
+           CAST(n_breaches AS DOUBLE) / n_tested AS breach_rate,
+           (n_breaches - n_tested * {_VAR_BT_P})
+             / sqrt(n_tested * {_VAR_BT_P} * (1.0 - {_VAR_BT_P})) AS coverage_z
+    FROM agg WHERE n_tested > 0 ORDER BY event_type
+    """,
+    tags=("A7", "W3", "A3"),
+)
+def var_breach_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A7/W3] VaR coverage backtest — the acceptance metric for
+    ``historical_var``'s risk model, the finance twin of the dedup/ANN
+    recall rows: estimate each day's VaR from the TRAILING
+    ``_VAR_BT_WINDOW`` daily returns (k-th smallest order statistic,
+    the same rank-based definition as ``historical_var`` — no
+    interpolation, no threshold compare), flag a breach when the
+    realized return lands below it, and score the breach count against
+    the estimator's exact finite-sample coverage k/(W+1) with a
+    binomial z statistic (the normal-approximation coverage test;
+    Kupiec's POF is the LR flavor of the same null). Determinism: daily
+    sums are exact decimal, returns are identical double expressions,
+    the per-day threshold is an order statistic over a ROWS frame both
+    engines build identically, and the z arithmetic is +,·,/,sqrt of
+    the same doubles (all IEEE correctly rounded, with the coverage
+    probability embedded as one Python-computed literal in BOTH
+    engines) — bit-exact end to end, nothing rounded. Scale: one
+    shuffle to daily bars, one per-instrument window; the rolling
+    collect_list holds W=10 doubles per row — bounded by the window
+    constant, not data volume."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        dsum(F.col("value")).alias("v")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    rets = (
+        daily.withColumn("prev", F.lag("v").over(w))
+        .filter(F.col("prev").isNotNull() & (F.col("prev") != 0))
+        .select(
+            "event_type",
+            "day",
+            ((F.col("v") - F.col("prev")) / F.col("prev")).alias("r"),
+        )
+    )
+    wt = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-_VAR_BT_WINDOW, -1)
+    )
+    tested = (
+        rets.withColumn("trail", F.collect_list("r").over(wt))
+        .filter(F.size("trail") == _VAR_BT_WINDOW)
+        .select(
+            "event_type",
+            "r",
+            F.element_at(F.array_sort("trail"), _VAR_BT_K).alias("var_t"),
+        )
+    )
+    p = F.expr(f"{_VAR_BT_P}D")
+    agg = tested.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tested"),
+        F.coalesce(
+            F.sum(F.when(F.col("r") < F.col("var_t"), F.lit(1))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_breaches"),
+    )
+    return (
+        agg.filter(F.col("n_tested") > 0)
+        .select(
+            "event_type",
+            "n_tested",
+            "n_breaches",
+            (F.col("n_breaches").cast("double") / F.col("n_tested")).alias(
+                "breach_rate"
+            ),
+            (
+                (F.col("n_breaches") - F.col("n_tested") * p)
+                / F.sqrt(F.col("n_tested") * p * (F.lit(1.0) - p))
+            ).alias("coverage_z"),
+        )
+        .orderBy("event_type")
+    )

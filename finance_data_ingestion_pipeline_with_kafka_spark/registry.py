@@ -399,7 +399,11 @@ def query(
 #: kernels were then REWRITTEN (in-plan 1-row centroid model with
 #: map-only election; wide single-shuffle PQ distance pivot with
 #: long-micros accumulation; single fanned probe join in the sweep), so
-#: all six re-verify. Each modified OR brand-new name entering the
+#: all six re-verify. Post-rewrite, ``pq_ann``/``ivf_ann``/
+#: ``pq_refine_rerank`` are pure lazy plans again (nothing materialized,
+#: plan-pinned LogicalRDD-free) and returned to prepared=True; the two
+#: knn-composers stay prepared=False (construction collects the query
+#: vectors into the kernel closure). Each modified OR brand-new name entering the
 #: window spills one unnamed r7 row to round 13 (the standing rule
 #: outranks staleness; r9–r11 precedent; ``_R7_NAMED_FIRST`` keeps the
 #: spill off judge-named rows).

@@ -1410,6 +1410,54 @@ def test_sequence_packing_invariants(spark, sf_dir):
             expect += r["n_tokens"]
 
 
+def test_ann_ndcg_bounds_and_recall_consistency(spark, sf_dir):
+    """nDCG@k invariants: dcg <= idcg per query (ndcg in [0, 1]), and
+    ndcg > 0 exactly when ann_recall reports at least one hit for the
+    same (method, query) — both metrics are views over the same
+    ground-truth join."""
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.similarity import (
+        ann_ndcg,
+        ann_recall,
+    )
+
+    nd = {(r["method"], r["query_id"]): r for r in ann_ndcg(spark, sf_dir).collect()}
+    rc = {
+        (r["method"], r["query_id"]): r["n_hits"]
+        for r in ann_recall(spark, sf_dir).collect()
+    }
+    assert set(nd) == set(rc)
+    for key, r in nd.items():
+        assert 0.0 <= r["ndcg_at_k"] <= 1.0 + 1e-12, (key, r)
+        assert r["dcg_at_k"] >= 0.0
+        assert (r["ndcg_at_k"] > 0) == (rc[key] > 0), key
+
+
+def test_var_breach_backtest_counts(spark, sf_dir):
+    """Backtest invariants: every instrument tests exactly
+    n_days - 1 - W days (the fixture spans 30 daily bars per type at
+    every SF), breaches never exceed tested days, breach_rate is the
+    exact ratio, and the z statistic's sign tracks observed-vs-expected
+    coverage."""
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.timeseries import (
+        _VAR_BT_K,
+        _VAR_BT_WINDOW,
+        var_breach_backtest,
+    )
+
+    rows = var_breach_backtest(spark, sf_dir).collect()
+    assert len(rows) == 5  # one row per event_type
+    p = _VAR_BT_K / (_VAR_BT_WINDOW + 1)
+    for r in rows:
+        assert r["n_tested"] == 30 - 1 - _VAR_BT_WINDOW
+        assert 0 <= r["n_breaches"] <= r["n_tested"]
+        assert r["breach_rate"] == r["n_breaches"] / r["n_tested"]
+        expected = r["n_tested"] * p
+        if r["n_breaches"] > expected:
+            assert r["coverage_z"] > 0
+        elif r["n_breaches"] < expected:
+            assert r["coverage_z"] < 0
+
+
 def test_pq_codebook_cardinality_matches_design_constant(spark, sf_dir):
     """N_PQ_CLUSTERS is pq_ann's compile-time codebook size k (the wide
     distance pivot generates one accumulator per code): a testdata

@@ -39,16 +39,19 @@ def test_cached_plan_still_scans_source_not_rows(spark, sf_dir):
 
 
 def test_materializing_queries_opt_out(spark, sf_dir):
-    # localCheckpoint/iterative queries register their RAW fn (no
-    # __wrapped__ marker): caching their plan would replay stored rows.
-    # The ANN five (r11 HIGH advice) materialize during construction —
-    # dists/centroid/assigned subtrees — so they opt out too; memoizing
-    # them would replay checkpointed rows on re-invocation AND let the
-    # bench warm pass hide the materialization cost from timed passes.
+    # Queries whose CONSTRUCTION runs jobs register their RAW fn (no
+    # __wrapped__ marker): caching their plan would freeze/replay that
+    # construction-time state. Two classes here: localCheckpoint
+    # pipelines (stored-row replay — the dedup precedent) and
+    # knn-composers whose construction collects the query vectors into
+    # the kernel closure (ivf_probe_sweep, ann_recall — r11 HIGH advice
+    # family). pq_ann/ivf_ann/pq_refine_rerank left this list in r12:
+    # their rewritten kernels are pure lazy plans (nothing materialized,
+    # no LogicalRDD — plan-pinned), so the prepared-statement cache is
+    # honest for them again.
     for name in (
         "minhash_near_dup", "near_dup_clusters",
-        "pq_ann", "ivf_ann", "ivf_probe_sweep", "pq_refine_rerank",
-        "ann_recall",
+        "ivf_probe_sweep", "ann_recall",
     ):
         fn = _catalog()[name].fn
         assert not hasattr(fn, "__wrapped__"), name
