@@ -1,7 +1,13 @@
 #!/usr/bin/env python
 """A/B the ANN shared-subtree strategy under the HONEST protocol
-(prepared=False: every timed pass rebuilds the plan and re-runs the
-shared-subtree handling). Three strategies per query:
+(every timed pass rebuilds the plan and re-runs the shared-subtree
+handling). HISTORICAL NOTE (r12): the shipped kernels no longer call
+materialize() at all (training runs in-plan; the strategy monkeypatch
+below is a no-op against them), so for current kernels all three
+"strategies" measure the same plan — the tool remains useful as a
+min-of-5 fresh-pass wall-clock harness and as the record of the
+experiment that motivated the rewrite (SCALE.md Round 12). Three
+strategies per query:
 
   ckpt    — current: eager localCheckpoint (extra job + block write per
             pass, subtree runs once)
