@@ -1432,6 +1432,74 @@ def test_ann_ndcg_bounds_and_recall_consistency(spark, sf_dir):
         assert (r["ndcg_at_k"] > 0) == (rc[key] > 0), key
 
 
+def test_var_breach_backtest_vs_bruteforce(spark, monkeypatch):
+    """Brute-force reference on a synthetic stream covering edges the
+    fixture can't hit: duplicate return values (sort stability), a
+    zero-total day (the prev<>0 filter), a day count just past the
+    window, and exact-tie returns (breach is STRICT <, so a return
+    equal to the trailing k-th smallest is NOT a breach)."""
+    import datetime as dt
+    from decimal import Decimal
+
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators import timeseries
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.timeseries import (
+        _VAR_BT_K,
+        _VAR_BT_WINDOW,
+        var_breach_backtest,
+    )
+
+    # one instrument, hand-built daily values (one event per day, so the
+    # decimal daily sum is the value itself); includes a repeated value
+    # (flat return 0.0 twice) and a big drop
+    vals = [100.0, 110.0, 99.0, 99.0, 120.0, 90.0, 90.0, 130.0, 70.0,
+            140.0, 80.0, 150.0, 60.0, 160.0, 50.0, 170.0]
+    rows = [
+        ("T1", dt.datetime(2024, 1, 1) + dt.timedelta(days=i), v)
+        for i, v in enumerate(vals)
+    ]
+    events = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    monkeypatch.setattr(timeseries, "load_table", lambda s, d, t: events)
+    got = {r["event_type"]: r for r in var_breach_backtest(spark, "ignored").collect()}
+
+    # brute force in Python with the same decimal daily-sum contract
+    daily = [float(Decimal(str(v)).quantize(Decimal("0.000001"))) for v in vals]
+    rets = [
+        (daily[i] - daily[i - 1]) / daily[i - 1]
+        for i in range(1, len(daily))
+        if daily[i - 1] != 0
+    ]
+    tested = 0
+    breaches = 0
+    for i in range(len(rets)):
+        trail = rets[max(0, i - _VAR_BT_WINDOW):i]
+        if len(trail) != _VAR_BT_WINDOW:
+            continue
+        var_t = sorted(trail)[_VAR_BT_K - 1]
+        tested += 1
+        if rets[i] < var_t:
+            breaches += 1
+    assert got["T1"]["n_tested"] == tested
+    assert got["T1"]["n_breaches"] == breaches
+
+    # exact-tie case: a constant series has every return 0.0, the
+    # trailing k-th smallest is 0.0, and 0.0 < 0.0 is False -> 0 breaches
+    flat = [("T2", dt.datetime(2024, 1, 1) + dt.timedelta(days=i), 100.0)
+            for i in range(_VAR_BT_WINDOW + 5)]
+    events2 = spark.createDataFrame(flat, "event_type string, ts timestamp, value double")
+    monkeypatch.setattr(timeseries, "load_table", lambda s, d, t: events2)
+    got2 = var_breach_backtest(spark, "ignored").collect()
+    assert len(got2) == 1 and got2[0]["n_breaches"] == 0
+    assert got2[0]["n_tested"] == (_VAR_BT_WINDOW + 5) - 1 - _VAR_BT_WINDOW
+
+    # too few days to fill any trailing window -> the instrument emits
+    # no tested rows and is filtered out entirely
+    short = [("T3", dt.datetime(2024, 1, 1) + dt.timedelta(days=i), 100.0 + i)
+             for i in range(_VAR_BT_WINDOW)]
+    events3 = spark.createDataFrame(short, "event_type string, ts timestamp, value double")
+    monkeypatch.setattr(timeseries, "load_table", lambda s, d, t: events3)
+    assert var_breach_backtest(spark, "ignored").collect() == []
+
+
 def test_var_breach_backtest_counts(spark, sf_dir):
     """Backtest invariants: every instrument tests exactly
     n_days - 1 - W days (the fixture spans 30 daily bars per type at
