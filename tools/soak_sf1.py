@@ -57,11 +57,14 @@ def main() -> int:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     names = list(DEFAULT_QUERIES)
-    for a in sys.argv[1:]:
-        if a.startswith("--queries="):
-            names = a.split("=", 1)[1].split(",")
-        if a.startswith("--sf="):
-            sf_dir = a.split("=", 1)[1]
+    argv = sys.argv[1:]
+    for i, a in enumerate(argv):
+        # accept both --flag=value and --flag value (the docstring's form)
+        if a.startswith("--queries"):
+            val = a.split("=", 1)[1] if "=" in a else argv[i + 1]
+            names = val.split(",")
+        elif a.startswith("--sf"):
+            sf_dir = a.split("=", 1)[1] if "=" in a else argv[i + 1]
 
     spark = get_spark(app_name="soak-sf1", extra_conf={"spark.ui.enabled": "true"})
     spark.sparkContext.setLogLevel("ERROR")
