@@ -375,84 +375,35 @@ def query(
 #: and after that the window refreshes the STALEST evidence (testdata
 #: regenerates between rounds, so old green rows decay).
 #:
-#: Round-12 ordering (cumulative after CORRECTNESS_r11: 237/237
+#: Round-13 ordering (cumulative after CORRECTNESS_r12: 239/239
 #: hash-green, zero latest-run failures; tiers derived by
-#: ``tools/rotate_verified.py`` over CORRECTNESS_r01..r11):
+#: ``tools/rotate_verified.py`` over CORRECTNESS_r01..r12):
 #:   (0) brand-new queries registered this round — no driver row at all.
-#:   (1) ``_R12_MODIFIED`` — queries whose Spark kernels, oracle CTEs, or
-#:       execution-affecting registration changed during round 12 after
+#:   (1) ``_R13_MODIFIED`` — queries whose Spark kernels, oracle CTEs, or
+#:       execution-affecting registration changed during round 13 after
 #:       their last driver verification. Standing rule: code-changed ⇒
 #:       next driver window.
-#:   (2) ``_VERIFIED_R6`` — latest green row is CORRECTNESS_r06 (the
-#:       five rows the r11 oversubscription spilled; VERDICT r11 ask #1
-#:       leads with them).
-#:   (3) ``_VERIFIED_R7`` — latest green row is CORRECTNESS_r07 (the
-#:       47-row tier ask #1 names second — "45 of the 47").
-#:   (4..7) ``_VERIFIED_R8..R11`` — freshness order below the fold.
+#:   (2) ``_VERIFIED_R7`` — latest green row is CORRECTNESS_r07 (the 10
+#:       unnamed rows the r12 window spilled; VERDICT r12 ask #1 leads
+#:       with them — this retires the r7 tier entirely).
+#:   (3) ``_VERIFIED_R8`` — the 48-row tier ask #1 names second ("then
+#:       the oldest r8 tier"). Each brand-new or r13-modified name
+#:       entering the window spills one r8 row to round 14, so ~40
+#:       minus that count fit this round.
+#:   (4..7) ``_VERIFIED_R9..R12`` — freshness order below the fold.
 
-#: Modified during round 12 (re-tiered per the standing rule): the five
-#: ANN-family queries the r11 HIGH advice re-registered ``prepared=False``
-#: (``pq_ann``, ``ivf_ann``, ``ivf_probe_sweep``, ``pq_refine_rerank``,
-#: ``ann_recall`` — the materialize()-during-construction queries whose
-#: plan-cache memoization replayed checkpointed subtrees), plus
-#: ``ivf_delta_assign``: under the honest per-pass protocol the IVF/PQ
-#: kernels were then REWRITTEN (in-plan 1-row centroid model with
-#: map-only election; wide single-shuffle PQ distance pivot with
-#: long-micros accumulation; single fanned probe join in the sweep), so
-#: all six re-verify. Post-rewrite, ``pq_ann``/``ivf_ann``/
-#: ``pq_refine_rerank`` are pure lazy plans again (nothing materialized,
-#: plan-pinned LogicalRDD-free) and returned to prepared=True; the two
-#: knn-composers stay prepared=False (construction collects the query
-#: vectors into the kernel closure).
-#:
-#: Round-12 window arithmetic: 2 brand-new (``ann_ndcg``,
-#: ``var_breach_backtest``) + 6 modified + 5 r6-stale + 37 of the 47
-#: r7 rows = 50. VERDICT r11 ask #1 wanted 45 r7 rows, but the HIGH
-#: advice forced six ANN kernels through the re-verify-first rule; the
-#: 10 spilled r7 rows are all from the unnamed remainder
-#: (``_R7_NAMED_FIRST`` protects every judge-named row) and lead the
-#: r13 window. Each modified OR brand-new name entering the
-#: window spills one unnamed r7 row to round 13 (the standing rule
-#: outranks staleness; r9–r11 precedent; ``_R7_NAMED_FIRST`` keeps the
-#: spill off judge-named rows).
-_R12_MODIFIED = frozenset((
-    "ann_recall", "ivf_ann", "ivf_delta_assign", "ivf_probe_sweep",
-    "pq_ann", "pq_refine_rerank",
-))
-_VERIFIED_R6 = frozenset((
-    "bloom_join_prune", "corpus_build_funnel", "position_ledger", "session_fold_sessions",
-    "twap",
+#: Modified during round 13 (re-tiered per the standing rule):
+#: ``pq_ann`` — the ADVICE r12 medium item hardened its long-micros
+#: accumulation (limb-split the adc stage so the headroom bound is
+#: structural, not fixture-dependent), which changes the kernel's plan
+#: after its r12 verification.
+_R13_MODIFIED = frozenset((
+    "pq_ann",
 ))
 _VERIFIED_R7 = frozenset((
-    "ab_test_readout", "activity_streaks", "autocorrelation", "bigram_lm_score",
-    "conversion_funnel", "customer_ltv_pareto", "cusum_changepoint", "disjunctive_predicate_join",
-    "dominant_part_suppliers", "dormant_high_balance", "event_transitions",
-    "forecast_revenue_change", "fuzzy_block_recall", "important_parts",
-    "incremental_join_view",
-    "incremental_ohlcv", "interval_concurrency", "k_anonymity_audit", "key_skew_profile",
-    "large_volume_customers", "length_outliers", "nation_market_share",
-    "nearest_centroid_eval", "order_priority_check", "pit_feature_matrix", "pmi_collocations",
-    "promo_revenue_share", "psi_value_drift", "returned_item_ranking", "rfm_segmentation",
-    "rolling_pair_correlation", "rolling_robust_stats", "running_distinct_users", "salted_skew_join",
-    "session_window_agg", "small_quantity_revenue", "snapshot_diff",
-    "sq8_recall", "suppliers_kept_waiting", "table_expectations", "top_supplier_revenue",
-    "two_nation_volume", "unigram_logprob", "vocab_coverage", "volume_zscore_anomaly",
-    "zorder_skipping", "zscore_by_group",
-))
-#: The r7-stale rows VERDICT r11 ask #1 NAMES as the refresh debt
-#: (`salted_skew_join`, `incremental_ohlcv`, `incremental_join_view`,
-#: `pit_feature_matrix`, `rolling_pair_correlation`, `snapshot_diff`,
-#: `sq8_recall`, `table_expectations`, `zorder_skipping`, the
-#: funnel/cohort family) plus `session_window_agg` (a standing perf-watch
-#: row whose driver evidence should not go staler). Each r12-modified or
-#: brand-new name entering the window spills one r7 row, so WITHIN the
-#: r7 tier these rank ahead of the unnamed remainder — the spill hits
-#: rows the judge did not call out.
-_R7_NAMED_FIRST = frozenset((
-    "conversion_funnel", "customer_ltv_pareto", "incremental_join_view",
-    "incremental_ohlcv", "pit_feature_matrix", "rfm_segmentation",
-    "rolling_pair_correlation", "salted_skew_join", "session_window_agg",
-    "snapshot_diff", "sq8_recall", "table_expectations", "zorder_skipping",
+    "ab_test_readout", "autocorrelation", "bigram_lm_score", "cusum_changepoint",
+    "k_anonymity_audit", "length_outliers", "psi_value_drift", "vocab_coverage",
+    "volume_zscore_anomaly", "zscore_by_group",
 ))
 _VERIFIED_R8 = frozenset((
     "approx_distinct", "basket_pair_lift", "benford_audit", "bmp_decode",
@@ -514,6 +465,21 @@ _VERIFIED_R11 = frozenset((
     "token_budget_sample", "token_stats", "top_revenue_orders", "unpivot_metrics",
     "winnow_fingerprints", "word_frequency",
 ))
+_VERIFIED_R12 = frozenset((
+    "activity_streaks", "ann_ndcg", "ann_recall", "bloom_join_prune",
+    "conversion_funnel", "corpus_build_funnel", "customer_ltv_pareto", "disjunctive_predicate_join",
+    "dominant_part_suppliers", "dormant_high_balance", "event_transitions", "forecast_revenue_change",
+    "fuzzy_block_recall", "important_parts", "incremental_join_view", "incremental_ohlcv",
+    "interval_concurrency", "ivf_ann", "ivf_delta_assign", "ivf_probe_sweep",
+    "key_skew_profile", "large_volume_customers", "nation_market_share", "nearest_centroid_eval",
+    "order_priority_check", "pit_feature_matrix", "pmi_collocations", "position_ledger",
+    "pq_refine_rerank", "promo_revenue_share", "returned_item_ranking",
+    "rfm_segmentation", "rolling_pair_correlation", "rolling_robust_stats", "running_distinct_users",
+    "salted_skew_join", "session_fold_sessions", "session_window_agg", "small_quantity_revenue",
+    "snapshot_diff", "sq8_recall", "suppliers_kept_waiting", "table_expectations",
+    "top_supplier_revenue", "twap", "two_nation_volume", "unigram_logprob",
+    "var_breach_backtest", "zorder_skipping",
+))
 
 
 def load_all() -> dict[str, QuerySpec]:
@@ -546,25 +512,21 @@ def load_all() -> dict[str, QuerySpec]:
 
     def rank(item: tuple[str, QuerySpec]) -> tuple[int, int, int]:
         name, _spec = item
-        if name in _R12_MODIFIED:
+        if name in _R13_MODIFIED:
             return (1, 0, reg_order[name])
-        if name in _VERIFIED_R6:
-            return (2, 0, reg_order[name])
         if name in _VERIFIED_R7:
-            # judge-named refresh debt ranks ahead of the rest of the
-            # tier — the oversubscription spill (one r7 row per
-            # r12-modified kernel or brand-new query) must never hit
-            # the rows VERDICT r11 ask #1 names
-            return (3, 0 if name in _R7_NAMED_FIRST else 1, reg_order[name])
+            return (2, 0, reg_order[name])
         if name in _VERIFIED_R8:
-            return (4, 0, reg_order[name])
+            return (3, 0, reg_order[name])
         if name in _VERIFIED_R9:
-            return (5, 0, reg_order[name])
+            return (4, 0, reg_order[name])
         if name in _VERIFIED_R10:
-            return (6, 0, reg_order[name])
+            return (5, 0, reg_order[name])
         if name in _VERIFIED_R11:
+            return (6, 0, reg_order[name])
+        if name in _VERIFIED_R12:
             return (7, 0, reg_order[name])
-        # brand-new queries (registered after CORRECTNESS_r11 was
+        # brand-new queries (registered after CORRECTNESS_r12 was
         # written): no driver row yet, so they lead the window ahead of
         # even the code-modified re-verification tier
         return (0, 0, reg_order[name])

@@ -8,26 +8,25 @@ load-bearing, not cosmetic.
 import pytest
 
 from finance_data_ingestion_pipeline_with_kafka_spark.registry import (
-    _R7_NAMED_FIRST,
-    _R12_MODIFIED,
-    _VERIFIED_R6,
+    _R13_MODIFIED,
     _VERIFIED_R7,
     _VERIFIED_R8,
     _VERIFIED_R9,
     _VERIFIED_R10,
     _VERIFIED_R11,
+    _VERIFIED_R12,
     load_all,
     query,
 )
 
 _ALL_TIERS = (
-    _R12_MODIFIED,
-    _VERIFIED_R6,
+    _R13_MODIFIED,
     _VERIFIED_R7,
     _VERIFIED_R8,
     _VERIFIED_R9,
     _VERIFIED_R10,
     _VERIFIED_R11,
+    _VERIFIED_R12,
 )
 
 
@@ -42,76 +41,69 @@ def test_bench_specs_are_oracle_checked():
     assert all(s.oracle is not None for s in cat.values() if s.bench)
 
 
-def test_tiers_partition_the_round11_catalog():
-    """The seven tier sets are disjoint and cover exactly the 237 names
-    that existed when CORRECTNESS_r11 was written; any name outside them
-    is brand-new this round. (_R12_MODIFIED holds names re-tiered from
-    their freshness tiers after round-12 kernel/registration changes.)"""
+def test_tiers_partition_the_round12_catalog():
+    """The seven tier sets are disjoint and cover exactly the 239 names
+    that existed when CORRECTNESS_r12 was written; any name outside them
+    is brand-new this round. (_R13_MODIFIED holds names re-tiered from
+    their freshness tiers after round-13 kernel/registration changes.)"""
     union = set()
     total = 0
     for tier in _ALL_TIERS:
         assert not (union & tier), sorted(union & tier)
         union |= tier
         total += len(tier)
-    assert total == len(union) == 237
+    assert total == len(union) == 239
     assert union <= set(load_all())
 
 
 def test_stalest_evidence_leads_the_window():
     """The driver verifies only the first ~50 catalog entries per round.
-    Round-12 contract (VERDICT r11 ask #1): brand-new queries (no driver
+    Round-13 contract (VERDICT r12 ask #1): brand-new queries (no driver
     row) rank first, then the queries whose kernels or execution-affecting
-    registration changed in round 12 AFTER their last driver verification
-    (standing rule: code-changed => next window), then the five
-    round-6-stale rows the r11 window spilled, then the 47-row r7 tier;
-    r8/r9/r10/r11 greens sit below the fold in staleness order."""
+    registration changed in round 13 AFTER their last driver verification
+    (standing rule: code-changed => next window), then the 10 r7-stale
+    rows the r12 window spilled (retiring the r7 tier), then the 48-row
+    r8 tier; r9/r10/r11/r12 greens sit below the fold in staleness
+    order."""
     order = list(load_all())
     known = set().union(*_ALL_TIERS)
     new = [n for n in order if n not in known]
-    n_new, n_mod, n_r6 = len(new), len(_R12_MODIFIED), len(_VERIFIED_R6)
+    n_new, n_mod, n_r7 = len(new), len(_R13_MODIFIED), len(_VERIFIED_R7)
     assert set(order[:n_new]) == set(new)
-    assert set(order[n_new : n_new + n_mod]) == set(_R12_MODIFIED)
-    assert set(order[n_new + n_mod : n_new + n_mod + n_r6]) == set(_VERIFIED_R6)
-    n_r7 = len(_VERIFIED_R7)
-    assert set(order[n_new + n_mod + n_r6 : n_new + n_mod + n_r6 + n_r7]) == set(
-        _VERIFIED_R7
-    )
-    # staleness order below the fold: r8 < r9 < r10 < r11
+    assert set(order[n_new : n_new + n_mod]) == set(_R13_MODIFIED)
+    assert set(order[n_new + n_mod : n_new + n_mod + n_r7]) == set(_VERIFIED_R7)
+    # staleness order below the fold: r8 < r9 < r10 < r11 < r12
     last_r8 = max(order.index(n) for n in _VERIFIED_R8)
     first_r9 = min(order.index(n) for n in _VERIFIED_R9)
     last_r9 = max(order.index(n) for n in _VERIFIED_R9)
     first_r10 = min(order.index(n) for n in _VERIFIED_R10)
     last_r10 = max(order.index(n) for n in _VERIFIED_R10)
     first_r11 = min(order.index(n) for n in _VERIFIED_R11)
+    last_r11 = max(order.index(n) for n in _VERIFIED_R11)
+    first_r12 = min(order.index(n) for n in _VERIFIED_R12)
     assert last_r8 < first_r9 < last_r9 < first_r10 < last_r10 < first_r11
+    assert last_r11 < first_r12
     # the 50-slot window: every code-modified name must be inside it
-    # (the standing rule outranks staleness), the whole spilled-r6 tier
-    # must be inside it, and every remaining slot goes to the r7 tier —
-    # each modified kernel or brand-new query spills one unnamed r7 row
-    # to round 13
+    # (the standing rule outranks staleness), the whole spilled-r7 tier
+    # must be inside it, and every remaining slot goes to the r8 tier —
+    # each modified kernel or brand-new query spills one r8 row to
+    # round 14
     window = set(order[:50])
-    assert set(_R12_MODIFIED) <= window, sorted(set(_R12_MODIFIED) - window)
-    assert set(_VERIFIED_R6) <= window, sorted(set(_VERIFIED_R6) - window)
-    assert window - set(new) - set(_R12_MODIFIED) - set(_VERIFIED_R6) <= set(
-        _VERIFIED_R7
+    assert set(_R13_MODIFIED) <= window, sorted(set(_R13_MODIFIED) - window)
+    assert set(_VERIFIED_R7) <= window, sorted(set(_VERIFIED_R7) - window)
+    assert window - set(new) - set(_R13_MODIFIED) - set(_VERIFIED_R7) <= set(
+        _VERIFIED_R8
     ), sorted(
-        window - set(new) - set(_R12_MODIFIED) - set(_VERIFIED_R6) - set(_VERIFIED_R7)
+        window - set(new) - set(_R13_MODIFIED) - set(_VERIFIED_R7) - set(_VERIFIED_R8)
     )
-    # no freshly-verified (r10/r11) row may waste a window slot
-    assert window & (set(_VERIFIED_R10) | set(_VERIFIED_R11)) == set(), sorted(
-        window & (set(_VERIFIED_R10) | set(_VERIFIED_R11))
+    # no freshly-verified (r11/r12) row may waste a window slot
+    assert window & (set(_VERIFIED_R11) | set(_VERIFIED_R12)) == set(), sorted(
+        window & (set(_VERIFIED_R11) | set(_VERIFIED_R12))
     )
-    # the oversubscription spill must never hit a row VERDICT r11 ask #1
-    # names (salted_skew_join, incremental_ohlcv, incremental_join_view,
-    # pit_feature_matrix, rolling_pair_correlation, snapshot_diff,
-    # sq8_recall, table_expectations, zorder_skipping, the funnel/cohort
-    # family) or the session_window_agg perf-watch row — those rank
-    # first within the r7 tier
-    assert _R7_NAMED_FIRST <= window, sorted(_R7_NAMED_FIRST - window)
 
 
 def test_brand_new_queries_sort_into_the_window():
-    """A query in no tier (i.e. added after CORRECTNESS_r11) must rank
+    """A query in no tier (i.e. added after CORRECTNESS_r12) must rank
     ahead of every tiered row, including the code-modified tier."""
     order = list(load_all())
     known = set().union(*_ALL_TIERS)
