@@ -395,10 +395,13 @@ def query(
 #: Modified during round 13 (re-tiered per the standing rule):
 #: ``pq_ann`` — the ADVICE r12 medium item hardened its long-micros
 #: accumulation (limb-split the adc stage so the headroom bound is
-#: structural, not fixture-dependent), which changes the kernel's plan
-#: after its r12 verification.
+#: structural, not fixture-dependent); ``zorder_skipping`` — its
+#: 3-row predicate literal moved from ``createDataFrame`` (a statless
+#: LogicalRDD) to a pure explode-over-Range plan so the catalog-wide
+#: prepared-plan honesty sweep (VERDICT r12 ask #2) holds with zero
+#: exemptions. Both plans changed after their r12 verification.
 _R13_MODIFIED = frozenset((
-    "pq_ann",
+    "pq_ann", "zorder_skipping",
 ))
 _VERIFIED_R7 = frozenset((
     "ab_test_readout", "autocorrelation", "bigram_lm_score", "cusum_changepoint",
@@ -478,7 +481,7 @@ _VERIFIED_R12 = frozenset((
     "salted_skew_join", "session_fold_sessions", "session_window_agg", "small_quantity_revenue",
     "snapshot_diff", "sq8_recall", "suppliers_kept_waiting", "table_expectations",
     "top_supplier_revenue", "twap", "two_nation_volume", "unigram_logprob",
-    "var_breach_backtest", "zorder_skipping",
+    "var_breach_backtest",
 ))
 
 
