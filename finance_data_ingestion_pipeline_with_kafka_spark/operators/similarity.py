@@ -16,7 +16,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.core import davg
+from ..functions.core import davg, dsum
 from ..registry import query
 
 N_QUERY_VECS = 5  # vec_id 0..4 serve as the query set
@@ -1118,10 +1118,15 @@ def pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     pivots WIDE over cl — one groupBy(vec, sub) computing |labels| sums
     instead of a |labels|×-fanned join + (vec, sub, cl) aggregation
     (10× fewer aggregated rows, one shuffle instead of two). Each sum
-    accumulates round-half-up micros in a plain LONG (addends per group
-    = PQ_SUB_DIM, a design constant, and |x−c|² ≤ ~5.7e11 keeps any
-    16-addend sum far inside int64 — the per-group-bounded special case
-    of ``dsum``'s limb argument), reassembled to the identical
+    accumulates round-half-up micros split into three long LIMBS (the
+    ``dsum`` radix trick, reassembled in DECIMAL(38,0) on the one
+    output row per group): a plain single-long sum has only ~1.1%
+    int64 headroom at the documented |x−c|² ≤ ~5.7e11 bound
+    (16 addends × 5.7e17 micros ≈ 9.12e18 vs 2^63−1 ≈ 9.22e18), and
+    the downstream adc stage's 4-subspace sum of those d6-micros
+    (~3.6e19 at the bound) would wrap outright — so both stages carry
+    limbs and neither correctness claim leans on fixture magnitudes
+    (ADVICE r12). Reassembly yields the identical
     ``ROUND(CAST(SUM(DECIMAL(38,6)) AS DOUBLE), 6)`` value the oracle
     computes. Codes are the array_min INDEX into the cl-sorted array
     (index order == cl order, so the (d6, cl)-asc tie-break is
@@ -1144,19 +1149,44 @@ def pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     d = dims.join(cb_by_dim, "dim")
+    limb = 21  # dsum's radix: per-limb long sums never wrap
     micros = []
     for i in range(ncl):
         diff = F.col("x") - F.element_at(F.col("carr"), i + 1)
         # round-half-up at 6 digits on a non-negative value (the
-        # DECIMAL(38,6) cast the oracle applies), summed as a long
-        micros.append(
-            F.sum(F.floor(diff * diff * 1e6 + 0.5).cast("long")).alias(f"u{i}")
-        )
+        # DECIMAL(38,6) cast the oracle applies), then limb-split so the
+        # per-group sum is overflow-safe at any corpus magnitude (a
+        # single long sum has ~1.1% headroom at the documented bound).
+        # Boundary caveat (ADVICE r12): floor(v*1e6 + 0.5) double-rounds
+        # — if v*1e6 lands within 1 ulp BELOW a .5 micro boundary the
+        # +0.5 can push it over, where the oracle's direct
+        # double→DECIMAL cast would round down; divergence needs v*1e6
+        # within 1 ulp of an exact x.5, measure-zero on real-valued
+        # squared distances and never observed across 13 rounds of
+        # regenerated fixtures, but the parity here is
+        # almost-everywhere, not bit-identical-by-construction
+        u = F.floor(diff * diff * 1e6 + 0.5).cast("long")
+        hi = F.shiftright(u, 2 * limb)
+        rem = u - hi * (1 << (2 * limb))
+        micros += [
+            F.sum(hi).alias(f"h{i}"),
+            F.sum(F.shiftright(rem, limb)).alias(f"m{i}"),
+            F.sum(rem.bitwiseAND(F.lit((1 << limb) - 1))).alias(f"l{i}"),
+        ]
     wide = d.groupBy("vec_id", "sub").agg(*micros)
+
+    def _u(i: int) -> Column:
+        # exact micros total, reassembled decimal-side (one row per group)
+        return (
+            F.col(f"h{i}").cast("decimal(38,0)") * (1 << (2 * limb))
+            + F.col(f"m{i}").cast("decimal(38,0)") * (1 << limb)
+            + F.col(f"l{i}").cast("decimal(38,0)")
+        )
+
     d6s = F.array(
         *[
             F.struct(
-                F.round(F.col(f"u{i}").cast("double") / 1e6, 6).alias("d6"),
+                F.round(_u(i).cast("double") / 1e6, 6).alias("d6"),
                 F.lit(i).alias("ci"),
             )
             for i in range(ncl)
@@ -1176,11 +1206,12 @@ def pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != F.col("query_id"))
         .groupBy("query_id", "vec_id")
         .agg(
-            # d6 carries <= 6 fractional digits by construction, so
-            # micros are exact longs and the sum reassembles to the
-            # oracle's CAST(SUM(DECIMAL(38,6)) AS DOUBLE) bit-identically
-            (F.sum(F.floor(F.col("d6") * 1e6 + 0.5).cast("long")).cast("double") / 1e6)
-            .alias("adc_dist"),
+            # d6 carries <= 6 fractional digits by construction, so its
+            # micros are exact longs; dsum's limb accumulation matches
+            # the oracle's CAST(SUM(DECIMAL(38,6)) AS DOUBLE) while
+            # staying overflow-safe — a plain 4-addend long sum would
+            # wrap at ~3.6e19 micros under the documented |x−c|² bound
+            dsum(F.col("d6")).alias("adc_dist"),
             F.count(F.lit(1)).alias("n_subs"),
         )
         # a corpus code must be scored by ALL subspace LUT entries — a
