@@ -65,6 +65,14 @@ def main() -> None:
         spark.sparkContext.setLogLevel("ERROR")
         print(json.dumps(_deep_crossover(spark, sf_dir, factor=30)))
         return
+    if os.environ.get("SPARK_GRAFT_STREAM_AB_ONLY") == "1":
+        # Subprocess mode (see _streaming_steady_ab): fresh JVM, one
+        # standalone steady-throughput replay, one JSON line to stdout.
+        spark = get_spark(app_name="engine-bench-stream-ab")
+        spark.sparkContext.setLogLevel("ERROR")
+        rate, steady = _streaming_throughput(spark)
+        print(json.dumps({"e2e": rate, "steady": steady}))
+        return
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
     catalog = load_all()
     bench_specs = {n: s for n, s in sorted(catalog.items()) if s.bench}
@@ -76,6 +84,18 @@ def main() -> None:
     # batch passes it reads 2-3x lower purely from accumulated heap/GC
     # pressure, which says nothing about the pipeline.
     streaming_rate, streaming_steady = _streaming_throughput(spark)
+    # Co-tenant attribution A/B (VERDICT r12 ask #6): twice (r10,
+    # r12-local) a dipped steady reading was manually attributed to
+    # sibling load with a standalone fresh-JVM replay. Fold that into
+    # the artifact: a sub-25k draw triggers two standalone re-runs whose
+    # steady rates ship alongside the in-bench number, so the
+    # attribution is machine-recorded instead of SCALE.md prose.
+    streaming_steady_ab: list[float] | None = None
+    if streaming_steady < 25_000:
+        try:
+            streaming_steady_ab = _streaming_steady_ab()
+        except Exception as ex:
+            streaming_steady_ab = [f"error: {str(ex)[:120]}"]  # type: ignore[list-item]
     streaming_stateful = _streaming_stateful_throughput(spark)
 
     # Two-phase measurement. Cold pass: first execution at the bench SF,
@@ -156,6 +176,8 @@ def main() -> None:
         "streaming_steady_msgs_per_sec": streaming_steady,
         "streaming_stateful_msgs_per_sec": streaming_stateful,
     }
+    if streaming_steady_ab is not None:
+        detail["streaming_steady_ab"] = streaming_steady_ab
     try:
         # Same-host DuckDB wall for the SAME headline oracles (warm,
         # min-of-2, .df() materialization) — the self-contained
@@ -287,6 +309,8 @@ def _compact_line(detail: dict, bench_specs: dict) -> dict:
         "forcing": detail["forcing"],
         "lake_cache": detail["lake_cache"],
     }
+    if "streaming_steady_ab" in detail:
+        out["streaming_steady_ab"] = detail["streaming_steady_ab"]
     if duck_ok:
         total = sum(duck.values())
         out["duckdb_headline_total_sec"] = round(total, 4)
@@ -511,8 +535,8 @@ def _dedup_crossover(spark, sf_dir: str, factor: int = 10) -> dict:
                 # either side. Pass depth is adaptive per cell (VERDICT
                 # r11 ask #4 + wall-clock budget): the co-tenant draw
                 # variance that motivated min-of-5 lives in the
-                # SUB-SECOND cells (ivf/pq at 1×), so cells whose warm
-                # pass runs under 2 s on both engines take min-of-5;
+                # SUB-SECOND cells (ivf/pq at 1×), so cells whose first
+                # TIMED pass runs under 2 s on both engines take min-of-5;
                 # multi-second cells (minhash/near_dup at 10× — DuckDB's
                 # recursive closure alone is ~30 s/pass) keep the prior
                 # min-of-2, where three extra passes would add minutes
@@ -523,25 +547,30 @@ def _dedup_crossover(spark, sf_dir: str, factor: int = 10) -> dict:
                 # so every stage re-executes on every pass;
                 # minhash/near_dup stay prepared=False for their real
                 # localCheckpoints.
+                con.sql(spec.oracle).df()  # duck warm (untimed)
+                _force(spec.fn(spark, sf_dir))  # spark warm (untimed)
+                # depth decision comes from the FIRST TIMED pass, not
+                # the warm pass (ADVICE r12): the warm pass carries plan
+                # build + codegen compile — the wide-catalog case can
+                # push a sub-second steady-state cell past 2 s and
+                # silently demote exactly the cells min-of-5 exists for
                 t0 = time.perf_counter()
-                con.sql(spec.oracle).df()  # duck warm
-                duck_warm = time.perf_counter() - t0
+                con.sql(spec.oracle).df()
+                duck_ts = [time.perf_counter() - t0]
                 t0 = time.perf_counter()
-                _force(spec.fn(spark, sf_dir))  # spark warm
-                spark_warm = time.perf_counter() - t0
-                n_passes = 5 if max(duck_warm, spark_warm) < 2.0 else 2
-                ts = []
-                for _ in range(n_passes):
+                _force(spec.fn(spark, sf_dir))
+                spark_ts = [time.perf_counter() - t0]
+                n_more = 4 if max(duck_ts[0], spark_ts[0]) < 2.0 else 1
+                for _ in range(n_more):
                     t0 = time.perf_counter()
                     con.sql(spec.oracle).df()
-                    ts.append(time.perf_counter() - t0)
-                duck[rep][name] = round(min(ts), 4)
-                ts = []
-                for _ in range(n_passes):
+                    duck_ts.append(time.perf_counter() - t0)
+                duck[rep][name] = round(min(duck_ts), 4)
+                for _ in range(n_more):
                     t0 = time.perf_counter()
                     _force(spec.fn(spark, sf_dir))
-                    ts.append(time.perf_counter() - t0)
-                walls[rep][name] = round(min(ts), 4)
+                    spark_ts.append(time.perf_counter() - t0)
+                walls[rep][name] = round(min(spark_ts), 4)
         finally:
             os.environ.pop("ENGINE_SCAN_REPLICATE", None)
             con.close()
@@ -702,6 +731,37 @@ def _duck_connect_replicated(sf_dir: str, rep: int):
             selects.append(f"SELECT {exprs} FROM read_parquet('{path}')")
         con.execute(f"CREATE VIEW {t} AS " + " UNION ALL ".join(selects))
     return con
+
+
+def _streaming_steady_ab(n_runs: int = 2) -> list[float]:
+    """Standalone fresh-JVM steady-throughput replays (re-invoking this
+    script with ``SPARK_GRAFT_STREAM_AB_ONLY=1``), one steady rate per
+    run. Triggered only when the in-bench steady draw reads < 25k msg/s:
+    the in-bench session shares a process with whatever the headline
+    phase is about to do and whatever co-tenants are doing NOW, so a
+    dipped reading is ambiguous — two fresh-JVM replays a minute apart
+    either reproduce the dip (real regression, investigate the pipeline)
+    or read 30k+ (co-tenant noise, attributed in-artifact)."""
+    import subprocess
+    import sys as _sys
+
+    rates: list[float] = []
+    for _ in range(n_runs):
+        env = dict(os.environ)
+        env["SPARK_GRAFT_STREAM_AB_ONLY"] = "1"
+        proc = subprocess.run(
+            [_sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=600,
+        )
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"stream-ab subprocess rc={proc.returncode}: {proc.stderr[-200:]}"
+            )
+        rates.append(json.loads(proc.stdout.strip().splitlines()[-1])["steady"])
+    return rates
 
 
 def _deep_crossover_subprocess(sf_dir: str) -> dict:

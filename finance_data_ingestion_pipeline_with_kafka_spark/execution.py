@@ -56,6 +56,14 @@ def materialize(df: DataFrame) -> DataFrame:
         # compared against our own record — see _APPLIED_CKPT_DIR). A
         # context whose dir was set outside materialize() is also
         # re-pointed once, since the module var starts None.
+        # SINGLE-WRITER ASSUMPTION (ADVICE r12): materialize() is the
+        # only setCheckpointDir caller in the engine (grep-enforced by
+        # test_extension_semantics' no-sprawl test). If external code
+        # later re-points the context's dir while ENGINE_RELIABLE_
+        # CHECKPOINT stays unchanged, this check keeps checkpointing to
+        # the foreign dir rather than re-routing — correct output either
+        # way (checkpoint files are location-agnostic), just not our
+        # configured location; re-export the env var to force a re-point.
         if ckpt_dir != _APPLIED_CKPT_DIR or sc.getCheckpointDir() is None:
             sc.setCheckpointDir(ckpt_dir)
             _APPLIED_CKPT_DIR = ckpt_dir

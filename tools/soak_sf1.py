@@ -58,13 +58,23 @@ def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     names = list(DEFAULT_QUERIES)
     argv = sys.argv[1:]
+    def _flag_value(i: int, a: str, flag: str) -> str | None:
+        # accept exactly --flag=value and --flag value (ADVICE r12:
+        # bare startswith also swallowed unrelated flags like --sfoo,
+        # and the space form indexed past argv on a trailing bare flag)
+        if a.startswith(flag + "="):
+            return a.split("=", 1)[1]
+        if a == flag:
+            if i + 1 >= len(argv):
+                raise SystemExit(f"usage: {flag} requires a value operand")
+            return argv[i + 1]
+        return None
+
     for i, a in enumerate(argv):
-        # accept both --flag=value and --flag value (the docstring's form)
-        if a.startswith("--queries"):
-            val = a.split("=", 1)[1] if "=" in a else argv[i + 1]
+        if (val := _flag_value(i, a, "--queries")) is not None:
             names = val.split(",")
-        elif a.startswith("--sf"):
-            sf_dir = a.split("=", 1)[1] if "=" in a else argv[i + 1]
+        elif (val := _flag_value(i, a, "--sf")) is not None:
+            sf_dir = val
 
     spark = get_spark(app_name="soak-sf1", extra_conf={"spark.ui.enabled": "true"})
     spark.sparkContext.setLogLevel("ERROR")
