@@ -102,8 +102,9 @@ def main() -> None:
     # including plan + codegen compile (recorded as cold_queries). Warm
     # passes: steady-state re-execution — the number that scales with data
     # volume; production clusters run long-lived sessions where compile
-    # cost is amortized to zero. Both min-of-3 (jitter floor) and
-    # median-of-3 (robust central estimate) are reported; `value` is the
+    # cost is amortized to zero. Both the min (jitter floor; 3 passes,
+    # 5 for sub-2 s cells) and the median (robust central estimate) are
+    # reported; `value` is the
     # min total for round-over-round continuity, `median_total_sec` is the
     # honest companion.
     cold: dict[str, float] = {}
@@ -117,6 +118,21 @@ def main() -> None:
             t0 = time.perf_counter()
             _force(spec.fn(spark, sf_dir))
             samples.setdefault(name, []).append(time.perf_counter() - t0)
+    # Sub-2 s cells get two extra draws (min-of-5 — the crossover
+    # precedent, VERDICT r12 ask #3): the 0.32 s minhash
+    # headline-vs-crossover intra-run delta decomposed to pure
+    # measurement maturity — an early-session min-of-3 sits ~0.3 s above
+    # the fully-JIT-warmed min-of-5 floor the later phases read
+    # (tools/ab_minhash_phase.py: back-to-back min3 1.57 vs late min5
+    # 1.21 on the same query; interleaving and the lake cache both
+    # exonerated — the interleaved arm ran FASTER). The DuckDB
+    # denominator below escalates symmetrically.
+    for name, spec in bench_specs.items():
+        if min(samples[name]) < 2.0:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                _force(spec.fn(spark, sf_dir))
+                samples[name].append(time.perf_counter() - t0)
     timings = {n: round(min(ts), 4) for n, ts in samples.items()}
     medians = {n: round(statistics.median(ts), 4) for n, ts in samples.items()}
 
@@ -366,8 +382,11 @@ def _compact_line(detail: dict, bench_specs: dict) -> dict:
 
 
 def _duckdb_headline_times(sf_dir: str, bench_specs: dict) -> dict[str, float]:
-    """Per-query warm DuckDB wall-clock (min of 2 after one warm pass) for
-    every oracle-expressible headline query over the same parquet."""
+    """Per-query warm DuckDB wall-clock (min of 2 after one warm pass;
+    sub-2 s cells escalate to min-of-5, mirroring the Spark side's
+    extra-draw rule so neither engine's minimum samples a deeper
+    distribution) for every oracle-expressible headline query over the
+    same parquet."""
     import duckdb
 
     from finance_data_ingestion_pipeline_with_kafka_spark.catalog import TABLES
@@ -387,6 +406,11 @@ def _duckdb_headline_times(sf_dir: str, bench_specs: dict) -> dict[str, float]:
             t0 = time.perf_counter()
             con.sql(spec.oracle).df()
             ts.append(time.perf_counter() - t0)
+        if min(ts) < 2.0:
+            for _ in range(3):
+                t0 = time.perf_counter()
+                con.sql(spec.oracle).df()
+                ts.append(time.perf_counter() - t0)
         out[name] = round(min(ts), 4)
     con.close()
     return out
