@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.core import davg
 from ..execution import materialize  # re-export: the dedup pipeline is its historical home
 from ..registry import query
 from .text import TOKEN_SPLIT, tokens
@@ -714,6 +715,26 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     per block
     are bounded by the bucket's occupancy, not the corpus; the
     full-corpus path is MinHash banding."""
+    return (
+        _bigram_pair_stats(spark, sf_dir)
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("i").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("i")),
+                6,
+            ),
+        )
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _bigram_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared blocked-pair kernel behind ``ngram_jaccard_pairs`` and
+    ``jaccard_threshold_curve``: (doc_a, doc_b, i, n_a, n_b) for every
+    J ≥ 0.3 word-bigram pair under the (lang, log2-size-bucket)
+    blocking — see ``ngram_jaccard_pairs`` for the full design notes."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "zh")
     toks = tokens()
     bigrams = F.array_distinct(
@@ -760,16 +781,85 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("i", i)
         .filter(13 * F.col("i") >= 3 * (F.col("n_a") + F.col("n_b")))
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("i").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("i")),
-                6,
-            ),
+        .select("doc_a", "doc_b", "i", "n_a", "n_b")
+    )
+
+
+@query(
+    "jaccard_threshold_curve",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents WHERE lang = 'zh'
+    ), grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(list_zip(t[:len(t)-1], t[2:]),
+                                          s -> s[1] || ' ' || s[2])) AS g,
+             CAST(floor(log2(len(list_distinct(
+               list_transform(list_zip(t[:len(t)-1], t[2:]), s -> s[1] || ' ' || s[2])
+             )))) AS BIGINT) AS bkt
+      FROM toks WHERE len(t) >= 2
+    ), probes AS (
+      SELECT doc_id, g, unnest([bkt - 2, bkt - 1, bkt, bkt + 1, bkt + 2]) AS probe
+      FROM grams
+    ), stats AS (
+      SELECT i, na, nb FROM (
+        SELECT len(list_intersect(a.g, b.g)) AS i,
+               len(a.g) AS na, len(b.g) AS nb
+        FROM probes a JOIN grams b ON a.probe = b.bkt AND a.doc_id < b.doc_id
+                                   AND 3 * greatest(len(a.g), len(b.g))
+                                       <= 10 * least(len(a.g), len(b.g))
+      ) WHERE 13 * i >= 3 * (na + nb)
+    ), fanned AS (
+      SELECT k, i, na, nb
+      FROM stats, UNNEST([3, 4, 5, 6, 7, 8, 9]) AS t(k)
+      WHERE (10 + k) * i >= k * (na + nb)
+    )
+    SELECT CAST(k AS DOUBLE) / 10 AS threshold,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CAST(CAST(i AS DOUBLE) / (na + nb - i) AS DECIMAL(30,6)))
+                AS DOUBLE) / COUNT(*) AS mean_jaccard
+    FROM fanned GROUP BY k ORDER BY threshold
+    """,
+    tags=("U4",),
+)
+def jaccard_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U4] Dedup-threshold tuning curve: surviving pair count and mean
+    similarity at every candidate Jaccard cutoff 0.3..0.9 — the
+    artifact a corpus curator reads before choosing the near-dup
+    threshold (too low merges distinct documents, too high leaves
+    near-dups in the training set). The expensive blocked pair kernel
+    (``_bigram_pair_stats``) runs ONCE; the sweep is a 7-way literal
+    fan of two-int rows, so adding thresholds is free — the same
+    evaluate-many-settings-in-one-pass shape as ``ivf_probe_sweep``
+    and ``minhash_band_sweep``. Every threshold gate is the EXACT
+    integer inequality (10+k)·i ≥ k·(n_a+n_b) (algebra of
+    i/(n_a+n_b−i) ≥ k/10 — no double ever meets a boundary), and the
+    mean routes through ``davg``'s order-independent decimal
+    accumulation. Thresholds with zero survivors emit no row in either
+    engine (empty groups don't exist)."""
+    stats = _bigram_pair_stats(spark, sf_dir).select("i", "n_a", "n_b")
+    fanned = stats.select(
+        "i",
+        "n_a",
+        "n_b",
+        F.explode(F.array(*[F.lit(k) for k in range(3, 10)])).alias("k"),
+    ).filter(
+        (10 + F.col("k")) * F.col("i") >= F.col("k") * (F.col("n_a") + F.col("n_b"))
+    )
+    j = F.col("i").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("i"))
+    return (
+        fanned.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            davg(j).alias("mean_jaccard"),
         )
-        .select("doc_a", "doc_b", "jaccard")
-        .orderBy("doc_a", "doc_b")
+        .select(
+            (F.col("k").cast("double") / 10).alias("threshold"),
+            "n_pairs",
+            "mean_jaccard",
+        )
+        .orderBy("threshold")
     )
 
 

@@ -1095,47 +1095,13 @@ _PQ_ANN_ORACLE = f"""
 """
 
 
-@query("pq_ann", oracle=_PQ_ANN_ORACLE, tags=("U5",), sized_partitions=True)
-def pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[U5] Asymmetric-distance (ADC) search over the PQ codes — the
-    end of the product-quantization path: each query precomputes a
-    lookup table of (subspace × centroid) squared distances, and a
-    corpus vector's approximate distance is the SUM of the LUT entries
-    its 4-byte code selects — no corpus floats are ever touched at query
-    time, which is the memory win that makes billion-vector search fit
-    in RAM. The LUT entries are the SAME rounded-decimal d6 values the
-    encoder computed, so the sum is exact-decimal and both engines rank
-    identically (vec_id tie-break). Scale: codes table ≪ float corpus
-    (16 bytes/vector here vs 256), LUT is (queries × 4 × labels) and
-    broadcasts; one (query, vec) grouped sum, top-k per query.
-
-    Plan shape (rewritten r12 under the honest per-pass protocol —
-    A/B'd against checkpoint/persist/recompute sharing AND against
-    driver-collected literal codebooks, tools/ab_ann*.py, SCALE.md
-    Round 12): the codebook trains IN-PLAN and is pivoted per-dim into a
-    cl-sorted value array (``carr``) that broadcasts (bounded: EMBED_DIM
-    rows × |labels| doubles), and the per-(vec, sub, cl) distance table
-    pivots WIDE over cl — one groupBy(vec, sub) computing |labels| sums
-    instead of a |labels|×-fanned join + (vec, sub, cl) aggregation
-    (10× fewer aggregated rows, one shuffle instead of two). Each sum
-    accumulates round-half-up micros split into three long LIMBS (the
-    ``dsum`` radix trick, reassembled in DECIMAL(38,0) on the one
-    output row per group): a plain single-long sum has only ~1.1%
-    int64 headroom at the documented |x−c|² ≤ ~5.7e11 bound
-    (16 addends × 5.7e17 micros ≈ 9.12e18 vs 2^63−1 ≈ 9.22e18), and
-    the downstream adc stage's 4-subspace sum of those d6-micros
-    (~3.6e19 at the bound) would wrap outright — so both stages carry
-    limbs and neither correctness claim leans on fixture magnitudes
-    (ADVICE r12). Reassembly yields the identical
-    ``ROUND(CAST(SUM(DECIMAL(38,6)) AS DOUBLE), 6)`` value the oracle
-    computes. Codes are the array_min INDEX into the cl-sorted array
-    (index order == cl order, so the (d6, cl)-asc tie-break is
-    preserved and the actual label value never needs to surface); the
-    LUT is the same wide row exploded for the query vectors only — the
-    vec_id predicate pushes through the aggregation to the scan, so its
-    rebuild costs a few rows and the codebook broadcast is shared via
-    exchange reuse (the recompute r10/r11 fought with ``materialize()``
-    is structurally gone: no checkpoint, no replay hazard)."""
+def _pq_wide(spark: SparkSession, sf_dir: str):
+    """Shared PQ distance front end: the wide per-(vec, sub) pivot of
+    limb-split d6 micros over the in-plan codebook, plus the
+    (d6, ci)-struct array expression downstream consumers min/explode.
+    Returns ``(wide, d6s)``. See ``pq_ann``'s docstring for the full
+    shape discussion; split out so ``pq_distortion`` audits the same
+    table the index is built from."""
     dims = _pq_dims(spark, sf_dir)
     ncl = N_PQ_CLUSTERS  # codebook size k — an index design constant
     cb_by_dim = F.broadcast(
@@ -1192,6 +1158,51 @@ def pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(ncl)
         ]
     )
+    return wide, d6s
+
+
+@query("pq_ann", oracle=_PQ_ANN_ORACLE, tags=("U5",), sized_partitions=True)
+def pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U5] Asymmetric-distance (ADC) search over the PQ codes — the
+    end of the product-quantization path: each query precomputes a
+    lookup table of (subspace × centroid) squared distances, and a
+    corpus vector's approximate distance is the SUM of the LUT entries
+    its 4-byte code selects — no corpus floats are ever touched at query
+    time, which is the memory win that makes billion-vector search fit
+    in RAM. The LUT entries are the SAME rounded-decimal d6 values the
+    encoder computed, so the sum is exact-decimal and both engines rank
+    identically (vec_id tie-break). Scale: codes table ≪ float corpus
+    (16 bytes/vector here vs 256), LUT is (queries × 4 × labels) and
+    broadcasts; one (query, vec) grouped sum, top-k per query.
+
+    Plan shape (rewritten r12 under the honest per-pass protocol —
+    A/B'd against checkpoint/persist/recompute sharing AND against
+    driver-collected literal codebooks, tools/ab_ann*.py, SCALE.md
+    Round 12): the codebook trains IN-PLAN and is pivoted per-dim into a
+    cl-sorted value array (``carr``) that broadcasts (bounded: EMBED_DIM
+    rows × |labels| doubles), and the per-(vec, sub, cl) distance table
+    pivots WIDE over cl — one groupBy(vec, sub) computing |labels| sums
+    instead of a |labels|×-fanned join + (vec, sub, cl) aggregation
+    (10× fewer aggregated rows, one shuffle instead of two). Each sum
+    accumulates round-half-up micros split into three long LIMBS (the
+    ``dsum`` radix trick, reassembled in DECIMAL(38,0) on the one
+    output row per group): a plain single-long sum has only ~1.1%
+    int64 headroom at the documented |x−c|² ≤ ~5.7e11 bound
+    (16 addends × 5.7e17 micros ≈ 9.12e18 vs 2^63−1 ≈ 9.22e18), and
+    the downstream adc stage's 4-subspace sum of those d6-micros
+    (~3.6e19 at the bound) would wrap outright — so both stages carry
+    limbs and neither correctness claim leans on fixture magnitudes
+    (ADVICE r12). Reassembly yields the identical
+    ``ROUND(CAST(SUM(DECIMAL(38,6)) AS DOUBLE), 6)`` value the oracle
+    computes. Codes are the array_min INDEX into the cl-sorted array
+    (index order == cl order, so the (d6, cl)-asc tie-break is
+    preserved and the actual label value never needs to surface); the
+    LUT is the same wide row exploded for the query vectors only — the
+    vec_id predicate pushes through the aggregation to the scan, so its
+    rebuild costs a few rows and the codebook broadcast is shared via
+    exchange reuse (the recompute r10/r11 fought with ``materialize()``
+    is structurally gone: no checkpoint, no replay hazard)."""
+    wide, d6s = _pq_wide(spark, sf_dir)
     codes = wide.select("vec_id", "sub", F.array_min(d6s)["ci"].alias("ci"))
     lut = (
         wide.filter(F.col("vec_id") < N_QUERY_VECS)
@@ -1227,6 +1238,68 @@ def pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         # presentation sort dropped: compare is order-insensitive and the
         # range exchange + global sort is pure per-run overhead
+    )
+
+
+_PQ_DISTORTION_ORACLE = f"""
+    WITH dims AS (
+      SELECT vec_id, label, i - 1 AS dim,
+             CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x,
+             (i - 1) // {PQ_SUB_DIM} AS sub
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    ), codebook AS (
+      SELECT sub, label AS cl, dim,
+             CAST(SUM(CAST(x AS DECIMAL(30,6))) AS DOUBLE) / COUNT(x) AS c
+      FROM dims GROUP BY sub, label, dim
+    ), dists AS (
+      SELECT d.vec_id, d.sub, cb.cl,
+             ROUND(CAST(SUM(CAST((d.x - cb.c) * (d.x - cb.c) AS DECIMAL(38,6)))
+                        AS DOUBLE), 6) AS d6
+      FROM dims d JOIN codebook cb ON cb.sub = d.sub AND cb.dim = d.dim
+      GROUP BY d.vec_id, d.sub, cb.cl
+    ), assigned AS (
+      SELECT vec_id, sub, d6 FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                     ORDER BY d6, cl) AS rn
+        FROM dists
+      ) WHERE rn = 1
+    )
+    SELECT CAST(sub AS BIGINT) AS sub,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CAST(d6 AS DECIMAL(30,6))) AS DOUBLE) / COUNT(d6)
+             AS mean_sq_err,
+           MAX(d6) AS max_sq_err
+    FROM assigned GROUP BY sub ORDER BY sub
+"""
+
+
+@query("pq_distortion", oracle=_PQ_DISTORTION_ORACLE, tags=("U5",))
+def pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U5] PQ codebook distortion per subspace — the quantization-error
+    acceptance metric next to recall (``sq8_recall``, ``ann_recall``)
+    and ranking quality (``ann_ndcg``): mean and max squared
+    reconstruction error between each vector's subspace slice and its
+    ASSIGNED codebook centroid. This is the quantity k-means training
+    minimizes and the first thing an index dashboard plots per rebuild
+    (rising distortion = stale codebook / drifting embeddings). The
+    assigned-code distance is exactly ``array_min`` over the same
+    (d6, ci) struct array ``pq_ann`` elects codes from — one extra
+    grouped aggregation over the shared wide pivot, no new shuffle
+    shape; mean accumulates via ``davg``'s exact decimals (d6 carries
+    ≤6 fractional digits, so the cast is lossless)."""
+    wide, d6s = _pq_wide(spark, sf_dir)
+    per = wide.select(
+        F.col("sub").cast("bigint").alias("sub"),
+        F.array_min(d6s)["d6"].alias("md"),
+    )
+    return (
+        per.groupBy("sub")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            davg("md").alias("mean_sq_err"),
+            F.max("md").alias("max_sq_err"),
+        )
+        .orderBy("sub")
     )
 
 

@@ -444,6 +444,86 @@ def twap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "roll_spread",
+    oracle="""
+    WITH events_us AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    deltas AS (
+      SELECT event_type, ts, event_id,
+             value - LAG(value) OVER (PARTITION BY event_type ORDER BY ts, event_id)
+               AS d
+      FROM events_us
+    ), pairs AS (
+      SELECT event_type, d,
+             LAG(d) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS dl
+      FROM deltas
+    )
+    SELECT event_type, n_obs, serial_cov,
+           CASE WHEN serial_cov < 0 THEN 2 * sqrt(-serial_cov)
+                ELSE CAST(0 AS DOUBLE) END AS roll_spread
+    FROM (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_obs,
+             CAST(SUM(CAST((d * dl) AS DECIMAL(30,6))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE)
+             - (CAST(SUM(CAST(d AS DECIMAL(30,6))) AS DOUBLE)
+                / CAST(COUNT(*) AS DOUBLE))
+               * (CAST(SUM(CAST(dl AS DECIMAL(30,6))) AS DOUBLE)
+                  / CAST(COUNT(*) AS DOUBLE)) AS serial_cov
+      FROM pairs WHERE d IS NOT NULL AND dl IS NOT NULL
+      GROUP BY event_type
+    ) ORDER BY event_type
+    """,
+    tags=("A7", "W2"),
+)
+def roll_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A7/W2] Roll (1984) effective-spread estimator per stream: under
+    the Roll model, bid-ask bounce makes consecutive price CHANGES
+    negatively serially correlated, and the effective spread is
+    ``2·sqrt(−cov(Δp_t, Δp_{t−1}))`` — a microstructure measure
+    computable from a trade tape alone (no quotes), which is exactly
+    what a tick store at 100 TB has. Positive serial covariance (no
+    bounce detectable) clamps to 0 by convention.
+
+    Shape: one (event_type)-keyed window pass for the two lags (Δp and
+    its lag ride the SAME sort — one exchange, one sort, two frame
+    evaluations), then one grouped aggregation. Exactness: the deltas
+    and their products are identical IEEE expressions in both engines;
+    the three sums route through ``dsum``'s order-independent decimal
+    accumulation, and the covariance/sqrt arithmetic on those rounded
+    sums is the same op sequence on both sides — unrounded outputs,
+    bit-equality by construction (sqrt is IEEE-correctly-rounded)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    deltas = e.select(
+        "event_type",
+        "ts",
+        "event_id",
+        (F.col("value") - F.lag("value").over(w)).alias("d"),
+    )
+    pairs = deltas.select(
+        "event_type", "d", F.lag("d").over(w).alias("dl")
+    ).filter(F.col("d").isNotNull() & F.col("dl").isNotNull())
+    n = F.count(F.lit(1))
+    agg = pairs.groupBy("event_type").agg(
+        n.cast("bigint").alias("n_obs"),
+        (
+            dsum(F.col("d") * F.col("dl")) / n.cast("double")
+            - (dsum("d") / n.cast("double")) * (dsum("dl") / n.cast("double"))
+        ).alias("serial_cov"),
+    )
+    return agg.select(
+        "event_type",
+        "n_obs",
+        "serial_cov",
+        F.when(
+            F.col("serial_cov") < 0, 2 * F.sqrt(-F.col("serial_cov"))
+        )
+        .otherwise(F.lit(0.0))
+        .alias("roll_spread"),
+    ).orderBy("event_type")
+
+
+@query(
     "gapfill_bars",
     oracle="""
     WITH events_us AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),

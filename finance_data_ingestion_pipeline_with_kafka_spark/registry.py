@@ -395,13 +395,23 @@ def query(
 #: Modified during round 13 (re-tiered per the standing rule):
 #: ``pq_ann`` — the ADVICE r12 medium item hardened its long-micros
 #: accumulation (limb-split the adc stage so the headroom bound is
-#: structural, not fixture-dependent); ``zorder_skipping`` — its
-#: 3-row predicate literal moved from ``createDataFrame`` (a statless
-#: LogicalRDD) to a pure explode-over-Range plan so the catalog-wide
-#: prepared-plan honesty sweep (VERDICT r12 ask #2) holds with zero
-#: exemptions. Both plans changed after their r12 verification.
+#: structural, not fixture-dependent), and its wide-pivot front end
+#: moved into the shared ``_pq_wide`` helper the new ``pq_distortion``
+#: audits; ``zorder_skipping`` — its 3-row predicate literal moved from
+#: ``createDataFrame`` (a statless LogicalRDD) to a pure
+#: explode-over-Range plan so the catalog-wide prepared-plan honesty
+#: sweep (VERDICT r12 ask #2) holds with zero exemptions;
+#: ``ngram_jaccard_pairs`` — its blocked-pair kernel split into the
+#: shared ``_bigram_pair_stats`` helper behind the new
+#: ``jaccard_threshold_curve`` (identical plan, but code-changed ⇒
+#: next window).
+#:
+#: Round-13 window arithmetic: 3 brand-new (``roll_spread``,
+#: ``pq_distortion``, ``jaccard_threshold_curve``) + 3 modified +
+#: 10 r7-stale (the whole remaining tier — retired) + 34 of the 48
+#: r8 rows = 50; 14 r8 rows spill to round 14.
 _R13_MODIFIED = frozenset((
-    "pq_ann", "zorder_skipping",
+    "ngram_jaccard_pairs", "pq_ann", "zorder_skipping",
 ))
 _VERIFIED_R7 = frozenset((
     "ab_test_readout", "autocorrelation", "bigram_lm_score", "cusum_changepoint",
@@ -432,7 +442,7 @@ _VERIFIED_R9 = frozenset((
     "intersect_feeds", "json_extraction",
     "kmeans_refine", "kmv_distinct", "lsh_bucket_profile", "map_functions",
     "minhash_band_sweep", "minhash_incremental",
-    "mp3_duration_profile", "ngram_jaccard_pairs",
+    "mp3_duration_profile",
     "pricing_summary", "reservoir_sample", "retention_cohorts", "rolling_volatility",
     "running_drawdown", "semantic_dedup", "shipping_priority_topk",
     "stratified_sample", "string_functions", "table_profile",

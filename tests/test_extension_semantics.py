@@ -2211,3 +2211,96 @@ def test_reliable_checkpoint_stable_dir_no_sprawl(spark, tmp_path, monkeypatch):
         assert execution._APPLIED_CKPT_DIR == ck
     finally:
         monkeypatch.delenv("ENGINE_RELIABLE_CHECKPOINT", raising=False)
+
+
+# ---------------------------------------------------------------------------
+# Round-13 additions: roll_spread, pq_distortion, jaccard_threshold_curve
+# ---------------------------------------------------------------------------
+
+
+def test_roll_spread_matches_brute_force(spark, sf_dir):
+    """Roll estimator vs a pandas brute force on the real fixture: same
+    per-stream serial covariance of consecutive price changes (up to
+    dsum's documented 6-digit addend rounding) and the 2·sqrt(−cov)
+    clamp convention."""
+    import math
+
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.timeseries import (
+        roll_spread,
+    )
+
+    got = {
+        r["event_type"]: r
+        for r in roll_spread(spark, sf_dir).collect()
+    }
+    pdf = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_type", "ts", "event_id", "value")
+        .toPandas()
+        .sort_values(["event_type", "ts", "event_id"])
+    )
+    for etype, g in pdf.groupby("event_type"):
+        d = g["value"].diff().dropna().to_numpy()
+        x, y = d[1:], d[:-1]
+        n = len(x)
+        r6 = lambda v: math.floor(abs(v) * 1e6 + 0.5) / 1e6 * (1 if v >= 0 else -1)
+        sxy = sum(r6(a * b) for a, b in zip(x, y))
+        sx = sum(r6(a) for a in x)
+        sy = sum(r6(b) for b in y)
+        cov = sxy / n - (sx / n) * (sy / n)
+        row = got[etype]
+        assert row["n_obs"] == n
+        assert abs(row["serial_cov"] - cov) < 5e-7, (etype, row["serial_cov"], cov)
+        expect_spread = 2 * math.sqrt(-cov) if cov < 0 else 0.0
+        assert abs(row["roll_spread"] - expect_spread) < 1e-5
+
+
+def test_pq_distortion_is_the_min_cell_distance_mean(spark, sf_dir):
+    """Distortion must aggregate exactly the ASSIGNED-code distances:
+    per sub, mean_sq_err equals the davg of pq_encode's chosen-cluster
+    d6 (recomputed here from the shared wide pivot), every subspace is
+    present, and n_vecs is the full corpus."""
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.similarity import (
+        PQ_SUBS,
+        _pq_wide,
+        pq_distortion,
+    )
+
+    rows = pq_distortion(spark, sf_dir).collect()
+    assert sorted(r["sub"] for r in rows) == list(range(PQ_SUBS))
+    n_corpus = {r["sub"]: r["n_vecs"] for r in rows}
+    assert len(set(n_corpus.values())) == 1  # every sub covers the corpus
+    wide, d6s = _pq_wide(spark, sf_dir)
+    md = wide.select("sub", F.array_min(d6s)["d6"].alias("md")).toPandas()
+    for r in rows:
+        sel = md[md["sub"] == r["sub"]]["md"]
+        assert r["n_vecs"] == len(sel)
+        assert abs(r["mean_sq_err"] - sel.mean()) < 1e-6
+        assert r["max_sq_err"] == sel.max()
+        assert r["mean_sq_err"] >= 0
+
+
+def test_jaccard_threshold_curve_consistency(spark, sf_dir):
+    """The curve must be monotone non-increasing in pairs, and its 0.3
+    row must count exactly the ngram_jaccard_pairs result set (same
+    gate, same kernel)."""
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.dedup import (
+        jaccard_threshold_curve,
+        ngram_jaccard_pairs,
+    )
+
+    curve = sorted(
+        jaccard_threshold_curve(spark, sf_dir).collect(),
+        key=lambda r: r["threshold"],
+    )
+    counts = [r["n_pairs"] for r in curve]
+    assert counts == sorted(counts, reverse=True)
+    base = ngram_jaccard_pairs(spark, sf_dir).count()
+    if curve:
+        assert curve[0]["threshold"] == 0.3
+        assert curve[0]["n_pairs"] == base
+        for r in curve:
+            assert 0.0 <= r["mean_jaccard"] <= 1.0
+            assert r["mean_jaccard"] >= r["threshold"]
+    else:
+        assert base == 0
