@@ -39,3 +39,57 @@ def test_skew_crossover_restores_confs_and_reports(spark, sf_dir):
 def test_streaming_stateful_throughput_reports_rate(spark):
     rate = bench._streaming_stateful_throughput(spark, n_msgs=2_000)
     assert rate > 0
+
+
+def test_soak_flag_parsing_is_strict():
+    """ADVICE r12: the soak tool's space-separated flag form must reject
+    a trailing bare flag cleanly and must NOT treat unrelated flags
+    (--sfoo) as --sf."""
+    import pytest
+
+    from tools import soak_sf1
+
+    # simulate main()'s parse loop via the module-level helper semantics:
+    # we can't call main() (it builds a session), so reproduce the
+    # closure's contract through a tiny harness mirroring its use
+    def parse(argv):
+        names, sf_dir = None, None
+
+        def _flag_value(i, a, flag):
+            if a.startswith(flag + "="):
+                return a.split("=", 1)[1]
+            if a == flag:
+                if i + 1 >= len(argv):
+                    raise SystemExit(f"usage: {flag} requires a value operand")
+                return argv[i + 1]
+            return None
+
+        for i, a in enumerate(argv):
+            if (v := _flag_value(i, a, "--queries")) is not None:
+                names = v.split(",")
+            elif (v := _flag_value(i, a, "--sf")) is not None:
+                sf_dir = v
+        return names, sf_dir
+
+    assert parse(["--sf=/x", "--queries=a,b"]) == (["a", "b"], "/x")
+    assert parse(["--sf", "/y"]) == (None, "/y")
+    # unrelated flag prefixed with --sf must not consume the next token
+    assert parse(["--sfoo", "/z"]) == (None, None)
+    with pytest.raises(SystemExit):
+        parse(["--queries"])
+    # and the real module must carry the strict form (no bare startswith)
+    import inspect
+
+    src = inspect.getsource(soak_sf1.main)
+    assert 'startswith("--sf")' not in src and "startswith('--sf')" not in src
+
+
+def test_stream_ab_subprocess_mode_contract():
+    """bench.py's SPARK_GRAFT_STREAM_AB_ONLY mode must exist and the
+    trigger threshold must match the documented 25k gate."""
+    import inspect
+
+    src = inspect.getsource(bench.main)
+    assert "SPARK_GRAFT_STREAM_AB_ONLY" in src
+    assert "25_000" in src
+    assert callable(bench._streaming_steady_ab)
