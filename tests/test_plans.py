@@ -438,3 +438,38 @@ def test_probe_sweep_single_probe_join(spark, sf_dir):
     assert "CartesianProduct" not in p
     assert "SortMergeJoin" not in p
     assert "Union" not in p
+
+
+def test_roll_spread_single_exchange(spark, sf_dir):
+    """The two lags ride ONE (event_type)-hash exchange and the grouped
+    aggregation REUSES that partitioning — at 100 TB the tick tape is
+    shuffled exactly once. No join machinery anywhere."""
+    p = executed_plan(q(spark, sf_dir, "roll_spread"))
+    assert p.count("Exchange hashpartitioning") == 1, p
+    for bad in ("SortMergeJoin", "CartesianProduct", "BroadcastNestedLoop"):
+        assert bad not in p, bad
+    assert p.count("Scan parquet") == 1
+
+
+def test_pq_distortion_shares_pq_shape(spark, sf_dir):
+    """Distortion audits the SAME wide pivot pq_ann builds: codebook
+    broadcasts (one BroadcastHashJoin, never a sort-merge), and the
+    whole query runs in ≤4 hash exchanges (codebook train x2, wide
+    pivot, final per-sub aggregate) — no extra shuffle shape beyond the
+    index build it audits."""
+    p = executed_plan(q(spark, sf_dir, "pq_distortion"))
+    assert p.count("Exchange hashpartitioning") <= 4, p
+    assert "BroadcastHashJoin" in p
+    for bad in ("SortMergeJoin", "CartesianProduct"):
+        assert bad not in p, bad
+
+
+def test_jaccard_threshold_curve_single_pass(spark, sf_dir):
+    """The 7-threshold sweep must NOT multiply the blocked-pair kernel:
+    one broadcast pair join, ONE post-fan hash exchange for the
+    grouped curve, no union of per-threshold branches."""
+    p = executed_plan(q(spark, sf_dir, "jaccard_threshold_curve"))
+    assert p.count("Exchange hashpartitioning") <= 2, p
+    assert "BroadcastHashJoin" in p
+    for bad in ("SortMergeJoin", "CartesianProduct", "Union"):
+        assert bad not in p, bad
