@@ -303,3 +303,14 @@ def test_prepared_plan_is_materialization_free(spark, sf_dir, name):
             "construction materialized rows; register prepared=False or "
             "rewrite the literal as a pure plan (explode-over-Range)"
         )
+    # the sibling hazard: a construction-time .persist() doesn't appear
+    # in the analyzed plan — CacheManager substitutes InMemoryRelation
+    # at optimization time, and the canonicalized-plan match replays
+    # cached rows ACROSS invocations (the r12 lesson). The optimizer
+    # pass below runs no job; it just surfaces the substitution.
+    opt = again._jdf.queryExecution().optimizedPlan().toString()
+    assert "InMemoryRelation" not in opt, (
+        f"{name}: prepared=True but its optimized plan reads an "
+        "InMemoryRelation — construction persisted a subtree; cached "
+        "rows would replay across invocations"
+    )
