@@ -822,6 +822,11 @@ def _bigram_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM fanned GROUP BY k ORDER BY threshold
     """,
     tags=("U4",),
+    crossover=False,  # same pathology as ngram_jaccard_pairs: key-shift
+    # replication clones document TEXT, so every replica pair is an exact
+    # near-dup — pair count (and wall, BOTH engines) grows ~replicate²
+    # (soak: 0.9 s at 1× → 218 s at 10×, a fixture artifact, not a plan
+    # property; real corpora don't 10×-duplicate every document)
 )
 def jaccard_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[U4] Dedup-threshold tuning curve: surviving pair count and mean
