@@ -2168,3 +2168,183 @@ def matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+RRF_ARM_DEPTH = 50  # candidates retrieved per arm before fusion
+RRF_TOP_K = 10  # fused results emitted per query
+
+_HYBRID_RRF_ORACLE = f"""
+    WITH vecs AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+      WHERE list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                             list_transform(embedding, x -> CAST(x AS DOUBLE))) > 0
+    ), qv AS (SELECT vec_id AS query_id, v AS qv FROM vecs WHERE vec_id < {N_QUERY_VECS}),
+    vec_scored AS (
+      SELECT q.query_id, vecs.vec_id AS doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.query_id
+               ORDER BY ROUND(list_dot_product(q.qv, vecs.v)
+                              / (sqrt(list_dot_product(q.qv, q.qv))
+                                 * sqrt(list_dot_product(vecs.v, vecs.v))), 6) DESC,
+                        vecs.vec_id) AS vec_rank
+      FROM qv q JOIN vecs ON vecs.vec_id <> q.query_id
+    ), vec_arm AS (
+      SELECT query_id, doc_id, vec_rank FROM vec_scored WHERE vec_rank <= {RRF_ARM_DEPTH}
+    ), terms AS (
+      SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+      FROM documents
+    ), sizes AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms FROM terms GROUP BY doc_id
+    ), qt AS (
+      SELECT doc_id AS query_id, term FROM terms WHERE doc_id < {N_QUERY_VECS}
+    ), inter AS (
+      SELECT q.query_id, t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_inter
+      FROM qt q JOIN terms t ON t.term = q.term AND t.doc_id <> q.query_id
+      GROUP BY q.query_id, t.doc_id
+    ), lex_scored AS (
+      SELECT i.query_id, i.doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY i.query_id
+               ORDER BY ROUND(CAST(i.n_inter AS DOUBLE)
+                              / (sq.n_terms + sd.n_terms - i.n_inter), 6) DESC,
+                        i.doc_id) AS lex_rank
+      FROM inter i
+      JOIN sizes sq ON sq.doc_id = i.query_id
+      JOIN sizes sd ON sd.doc_id = i.doc_id
+    ), lex_arm AS (
+      SELECT query_id, doc_id, lex_rank FROM lex_scored WHERE lex_rank <= {RRF_ARM_DEPTH}
+    ), fused AS (
+      SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+             COALESCE(l.doc_id, v.doc_id) AS doc_id,
+             l.lex_rank, v.vec_rank,
+             COALESCE(1.0 / ({RRF_K} + l.lex_rank), 0.0)
+               + COALESCE(1.0 / ({RRF_K} + v.vec_rank), 0.0) AS rrf_score
+      FROM lex_arm l FULL OUTER JOIN vec_arm v
+        ON l.query_id = v.query_id AND l.doc_id = v.doc_id
+    )
+    SELECT query_id, doc_id,
+           CAST(lex_rank AS INT) AS lex_rank, CAST(vec_rank AS INT) AS vec_rank,
+           rrf_score
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_score DESC, doc_id) AS rn
+      FROM fused
+    ) WHERE rn <= {RRF_TOP_K}
+    ORDER BY query_id, rrf_score DESC, doc_id
+"""
+
+
+@query("hybrid_rrf_fusion", oracle=_HYBRID_RRF_ORACLE, tags=("U5", "U6"))
+def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U5+U6] Hybrid retrieval with reciprocal-rank fusion — the
+    two-tower RAG/search shape the catalog's arms implement separately:
+    a LEXICAL arm (token-set Jaccard through the inverted-index join —
+    the ``ngram_jaccard_pairs`` retrieval shape, scoped to the query
+    set) and a VECTOR arm (exact cosine ranking, the ``knn_bruteforce``
+    contract built lazily), fused per query by
+    ``Σ 1/(60 + rank)`` over each arm's top-{RRF_ARM_DEPTH}
+    (Cormack et al.'s RRF — rank-only fusion, immune to the two arms'
+    incomparable score scales). Docs retrieved by one arm only keep
+    that arm's term (the standard convention); emitted columns keep both
+    ranks nullable so the fusion is auditable.
+
+    The corpus ships documents and embeddings under a SHARED id space
+    (doc_id ≡ vec_id), which is exactly how a production store keys its
+    text and vector indexes; queries are the first {N_QUERY_VECS} ids —
+    the same query set every U5 metric uses.
+
+    Exactness: both arm ranks are ROW_NUMBERs over (rounded score,
+    doc_id) total orders; the fused score is a sum of two rationals with
+    small-integer denominators — identical doubles cross-engine, shipped
+    UNROUNDED (the ``bollinger_bands`` identical-integer-operand
+    argument; rounding at 6 digits would COLLIDE adjacent deep-rank RRF
+    values, which differ by ~8e-5 at rank 50 but can tie after a sum).
+
+    Scale: the vector arm is the broadcast-queries-never-shuffle-corpus
+    shape (5 query rows broadcast into one corpus scan); the lexical arm
+    is an inverted-index probe — query terms broadcast, the posting join
+    touches only term-sharing pairs, never a cartesian; both arms' rank
+    windows run over ≤ queries × corpus-candidates, and the fusion join
+    + final top-k touch ≤ 2·{RRF_ARM_DEPTH} rows per query. Construction
+    is pure-lazy (no collect — unlike ``knn_bruteforce``'s deliberate
+    driver-side query shipping), so the plan is prepared-cache safe."""
+    from .text import tokens
+
+    e = nonzero(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").alias("v")
+        )
+    )
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    vec_scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                dot("qv", "v") / (F.sqrt(dot("qv", "qv")) * F.sqrt(dot("v", "v"))), 6
+            ).alias("cos"),
+        )
+    )
+    wv = Window.partitionBy("query_id").orderBy(F.desc("cos"), "doc_id")
+    vec_arm = (
+        vec_scored.select("query_id", "doc_id", F.row_number().over(wv).alias("vec_rank"))
+        .filter(F.col("vec_rank") <= RRF_ARM_DEPTH)
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    terms = d.select("doc_id", F.explode(tokens()).alias("term")).distinct()
+    sizes = terms.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_terms"))
+    qt = terms.filter(F.col("doc_id") < N_QUERY_VECS).select(
+        F.col("doc_id").alias("query_id"), "term"
+    )
+    inter = (
+        terms.join(F.broadcast(qt), ["term"])
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_inter"))
+    )
+    jac = F.round(
+        F.col("n_inter").cast("double")
+        / (F.col("nq") + F.col("nd") - F.col("n_inter")),
+        6,
+    )
+    wl = Window.partitionBy("query_id").orderBy(F.desc("jac"), "doc_id")
+    lex_arm = (
+        inter.join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("query_id"), F.col("n_terms").alias("nq"))),
+            "query_id",
+        )
+        .join(sizes.select("doc_id", F.col("n_terms").alias("nd")), "doc_id")
+        .select("query_id", "doc_id", jac.alias("jac"))
+        .select("query_id", "doc_id", F.row_number().over(wl).alias("lex_rank"))
+        .filter(F.col("lex_rank") <= RRF_ARM_DEPTH)
+    )
+
+    fused = lex_arm.join(vec_arm, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        "lex_rank",
+        "vec_rank",
+        (
+            F.coalesce(1.0 / (RRF_K + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (RRF_K + F.col("vec_rank")), F.lit(0.0))
+        ).alias("rrf_score"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.desc("rrf_score"), "doc_id")
+    return (
+        fused.withColumn("rn", F.row_number().over(wf))
+        .filter(F.col("rn") <= RRF_TOP_K)
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("lex_rank").cast("int").alias("lex_rank"),
+            F.col("vec_rank").cast("int").alias("vec_rank"),
+            "rrf_score",
+        )
+        .orderBy("query_id", F.desc("rrf_score"), "doc_id")
+    )

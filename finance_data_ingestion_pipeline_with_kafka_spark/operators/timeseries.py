@@ -523,6 +523,342 @@ def roll_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+ATR_BARS = 14  # trailing bars in the ATR / Keltner frame
+KELTNER_MULT = 1.5  # band half-width in ATR units
+#: 2·ln(2) − 1 pinned as ONE double literal shared by both engines —
+#: letting each engine evaluate its own ln(2) would seed the constant
+#: with libm-vs-StrictMath ULP drift before any data arrives.
+GK_COEF = 0.3862943611198906
+
+
+@query(
+    "atr_keltner",
+    oracle=f"""
+    WITH events_us AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    ranked AS (
+      SELECT event_type, time_bucket(INTERVAL '6 hours', ts) AS bar_start, ts, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type, time_bucket(INTERVAL '6 hours', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_close
+      FROM events_us
+    ), bars AS (
+      SELECT event_type, bar_start,
+             CAST(MAX(value) AS DOUBLE) AS high,
+             CAST(MIN(value) AS DOUBLE) AS low,
+             MAX(CASE WHEN rn_close = 1 THEN value END) AS close
+      FROM ranked GROUP BY event_type, bar_start
+    ), tr AS (
+      SELECT event_type, bar_start, close,
+             CAST(FLOOR(GREATEST(
+               high - low,
+               ABS(high - COALESCE(LAG(close) OVER w, close)),
+               ABS(low - COALESCE(LAG(close) OVER w, close))
+             ) * 1000000 + 0.5) AS BIGINT) AS trm,
+             CAST(FLOOR(close * 1000000 + 0.5) AS BIGINT) AS cm
+      FROM bars
+      WINDOW w AS (PARTITION BY event_type ORDER BY bar_start)
+    ), acc AS (
+      SELECT event_type, bar_start, close, trm,
+             SUM(trm) OVER f AS s_tr,
+             SUM(cm) OVER f AS s_c,
+             COUNT(*) OVER f AS n
+      FROM tr
+      WINDOW f AS (PARTITION BY event_type ORDER BY bar_start
+                   ROWS BETWEEN {ATR_BARS - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, bar_start, close,
+           CAST(trm AS DOUBLE) / 1000000.0 AS true_range,
+           atr, kc_mid,
+           kc_mid + {KELTNER_MULT} * atr AS kc_upper,
+           kc_mid - {KELTNER_MULT} * atr AS kc_lower
+    FROM (
+      SELECT event_type, bar_start, close, trm, n,
+             CAST(s_tr AS DOUBLE) / n / 1000000.0 AS atr,
+             CAST(s_c AS DOUBLE) / n / 1000000.0 AS kc_mid
+      FROM acc
+    ) WHERE n = {ATR_BARS}
+    ORDER BY event_type, bar_start
+    """,
+    tags=("A3", "W4"),
+)
+def atr_keltner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A3] Average True Range (trailing {ATR_BARS}-bar mean of Wilder's
+    true range over 6-hour OHLC bars) and the Keltner-style channel
+    around the same frame's mean close (mid ± {KELTNER_MULT}·ATR) — the
+    volatility-scaled band the indicator family was missing: Bollinger
+    widens with CLOSE variance, Donchian with raw extremes, Keltner with
+    realized RANGE, and regime filters consume all three.
+
+    Determinism is the ``bollinger_bands`` integer-lane recipe: the true
+    range is a deterministic double (max/min/lag inputs are exact order
+    statistics, the subtractions/ABS/GREATEST identical IEEE ops in both
+    engines), snapped to integer micros BEFORE the frame sum, so the
+    windowed accumulations are exact BIGINTs no segment-tree order can
+    perturb; every emitted double derives from identical integers via
+    identical op sequences — outputs ship UNROUNDED. The first bar of
+    each series coalesces prev_close to close, collapsing TR to
+    high − low (the textbook seed). Only full {ATR_BARS}-bar frames emit.
+
+    Scale: one hash aggregation ticks→bars (map-side partials), then
+    windows over the BAR table — thousands of rows per instrument-year,
+    not ticks; frame state is a bounded pair of longs. The micros lane
+    holds to ~9e12 bars per frame — structurally unreachable with a
+    {ATR_BARS}-row frame (the headroom argument is static, unlike an
+    unbounded cumulative sum)."""
+    e = load_table(spark, sf_dir, "events")
+    tiebreak = F.struct(F.col("ts"), F.col("event_id"))
+    bars = e.groupBy(
+        "event_type", F.window("ts", "6 hours").start.alias("bar_start")
+    ).agg(
+        F.max("value").cast("double").alias("high"),
+        F.min("value").cast("double").alias("low"),
+        F.max_by("value", tiebreak).alias("close"),
+    )
+    wlag = Window.partitionBy("event_type").orderBy("bar_start")
+    pc = F.coalesce(F.lag("close").over(wlag), F.col("close"))
+    trng = F.greatest(
+        F.col("high") - F.col("low"),
+        F.abs(F.col("high") - pc),
+        F.abs(F.col("low") - pc),
+    )
+    tr = bars.select(
+        "event_type",
+        "bar_start",
+        "close",
+        F.floor(trng * 1000000 + 0.5).cast("bigint").alias("trm"),
+        F.floor(F.col("close") * 1000000 + 0.5).cast("bigint").alias("cm"),
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("bar_start")
+        .rowsBetween(-(ATR_BARS - 1), Window.currentRow)
+    )
+    acc = tr.select(
+        "event_type",
+        "bar_start",
+        "close",
+        "trm",
+        F.sum("trm").over(wf).alias("s_tr"),
+        F.sum("cm").over(wf).alias("s_c"),
+        F.count(F.lit(1)).over(wf).alias("n"),
+    ).filter(F.col("n") == ATR_BARS)
+    atr = F.col("s_tr").cast("double") / F.col("n") / 1000000.0
+    mid = F.col("s_c").cast("double") / F.col("n") / 1000000.0
+    return acc.select(
+        "event_type",
+        "bar_start",
+        "close",
+        (F.col("trm").cast("double") / 1000000.0).alias("true_range"),
+        atr.alias("atr"),
+        mid.alias("kc_mid"),
+        (mid + KELTNER_MULT * atr).alias("kc_upper"),
+        (mid - KELTNER_MULT * atr).alias("kc_lower"),
+    ).orderBy("event_type", "bar_start")
+
+
+@query(
+    "garman_klass_vol",
+    oracle=f"""
+    WITH events_us AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    ranked AS (
+      SELECT event_type, time_bucket(INTERVAL '6 hours', ts) AS bar_start, ts, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type, time_bucket(INTERVAL '6 hours', ts)
+                                ORDER BY ts, event_id) AS rn_open,
+             ROW_NUMBER() OVER (PARTITION BY event_type, time_bucket(INTERVAL '6 hours', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_close
+      FROM events_us
+    ), bars AS (
+      SELECT event_type, bar_start,
+             MAX(CASE WHEN rn_open = 1 THEN value END) AS open,
+             CAST(MAX(value) AS DOUBLE) AS high,
+             CAST(MIN(value) AS DOUBLE) AS low,
+             MAX(CASE WHEN rn_close = 1 THEN value END) AS close
+      FROM ranked GROUP BY event_type, bar_start
+    ), terms AS (
+      SELECT event_type, date_trunc('day', bar_start) AS day,
+             CAST(0.5 * ln(high / low) * ln(high / low)
+                  - {GK_COEF} * ln(close / open) * ln(close / open)
+                  AS DECIMAL(38,12)) AS gk
+      FROM bars WHERE low > 0 AND open > 0 AND close > 0
+    )
+    SELECT event_type, day,
+           CAST(COUNT(*) AS BIGINT) AS n_bars,
+           CAST(SUM(gk) AS DOUBLE) / COUNT(*) AS gk_var,
+           CASE WHEN SUM(gk) >= 0
+                THEN sqrt(CAST(SUM(gk) AS DOUBLE) / COUNT(*)) END AS gk_vol
+    FROM terms GROUP BY event_type, day
+    ORDER BY event_type, day
+    """,
+    tags=("A7", "A2"),
+)
+def garman_klass_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A7] Garman–Klass (1980) range-based volatility per stream-day:
+    per 6-hour OHLC bar the estimator ``0.5·ln(H/L)² − (2ln2−1)·ln(C/O)²``,
+    averaged over the day's bars and square-rooted — ~7× more efficient
+    per observation than close-to-close variance (``rolling_volatility``),
+    which is why tick stores compute it from the SAME bar table the
+    charting path already maintains.
+
+    Numeric contract: the bar ratios H/L and C/O are identical doubles in
+    both engines (order statistics + one correctly-rounded divide); each
+    ln carries ~1-ulp libm-vs-StrictMath drift, absorbed by rounding the
+    per-bar TERM into DECIMAL(38,12) before the daily sum (grain 1e-12 vs
+    drift ~1e-17 absolute on terms ≤ ~1e-2 — the ``unigram_logprob``
+    pattern, scale-tuned to this estimator's magnitude); the 2ln2−1
+    coefficient is ONE shared double literal, never each engine's own
+    ln(2). The decimal daily sum is order-free, so the emitted var/vol
+    derive from identical operands — UNROUNDED. Degenerate bars guard:
+    non-positive open/low/close rows are excluded identically (the
+    fixture is all-positive; the predicate is the ANSI-divide/ln(≤0)
+    firewall for real tapes). Negative daily sums (possible: the GK
+    drift term can exceed the range term) emit NULL vol, identically.
+
+    Scale: the same single ticks→bars hash aggregation ``ohlcv_bars``
+    runs, then a (type, day) regroup of the tiny bar table — two
+    partial+final aggregations, no window over ticks, no Python."""
+    e = load_table(spark, sf_dir, "events")
+    tiebreak = F.struct(F.col("ts"), F.col("event_id"))
+    bars = e.groupBy(
+        "event_type", F.window("ts", "6 hours").start.alias("bar_start")
+    ).agg(
+        F.min_by("value", tiebreak).alias("open"),
+        F.max("value").cast("double").alias("high"),
+        F.min("value").cast("double").alias("low"),
+        F.max_by("value", tiebreak).alias("close"),
+    )
+    lhl = F.log(F.col("high") / F.col("low"))
+    lco = F.log(F.col("close") / F.col("open"))
+    gk = (0.5 * lhl * lhl - GK_COEF * lco * lco).cast("decimal(38,12)")
+    terms = bars.filter(
+        (F.col("low") > 0) & (F.col("open") > 0) & (F.col("close") > 0)
+    ).select(
+        "event_type", F.date_trunc("day", "bar_start").alias("day"), gk.alias("gk")
+    )
+    s = F.sum("gk")
+    return (
+        terms.groupBy("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bars"),
+            (s.cast("double") / F.count(F.lit(1))).alias("gk_var"),
+            F.when(
+                s >= 0, F.sqrt(s.cast("double") / F.count(F.lit(1)))
+            ).alias("gk_vol"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+XCORR_MAX_LAG = 3  # hourly lags 0..3
+
+
+@query(
+    "lead_lag_xcorr",
+    oracle=f"""
+    WITH events_us AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    hourly AS (
+      SELECT event_type, CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS h,
+             CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS s
+      FROM events_us GROUP BY event_type, h
+    ), lags AS (
+      SELECT unnest(generate_series(0, {XCORR_MAX_LAG})) AS lag_h
+    ), paired AS (
+      SELECT a.event_type AS lead_type, b.event_type AS lag_type,
+             l.lag_h, a.s AS x, b.s AS y
+      FROM hourly a
+      CROSS JOIN lags l
+      JOIN hourly b ON b.event_type > a.event_type AND b.h = a.h + l.lag_h
+    ), m AS (
+      SELECT lead_type, lag_type, lag_h,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(30,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(30,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+      FROM paired GROUP BY lead_type, lag_type, lag_h
+    )
+    SELECT lead_type, lag_type, lag_h, n,
+           CASE WHEN n > 1 AND (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                THEN ROUND((n * sxy - sx * sy)
+                           / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+           END AS xcorr
+    FROM m
+    ORDER BY lead_type, lag_type, lag_h
+    """,
+    tags=("A7", "J6"),
+)
+def lead_lag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A7] Lead–lag cross-correlation matrix: Pearson correlation
+    between every ordered stream pair's hourly flow series, at lags
+    0..{XCORR_MAX_LAG} hours (does stream A's volume this hour predict
+    stream B's next hour?) — the signal-discovery scan behind pairs
+    selection and lead-lag execution models, and the lagged
+    generalization of ``rolling_pair_correlation`` (which is
+    contemporaneous-only).
+
+    Shape at scale — the decisive property is WHERE the correlation
+    runs: one ticks→(type, hour) hash aggregation collapses the tape to
+    a bar frame (bounded by types × hours, thousands of rows per year
+    regardless of tick volume), and the pair×lag self-join + moment
+    aggregation run entirely on that tiny frame — broadcastable, no
+    fact-sized shuffle after the first. Missing hours pair only where
+    BOTH series observed flow (pairwise-complete semantics; the
+    zero-filled variant is one ``gapfill_bars`` spine away and
+    deliberately not conflated here).
+
+    Exactness: hourly sums are ``dsum`` decimal accumulations → identical
+    doubles; the hour key is integer epoch-hours (``floor(epoch/3600)``
+    — DuckDB's fractional-seconds epoch and Spark's truncating
+    ``unix_timestamp`` agree because a sub-second fraction cannot cross
+    a 3600 s boundary); the five moment sums are exact decimal lanes
+    (the ``correlation`` recipe), and the final formula is guarded
+    against degenerate variance (NULL in both engines, never a
+    div-by-zero NaN/inf split)."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("h"),
+    ).agg(dsum("value").alias("s"))
+    # pure-plan lag literal (Range, not createDataFrame — the catalog-wide
+    # prepared-plan sweep forbids LogicalRDD leaves)
+    lags = spark.range(XCORR_MAX_LAG + 1).select(
+        F.col("id").cast("bigint").alias("lag_h")
+    )
+    a = hourly.select(
+        F.col("event_type").alias("lead_type"), F.col("h").alias("ha"), F.col("s").alias("x")
+    )
+    b = hourly.select(
+        F.col("event_type").alias("lag_type"), F.col("h").alias("hb"), F.col("s").alias("y")
+    )
+    paired = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            F.broadcast(b),
+            (F.col("lag_type") > F.col("lead_type"))
+            & (F.col("hb") == F.col("ha") + F.col("lag_h")),
+        )
+    )
+    x, y = F.col("x"), F.col("y")
+    m = paired.groupBy("lead_type", "lag_type", "lag_h").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(x.cast(DEC)).cast("double").alias("sx"),
+        F.sum(y.cast(DEC)).cast("double").alias("sy"),
+        F.sum((x * x).cast("decimal(38,6)")).cast("double").alias("sxx"),
+        F.sum((y * y).cast("decimal(38,6)")).cast("double").alias("syy"),
+        F.sum((x * y).cast("decimal(38,6)")).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    varx = n * F.col("sxx") - sx * sx
+    vary = n * F.col("syy") - sy * sy
+    corr = (n * F.col("sxy") - sx * sy) / (F.sqrt(varx) * F.sqrt(vary))
+    return m.select(
+        "lead_type",
+        "lag_type",
+        "lag_h",
+        "n",
+        F.when((n > 1) & (varx > 0) & (vary > 0), F.round(corr, 6)).alias("xcorr"),
+    ).orderBy("lead_type", "lag_type", "lag_h")
+
+
 @query(
     "gapfill_bars",
     oracle="""

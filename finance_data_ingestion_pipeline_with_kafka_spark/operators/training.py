@@ -429,6 +429,117 @@ def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ks_drift",
+    oracle="""
+    WITH counts AS (
+      SELECT event_type, value,
+             CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+             CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_b
+      FROM events GROUP BY event_type, value
+    ), cum AS (
+      SELECT event_type, value,
+             SUM(c_a) OVER (PARTITION BY event_type ORDER BY value
+                            ROWS UNBOUNDED PRECEDING) AS cum_a,
+             SUM(c_b) OVER (PARTITION BY event_type ORDER BY value
+                            ROWS UNBOUNDED PRECEDING) AS cum_b,
+             CAST(SUM(c_a) OVER (PARTITION BY event_type) AS BIGINT) AS n_a,
+             CAST(SUM(c_b) OVER (PARTITION BY event_type) AS BIGINT) AS n_b
+      FROM counts
+    ), gaps AS (
+      SELECT event_type, value, n_a, n_b,
+             ABS(CAST(cum_a AS DECIMAL(38,0)) * n_b
+                 - CAST(cum_b AS DECIMAL(38,0)) * n_a) AS d_num
+      FROM cum
+    )
+    SELECT event_type, n_a, n_b, value AS ks_at,
+           ROUND(CAST(d_num AS DOUBLE)
+                 / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) AS ks_d
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY d_num DESC, value) AS rn
+      FROM gaps
+    ) WHERE rn = 1
+    ORDER BY event_type
+    """,
+    tags=("A7",),
+)
+def ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A7-adjacent] Two-sample Kolmogorov–Smirnov statistic per
+    event_type between the same user-parity cohorts ``psi_value_drift``
+    monitors — the binning-free drift test that catches shape changes
+    PSI's equal-width histogram smears out (PSI needs a bin count; KS is
+    the sup-norm gap between the two empirical CDFs and has a
+    distribution-free critical value). Curation pipelines run both: PSI
+    for the per-bin attribution, KS for the sharp accept/reject.
+
+    Exactness by construction: the CDF gap at each distinct value is the
+    integer cross-product ``|cum_a·n_b − cum_b·n_a|`` — no per-row
+    division — carried in DECIMAL(38,0) (cum ≤ n, so the product is
+    bounded by n_a·n_b; the decimal lane holds both cohorts to ~1e19
+    rows, far past any realistic per-type volume, where a bare int64
+    lane would wrap at n_a·n_b > 9.2e18 — the ``pq_ann`` headroom
+    lesson applied at design time). The argmax row is elected by
+    (gap DESC, value ASC) ROW_NUMBER — a total order, so the reported
+    location is deterministic under ties. The single division happens
+    once per event_type on the elected row; n_a·n_b at any volume below
+    2^53 makes it exact-operand, and past that the 6-digit rounding
+    grain dominates the ULP.
+
+    Scale: one (event_type, value) hash aggregation with map-side
+    partials absorbs the tick volume; the window pass then sorts only
+    DISTINCT values per type (domain-bounded, ≪ tick count). For a
+    genuinely continuous value domain at extreme scale the same plan
+    runs on quantile-bucketed values (the PSI binning) — the gap
+    statistic degrades gracefully to a binned KS."""
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy("event_type", "value").agg(
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("c_a"),
+        F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("c_b"),
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("event_type")
+    cum = counts.select(
+        "event_type",
+        "value",
+        F.sum("c_a").over(wcum).alias("cum_a"),
+        F.sum("c_b").over(wcum).alias("cum_b"),
+        F.sum("c_a").over(wtot).cast("bigint").alias("n_a"),
+        F.sum("c_b").over(wtot).cast("bigint").alias("n_b"),
+    )
+    d_num = F.abs(
+        F.col("cum_a").cast("decimal(38,0)") * F.col("n_b")
+        - F.col("cum_b").cast("decimal(38,0)") * F.col("n_a")
+    )
+    welect = Window.partitionBy("event_type").orderBy(F.desc("d_num"), "value")
+    gaps = cum.withColumn("d_num", d_num).withColumn(
+        "rn", F.row_number().over(welect)
+    )
+    return (
+        gaps.filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            "n_a",
+            "n_b",
+            F.col("value").alias("ks_at"),
+            F.round(
+                F.col("d_num").cast("double")
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+                6,
+            ).alias("ks_d"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
     "vocab_coverage",
     oracle=f"""
     WITH toks AS (

@@ -406,10 +406,12 @@ def query(
 #: ``jaccard_threshold_curve`` (identical plan, but code-changed ⇒
 #: next window).
 #:
-#: Round-13 window arithmetic: 3 brand-new (``roll_spread``,
-#: ``pq_distortion``, ``jaccard_threshold_curve``) + 3 modified +
-#: 10 r7-stale (the whole remaining tier — retired) + 34 of the 48
-#: r8 rows = 50; 14 r8 rows spill to round 14.
+#: Round-13 window arithmetic: 8 brand-new (``roll_spread``,
+#: ``pq_distortion``, ``jaccard_threshold_curve``, then the session-2
+#: additions ``ks_drift``, ``atr_keltner``, ``garman_klass_vol``,
+#: ``lead_lag_xcorr``, ``hybrid_rrf_fusion``) + 3 modified +
+#: 10 r7-stale (the whole remaining tier — retired) + 29 of the 48
+#: r8 rows = 50; 19 r8 rows spill to round 14.
 _R13_MODIFIED = frozenset((
     "ngram_jaccard_pairs", "pq_ann", "zorder_skipping",
 ))

@@ -2304,3 +2304,224 @@ def test_jaccard_threshold_curve_consistency(spark, sf_dir):
             assert r["mean_jaccard"] >= r["threshold"]
     else:
         assert base == 0
+
+
+# ---------------------------------------------------------------------------
+# Round-13 session-2 additions: ks_drift, atr_keltner, garman_klass_vol,
+# lead_lag_xcorr, hybrid_rrf_fusion
+# ---------------------------------------------------------------------------
+
+
+def test_ks_drift_matches_brute_force(spark, sf_dir):
+    """KS statistic vs a direct two-sample empirical-CDF sup in numpy on
+    the real fixture: same D, same cohort sizes, and the reported ks_at
+    location actually attains the maximum gap."""
+    import numpy as np
+
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.training import (
+        ks_drift,
+    )
+
+    got = {r["event_type"]: r for r in ks_drift(spark, sf_dir).collect()}
+    pdf = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_type", "user_id", "value")
+        .toPandas()
+    )
+    for etype, g in pdf.groupby("event_type"):
+        a = np.sort(g[g["user_id"] % 2 == 0]["value"].to_numpy())
+        b = np.sort(g[g["user_id"] % 2 == 1]["value"].to_numpy())
+        xs = np.unique(np.concatenate([a, b]))
+        fa = np.searchsorted(a, xs, side="right") / len(a)
+        fb = np.searchsorted(b, xs, side="right") / len(b)
+        gaps = np.abs(fa - fb)
+        d = gaps.max()
+        row = got[etype]
+        assert row["n_a"] == len(a) and row["n_b"] == len(b)
+        assert abs(row["ks_d"] - d) < 1e-6, (etype, row["ks_d"], d)
+        # the elected location attains the max (and is the smallest such x)
+        at = row["ks_at"]
+        i = np.searchsorted(xs, at)
+        assert xs[i] == at
+        assert abs(gaps[i] - d) < 1e-12
+        assert (gaps[:i] < d - 1e-12).all()
+
+
+def test_atr_keltner_matches_brute_force(spark, sf_dir):
+    """ATR/Keltner vs a pandas recomputation from the same 6-hour bars:
+    identical true ranges (to the documented micros snap), full-frame-only
+    emission, and the band identity upper − lower = 2·mult·ATR."""
+    import math
+
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.timeseries import (
+        ATR_BARS,
+        KELTNER_MULT,
+        atr_keltner,
+    )
+
+    rows = atr_keltner(spark, sf_dir).collect()
+    assert rows, "fixture must produce full frames"
+    e = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_type", "ts", "event_id", "value")
+        .toPandas()
+        .sort_values(["event_type", "ts", "event_id"])
+    )
+    e["bar"] = e["ts"].dt.floor("6h")
+    bars = (
+        e.groupby(["event_type", "bar"])
+        .agg(high=("value", "max"), low=("value", "min"), close=("value", "last"))
+        .reset_index()
+        .sort_values(["event_type", "bar"])
+    )
+    micro = lambda v: math.floor(v * 1e6 + 0.5)
+    expect = {}
+    for etype, g in bars.groupby("event_type"):
+        g = g.reset_index(drop=True)
+        pc = g["close"].shift(1).fillna(g["close"])
+        tr = [
+            micro(max(h - l, abs(h - p), abs(l - p)))
+            for h, l, p in zip(g["high"], g["low"], pc)
+        ]
+        cm = [micro(c) for c in g["close"]]
+        for i in range(ATR_BARS - 1, len(g)):
+            atr = sum(tr[i - ATR_BARS + 1 : i + 1]) / ATR_BARS / 1e6
+            mid = sum(cm[i - ATR_BARS + 1 : i + 1]) / ATR_BARS / 1e6
+            expect[(etype, g["bar"][i].to_pydatetime())] = (atr, mid)
+    assert len(rows) == len(expect)
+    for r in rows:
+        atr, mid = expect[(r["event_type"], r["bar_start"])]
+        assert abs(r["atr"] - atr) < 1e-9
+        assert abs(r["kc_mid"] - mid) < 1e-9
+        assert abs(
+            (r["kc_upper"] - r["kc_lower"]) - 2 * KELTNER_MULT * r["atr"]
+        ) < 1e-9
+        assert r["true_range"] >= 0
+
+
+def test_garman_klass_matches_brute_force(spark, sf_dir):
+    """GK daily variance vs a numpy recomputation from the same bars
+    (including the 2ln2−1 literal and the per-term decimal snap), and
+    vol = sqrt(var) whenever var ≥ 0."""
+    import math
+
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.timeseries import (
+        GK_COEF,
+        garman_klass_vol,
+    )
+
+    assert abs(GK_COEF - (2 * math.log(2) - 1)) < 1e-15
+    rows = garman_klass_vol(spark, sf_dir).collect()
+    assert rows
+    e = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_type", "ts", "event_id", "value")
+        .toPandas()
+        .sort_values(["event_type", "ts", "event_id"])
+    )
+    e["bar"] = e["ts"].dt.floor("6h")
+    bars = (
+        e.groupby(["event_type", "bar"])
+        .agg(
+            open=("value", "first"),
+            high=("value", "max"),
+            low=("value", "min"),
+            close=("value", "last"),
+        )
+        .reset_index()
+    )
+    bars["day"] = bars["bar"].dt.floor("D")
+    snap = lambda v: math.floor(abs(v) * 1e12 + 0.5) / 1e12 * (1 if v >= 0 else -1)
+    for r in rows:
+        g = bars[
+            (bars["event_type"] == r["event_type"])
+            & (bars["day"] == r["day"])
+        ]
+        terms = [
+            snap(
+                0.5 * math.log(h / l) ** 2 - GK_COEF * math.log(c / o) ** 2
+            )
+            for o, h, l, c in zip(g["open"], g["high"], g["low"], g["close"])
+        ]
+        assert r["n_bars"] == len(terms)
+        var = sum(terms) / len(terms)
+        assert abs(r["gk_var"] - var) < 1e-9
+        if var >= 0:
+            assert abs(r["gk_vol"] - math.sqrt(var)) < 1e-9
+        else:
+            assert r["gk_vol"] is None
+
+
+def test_lead_lag_xcorr_matches_numpy(spark, sf_dir):
+    """Lag-h cross-correlation vs np.corrcoef over the pairwise-complete
+    hourly overlap, for every emitted (pair, lag) row."""
+    import numpy as np
+
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.timeseries import (
+        XCORR_MAX_LAG,
+        lead_lag_xcorr,
+    )
+
+    rows = lead_lag_xcorr(spark, sf_dir).collect()
+    assert rows
+    e = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_type", "ts", "value")
+        .toPandas()
+    )
+    e["h"] = (e["ts"].astype("int64") // 10**9 // 3600).astype("int64")
+    hourly = {
+        etype: dict(
+            g.groupby("h")["value"].apply(lambda s: float(round(s.sum(), 6)))
+        )
+        for etype, g in e.groupby("event_type")
+    }
+    seen_lags = set()
+    for r in rows:
+        assert r["lead_type"] < r["lag_type"]
+        seen_lags.add(r["lag_h"])
+        sa, sb = hourly[r["lead_type"]], hourly[r["lag_type"]]
+        xs, ys = [], []
+        for h, x in sa.items():
+            y = sb.get(h + r["lag_h"])
+            if y is not None:
+                xs.append(x)
+                ys.append(y)
+        assert r["n"] == len(xs)
+        if r["xcorr"] is not None:
+            c = np.corrcoef(np.array(xs), np.array(ys))[0, 1]
+            assert abs(r["xcorr"] - c) < 1e-5, (r, c)
+    assert seen_lags == set(range(XCORR_MAX_LAG + 1))
+
+
+def test_hybrid_rrf_fusion_semantics(spark, sf_dir):
+    """Fusion algebra: every emitted score equals the RRF sum of its own
+    (nullable) arm ranks, ranks stay within the arm depth, the query
+    never retrieves itself, and per-query output is the top-k of a
+    strictly ordered list."""
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.similarity import (
+        RRF_ARM_DEPTH,
+        RRF_K,
+        RRF_TOP_K,
+        hybrid_rrf_fusion,
+    )
+
+    rows = hybrid_rrf_fusion(spark, sf_dir).collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        assert r["doc_id"] != r["query_id"]
+        expect = 0.0
+        if r["lex_rank"] is not None:
+            assert 1 <= r["lex_rank"] <= RRF_ARM_DEPTH
+            expect += 1.0 / (RRF_K + r["lex_rank"])
+        if r["vec_rank"] is not None:
+            assert 1 <= r["vec_rank"] <= RRF_ARM_DEPTH
+            expect += 1.0 / (RRF_K + r["vec_rank"])
+        assert r["lex_rank"] is not None or r["vec_rank"] is not None
+        assert r["rrf_score"] == expect
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        assert len(rs) <= RRF_TOP_K
+        scores = [r["rrf_score"] for r in rs]
+        assert scores == sorted(scores, reverse=True)

@@ -473,3 +473,60 @@ def test_jaccard_threshold_curve_single_pass(spark, sf_dir):
     assert "BroadcastHashJoin" in p
     for bad in ("SortMergeJoin", "CartesianProduct", "Union"):
         assert bad not in p, bad
+
+
+def test_ks_drift_two_exchange_no_joins(spark, sf_dir):
+    """The KS pass is pure aggregation machinery: one (type, value) hash
+    aggregation absorbs the tick volume, the CDF/election windows ride a
+    second (type)-hash exchange over DISTINCT values only — no join
+    operator anywhere, one scan of the tape."""
+    p = executed_plan(q(spark, sf_dir, "ks_drift"))
+    assert p.count("Exchange hashpartitioning") == 2, p
+    for bad in ("Join", "CartesianProduct"):
+        assert bad not in p, bad
+    assert p.count("Scan parquet") == 1
+
+
+def test_atr_keltner_two_exchange_no_joins(spark, sf_dir):
+    """Ticks collapse to bars in ONE hash aggregation; every window
+    (lag, ATR frame) rides one (event_type)-hash exchange over the BAR
+    table — the tape is never shuffled twice and never joined."""
+    p = executed_plan(q(spark, sf_dir, "atr_keltner"))
+    assert p.count("Exchange hashpartitioning") == 2, p
+    for bad in ("Join", "CartesianProduct"):
+        assert bad not in p, bad
+    assert p.count("Scan parquet") == 1
+
+
+def test_garman_klass_two_aggregations(spark, sf_dir):
+    """Bars build in one partial+final hash aggregation, the daily GK
+    roll-up in a second — no windows over ticks, no joins, one scan."""
+    p = executed_plan(q(spark, sf_dir, "garman_klass_vol"))
+    assert p.count("Exchange hashpartitioning") == 2, p
+    for bad in ("Join", "CartesianProduct"):
+        assert bad not in p, bad
+    assert p.count("Scan parquet") == 1
+
+
+def test_lead_lag_xcorr_broadcast_only_joins(spark, sf_dir):
+    """After the ticks→hourly aggregation, everything is bar-frame-sized:
+    the lag fan and the shifted self-join are BROADCASTS (no sort-merge,
+    no shuffled-hash, no cartesian), so the only fact-scaled shuffle is
+    the hourly aggregation itself."""
+    p = executed_plan(q(spark, sf_dir, "lead_lag_xcorr"))
+    for bad in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct"):
+        assert bad not in p, bad
+    assert "BroadcastHashJoin" in p
+    assert p.count("Exchange hashpartitioning") <= 3, p
+
+
+def test_hybrid_rrf_fusion_no_cartesian(spark, sf_dir):
+    """Both retrieval arms avoid all-pairs machinery: the vector arm's
+    only nested-loop is the {n_queries}-row query broadcast (corpus side
+    never shuffled before scoring), the lexical arm is broadcast-hash
+    posting joins, and the fusion join is the lone sort-merge over two
+    ≤ depth·queries rank lists."""
+    p = executed_plan(q(spark, sf_dir, "hybrid_rrf_fusion"))
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastNestedLoopJoin") == 1, p
+    assert p.count("SortMergeJoin") <= 1, p
