@@ -677,7 +677,7 @@ def atr_keltner(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type, date_trunc('day', bar_start) AS day,
              CAST(0.5 * ln(high / low) * ln(high / low)
                   - {GK_COEF} * ln(close / open) * ln(close / open)
-                  AS DECIMAL(38,12)) AS gk
+                  AS DECIMAL(30,6)) AS gk
       FROM bars WHERE low > 0 AND open > 0 AND close > 0
     )
     SELECT event_type, day,
@@ -701,9 +701,15 @@ def garman_klass_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
     Numeric contract: the bar ratios H/L and C/O are identical doubles in
     both engines (order statistics + one correctly-rounded divide); each
     ln carries ~1-ulp libm-vs-StrictMath drift, absorbed by rounding the
-    per-bar TERM into DECIMAL(38,12) before the daily sum (grain 1e-12 vs
-    drift ~1e-17 absolute on terms ≤ ~1e-2 — the ``unigram_logprob``
-    pattern, scale-tuned to this estimator's magnitude); the 2ln2−1
+    per-bar TERM into DECIMAL(30,6) before the daily sum — the
+    ``unigram_logprob`` pattern at the ``dsum`` grain. The grain choice
+    is a cross-engine-cast safety bound, measured the hard way: terms
+    reach ~58 on this fixture (ULP ~7e-15), and a 1e-12 grain sits only
+    ~70 ULPs above that — close enough that the two engines' independent
+    double→decimal roundings were OBSERVED to split by one last-place
+    unit on the sibling ``realized_bipower``/``amihud_illiquidity``
+    magnitudes; 1e-6 restores the ~1e8 grain-to-ULP margin every dsum
+    lane carries. The 2ln2−1
     coefficient is ONE shared double literal, never each engine's own
     ln(2). The decimal daily sum is order-free, so the emitted var/vol
     derive from identical operands — UNROUNDED. Degenerate bars guard:
@@ -727,7 +733,7 @@ def garman_klass_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lhl = F.log(F.col("high") / F.col("low"))
     lco = F.log(F.col("close") / F.col("open"))
-    gk = (0.5 * lhl * lhl - GK_COEF * lco * lco).cast("decimal(38,12)")
+    gk = (0.5 * lhl * lhl - GK_COEF * lco * lco).cast("decimal(30,6)")
     terms = bars.filter(
         (F.col("low") > 0) & (F.col("open") > 0) & (F.col("close") > 0)
     ).select(
@@ -857,6 +863,204 @@ def lead_lag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.when((n > 1) & (varx > 0) & (vary > 0), F.round(corr, 6)).alias("xcorr"),
     ).orderBy("lead_type", "lag_type", "lag_h")
+
+
+#: π/2 pinned as ONE double literal shared by both engines (the GK_COEF
+#: rule: never let each engine evaluate its own transcendental constant).
+BIPOWER_COEF = 1.5707963267948966
+
+
+@query(
+    "realized_bipower",
+    oracle="""
+    WITH events_us AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    rets AS (
+      SELECT event_type, date_trunc('day', ts) AS day, ts, event_id,
+             CASE WHEN value > 0
+                   AND LAG(value) OVER w > 0
+                   AND date_trunc('day', LAG(ts) OVER w) = date_trunc('day', ts)
+                  THEN ln(value / LAG(value) OVER w)
+             END AS r
+      FROM events_us
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    ), pairs AS (
+      SELECT event_type, day, r,
+             LAG(r) OVER (PARTITION BY event_type, day ORDER BY ts, event_id) AS rl
+      FROM rets WHERE r IS NOT NULL
+    ), terms AS (
+      SELECT event_type, day,
+             CAST(r * r AS DECIMAL(30,6)) AS rv_t,
+             CASE WHEN rl IS NOT NULL
+                  THEN CAST(ABS(r) * ABS(rl) AS DECIMAL(30,6)) END AS bv_t
+      FROM pairs
+    )
+    SELECT event_type, day,
+           CAST(COUNT(*) AS BIGINT) AS n_rets,
+           CAST(SUM(rv_t) AS DOUBLE) AS rv,
+           {coef} * CAST(SUM(bv_t) AS DOUBLE) AS bv,
+           CASE WHEN CAST(SUM(rv_t) AS DOUBLE) > 0 AND SUM(bv_t) IS NOT NULL
+                THEN GREATEST(1.0 - {coef} * CAST(SUM(bv_t) AS DOUBLE)
+                              / CAST(SUM(rv_t) AS DOUBLE), 0.0) END AS jump_ratio
+    FROM terms GROUP BY event_type, day
+    ORDER BY event_type, day
+    """.format(coef=BIPOWER_COEF),
+    tags=("A7", "W2"),
+)
+def realized_bipower(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A7/W2] Realized variance vs bipower variation per stream-day —
+    the Barndorff-Nielsen–Shephard jump decomposition: RV = Σ r² picks
+    up BOTH diffusion and jumps, BV = (π/2)·Σ|r_t||r_{t−1}| is
+    jump-robust (a single outlier return enters BV linearly but RV
+    quadratically), so ``jump_ratio = max(0, 1 − BV/RV)`` estimates the
+    jump share of daily variance — the standard tick-data jump screen,
+    run from the same intraday log-returns ``rolling_volatility``
+    consumes. Returns never span a day boundary (the first tick of a
+    day has no return), and the bipower lag restarts per (type, day) —
+    both enforced identically in the two engines.
+
+    Exactness: the ``roll_spread`` recipe — both lags ride ordered
+    windows, each summand (r², |r_t||r_{t−1}|) is snapped to
+    DECIMAL(30,6) before the daily sum (the dsum grain; a 1e-12 snap
+    was MEASURED to split cross-engine at these ≤ ~120 magnitudes —
+    see ``garman_klass_vol``'s grain note), and
+    π/2 is ONE shared double literal. Degenerate days emit NULL
+    identically in both engines: RV = 0 nulls the ratio, and a
+    single-return day has NO bipower term, so BV is SUM-over-empty =
+    NULL (never a fake 0 — BV is undefined there); negative sampling
+    noise clamps to 0 via GREATEST.
+
+    Scale: one (event_type)-keyed window pass over ticks for the
+    return, one (type, day)-keyed pass for the bipower lag (the second
+    sort is WITHIN the first's partitions — at scale both ride one
+    exchange when the planner colocates, and the day regroup is
+    partial+final over bar-sized output)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    day = F.date_trunc("day", "ts")
+    prev_v = F.lag("value").over(w)
+    prev_day = F.date_trunc("day", F.lag("ts").over(w))
+    r = F.when(
+        (F.col("value") > 0) & (prev_v > 0) & (prev_day == day),
+        F.log(F.col("value") / prev_v),
+    )
+    rets = e.select(
+        "event_type", day.alias("day"), "ts", "event_id", r.alias("r")
+    ).filter(F.col("r").isNotNull())
+    wd = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    pairs = rets.select(
+        "event_type", "day", "r", F.lag("r").over(wd).alias("rl")
+    )
+    rv_t = (F.col("r") * F.col("r")).cast("decimal(30,6)")
+    bv_t = F.when(
+        F.col("rl").isNotNull(), (F.abs("r") * F.abs("rl")).cast("decimal(30,6)")
+    )
+    terms = pairs.select("event_type", "day", rv_t.alias("rv_t"), bv_t.alias("bv_t"))
+    rv = F.sum("rv_t").cast("double")
+    bv = F.lit(BIPOWER_COEF) * F.sum("bv_t").cast("double")
+    return (
+        terms.groupBy("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rets"),
+            rv.alias("rv"),
+            bv.alias("bv"),
+            # explicit bv-NULL guard: GREATEST SKIPS nulls in both
+            # engines, so without it a single-return day (bv undefined)
+            # would silently report jump_ratio = 0.0 instead of NULL
+            F.when(
+                (rv > 0) & F.sum("bv_t").isNotNull(),
+                F.greatest(1.0 - bv / rv, F.lit(0.0)),
+            ).alias("jump_ratio"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@query(
+    "amihud_illiquidity",
+    oracle="""
+    WITH events_us AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    ranked AS (
+      SELECT event_type, date_trunc('day', ts) AS day, value,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+             ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_close
+      FROM events_us
+    ), days AS (
+      SELECT event_type, day,
+             MAX(CASE WHEN rn_close = 1 THEN value END) AS close,
+             CAST(SUM(CAST(value * k AS DECIMAL(30,6))) AS DOUBLE) AS dvol
+      FROM ranked GROUP BY event_type, day
+    ), rets AS (
+      SELECT event_type, day, dvol,
+             CASE WHEN close > 0 AND LAG(close) OVER w > 0
+                  THEN ABS(close / LAG(close) OVER w - 1.0) END AS aret
+      FROM days
+      WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ), ratios AS (
+      SELECT event_type,
+             CAST(aret / dvol * 1000000.0 AS DECIMAL(30,6)) AS illiq_d
+      FROM rets WHERE aret IS NOT NULL AND dvol > 0
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(illiq_d) AS DOUBLE) / COUNT(*) AS amihud_illiq
+    FROM ratios GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("A7", "F9"),
+)
+def amihud_illiquidity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A7] Amihud (2002) illiquidity — mean over days of
+    ``|daily return| / daily dollar volume`` (×1e6) per stream: the
+    price-impact-per-traded-dollar measure that complements
+    ``roll_spread`` (transaction cost) in the microstructure panel, and
+    the canonical cross-sectional liquidity factor input. Daily close
+    is the deterministic last-tick election (the ``ohlcv_bars``
+    tiebreak), dollar volume the exact decimal Σ value·k over the
+    ``vwap`` volume field.
+
+    Exactness: close/dvol are identical doubles cross-engine (order
+    statistics + dsum); the per-day ratio is one identical IEEE
+    divide snapped to DECIMAL(30,6) before the cross-day mean, making
+    the mean order-free (the 1e-12 grain this started at SPLIT by one
+    last-place unit at these ~1e2-1e3 magnitudes — see
+    ``garman_klass_vol``'s grain note); the final divide-by-count is
+    identical.
+    Zero-volume and first days drop identically (NULL/guard predicate).
+
+    Scale: one ticks→days hash aggregation (map-side partials absorb
+    the tape), then a day-count window and regroup over the tiny daily
+    frame — the ``garman_klass_vol`` shape with a JSON field extraction
+    riding the first scan."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    tiebreak = F.struct(F.col("ts"), F.col("event_id"))
+    days = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.max_by("value", tiebreak).alias("close"),
+        dsum(F.col("value") * k).alias("dvol"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    prev = F.lag("close").over(w)
+    aret = F.when(
+        (F.col("close") > 0) & (prev > 0), F.abs(F.col("close") / prev - 1.0)
+    )
+    rets = days.select("event_type", "dvol", aret.alias("aret")).filter(
+        F.col("aret").isNotNull() & (F.col("dvol") > 0)
+    )
+    illiq_d = (F.col("aret") / F.col("dvol") * 1000000.0).cast("decimal(30,6)")
+    return (
+        rets.select("event_type", illiq_d.alias("illiq_d"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            (F.sum("illiq_d").cast("double") / F.count(F.lit(1))).alias(
+                "amihud_illiq"
+            ),
+        )
+        .orderBy("event_type")
+    )
 
 
 @query(

@@ -406,12 +406,13 @@ def query(
 #: ``jaccard_threshold_curve`` (identical plan, but code-changed ⇒
 #: next window).
 #:
-#: Round-13 window arithmetic: 8 brand-new (``roll_spread``,
+#: Round-13 window arithmetic: 10 brand-new (``roll_spread``,
 #: ``pq_distortion``, ``jaccard_threshold_curve``, then the session-2
 #: additions ``ks_drift``, ``atr_keltner``, ``garman_klass_vol``,
-#: ``lead_lag_xcorr``, ``hybrid_rrf_fusion``) + 3 modified +
-#: 10 r7-stale (the whole remaining tier — retired) + 29 of the 48
-#: r8 rows = 50; 19 r8 rows spill to round 14.
+#: ``lead_lag_xcorr``, ``hybrid_rrf_fusion``, ``realized_bipower``,
+#: ``amihud_illiquidity``) + 3 modified +
+#: 10 r7-stale (the whole remaining tier — retired) + 27 of the 48
+#: r8 rows = 50; 21 r8 rows spill to round 14.
 _R13_MODIFIED = frozenset((
     "ngram_jaccard_pairs", "pq_ann", "zorder_skipping",
 ))

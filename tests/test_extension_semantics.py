@@ -2431,7 +2431,7 @@ def test_garman_klass_matches_brute_force(spark, sf_dir):
         .reset_index()
     )
     bars["day"] = bars["bar"].dt.floor("D")
-    snap = lambda v: math.floor(abs(v) * 1e12 + 0.5) / 1e12 * (1 if v >= 0 else -1)
+    snap = lambda v: math.floor(abs(v) * 1e6 + 0.5) / 1e6 * (1 if v >= 0 else -1)
     for r in rows:
         g = bars[
             (bars["event_type"] == r["event_type"])
@@ -2525,3 +2525,95 @@ def test_hybrid_rrf_fusion_semantics(spark, sf_dir):
         assert len(rs) <= RRF_TOP_K
         scores = [r["rrf_score"] for r in rs]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_realized_bipower_matches_brute_force(spark, sf_dir):
+    """RV/BV vs a pandas recomputation from the same within-day
+    log-returns (including the per-term 1e-6 snap and the shared π/2
+    literal), plus the jump-ratio clamp algebra."""
+    import math
+
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.timeseries import (
+        BIPOWER_COEF,
+        realized_bipower,
+    )
+
+    assert abs(BIPOWER_COEF - math.pi / 2) < 1e-15
+    rows = realized_bipower(spark, sf_dir).collect()
+    assert rows
+    e = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_type", "ts", "event_id", "value")
+        .toPandas()
+        .sort_values(["event_type", "ts", "event_id"])
+    )
+    e["day"] = e["ts"].dt.floor("D")
+    snap = lambda v: math.floor(abs(v) * 1e6 + 0.5) / 1e6 * (1 if v >= 0 else -1)
+    for r in rows:
+        g = e[(e["event_type"] == r["event_type"]) & (e["day"] == r["day"])]
+        vals = g["value"].to_numpy()
+        rets = [
+            math.log(vals[i] / vals[i - 1])
+            for i in range(1, len(vals))
+            if vals[i] > 0 and vals[i - 1] > 0
+        ]
+        rv = sum(snap(x * x) for x in rets)
+        assert r["n_rets"] == len(rets)
+        assert abs(r["rv"] - rv) < 1e-9, (r, rv)
+        if len(rets) < 2:
+            # no consecutive-return pair: the bipower sum has no terms —
+            # NULL in both engines (SUM over all-NULL), never a fake 0
+            assert r["bv"] is None and r["jump_ratio"] is None
+            continue
+        bv = BIPOWER_COEF * sum(
+            snap(abs(rets[i]) * abs(rets[i - 1])) for i in range(1, len(rets))
+        )
+        assert abs(r["bv"] - bv) < 1e-9, (r, bv)
+        if rv > 0:
+            assert abs(r["jump_ratio"] - max(1.0 - bv / rv, 0.0)) < 1e-9
+            assert 0.0 <= r["jump_ratio"] <= 1.0
+        else:
+            assert r["jump_ratio"] is None
+
+
+def test_amihud_illiquidity_matches_brute_force(spark, sf_dir):
+    """Amihud vs a pandas recomputation: daily last-tick close, exact
+    decimal dollar volume, |return|/volume ratio snapped at 1e-6, mean
+    over trading days with the first day dropped."""
+    import json
+    import math
+
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.timeseries import (
+        amihud_illiquidity,
+    )
+
+    got = {r["event_type"]: r for r in amihud_illiquidity(spark, sf_dir).collect()}
+    assert got
+    e = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_type", "ts", "event_id", "value", "props")
+        .toPandas()
+        .sort_values(["event_type", "ts", "event_id"])
+    )
+    e["day"] = e["ts"].dt.floor("D")
+    e["k"] = e["props"].map(lambda p: int(json.loads(p)["k"]))
+    snap6 = lambda v: math.floor(abs(v) * 1e6 + 0.5) / 1e6 * (1 if v >= 0 else -1)
+    for etype, g in e.groupby("event_type"):
+        days = g.groupby("day").agg(
+            close=("value", "last"),
+            dvol=("value", lambda s: None),  # recomputed below with k
+        )
+        dvol = g.assign(x=[snap6(v * k) for v, k in zip(g["value"], g["k"])]).groupby(
+            "day"
+        )["x"].sum()
+        closes = days["close"]
+        ratios = []
+        prev = None
+        for day_, c in closes.items():
+            dv = dvol[day_]
+            if prev is not None and c > 0 and prev > 0 and dv > 0:
+                ratios.append(snap6(abs(c / prev - 1.0) / dv * 1e6))
+            prev = c
+        row = got[etype]
+        assert row["n_days"] == len(ratios)
+        assert abs(row["amihud_illiq"] - sum(ratios) / len(ratios)) < 1e-6, etype

@@ -530,3 +530,25 @@ def test_hybrid_rrf_fusion_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in p
     assert p.count("BroadcastNestedLoopJoin") == 1, p
     assert p.count("SortMergeJoin") <= 1, p
+
+
+def test_realized_bipower_window_then_regroup(spark, sf_dir):
+    """Both lags ride (event_type)-keyed window sorts and the daily
+    roll-up is partial+final — no joins, one scan, ≤2 hash exchanges
+    (return window; day regroup — the bipower lag's (type, day) sort
+    nests inside the first exchange's partitioning)."""
+    p = executed_plan(q(spark, sf_dir, "realized_bipower"))
+    assert p.count("Exchange hashpartitioning") <= 3, p
+    for bad in ("Join", "CartesianProduct"):
+        assert bad not in p, bad
+    assert p.count("Scan parquet") == 1
+
+
+def test_amihud_two_exchange_no_joins(spark, sf_dir):
+    """Ticks collapse to days in ONE hash aggregation; the return lag
+    and final mean ride the (event_type) exchange over the daily frame."""
+    p = executed_plan(q(spark, sf_dir, "amihud_illiquidity"))
+    assert p.count("Exchange hashpartitioning") <= 3, p
+    for bad in ("Join", "CartesianProduct"):
+        assert bad not in p, bad
+    assert p.count("Scan parquet") == 1
