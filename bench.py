@@ -26,6 +26,28 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from finance_data_ingestion_pipeline_with_kafka_spark.registry import load_all
 from finance_data_ingestion_pipeline_with_kafka_spark.session import get_spark
 
+#: Process-wide wall-clock budget. The driver captures bench output under
+#: a kill timeout; a mid-phase SIGKILL silently loses every phase after
+#: the last printed line (observed this round: a co-tenant-loaded draw
+#: pushed the dedup-crossover phase past the window and the skew phase
+#: vanished without a trace). Instead of racing the kill, the late
+#: phases consult the remaining budget and degrade EXPLICITLY — first
+#: dropping min-of-5 to min-of-2, then skipping cells with a recorded
+#: ``skipped_for_budget`` marker (the no-silent-caps rule: a dropped
+#: measurement must be visible in the artifact, not inferred from its
+#: absence). The default is calibrated against the driver's OBSERVED
+#: allowance, not a guess: the r12 driver bench ran ~9.5 min to rc=0
+#: (bfd0a78), so 780 s leaves every phase intact at nominal load
+#: (~570 s) and degrades only genuinely pathological co-tenant draws
+#: (this round observed a 2-3× dedup-phase slowdown with load avg ~30).
+#: Override via SPARK_GRAFT_BENCH_BUDGET (seconds).
+_BENCH_T0 = time.monotonic()
+
+
+def _budget_left() -> float:
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "780"))
+    return budget - (time.monotonic() - _BENCH_T0)
+
 
 def _write_detail(detail: dict) -> None:
     """(Re)write BENCH_DETAIL.json with the phases completed so far —
@@ -232,21 +254,30 @@ def main() -> None:
         _write_detail(detail)
         print(json.dumps(_compact_line(detail, bench_specs)), flush=True)
         try:
+            # Hot-key join at volume: plain AQE vs the salted plan
+            # (VERDICT r9 ask #6). Runs BEFORE the dedup family since
+            # round 13: it costs ~30 s and cannot degrade, while the
+            # dedup phase is budget-aware — under a co-tenant spike the
+            # degradable phase should absorb the shortfall, not this one.
+            if _budget_left() > 40:
+                detail["skew_crossover"] = _skew_crossover(spark, sf_dir)
+            else:
+                detail["skew_crossover"] = {"error": "skipped_for_budget"}
+        except Exception as ex:
+            detail["skew_crossover"] = {"error": str(ex)[:200]}
+        _write_detail(detail)
+        print(json.dumps(_compact_line(detail, bench_specs)), flush=True)
+        try:
             # Dedup/ANN family at 10× volume (VERDICT r8 ask #7), with
             # same-volume DuckDB denominators (VERDICT r9 ask #4): the
             # 100 TB-posture numbers, driver-produced every round instead
             # of a one-off soak-tool run.
-            detail["dedup_crossover_10x"] = _dedup_crossover(spark, sf_dir)
+            if _budget_left() > 50:
+                detail["dedup_crossover_10x"] = _dedup_crossover(spark, sf_dir)
+            else:
+                detail["dedup_crossover_10x"] = {"error": "skipped_for_budget"}
         except Exception as ex:
             detail["dedup_crossover_10x"] = {"error": str(ex)[:200]}
-        _write_detail(detail)
-        print(json.dumps(_compact_line(detail, bench_specs)), flush=True)
-        try:
-            # Hot-key join at volume: plain AQE vs the salted plan
-            # (VERDICT r9 ask #6).
-            detail["skew_crossover"] = _skew_crossover(spark, sf_dir)
-        except Exception as ex:
-            detail["skew_crossover"] = {"error": str(ex)[:200]}
 
     # The driver captures only the TAIL (~2000 chars) of stdout: the full
     # per-query detail goes to stderr for humans/logs, and the FINAL stdout
@@ -369,6 +400,10 @@ def _compact_line(detail: dict, bench_specs: dict) -> dict:
         }
         out["dedup_crossover_scaling_total"] = dxo["spark_scaling_total"]
         out["dedup_crossover_ratio_total_10x"] = dxo["ratio_total_10x"]
+        if dxo.get("skipped_for_budget"):
+            # budget-degraded run: the totals above cover fewer cells —
+            # say so in the graded line, never only in the detail file
+            out["dedup_crossover_skipped"] = dxo["skipped_for_budget"]
     skew = detail.get("skew_crossover")
     if isinstance(skew, dict) and "error" not in skew:
         # the whole phase result is six scalars — carry it verbatim
@@ -514,11 +549,16 @@ def _scale_crossover(spark, sf_dir: str, factor: int = 10) -> dict:
 
 #: The dedup/ANN queries whose 10× posture the bench measures directly
 #: (same set as tools/soak_sf1.py, which adds per-stage shuffle bytes).
+#: Measurement order is cheapest-first (sub-second ANN cells, then the
+#: multi-second banded/recursive pair): under a tight wall budget the
+#: phase skips from the END of this tuple, so a degraded run keeps the
+#: most cells measurable instead of spending everything on one
+#: 30 s-per-pass recursive-closure cell and skipping the rest.
 DEDUP_CROSSOVER = (
-    "minhash_near_dup",
-    "near_dup_clusters",
     "ivf_ann",
     "pq_ann",
+    "minhash_near_dup",
+    "near_dup_clusters",
 )
 
 
@@ -546,6 +586,7 @@ def _dedup_crossover(spark, sf_dir: str, factor: int = 10) -> dict:
     specs = {n: load_all()[n] for n in DEDUP_CROSSOVER}
     walls: dict[int, dict[str, float]] = {}
     duck: dict[int, dict[str, float]] = {}
+    skipped: list[str] = []
     for rep in (1, factor):
         os.environ["ENGINE_SCAN_REPLICATE"] = str(rep)
         walls[rep] = {}
@@ -553,6 +594,25 @@ def _dedup_crossover(spark, sf_dir: str, factor: int = 10) -> dict:
         con = _duck_connect_replicated(sf_dir, rep)
         try:
             for name, spec in specs.items():
+                if name in skipped:
+                    continue  # no 1× baseline — a lone N× wall grades nothing
+                # per-cell cost ESTIMATE, not a flat threshold: the first
+                # budget cut entered a ~140 s near_dup 10× cell with 60 s
+                # left and was killed mid-cell anyway. At 1× the costs are
+                # static (warm + 2 passes/engine); at N× they project from
+                # the cell's own measured 1× walls (warm ≈ one more pass,
+                # ×1.25 co-tenant margin).
+                if rep == 1:
+                    est = {"minhash_near_dup": 30, "near_dup_clusters": 45}.get(
+                        name, 12
+                    )
+                else:
+                    est = 20 + 2.5 * factor * (
+                        walls[1].get(name, 1.0) + duck[1].get(name, 0.5)
+                    )
+                if _budget_left() < est:
+                    skipped.append(name)
+                    continue
                 # symmetric protocol (ADVICE r10): BOTH engines get one
                 # untimed warm pass, then the SAME number of timed
                 # passes — the graded ratio columns must not favor
@@ -584,7 +644,14 @@ def _dedup_crossover(spark, sf_dir: str, factor: int = 10) -> dict:
                 t0 = time.perf_counter()
                 _force(spec.fn(spark, sf_dir))
                 spark_ts = [time.perf_counter() - t0]
-                n_more = 4 if max(duck_ts[0], spark_ts[0]) < 2.0 else 1
+                # min-of-5 only while the budget affords it: under a
+                # co-tenant spike the honest fallback is the r11 min-of-2
+                # protocol, recorded implicitly by the budget marker below
+                n_more = (
+                    4
+                    if max(duck_ts[0], spark_ts[0]) < 2.0 and _budget_left() > 150
+                    else 1
+                )
                 for _ in range(n_more):
                     t0 = time.perf_counter()
                     con.sql(spec.oracle).df()
@@ -598,6 +665,7 @@ def _dedup_crossover(spark, sf_dir: str, factor: int = 10) -> dict:
         finally:
             os.environ.pop("ENGINE_SCAN_REPLICATE", None)
             con.close()
+    measured = [n for n in specs if n in walls[1] and n in walls[factor]]
     table = {
         name: {
             "spark_1x": walls[1][name],
@@ -612,12 +680,18 @@ def _dedup_crossover(spark, sf_dir: str, factor: int = 10) -> dict:
                 walls[factor][name] / max(duck[factor][name], 1e-6), 2
             ),
         }
-        for name in specs
+        for name in measured
     }
-    t1, tn = sum(walls[1].values()), sum(walls[factor].values())
-    d1, dn = sum(duck[1].values()), sum(duck[factor].values())
+    # totals cover only the both-rep cells, so a budget skip can never
+    # masquerade as a scaling win (both sums lose the same names)
+    t1 = sum(walls[1][n] for n in measured)
+    tn = sum(walls[factor][n] for n in measured)
+    d1 = sum(duck[1][n] for n in measured)
+    dn = sum(duck[factor][n] for n in measured)
+    out_skipped = sorted(set(skipped) | (set(specs) - set(measured) - set(skipped)))
     return {
         "factor": factor,
+        **({"skipped_for_budget": out_skipped} if out_skipped else {}),
         "queries": table,
         "spark_total_1x": round(t1, 3),
         f"spark_total_{factor}x": round(tn, 3),
@@ -806,6 +880,11 @@ def _deep_crossover_subprocess(sf_dir: str) -> dict:
 
     env = dict(os.environ)
     env["SPARK_GRAFT_DEEP_ONLY"] = "1"
+    # the child inherits the REMAINING budget (minus session-startup +
+    # margin), so its own min-of-5 degrades before the parent's deadline
+    # rather than after; the hard timeout backstops a hung JVM
+    timeout_s = max(90, min(360, int(_budget_left()) - 45))
+    env["SPARK_GRAFT_BENCH_BUDGET"] = str(max(60, timeout_s - 20))
     proc = subprocess.run(
         [_sys.executable, os.path.abspath(__file__)],
         env=env,
@@ -813,7 +892,7 @@ def _deep_crossover_subprocess(sf_dir: str) -> dict:
         text=True,
         # headroom for the r11 min-of-5 protocol (~70 s nominal) under
         # co-tenant spikes; a timeout is caught and recorded, not fatal
-        timeout=360,
+        timeout=timeout_s,
     )
     if proc.returncode != 0:
         raise RuntimeError(f"deep subprocess rc={proc.returncode}: {proc.stderr[-200:]}")
@@ -849,9 +928,12 @@ def _deep_crossover(spark, sf_dir: str, factor: int = 30) -> dict:
         os.environ["ENGINE_SCAN_REPLICATE"] = str(rep)
         try:
             for name, spec in specs.items():
+                # budget-aware depth: min-of-5 while the (subprocess)
+                # budget affords it, the r11 min-of-2 floor otherwise
+                n_passes = 5 if _budget_left() > 120 else 2
                 con.sql(spec.oracle).df()  # warm
                 ts = []
-                for _ in range(5):
+                for _ in range(n_passes):
                     t0 = time.perf_counter()
                     con.sql(spec.oracle).df()
                     ts.append(time.perf_counter() - t0)
@@ -859,7 +941,7 @@ def _deep_crossover(spark, sf_dir: str, factor: int = 30) -> dict:
                 for _ in range(2):
                     _force(spec.fn(spark, sf_dir))
                 ts = []
-                for _ in range(5):
+                for _ in range(n_passes):
                     t0 = time.perf_counter()
                     _force(spec.fn(spark, sf_dir))
                     ts.append(time.perf_counter() - t0)

@@ -93,3 +93,37 @@ def test_stream_ab_subprocess_mode_contract():
     assert "SPARK_GRAFT_STREAM_AB_ONLY" in src
     assert "25_000" in src
     assert callable(bench._streaming_steady_ab)
+
+
+def test_dedup_crossover_budget_exhaustion_is_loud(spark, sf_dir, monkeypatch):
+    """With the wall budget exhausted, the phase must NOT silently return
+    partial totals: every cell is skipped, the marker names all of them,
+    and the (empty) totals cover zero cells rather than a lucky prefix."""
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_BUDGET", "0")
+    out = bench._dedup_crossover(spark, sf_dir, factor=2)
+    assert sorted(out["skipped_for_budget"]) == sorted(bench.DEDUP_CROSSOVER)
+    assert out["queries"] == {}
+    assert out["spark_total_1x"] == 0
+    assert os.environ.get("ENGINE_SCAN_REPLICATE") is None
+
+
+def test_budget_left_env_override(monkeypatch):
+    """_budget_left reads SPARK_GRAFT_BENCH_BUDGET (seconds since process
+    start); an enormous budget must report plenty remaining, a zero budget
+    must report none."""
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_BUDGET", "1000000")
+    assert bench._budget_left() > 900_000
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_BUDGET", "0")
+    assert bench._budget_left() <= 0
+
+
+def test_dedup_crossover_order_is_cheapest_first():
+    """Budget skips drop from the END of DEDUP_CROSSOVER — the tuple must
+    keep the sub-second ANN cells ahead of the multi-second recursive /
+    banded cells or a degraded run measures almost nothing."""
+    assert bench.DEDUP_CROSSOVER.index("ivf_ann") < bench.DEDUP_CROSSOVER.index(
+        "minhash_near_dup"
+    )
+    assert bench.DEDUP_CROSSOVER.index("pq_ann") < bench.DEDUP_CROSSOVER.index(
+        "near_dup_clusters"
+    )
