@@ -2617,3 +2617,107 @@ def test_amihud_illiquidity_matches_brute_force(spark, sf_dir):
         row = got[etype]
         assert row["n_days"] == len(ratios)
         assert abs(row["amihud_illiq"] - sum(ratios) / len(ratios)) < 1e-6, etype
+
+
+def test_dsum_grain_sits_far_above_term_ulp(sf_dir):
+    """Materialize the DECIMAL(30,6) snap-grain headroom argument for
+    the round-13 microstructure kernels (the pq_ann-advice pattern:
+    assert the magnitude bound the exactness comment relies on, so a
+    testdata regeneration that grows the term magnitudes fails HERE
+    instead of as a cross-engine one-ULP hash split at driver time).
+
+    The 1e-6 grain is exact cross-engine only while it sits far above
+    the ULP of the largest pre-snap double: both engines round the SAME
+    IEEE double to the grain, and they can disagree only when the
+    double's own quantum approaches the grain (measured: a 1e-12 grain
+    ~20-70 ULPs above ~1e2-magnitude terms DID split by one last-place
+    unit — SCALE.md round-13 note). Bound chosen at 1e4 ULPs: the
+    binding fixture case is amihud's sf0.001 ratio max ~1.06e4
+    (margin ~5.5e5); GK (~43) and bipower (~87) sit at ~1e8."""
+    import json
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.timeseries import (
+        GK_COEF,
+    )
+
+    grain = 1e-6
+    e = pd.read_parquet(f"{sf_dir}/events.parquet")
+    e = e.sort_values(["event_type", "ts", "event_id"])
+
+    # garman_klass_vol per-bar terms
+    b = e.copy()
+    b["bar"] = pd.to_datetime(b["ts"]).dt.floor("6h")
+    bars = (
+        b.groupby(["event_type", "bar"])
+        .agg(
+            open=("value", "first"),
+            high=("value", "max"),
+            low=("value", "min"),
+            close=("value", "last"),
+        )
+        .reset_index()
+    )
+    g = bars[(bars.low > 0) & (bars.open > 0) & (bars.close > 0)]
+    gk = 0.5 * np.log(g.high / g.low) ** 2 - GK_COEF * np.log(g.close / g.open) ** 2
+    maxima = {"garman_klass term": float(np.abs(gk).max())}
+
+    # realized_bipower r^2 and |r||rl| terms (within-day returns)
+    p = e[e.value > 0].copy()
+    p["day"] = pd.to_datetime(p["ts"]).dt.floor("D")
+    r_terms = []
+    for _, grp in p.groupby("event_type"):
+        v = grp.value.to_numpy()
+        d = grp.day.to_numpy()
+        if len(v) < 2:
+            continue
+        rr = np.log(v[1:] / v[:-1])
+        r_terms.append(np.abs(rr[d[1:] == d[:-1]]))
+    r = np.concatenate(r_terms)
+    maxima["bipower r^2"] = float((r**2).max())
+    if len(r) > 1:
+        maxima["bipower |r||rl|"] = float((r[1:] * r[:-1]).max())
+
+    # amihud_illiquidity per-day ratios (the binding case)
+    a = e.copy()
+    a["k"] = a["props"].map(
+        lambda s: json.loads(s).get("k") if s else None
+    ).astype("float64")
+    a["day"] = pd.to_datetime(a["ts"]).dt.floor("D")
+    days = (
+        a.groupby(["event_type", "day"])
+        .agg(close=("value", "last"), dv=("value", "sum"))
+        .reset_index()
+    )
+    dv = (
+        a.assign(dvk=a.value * a.k)
+        .groupby(["event_type", "day"])
+        .dvk.sum()
+        .reset_index()
+    )
+    days = days.merge(dv, on=["event_type", "day"]).sort_values(
+        ["event_type", "day"]
+    )
+    illiq_max = 0.0
+    for _, grp in days.groupby("event_type"):
+        c = grp.close.to_numpy()
+        d = grp.dvk.to_numpy()
+        if len(c) < 2:
+            continue
+        ok = (c[1:] > 0) & (c[:-1] > 0) & (d[1:] > 0)
+        vals = np.abs(c[1:] / c[:-1] - 1.0)[ok] / d[1:][ok] * 1e6
+        if len(vals):
+            illiq_max = max(illiq_max, float(vals.max()))
+    maxima["amihud illiq_d"] = illiq_max
+
+    for what, mx in maxima.items():
+        margin = grain / math.ulp(mx) if mx > 0 else math.inf
+        assert margin >= 1e4, (
+            f"{what}: max |term| {mx:.6g} puts the 1e-6 snap grain only "
+            f"{margin:.3g} ULPs above the double — the cross-engine "
+            f"double->decimal cast can split; widen the grain "
+            f"(see garman_klass_vol's grain note)"
+        )
