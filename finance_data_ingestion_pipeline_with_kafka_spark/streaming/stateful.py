@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
+    BooleanType,
     DoubleType,
     LongType,
     StringType,
@@ -1115,5 +1116,201 @@ def asof_enrich_stream(
         outputStructType=ASOF_SCHEMA,
         stateStructType=_ASOF_STATE_SCHEMA,
         outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+# --- streaming realized-variance / bipower: the jump monitor, live ---
+
+#: Shared with the batch ``realized_bipower`` catalog query — ONE double
+#: literal for pi/2, never each surface's own transcendental
+#: (imported lazily inside _rv_row to keep the streaming module from
+#: importing the whole batch operator surface at module load).
+_DAY_MS = 86_400_000
+
+RV_BIPOWER_SCHEMA = StructType(
+    [
+        StructField("symbol", StringType()),
+        StructField("day", TimestampType()),
+        StructField("n_rets", LongType()),
+        StructField("rv", DoubleType()),
+        StructField("bv", DoubleType()),
+        StructField("jump_ratio", DoubleType()),
+        StructField("day_final", BooleanType()),
+    ]
+)
+
+#: day_ms is the open day; prev_px the last tick's price in that day
+#: (any sign — an invalid price still advances the lag, mirroring the
+#: batch kernel's LAG over ALL ticks); prev_abs_r the last VALID
+#: |return| in the day (persists across invalid ticks — the batch
+#: bipower lag runs over the r-IS-NOT-NULL subsequence). rv/bv ride
+#: int64 micros lanes: per-term micros <= |r|^2*1e6 (~1e8 at extreme
+#: tick ratios), so a day would need ~1e10 returns to approach int64 —
+#: and the lane resets every day, so the bound is per (symbol, day),
+#: not per stream. buf_* is the watermark-ordering buffer, bounded by
+#: the watermark horizon exactly as in ``_EWMA_ORDERED_STATE_SCHEMA``.
+_RV_BIPOWER_STATE_SCHEMA = StructType(
+    [
+        StructField("day_ms", LongType()),
+        StructField("prev_px", DoubleType()),
+        StructField("prev_abs_r", DoubleType()),
+        StructField("rv_micros", LongType()),
+        StructField("bv_micros", LongType()),
+        StructField("n_rets", LongType()),
+        StructField("n_pairs", LongType()),
+        StructField("buf_ms", ArrayType(LongType())),
+        StructField("buf_px", ArrayType(DoubleType())),
+    ]
+)
+
+
+def _snap_micros(v: float) -> int:
+    """floor(v*1e6 + 0.5) — the same half-up double→DECIMAL(30,6)
+    rounding Spark's cast applies to the batch kernel's non-negative
+    terms, carried as exact int64 micros so the daily sum is order-free
+    (the dsum argument, specialised to the per-day lane)."""
+    import math
+
+    return int(math.floor(v * 1e6 + 0.5))
+
+
+def _rv_row(key, day_ms, n_rets, rv_micros, bv_micros, n_pairs, final):
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.timeseries import (
+        BIPOWER_COEF,
+    )
+
+    rv = rv_micros / 1e6
+    bv = BIPOWER_COEF * (bv_micros / 1e6) if n_pairs > 0 else None
+    jump = (
+        max(1.0 - bv / rv, 0.0) if (rv > 0 and bv is not None) else None
+    )
+    return {
+        "symbol": key,
+        "day": pd.Timestamp(day_ms, unit="ms"),
+        "n_rets": n_rets,
+        "rv": rv,
+        "bv": bv,
+        "jump_ratio": jump,
+        "day_final": final,
+    }
+
+
+def rv_bipower_fold(state_vals: tuple, ripe: list) -> tuple[tuple, list]:
+    """Event-time fold of ripe (ts_ms, px) ticks into the per-day
+    RV/bipower accumulators. Returns (new_state_vals, emission dicts) —
+    finalized days first (day_final=True on rollover), then the open
+    day's running row. Arithmetic mirrors the batch
+    ``realized_bipower`` kernel exactly: within-day log returns over
+    the all-ticks lag, per-term half-up micros snap, pi/2 as the shared
+    ``BIPOWER_COEF`` literal, bv undefined (None) until a day has a
+    consecutive-valid-return pair. A ripe tick whose day precedes the
+    open day is DROPPED (beyond-watermark day reopening — a finalized
+    day never changes; the standard streaming loss contract)."""
+    import math
+
+    day_ms, prev_px, prev_abs_r, rv_mi, bv_mi, n_rets, n_pairs = state_vals
+    out: list[dict] = []
+    touched = False
+    for ts_ms, px in ripe:
+        d = (ts_ms // _DAY_MS) * _DAY_MS
+        if day_ms is not None and d < day_ms:
+            continue  # beyond-watermark reopen of a closed day: refused
+        if day_ms is None:
+            day_ms = d
+        elif d > day_ms:
+            out.append(
+                _rv_row(None, day_ms, n_rets, rv_mi, bv_mi, n_pairs, True)
+            )
+            day_ms, prev_px, prev_abs_r = d, None, None
+            rv_mi, bv_mi, n_rets, n_pairs = 0, 0, 0, 0
+        touched = True
+        if prev_px is not None and px > 0 and prev_px > 0:
+            r = math.log(px / prev_px)
+            n_rets += 1
+            rv_mi += _snap_micros(r * r)
+            if prev_abs_r is not None:
+                bv_mi += _snap_micros(abs(r) * prev_abs_r)
+                n_pairs += 1
+            prev_abs_r = abs(r)
+        prev_px = px
+    if touched:
+        out.append(_rv_row(None, day_ms, n_rets, rv_mi, bv_mi, n_pairs, False))
+    return (day_ms, prev_px, prev_abs_r, rv_mi, bv_mi, n_rets, n_pairs), out
+
+
+def _update_rv_bipower(
+    key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Watermark-buffered daily RV/bipower fold — the
+    ``_update_ewma_ordered`` buffering scheme around ``rv_bipower_fold``:
+    ticks wait in state until the watermark passes them, then fold in
+    true event-time order, so the emitted daily rows equal the batch
+    kernel's output on the same data regardless of arrival order."""
+    empty = (None, None, None, 0, 0, 0, 0)
+    if state.hasTimedOut:
+        vals = state.get
+        core, buf_ms, buf_px = vals[:7], vals[7], vals[8]
+        pending = sorted(
+            zip(buf_ms or [], buf_px or []), key=lambda p: p[0]
+        )
+        core, rows = rv_bipower_fold(tuple(core), pending)
+        state.update(tuple(core) + ([], []))
+        for r in rows:
+            r["symbol"] = key[0]
+        if rows:
+            yield pd.DataFrame(rows)
+        return
+
+    if state.exists:
+        vals = state.get
+        core, buf = tuple(vals[:7]), list(zip(vals[7] or [], vals[8] or []))
+    else:
+        core, buf = empty, []
+    for pdf in pdf_iter:
+        for ts, x in zip(pdf["datetime"], pdf["last_price"]):
+            if x is None or pd.isna(x):
+                continue
+            buf.append((int(ts.value // 1_000_000), float(x)))
+    wm = state.getCurrentWatermarkMs()
+    buf.sort(key=lambda p: p[0])
+    ripe = [(t, x) for t, x in buf if t <= wm]
+    pending = [(t, x) for t, x in buf if t > wm]
+    core, rows = rv_bipower_fold(core, ripe)
+    state.update(
+        tuple(core)
+        + ([t for t, _ in pending], [x for _, x in pending])
+    )
+    if pending:
+        state.setTimeoutTimestamp(max(t for t, _ in pending) + 1)
+    for r in rows:
+        r["symbol"] = key[0]
+    if rows:
+        yield pd.DataFrame(rows)
+
+
+def rv_bipower_stream(ticks: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """T10: per-(symbol, day) streaming realized variance vs bipower
+    variation — the live twin of the batch ``realized_bipower`` catalog
+    query (Barndorff-Nielsen–Shephard jump decomposition): RV = sum r^2
+    picks up diffusion AND jumps, BV = (pi/2)*sum|r_t||r_{t-1}| is
+    jump-robust, so ``jump_ratio = max(0, 1 - BV/RV)`` is the intraday
+    jump monitor a risk desk watches live instead of recomputing
+    nightly. Emits in update mode: a running row per fold for the open
+    day, plus a ``day_final=True`` row the moment a later-day tick
+    proves the day closed (the last open day finalizes only with data —
+    a stream has no end-of-input).
+
+    State is O(1) per symbol beyond the watermark buffer: seven scalars
+    (open day, lag price, lag |return|, two int64 micros lanes, two
+    counts). The micros lanes reset per day, so int64 headroom is per
+    (symbol, day) — ~1e10 extreme-magnitude returns/day before wrap,
+    far past any real tape (see ``_RV_BIPOWER_STATE_SCHEMA``)."""
+    wm = ticks.withWatermark("datetime", watermark) if ticks.isStreaming else ticks
+    return wm.groupBy("symbol").applyInPandasWithState(
+        _update_rv_bipower,
+        outputStructType=RV_BIPOWER_SCHEMA,
+        stateStructType=_RV_BIPOWER_STATE_SCHEMA,
+        outputMode="update",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

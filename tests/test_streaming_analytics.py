@@ -1587,3 +1587,291 @@ def test_asof_stream_state_survives_restart(spark, tmp_path):
         (120.0, 103.0, 0.0, 200.0),   # restored carry across restart
         (180.0, 104.0, 150.0, 201.0),
     ]
+
+
+def test_rv_bipower_stream_daily_parity_out_of_order(spark, tmp_path):
+    """The streaming RV/bipower jump monitor must reproduce, across
+    out-of-order multi-day ticks interleaved over micro-batches, exactly
+    the per-(symbol, day) statistics an independent event-time fold
+    computes with the batch realized_bipower arithmetic (within-day log
+    returns over the all-ticks lag, half-up 1e-6 micros snap, shared
+    pi/2 literal, bv undefined until a valid-return pair exists). Days
+    proven closed by a later-day tick carry day_final=True."""
+    import math
+    import os as _os
+    import time as _time
+
+    import numpy as np
+
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.timeseries import (
+        BIPOWER_COEF,
+    )
+    from finance_data_ingestion_pipeline_with_kafka_spark.streaming.stateful import (
+        rv_bipower_stream,
+    )
+
+    DAY_S = 86_400
+    symbols = ["RVA", "RVB", "RVC"]
+    ticks = []
+    for k, sym in enumerate(symbols):
+        t = k * 7
+        for i in range(240):
+            t += ((i * 31 + k * 13) % 900) + 30  # ~3 days of irregular ticks
+            # occasional non-positive price: must advance the lag but
+            # produce no return (the batch kernel's validity gate)
+            p = -1.0 if (i % 47) == 13 else 100.0 + ((i * (k + 3)) % 80) / 4 - ((i * 11) % 40) / 4
+            ticks.append((sym, t, p))
+    n_batches = 5
+    src = tmp_path / "rvbp"
+    files = []
+    for b in range(n_batches):
+        chunk = [
+            fh_msg(s, t, p) for i, (s, t, p) in enumerate(ticks) if i % n_batches == b
+        ]
+        files.append(write_json_fixture(str(src), chunk, f"f{b}.json"))
+    files.append(write_json_fixture(str(src), [fh_msg("ZZZZ", 10**7)], "fz.json"))
+    now = _time.time()
+    for i, f in enumerate(files):
+        _os.utime(f, (now - 120 + 10 * i, now - 120 + 10 * i))
+
+    stream = finnhub_pipeline(
+        kafka_shaped_file_stream(spark, str(src), max_files_per_trigger=1),
+        dedup_watermark=None,
+    )
+    out = drain(
+        spark,
+        rv_bipower_stream(stream, watermark="1000 hours"),
+        "rvbp_t",
+        mode="update",
+    ).collect()
+
+    # last emission per (symbol, day) wins (update mode); finals must
+    # never be contradicted by a later running row
+    got, finals = {}, {}
+    for r in out:
+        if r["symbol"] == "ZZZZ":
+            continue
+        key = (r["symbol"], r["day"].date().isoformat())
+        got[key] = r
+        if r["day_final"]:
+            assert key not in finals, f"{key} finalized twice"
+            finals[key] = r
+    for key, r in finals.items():
+        assert got[key] == r, f"{key}: running row after day_final"
+
+    # independent event-time reference with the batch arithmetic
+    snap = lambda v: math.floor(v * 1e6 + 0.5)
+    want = {}
+    for sym in symbols:
+        series = sorted(
+            ((t, float(np.float32(p))) for s, t, p in ticks if s == sym),
+            key=lambda p: p[0],
+        )
+        prev_px, prev_day, prev_abs_r = None, None, None
+        acc = {}
+        for t, p in series:
+            d = (BASE_MS // 1000 + t) // DAY_S
+            if d != prev_day:
+                prev_px, prev_abs_r = None, None
+                prev_day = d
+            a = acc.setdefault(d, [0, 0, 0, 0])  # rv_mi, bv_mi, n_rets, n_pairs
+            if prev_px is not None and p > 0 and prev_px > 0:
+                r = math.log(p / prev_px)
+                a[2] += 1
+                a[0] += snap(r * r)
+                if prev_abs_r is not None:
+                    a[1] += snap(abs(r) * prev_abs_r)
+                    a[3] += 1
+                prev_abs_r = abs(r)
+            prev_px = p
+        for d, (rv_mi, bv_mi, n_rets, n_pairs) in acc.items():
+            day_iso = __import__("datetime").datetime.utcfromtimestamp(
+                d * DAY_S
+            ).date().isoformat()
+            rv = rv_mi / 1e6
+            bv = BIPOWER_COEF * (bv_mi / 1e6) if n_pairs > 0 else None
+            jump = max(1.0 - bv / rv, 0.0) if (rv > 0 and bv is not None) else None
+            want[(sym, day_iso)] = (n_rets, rv, bv, jump)
+
+    assert set(got) == set(want)
+    for key, (n_rets, rv, bv, jump) in want.items():
+        r = got[key]
+        assert r["n_rets"] == n_rets, key
+        assert r["rv"] == pytest.approx(rv, abs=1e-12), key
+        if bv is None:
+            assert r["bv"] is None and r["jump_ratio"] is None, key
+        else:
+            assert r["bv"] == pytest.approx(bv, abs=1e-12), key
+            assert r["jump_ratio"] == pytest.approx(jump, abs=1e-12), key
+    # every non-last day per symbol must have been finalized
+    for sym in symbols:
+        days = sorted(d for s, d in want if s == sym)
+        for d in days[:-1]:
+            assert (sym, d) in finals, (sym, d)
+        assert (sym, days[-1]) not in finals
+
+
+def test_rv_bipower_stream_state_survives_restart(spark, tmp_path):
+    """The (day, lag-price, lag-|r|, micros-lanes, buffer) state must
+    round-trip through the state store across a full query restart: run
+    1 delivers day-1 ticks (some buffered under the watermark), the
+    query STOPS, run 2 on the SAME checkpoint delivers the rest of
+    day 1 plus day-2 ticks and the sentinel — the day-1 row must
+    finalize with statistics spanning BOTH runs (no restart-induced
+    lane reset, no double-finalization)."""
+    import math
+    import os as _os
+    import time as _time
+
+    import numpy as np
+
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.timeseries import (
+        BIPOWER_COEF,
+    )
+    from finance_data_ingestion_pipeline_with_kafka_spark.streaming.stateful import (
+        rv_bipower_stream,
+    )
+
+    DAY_S = 86_400
+    day1 = [(100, 100.0), (200, 103.0), (300, 99.0), (400, 101.0)]
+    day2 = [(DAY_S + 100, 102.0), (DAY_S + 200, 105.0), (DAY_S + 300, 104.0)]
+    src, cp = tmp_path / "rvbp_restart", str(tmp_path / "rvbp_restart_cp")
+    sink = str(tmp_path / "rvbp_restart_out")
+    r1 = [
+        ("f1.json", [fh_msg("AAPL", t, p) for t, p in day1[:2]]),
+        ("f2.json", [fh_msg("AAPL", t, p) for t, p in day1[2:]]),
+    ]
+    r2 = [
+        ("f3.json", [fh_msg("AAPL", t, p) for t, p in day2]),
+        ("f4.json", [fh_msg("ZZZZ", 10**7)]),
+    ]
+
+    def run(files):
+        for name, msgs in files:
+            write_json_fixture(str(src), msgs, name)
+        now = _time.time()
+        for i, f in enumerate(sorted(_os.listdir(str(src)))):
+            fp = _os.path.join(str(src), f)
+            _os.utime(fp, (now - 600 + 10 * i, now - 600 + 10 * i))
+        stream = finnhub_pipeline(
+            kafka_shaped_file_stream(spark, str(src), max_files_per_trigger=1),
+            dedup_watermark=None,
+        )
+        q = (
+            rv_bipower_stream(stream, watermark="1000 hours")
+            .writeStream.outputMode("update")
+            # parquet rejects update mode; foreachBatch appends each
+            # micro-batch's emissions, preserving emission order via
+            # the batch id so "last row per (symbol, day)" stays readable
+            .foreachBatch(
+                lambda bdf, bid: bdf.withColumn(
+                    "batch_id", F.lit(bid)
+                ).write.mode("append").parquet(sink)
+            )
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run(r1)
+    run(r2)  # RESTART from checkpoint
+    out = [
+        r
+        for r in spark.read.parquet(sink)
+        .orderBy("batch_id", "day")
+        .collect()
+        if r["symbol"] == "AAPL"
+    ]
+
+    snap = lambda v: math.floor(v * 1e6 + 0.5)
+
+    def fold(series):
+        prev_px, prev_abs_r = None, None
+        rv_mi, bv_mi, n_rets, n_pairs = 0, 0, 0, 0
+        for _t, p in series:
+            x = float(np.float32(p))
+            if prev_px is not None and x > 0 and prev_px > 0:
+                r = math.log(x / prev_px)
+                n_rets += 1
+                rv_mi += snap(r * r)
+                if prev_abs_r is not None:
+                    bv_mi += snap(abs(r) * prev_abs_r)
+                    n_pairs += 1
+                prev_abs_r = abs(r)
+            prev_px = x
+        rv = rv_mi / 1e6
+        bv = BIPOWER_COEF * (bv_mi / 1e6) if n_pairs > 0 else None
+        jump = max(1.0 - bv / rv, 0.0) if (rv > 0 and bv is not None) else None
+        return n_rets, rv, bv, jump
+
+    finals = [r for r in out if r["day_final"]]
+    assert len(finals) == 1, finals  # day 1 finalized exactly once
+    n_rets, rv, bv, jump = fold(day1)
+    f = finals[0]
+    assert f["n_rets"] == n_rets == 3  # spans both runs
+    assert f["rv"] == pytest.approx(rv, abs=1e-12)
+    assert f["bv"] == pytest.approx(bv, abs=1e-12)
+    assert f["jump_ratio"] == pytest.approx(jump, abs=1e-12)
+    # day-2 running row reflects day-2-only statistics
+    day2_rows = [r for r in out if r["day"].day != f["day"].day]
+    assert day2_rows
+    n2, rv2, bv2, _ = fold(day2)
+    last2 = day2_rows[-1]
+    assert last2["n_rets"] == n2 == 2
+    assert last2["rv"] == pytest.approx(rv2, abs=1e-12)
+    assert last2["bv"] == pytest.approx(bv2, abs=1e-12)
+    assert not last2["day_final"]
+
+
+def test_rv_bipower_fold_semantics():
+    """Pure-fold contract: day rollover finalizes with the batch
+    arithmetic, a single-return day has UNDEFINED bipower (None, never a
+    fake 0), beyond-watermark reopening of a closed day is refused, and
+    an invalid price advances the lag without producing a return while
+    the bipower lag persists across it."""
+    import math
+
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.timeseries import (
+        BIPOWER_COEF,
+    )
+    from finance_data_ingestion_pipeline_with_kafka_spark.streaming.stateful import (
+        _DAY_MS,
+        rv_bipower_fold,
+    )
+
+    empty = (None, None, None, 0, 0, 0, 0)
+    snap = lambda v: math.floor(v * 1e6 + 0.5)
+    ticks = [
+        (0, 100.0),
+        (1000, 102.0),
+        (2000, 99.0),
+        (_DAY_MS + 5, 101.0),
+        (_DAY_MS + 9, 104.0),
+    ]
+    core, rows = rv_bipower_fold(empty, ticks)
+    r1, r2 = math.log(102 / 100), math.log(99 / 102)
+    exp_rv = (snap(r1 * r1) + snap(r2 * r2)) / 1e6
+    exp_bv = BIPOWER_COEF * snap(abs(r2) * abs(r1)) / 1e6
+    d1, d2 = rows
+    assert d1["day_final"] and d1["n_rets"] == 2
+    assert d1["rv"] == pytest.approx(exp_rv, abs=1e-15)
+    assert d1["bv"] == pytest.approx(exp_bv, abs=1e-15)
+    assert d1["jump_ratio"] == pytest.approx(
+        max(1 - exp_bv / exp_rv, 0.0), abs=1e-15
+    )
+    # day 2 has one return: rv defined, bv/jump_ratio undefined
+    assert not d2["day_final"] and d2["n_rets"] == 1
+    assert d2["bv"] is None and d2["jump_ratio"] is None
+
+    # beyond-watermark reopen of the closed day: refused, state unchanged
+    core2, rows2 = rv_bipower_fold(core, [(10, 50.0)])
+    assert core2 == core and rows2 == []
+
+    # invalid price: advances the lag (no return either side of it),
+    # and the valid-return bipower lag persists across it
+    _, rows3 = rv_bipower_fold(
+        empty, [(0, 100.0), (1, -1.0), (2, 105.0), (3, 110.0)]
+    )
+    last = rows3[-1]
+    assert last["n_rets"] == 1 and last["bv"] is None
