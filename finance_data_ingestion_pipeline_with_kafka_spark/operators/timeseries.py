@@ -870,9 +870,13 @@ def lead_lag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
 BIPOWER_COEF = 1.5707963267948966
 
 
-@query(
-    "realized_bipower",
-    oracle="""
+#: The BNS decomposition oracle — shared verbatim by the declarative
+#: batch kernel (``realized_bipower``) and the streaming fold's batch
+#: replay (``bipower_fold_series``): one ground truth, two engines'
+#: worth of evidence (the ``incremental_ohlcv`` merge≡recompute
+#: pattern — the twin queries must hash-match the SAME oracle, so the
+#: fold and the declarative plan are proven equal THROUGH it).
+_BIPOWER_ORACLE = """
     WITH events_us AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
     rets AS (
       SELECT event_type, date_trunc('day', ts) AS day, ts, event_id,
@@ -903,7 +907,12 @@ BIPOWER_COEF = 1.5707963267948966
                               / CAST(SUM(rv_t) AS DOUBLE), 0.0) END AS jump_ratio
     FROM terms GROUP BY event_type, day
     ORDER BY event_type, day
-    """.format(coef=BIPOWER_COEF),
+""".format(coef=BIPOWER_COEF)
+
+
+@query(
+    "realized_bipower",
+    oracle=_BIPOWER_ORACLE,
     tags=("A7", "W2"),
 )
 def realized_bipower(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -970,6 +979,74 @@ def realized_bipower(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (rv > 0) & F.sum("bv_t").isNotNull(),
                 F.greatest(1.0 - bv / rv, F.lit(0.0)),
             ).alias("jump_ratio"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@query(
+    "bipower_fold_series",
+    oracle=_BIPOWER_ORACLE,
+    tags=("T10", "A7"),
+)
+def bipower_fold_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[T10 batch twin] The streaming ``rv_bipower_stream`` state
+    machine's pure fold (``streaming/stateful.py: rv_bipower_fold`` —
+    the EXACT code the stateful operator executes per micro-batch) run
+    over each event_type's full tick tape via ``applyInPandas``, SPLIT
+    at the series midpoint with the seven-scalar state carried across
+    the two fold calls — so the driver's DuckDB hash-compare verifies
+    BOTH the fold arithmetic AND the cross-micro-batch state carry
+    against the SAME oracle the declarative ``realized_bipower`` kernel
+    hash-matches (the ``incremental_ohlcv`` merge≡recompute pattern:
+    fold ≡ plan ≡ oracle, three ways). Ticks are pre-sorted by the full
+    (ts, event_id) order BEFORE the fold — the fold's day arithmetic is
+    ms-grain, but ordering keeps the µs-resolution tiebreak the batch
+    window uses. Running rows superseded by a later emission of the
+    same day collapse to the last (update semantics); zero-return days
+    drop, matching the oracle's terms-GROUP-BY domain.
+
+    Scale: one shuffle on the series key, O(1) state per key — the
+    streaming variant's bounded-state posture, proven on the batch
+    tape."""
+    import pandas as pd
+
+    from ..streaming.stateful import rv_bipower_fold
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        etype = pdf["event_type"].iloc[0]
+        ticks = [
+            (int(ts.value // 1_000_000), float(v))
+            for ts, v in zip(pdf["ts"], pdf["value"])
+        ]
+        state = (None, None, None, 0, 0, 0, 0)
+        state, rows1 = rv_bipower_fold(state, ticks[: len(ticks) // 2])
+        _state, rows2 = rv_bipower_fold(state, ticks[len(ticks) // 2 :])
+        last = {}  # update semantics: last emission per day wins
+        for r in rows1 + rows2:
+            last[r["day"]] = r
+        keep = [r for r in last.values() if r["n_rets"] > 0]
+        return pd.DataFrame(
+            {
+                "event_type": [etype] * len(keep),
+                "day": [r["day"] for r in keep],
+                "n_rets": [r["n_rets"] for r in keep],
+                "rv": [r["rv"] for r in keep],
+                "bv": [r["bv"] for r in keep],
+                "jump_ratio": [r["jump_ratio"] for r in keep],
+            }
+        )
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id", "value"
+    )
+    return (
+        e.groupBy("event_type")
+        .applyInPandas(
+            fold,
+            "event_type string, day timestamp, n_rets long, rv double, "
+            "bv double, jump_ratio double",
         )
         .orderBy("event_type", "day")
     )
