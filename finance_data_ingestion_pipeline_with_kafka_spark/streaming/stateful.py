@@ -1169,7 +1169,11 @@ def _snap_micros(v: float) -> int:
     """floor(v*1e6 + 0.5) — the same half-up double→DECIMAL(30,6)
     rounding Spark's cast applies to the batch kernel's non-negative
     terms, carried as exact int64 micros so the daily sum is order-free
-    (the dsum argument, specialised to the per-day lane)."""
+    (the dsum argument, specialised to the per-day lane). Same boundary
+    caveat as the ``similarity`` micros lanes: within 1 ulp of a .5
+    micro boundary the +0.5-then-floor idiom can double-round relative
+    to a direct decimal cast — measure-zero on real magnitudes, and the
+    grain-margin test pins the regime where it cannot matter."""
     import math
 
     return int(math.floor(v * 1e6 + 0.5))
