@@ -1053,6 +1053,84 @@ def bipower_fold_series(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "drawdown_fold_series",
+    oracle="""
+    WITH events_us AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    walk AS (
+      SELECT event_type, value,
+             MAX(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS run_peak
+      FROM events_us
+    )
+    SELECT event_type,
+           MAX(run_peak) AS peak,
+           COALESCE(MAX(CASE WHEN run_peak > 0
+                        THEN (run_peak - value) / run_peak END), 0.0)
+             AS max_drawdown,
+           CAST(COUNT(value) AS BIGINT) AS n_obs
+    FROM walk GROUP BY event_type
+    HAVING COUNT(value) > 0
+    ORDER BY event_type
+    """,
+    tags=("T10", "A3"),
+)
+def drawdown_fold_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[T10 batch twin] The Spark 4 ``transformWithStateInPandas``
+    drawdown processor's pure fold (``streaming/stateful.py:
+    drawdown_fold`` — the EXACT code ``max_drawdown_stream``'s
+    ``DrawdownProcessor`` executes per micro-batch) replayed over each
+    event_type's full tick tape via ``applyInPandas`` with a midpoint
+    state split. The TWS runtime is protobuf-gated in this image
+    (``tws_runtime_available`` — the processor's WIRING is pinned to
+    the exact execution boundary by ``test_transform_with_state_
+    boundary``), so this query is how the gated operator's LOGIC still
+    earns driver-hashed oracle evidence: fold ≡ SQL running-peak walk,
+    state carry inside the hash. Bit-exact with NO rounding: the
+    running peak is an order statistic and each drawdown is two
+    correctly-rounded IEEE ops on exact input doubles, so both engines
+    select identical values.
+
+    Scale: one shuffle on the series key; the streaming operator holds
+    one (peak, mdd, n) triple per live symbol."""
+    import pandas as pd
+
+    from ..streaming.stateful import drawdown_fold
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        prices = pdf["value"].tolist()
+        peak, mdd, n = drawdown_fold(
+            float("-inf"), 0.0, 0, prices[: len(prices) // 2]
+        )
+        peak, mdd, n = drawdown_fold(peak, mdd, n, prices[len(prices) // 2 :])
+        if n == 0:
+            return pd.DataFrame(
+                {"event_type": [], "peak": [], "max_drawdown": [], "n_obs": []}
+            )
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "peak": [peak],
+                "max_drawdown": [mdd],
+                "n_obs": [n],
+            }
+        )
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id", "value"
+    )
+    return (
+        e.groupBy("event_type")
+        .applyInPandas(
+            fold,
+            "event_type string, peak double, max_drawdown double, n_obs long",
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
     "amihud_illiquidity",
     oracle="""
     WITH events_us AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),

@@ -354,6 +354,29 @@ def tws_runtime_available() -> bool:
         return False
 
 
+def drawdown_fold(peak: float, mdd: float, n: int, prices) -> tuple:
+    """Pure running-peak / max-drawdown fold shared by the TWS
+    ``DrawdownProcessor`` (the live path, protobuf-gated in this image)
+    and the ``drawdown_fold_series`` catalog query (the driver-hashed
+    batch replay) — the same extracted-fold pattern as ``rsi_fold`` /
+    ``rv_bipower_fold``, so the env-gated streaming operator's logic
+    still carries oracle-grade evidence. Bit-exact by construction:
+    peak is an order statistic and each drawdown is two
+    correctly-rounded IEEE ops ((peak−x)/peak) on exact input doubles,
+    so MAX over them selects identical values in every engine. None/NaN
+    ticks are skipped entirely (no peak update, no count), mirroring
+    SQL aggregate null-skipping."""
+    for x in prices:
+        if x is None or pd.isna(x):
+            continue
+        x = float(x)
+        peak = max(peak, x)
+        if peak > 0:
+            mdd = max(mdd, (peak - x) / peak)
+        n += 1
+    return peak, mdd, n
+
+
 def _drawdown_processor():
     """Build the StatefulProcessor class lazily (keeps the module import
     light and the API surface obvious in one place)."""
@@ -384,14 +407,7 @@ def _drawdown_processor():
             chunks = [pdf[["datetime", "last_price"]] for pdf in rows]
             if chunks:
                 batch = pd.concat(chunks).sort_values(["datetime"], kind="stable")
-                for x in batch["last_price"]:
-                    if x is None or pd.isna(x):
-                        continue
-                    x = float(x)
-                    peak = max(peak, x)
-                    if peak > 0:
-                        mdd = max(mdd, (peak - x) / peak)
-                    n += 1
+                peak, mdd, n = drawdown_fold(peak, mdd, n, batch["last_price"])
             self.state.update((peak, mdd, n))
             yield pd.DataFrame(
                 {
