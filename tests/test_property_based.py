@@ -639,3 +639,90 @@ def test_asof_nearest_matches_bruteforce(rows, monkeypatch):
         else:
             want = (None, None, None)
         assert got[pid] == want, (pid, got[pid], want)
+
+
+@settings(max_examples=100, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    prices=st.lists(
+        st.one_of(
+            st.none(),
+            st.floats(
+                min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+            ),
+        ),
+        max_size=60,
+    ),
+    cut=st.integers(min_value=0, max_value=60),
+)
+def test_drawdown_fold_split_invariance_and_bruteforce(prices, cut):
+    """Two laws of the shared TWS/batch drawdown fold (`drawdown_fold`,
+    `streaming/stateful.py`): (1) the state-carry law — folding a tape
+    in two chunks through the carried (peak, mdd, n) state equals one
+    global fold, for ANY cut point (this is exactly what the
+    `drawdown_fold_series` catalog query's midpoint state split relies
+    on); (2) brute-force equivalence — the folded (peak, mdd, n) equals
+    the direct order-statistic definition max(prefix) / max over ticks
+    of (running_peak - x)/running_peak / count(valid)."""
+    from finance_data_ingestion_pipeline_with_kafka_spark.streaming.stateful import (
+        drawdown_fold,
+    )
+
+    init = (float("-inf"), 0.0, 0)
+    cut = min(cut, len(prices))
+    s1 = drawdown_fold(*init, prices[:cut])
+    split = drawdown_fold(*s1, prices[cut:])
+    whole = drawdown_fold(*init, prices)
+    assert split == whole  # bit-exact: same IEEE ops in the same order
+
+    peak, mdd, n = init
+    for x in prices:
+        if x is None:
+            continue
+        peak = max(peak, float(x))
+        if peak > 0:
+            mdd = max(mdd, (peak - float(x)) / peak)
+        n += 1
+    assert whole == (peak, mdd, n)
+
+
+@settings(max_examples=100, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    ticks=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3 * 86_400_000 - 1),  # ts_ms, 3 days
+            st.floats(min_value=0.01, max_value=1e4, allow_nan=False),
+        ),
+        max_size=40,
+    ),
+    cut=st.integers(min_value=0, max_value=40),
+)
+def test_rv_bipower_fold_split_invariance(ticks, cut):
+    """State-carry law of the daily RV/bipower fold (`rv_bipower_fold`,
+    `streaming/stateful.py`), the law the `bipower_fold_series` catalog
+    query's midpoint state split exercises on the real tape: for ANY
+    cut of an event-time-ordered tape, (a) the carried state after the
+    second chunk equals the single global fold's state bit-exactly,
+    and (b) the finalized-day emissions (day_final=True) concatenate
+    identically — a day closed before the cut never reopens or changes.
+    The split run's extra mid-tape running row is the documented
+    update-mode emission, not drift: the LAST running row still matches
+    the global fold's."""
+    from finance_data_ingestion_pipeline_with_kafka_spark.streaming.stateful import (
+        rv_bipower_fold,
+    )
+
+    ticks = sorted(ticks, key=lambda t: t[0])
+    empty = (None, None, None, 0, 0, 0, 0)
+    cut = min(cut, len(ticks))
+
+    s1, rows1 = rv_bipower_fold(empty, ticks[:cut])
+    s2, rows2 = rv_bipower_fold(s1, ticks[cut:])
+    s_whole, rows_whole = rv_bipower_fold(empty, ticks)
+
+    assert s2 == s_whole
+    final_split = [r for r in rows1 + rows2 if r["day_final"]]
+    final_whole = [r for r in rows_whole if r["day_final"]]
+    assert final_split == final_whole
+    if ticks:
+        # both runs end on the same open-day running row
+        assert (rows1 + rows2)[-1] == rows_whole[-1]
