@@ -3987,3 +3987,253 @@ def var_breach_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+#: Shared daily-close-return CTE prefix for the risk/beta oracles: per
+#: (event_type, day) the LAST tick's value is the close (deterministic
+#: total order — ts DESC then event_id DESC, the bar-close convention
+#: of `ohlcv_bars`), and the return series is close-to-close log
+#: returns within each event_type.  The only cross-engine-sensitive op
+#: before the moment sums is `ln` (both engines' libm agree to within
+#: the DECIMAL snap grain on this data — the `realized_bipower`
+#: precedent).
+_DAILY_RET_CTES = """
+    WITH events_us AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    closes AS (
+      SELECT event_type, day, value AS close FROM (
+        SELECT event_type, date_trunc('day', ts) AS day, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events_us
+      ) WHERE rn = 1
+    ),
+    rets AS (
+      SELECT event_type, day, close,
+             CASE WHEN close > 0 AND LAG(close) OVER w > 0
+                  THEN ln(close / LAG(close) OVER w) END AS r
+      FROM closes
+      WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    )
+"""
+
+
+def _daily_close_returns(spark: SparkSession, sf_dir: str):
+    """(closes, rets) DataFrames matching ``_DAILY_RET_CTES``: the close
+    is ``max_by(value, struct(ts, event_id))`` — ONE partial+final hash
+    aggregation over the tick table (the only big-data pass; output is
+    types × days rows), never a window sort over ticks."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts")
+    closes = (
+        e.groupBy("event_type", day.alias("day"))
+        .agg(F.max_by("value", F.struct("ts", "event_id")).alias("close"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    prev = F.lag("close").over(w)
+    rets = closes.select(
+        "event_type",
+        "day",
+        "close",
+        F.when((F.col("close") > 0) & (prev > 0), F.log(F.col("close") / prev)).alias(
+            "r"
+        ),
+    )
+    return closes, rets
+
+
+@query(
+    "risk_adjusted_returns",
+    oracle=_DAILY_RET_CTES
+    + """
+    , stats AS (
+      SELECT event_type,
+             CAST(COUNT(r) AS BIGINT) AS n_days,
+             CAST(SUM(CAST(r AS DECIMAL(30,6))) AS DOUBLE) AS sr,
+             CAST(SUM(CAST(r * r AS DECIMAL(38,6))) AS DOUBLE) AS srr,
+             CAST(SUM(CASE WHEN r < 0 THEN CAST(r * r AS DECIMAL(38,6)) END)
+                  AS DOUBLE) AS sneg
+      FROM rets WHERE r IS NOT NULL GROUP BY event_type
+    ), dd AS (
+      SELECT event_type,
+             COALESCE(MAX(CASE WHEN run_peak > 0
+                          THEN (run_peak - close) / run_peak END), 0.0) AS mdd
+      FROM (SELECT event_type, close,
+                   MAX(close) OVER (PARTITION BY event_type ORDER BY day
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND CURRENT ROW) AS run_peak
+            FROM closes) GROUP BY event_type
+    )
+    SELECT stats.event_type, n_days,
+           ROUND(sr / n_days, 6) AS mean_ret,
+           CASE WHEN n_days * srr - sr * sr > 0
+                THEN ROUND(sqrt((n_days * srr - sr * sr)
+                                / (CAST(n_days AS DOUBLE) * (n_days - 1))), 6)
+           END AS vol,
+           CASE WHEN n_days * srr - sr * sr > 0
+                THEN ROUND((sr / n_days)
+                           / sqrt((n_days * srr - sr * sr)
+                                  / (CAST(n_days AS DOUBLE) * (n_days - 1))), 6)
+           END AS sharpe,
+           CASE WHEN sneg > 0
+                THEN ROUND((sr / n_days) / sqrt(sneg / n_days), 6) END AS sortino,
+           mdd AS max_drawdown,
+           CASE WHEN mdd > 0 THEN ROUND((sr / n_days) / mdd, 6) END AS calmar
+    FROM stats JOIN dd ON stats.event_type = dd.event_type
+    ORDER BY stats.event_type
+    """,
+    tags=("A7", "F6"),
+)
+def risk_adjusted_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A7/F6] Per-series risk-adjusted performance — Sharpe (mean over
+    sample stddev), Sortino (mean over downside deviation, full-sample
+    denominator), and Calmar (mean over maximum drawdown) on the daily
+    close-to-close log returns, the standard risk triple a strategy
+    monitor reads off the reference's per-symbol Cassandra rollups
+    (reference declares the metric surface at
+    dags/ingestion_yfinance_data_to_cassandra_db.py:254-269; the stub
+    processing functions compute none of this).
+
+    Exactness: moment sums ride DECIMAL snaps (the `correlation`
+    recipe), drawdown is the bit-exact order-statistic walk (the
+    `drawdown_fold` argument), ratios ROUND to 6 at the very end, and
+    degenerate groups (zero variance, no negative return, zero
+    drawdown) emit NULL identically in both engines.
+
+    Scale: the tick table is touched ONCE by a partial+final hash
+    aggregation into types × days close rows; everything after runs on
+    that tiny frame (window walk + two scalar aggs + a tiny join)."""
+    closes, rets = _daily_close_returns(spark, sf_dir)
+    r = F.col("r")
+    stats = (
+        rets.filter(r.isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("r").cast("bigint").alias("n_days"),
+            F.sum(r.cast(DEC)).cast("double").alias("sr"),
+            F.sum((r * r).cast("decimal(38,6)")).cast("double").alias("srr"),
+            F.sum(F.when(r < 0, (r * r).cast("decimal(38,6)")))
+            .cast("double")
+            .alias("sneg"),
+        )
+    )
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    peak = F.max("close").over(wp)
+    dd = (
+        closes.select(
+            "event_type",
+            "close",
+            peak.alias("run_peak"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.coalesce(
+                F.max(
+                    F.when(
+                        F.col("run_peak") > 0,
+                        (F.col("run_peak") - F.col("close")) / F.col("run_peak"),
+                    )
+                ),
+                F.lit(0.0),
+            ).alias("mdd")
+        )
+    )
+    n = F.col("n_days")
+    sr, srr, sneg = F.col("sr"), F.col("srr"), F.col("sneg")
+    m2 = n * srr - sr * sr  # n·Σr² − (Σr)² — ≥0 up to snap noise
+    var = m2 / (n.cast("double") * (n - F.lit(1)))
+    mean = sr / n
+    mdd = F.col("mdd")
+    return (
+        stats.join(dd, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            F.round(mean, 6).alias("mean_ret"),
+            F.when(m2 > 0, F.round(F.sqrt(var), 6)).alias("vol"),
+            F.when(m2 > 0, F.round(mean / F.sqrt(var), 6)).alias("sharpe"),
+            F.when(sneg > 0, F.round(mean / F.sqrt(sneg / n), 6)).alias("sortino"),
+            mdd.alias("max_drawdown"),
+            F.when(mdd > 0, F.round(mean / mdd, 6)).alias("calmar"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "market_beta",
+    oracle=_DAILY_RET_CTES
+    + """
+    , mkt AS (
+      SELECT day,
+             CAST(SUM(CAST(r AS DECIMAL(30,6))) AS DOUBLE) / COUNT(r) AS r_mkt
+      FROM rets WHERE r IS NOT NULL GROUP BY day
+    ), joined AS (
+      SELECT rets.event_type, rets.r, mkt.r_mkt
+      FROM rets JOIN mkt ON rets.day = mkt.day
+      WHERE rets.r IS NOT NULL
+    ), s AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(CAST(r_mkt AS DECIMAL(30,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(r AS DECIMAL(30,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(r_mkt * r_mkt AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(r_mkt * r AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+      FROM joined GROUP BY event_type
+    )
+    SELECT event_type, n_days,
+           CASE WHEN n_days * sxx - sx * sx > 0
+                THEN ROUND((n_days * sxy - sx * sy) / (n_days * sxx - sx * sx), 6)
+           END AS beta,
+           CASE WHEN n_days * sxx - sx * sx > 0
+                THEN ROUND((sy - (n_days * sxy - sx * sy)
+                                 / (n_days * sxx - sx * sx) * sx) / n_days, 6)
+           END AS alpha
+    FROM s ORDER BY event_type
+    """,
+    tags=("A7", "J2"),
+)
+def market_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A7/J2] CAPM-style market beta and alpha per series: regress each
+    event_type's daily log return on the equal-weight cross-sectional
+    market return (the average same-day return over all series) —
+    beta = cov(r, r_mkt)/var(r_mkt) and alpha = mean residual, via the
+    same exact decimal moment-sum formulation as `correlation` /
+    `ols_regression`.
+
+    Exactness: r_mkt is a snapped-decimal-sum over the day's returns
+    divided by the count (identical doubles both engines), the moment
+    products snap to DECIMAL(38,6) before summing, and both ratios
+    ROUND to 6 only at the end; a degenerate market (zero variance)
+    emits NULL beta/alpha identically.
+
+    Scale: ticks collapse once into types × days closes (partial+final
+    hash agg); the per-day market table is days-sized, so the
+    enrichment join BROADCASTS it back onto the return frame — no
+    second shuffle of anything data-sized."""
+    _closes, rets = _daily_close_returns(spark, sf_dir)
+    r = F.col("r")
+    valid = rets.filter(r.isNotNull())
+    mkt = valid.groupBy("day").agg(
+        (F.sum(r.cast(DEC)).cast("double") / F.count("r")).alias("r_mkt")
+    )
+    joined = valid.join(F.broadcast(mkt), "day").select("event_type", "r", "r_mkt")
+    x, y = F.col("r_mkt"), F.col("r")
+    s = joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum(x.cast(DEC)).cast("double").alias("sx"),
+        F.sum(y.cast(DEC)).cast("double").alias("sy"),
+        F.sum((x * x).cast("decimal(38,6)")).cast("double").alias("sxx"),
+        F.sum((x * y).cast("decimal(38,6)")).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n_days"), F.col("sx"), F.col("sy")
+    varx = n * F.col("sxx") - sx * sx
+    beta = (n * F.col("sxy") - sx * sy) / varx
+    return s.select(
+        "event_type",
+        "n_days",
+        F.when(varx > 0, F.round(beta, 6)).alias("beta"),
+        F.when(varx > 0, F.round((sy - beta * sx) / n, 6)).alias("alpha"),
+    ).orderBy("event_type")

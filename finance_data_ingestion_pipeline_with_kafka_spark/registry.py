@@ -406,14 +406,15 @@ def query(
 #: ``jaccard_threshold_curve`` (identical plan, but code-changed ⇒
 #: next window).
 #:
-#: Round-13 window arithmetic: 12 brand-new (``roll_spread``,
+#: Round-13 window arithmetic: 14 brand-new (``roll_spread``,
 #: ``pq_distortion``, ``jaccard_threshold_curve``, then the session-2
 #: additions ``ks_drift``, ``atr_keltner``, ``garman_klass_vol``,
 #: ``lead_lag_xcorr``, ``hybrid_rrf_fusion``, ``realized_bipower``,
-#: ``amihud_illiquidity``, and session-3's ``bipower_fold_series`` +
-#: ``drawdown_fold_series``) + 3 modified + 10 r7-stale (the whole
-#: remaining tier — retired) + 25 of the 48 r8 rows = 50; 23 r8 rows
-#: spill to round 14.
+#: ``amihud_illiquidity``, session-3's ``bipower_fold_series`` +
+#: ``drawdown_fold_series``, and session-4's ``risk_adjusted_returns``
+#: + ``market_beta``) + 3 modified + 10 r7-stale (the whole remaining
+#: tier — retired) + 23 of the 48 r8 rows = 50; 25 r8 rows spill to
+#: round 14.
 _R13_MODIFIED = frozenset((
     "ngram_jaccard_pairs", "pq_ann", "zorder_skipping",
 ))

@@ -552,3 +552,24 @@ def test_amihud_two_exchange_no_joins(spark, sf_dir):
     for bad in ("Join", "CartesianProduct"):
         assert bad not in p, bad
     assert p.count("Scan parquet") == 1
+
+
+def test_risk_adjusted_returns_single_data_pass(spark, sf_dir):
+    """The tick table is scanned and shuffled for ONE partial+final
+    close aggregation; the stats/drawdown branches and their join run
+    on the types x days frame (broadcast, never sort-merge)."""
+    p = executed_plan(q(spark, sf_dir, "risk_adjusted_returns"))
+    assert "partial_max_by" in p or "partial_" in p, p
+    for bad in ("SortMergeJoin", "CartesianProduct", "BroadcastNestedLoop"):
+        assert bad not in p, bad
+
+
+def test_market_beta_market_table_broadcasts(spark, sf_dir):
+    """The per-day market return table is days-sized and must BROADCAST
+    back onto the return frame — a sort-merge there would shuffle the
+    (already tiny) frame twice and at scale would shuffle data-sized
+    inputs for a dimension-sized join."""
+    p = executed_plan(q(spark, sf_dir, "market_beta"))
+    assert "BroadcastHashJoin" in p, p
+    for bad in ("SortMergeJoin", "CartesianProduct", "BroadcastNestedLoop"):
+        assert bad not in p, bad
