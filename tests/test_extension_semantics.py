@@ -2721,3 +2721,117 @@ def test_dsum_grain_sits_far_above_term_ulp(sf_dir):
             f"double->decimal cast can split; widen the grain "
             f"(see garman_klass_vol's grain note)"
         )
+
+
+def test_risk_adjusted_returns_matches_brute_force(spark, sf_dir):
+    """Sharpe/Sortino/Calmar vs a pandas recomputation from the same
+    daily closes, replicating the per-term decimal snap (the GK-test
+    discipline) so the comparison is 1e-9-tight, plus the exact
+    drawdown walk."""
+    import math
+
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.timeseries import (
+        risk_adjusted_returns,
+    )
+
+    rows = risk_adjusted_returns(spark, sf_dir).collect()
+    assert rows
+    e = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_type", "ts", "event_id", "value")
+        .toPandas()
+        .sort_values(["event_type", "ts", "event_id"])
+    )
+    e["day"] = e["ts"].dt.floor("D")
+    closes = (
+        e.groupby(["event_type", "day"]).agg(close=("value", "last")).reset_index()
+    )
+    snap = lambda v: math.floor(abs(v) * 1e6 + 0.5) / 1e6 * (1 if v >= 0 else -1)
+    for r in rows:
+        g = closes[closes["event_type"] == r["event_type"]].sort_values("day")
+        px = list(g["close"])
+        rets = [
+            math.log(b / a)
+            for a, b in zip(px, px[1:])
+            if a > 0 and b > 0
+        ]
+        n = len(rets)
+        assert r["n_days"] == n
+        sr = sum(snap(x) for x in rets)
+        srr = sum(snap(x * x) for x in rets)
+        sneg = sum(snap(x * x) for x in rets if x < 0)
+        mean = sr / n
+        assert abs(r["mean_ret"] - mean) < 6e-7
+        m2 = n * srr - sr * sr
+        if m2 > 0:
+            sd = math.sqrt(m2 / (n * (n - 1)))
+            assert abs(r["vol"] - sd) < 6e-7
+            assert abs(r["sharpe"] - mean / sd) < 1e-4
+        else:
+            assert r["vol"] is None and r["sharpe"] is None
+        if any(x < 0 for x in rets):
+            assert abs(r["sortino"] - mean / math.sqrt(sneg / n)) < 1e-4
+        else:
+            assert r["sortino"] is None
+        peak, mdd = float("-inf"), 0.0
+        for x in px:
+            peak = max(peak, x)
+            if peak > 0:
+                mdd = max(mdd, (peak - x) / peak)
+        assert r["max_drawdown"] == mdd  # exact: order statistic + IEEE ops
+        if mdd > 0:
+            assert abs(r["calmar"] - mean / mdd) < 1e-4
+        else:
+            assert r["calmar"] is None
+
+
+def test_market_beta_matches_numpy(spark, sf_dir):
+    """Beta/alpha vs a numpy cov/var regression of each series' daily
+    returns on the equal-weight market mean, on the same matched days."""
+    import math
+
+    import numpy as np
+
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.timeseries import (
+        market_beta,
+    )
+
+    rows = market_beta(spark, sf_dir).collect()
+    assert rows
+    e = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_type", "ts", "event_id", "value")
+        .toPandas()
+        .sort_values(["event_type", "ts", "event_id"])
+    )
+    e["day"] = e["ts"].dt.floor("D")
+    closes = (
+        e.groupby(["event_type", "day"]).agg(close=("value", "last")).reset_index()
+    )
+    rets = {}
+    for etype, g in closes.groupby("event_type"):
+        g = g.sort_values("day")
+        px, days = list(g["close"]), list(g["day"])
+        for a, b, d in zip(px, px[1:], days[1:]):
+            if a > 0 and b > 0:
+                rets[(etype, d)] = math.log(b / a)
+    mkt = {}
+    for (etype, d), x in rets.items():
+        mkt.setdefault(d, []).append(x)
+    mkt = {d: sum(v) / len(v) for d, v in mkt.items()}
+    for r in rows:
+        y = np.array(
+            [x for (et, d), x in sorted(rets.items()) if et == r["event_type"]]
+        )
+        x = np.array(
+            [mkt[d] for (et, d), _ in sorted(rets.items()) if et == r["event_type"]]
+        )
+        assert r["n_days"] == len(y)
+        varx = len(x) * float(np.sum(x * x)) - float(np.sum(x)) ** 2
+        if varx > 0:
+            beta = (len(x) * float(np.sum(x * y)) - float(np.sum(x)) * float(np.sum(y))) / varx
+            alpha = (float(np.sum(y)) - beta * float(np.sum(x))) / len(x)
+            assert abs(r["beta"] - beta) < 1e-4
+            assert abs(r["alpha"] - alpha) < 1e-4
+        else:
+            assert r["beta"] is None and r["alpha"] is None
