@@ -127,3 +127,20 @@ def test_dedup_crossover_order_is_cheapest_first():
     assert bench.DEDUP_CROSSOVER.index("pq_ann") < bench.DEDUP_CROSSOVER.index(
         "near_dup_clusters"
     )
+
+
+def test_probe_100x_flag_parsing_is_strict():
+    """The 100x probe tool follows the soak tool's strict-flag contract:
+    exact flag matches only, clean usage errors for a trailing bare
+    flag, unknown flags rejected instead of silently consumed."""
+    import pytest
+
+    from tools.probe_100x import DEFAULT_QUERIES, parse_args
+
+    names, factor, sf = parse_args(["--queries", "a,b", "--factor", "50"])
+    assert names == ["a", "b"] and factor == 50
+    names, factor, sf = parse_args(["--factor=25", "--sf=/tmp/x"])
+    assert list(names) == list(DEFAULT_QUERIES) and factor == 25 and sf == "/tmp/x"
+    for bad in (["--factor"], ["--queries"], ["--sf"], ["--sfoo", "x"], ["stray"]):
+        with pytest.raises(SystemExit):
+            parse_args(bad)
