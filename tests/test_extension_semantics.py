@@ -2835,3 +2835,61 @@ def test_market_beta_matches_numpy(spark, sf_dir):
             assert abs(r["alpha"] - alpha) < 1e-4
         else:
             assert r["beta"] is None and r["alpha"] is None
+
+
+def test_random_fixture_oracle_exactness(spark, sf_dir, tmp_path):
+    """The driver regenerates testdata between rounds, so the residual
+    risk for the snap-grain events kernels is a DATA-dependent
+    cross-engine hash split the fixed fixture can't catch. Sweep the
+    four most snap-sensitive kernels over seeded random events tables
+    with adversarial shapes — duplicate timestamps (the (ts, event_id)
+    tiebreak), zero values (positivity guards), single-tick days
+    (degenerate-group NULLs), magnitudes from 1e-3 to 1e5 (the grain
+    regime) — and exact-compare Spark against the DuckDB oracle on
+    each, exactly as the driver does."""
+    import shutil
+
+    import numpy as np
+    import pandas as pd
+
+    from finance_data_ingestion_pipeline_with_kafka_spark.catalog import TABLES
+    from finance_data_ingestion_pipeline_with_kafka_spark.registry import load_all
+
+    cat = load_all()
+    names = (
+        "risk_adjusted_returns",
+        "market_beta",
+        "realized_bipower",
+        "amihud_illiquidity",
+    )
+    day_ms = 86_400_000
+    for seed in range(6):
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(2, 260))
+        n_types = int(rng.integers(1, 5))
+        ts_ms = rng.integers(0, 5 * day_ms, size=n)
+        if seed % 2:  # force duplicate timestamps: the order tiebreak
+            ts_ms = (ts_ms // 3_600_000) * 3_600_000
+        # magnitudes across the grain regime, with exact zeros mixed in
+        value = np.exp(rng.uniform(np.log(1e-3), np.log(1e5), size=n))
+        value[rng.random(n) < 0.05] = 0.0
+        pdf = pd.DataFrame(
+            {
+                "event_id": np.arange(n, dtype="int64"),
+                "ts": pd.to_datetime(ts_ms, unit="ms"),
+                "user_id": rng.integers(1, 50, size=n).astype("int64"),
+                "event_type": [f"t{i % n_types}" for i in range(n)],
+                "value": value,
+                "props": ['{"k": 1}'] * n,
+            }
+        )
+        d = tmp_path / f"fix{seed}"
+        d.mkdir()
+        pdf.to_parquet(d / "events.parquet", index=False)
+        for t in TABLES:  # oracle view registration wants every table
+            if t != "events":
+                shutil.copy(f"{sf_dir}/{t}.parquet", d / f"{t}.parquet")
+        from .oracle_utils import run_and_compare
+
+        for name in names:
+            run_and_compare(spark, str(d), name, cat[name].fn, cat[name].oracle)
