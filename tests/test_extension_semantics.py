@@ -2713,6 +2713,21 @@ def test_dsum_grain_sits_far_above_term_ulp(sf_dir):
             illiq_max = max(illiq_max, float(vals.max()))
     maxima["amihud illiq_d"] = illiq_max
 
+    # roll_spread d*dl terms — the only snap-grain kernel whose terms
+    # are RAW price-delta products (not logs/ratios), so they grow
+    # QUADRATICALLY with the fixture's value scale: the randomized
+    # oracle sweep measured the cross-engine split onset at products
+    # ~1e9-1e10 (values ~1e5), exactly where this margin bound predicts
+    rs_max = 0.0
+    for _, grp in e.groupby("event_type"):
+        v = grp["value"].to_numpy()
+        if len(v) >= 3:
+            d = v[1:] - v[:-1]
+            prod = np.abs(d[1:] * d[:-1])
+            if len(prod):
+                rs_max = max(rs_max, float(prod.max()))
+    maxima["roll_spread d*dl"] = rs_max
+
     for what, mx in maxima.items():
         margin = grain / math.ulp(mx) if mx > 0 else math.inf
         assert margin >= 1e4, (
@@ -2856,12 +2871,24 @@ def test_random_fixture_oracle_exactness(spark, sf_dir, tmp_path):
     from finance_data_ingestion_pipeline_with_kafka_spark.registry import load_all
 
     cat = load_all()
-    names = (
+    # Log-return/ratio kernels are magnitude-clamped by construction
+    # (their snapped terms are logs or ratios) — sweep those across the
+    # full 1e-3..1e5 scale. roll_spread's terms are RAW delta products
+    # (quadratic in the value scale): sweeping it at 1e5 values puts
+    # products at ~1e10, where the 1e-6 grain is SUB-ULP and the
+    # double→decimal half-up becomes representation-dependent — the
+    # split the grain-margin bound exists to exclude (measured: one
+    # last-ULP divergence at exactly that scale). So it sweeps in its
+    # contract regime (values ≤ 500, fixture-like — the margin test
+    # pins its d*dl maxima at ≥1e4 ULPs of headroom).
+    wide_names = (
         "risk_adjusted_returns",
         "market_beta",
         "realized_bipower",
         "amihud_illiquidity",
+        "garman_klass_vol",
     )
+    capped_names = ("roll_spread",)
     day_ms = 86_400_000
     for seed in range(6):
         rng = np.random.default_rng(seed)
@@ -2883,13 +2910,20 @@ def test_random_fixture_oracle_exactness(spark, sf_dir, tmp_path):
                 "props": ['{"k": 1}'] * n,
             }
         )
-        d = tmp_path / f"fix{seed}"
-        d.mkdir()
-        pdf.to_parquet(d / "events.parquet", index=False)
-        for t in TABLES:  # oracle view registration wants every table
-            if t != "events":
-                shutil.copy(f"{sf_dir}/{t}.parquet", d / f"{t}.parquet")
         from .oracle_utils import run_and_compare
 
-        for name in names:
-            run_and_compare(spark, str(d), name, cat[name].fn, cat[name].oracle)
+        for suffix, cap, group in (
+            ("w", None, wide_names),
+            ("c", 500.0, capped_names),
+        ):
+            d = tmp_path / f"fix{seed}{suffix}"
+            d.mkdir()
+            fixture = pdf if cap is None else pdf.assign(
+                value=np.minimum(pdf["value"], cap)
+            )
+            fixture.to_parquet(d / "events.parquet", index=False)
+            for t in TABLES:  # oracle view registration wants every table
+                if t != "events":
+                    shutil.copy(f"{sf_dir}/{t}.parquet", d / f"{t}.parquet")
+            for name in group:
+                run_and_compare(spark, str(d), name, cat[name].fn, cat[name].oracle)
