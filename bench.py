@@ -388,7 +388,10 @@ def _compact_line(detail: dict, bench_specs: dict) -> dict:
         out["deep_crossover_30x"] = {
             n: [v["ratio_1x"], v["ratio_30x"], v["spark_scaling"], v["duckdb_scaling"]]
             for n, v in deep.items()
+            if n != "degraded_to_min2"
         }
+        if deep.get("degraded_to_min2"):
+            out["deep_crossover_degraded_to_min2"] = deep["degraded_to_min2"]
     dxo = detail.get("dedup_crossover_10x")
     if isinstance(dxo, dict) and "error" not in dxo:
         # {name: [spark_scaling, duckdb_scaling, ratio_10x]} — the
@@ -404,6 +407,8 @@ def _compact_line(detail: dict, bench_specs: dict) -> dict:
             # budget-degraded run: the totals above cover fewer cells —
             # say so in the graded line, never only in the detail file
             out["dedup_crossover_skipped"] = dxo["skipped_for_budget"]
+        if dxo.get("degraded_to_min2"):
+            out["dedup_crossover_degraded_to_min2"] = dxo["degraded_to_min2"]
     skew = detail.get("skew_crossover")
     if isinstance(skew, dict) and "error" not in skew:
         # the whole phase result is six scalars — carry it verbatim
@@ -587,6 +592,7 @@ def _dedup_crossover(spark, sf_dir: str, factor: int = 10) -> dict:
     walls: dict[int, dict[str, float]] = {}
     duck: dict[int, dict[str, float]] = {}
     skipped: list[str] = []
+    degraded: list[str] = []
     for rep in (1, factor):
         os.environ["ENGINE_SCAN_REPLICATE"] = str(rep)
         walls[rep] = {}
@@ -646,12 +652,12 @@ def _dedup_crossover(spark, sf_dir: str, factor: int = 10) -> dict:
                 spark_ts = [time.perf_counter() - t0]
                 # min-of-5 only while the budget affords it: under a
                 # co-tenant spike the honest fallback is the r11 min-of-2
-                # protocol, recorded implicitly by the budget marker below
-                n_more = (
-                    4
-                    if max(duck_ts[0], spark_ts[0]) < 2.0 and _budget_left() > 150
-                    else 1
-                )
+                # protocol — recorded EXPLICITLY (ADVICE r13: a degraded
+                # run must not be indistinguishable from a nominal one)
+                fast_cell = max(duck_ts[0], spark_ts[0]) < 2.0
+                n_more = 4 if fast_cell and _budget_left() > 150 else 1
+                if fast_cell and n_more == 1:
+                    degraded.append(f"{name}@{rep}x")
                 for _ in range(n_more):
                     t0 = time.perf_counter()
                     con.sql(spec.oracle).df()
@@ -692,6 +698,7 @@ def _dedup_crossover(spark, sf_dir: str, factor: int = 10) -> dict:
     return {
         "factor": factor,
         **({"skipped_for_budget": out_skipped} if out_skipped else {}),
+        **({"degraded_to_min2": sorted(degraded)} if degraded else {}),
         "queries": table,
         "spark_total_1x": round(t1, 3),
         f"spark_total_{factor}x": round(tn, 3),
@@ -922,6 +929,8 @@ def _deep_crossover(spark, sf_dir: str, factor: int = 30) -> dict:
     # so two extra passes cost seconds, and the r10→r11 session_window
     # cell swung 2.67→6.99 on co-tenant draws — a deeper min per cell is
     # the cheap honest variance reduction, applied SYMMETRICALLY).
+    degraded: list[str] = []
+
     def measure(rep: int) -> tuple[dict[str, float], dict[str, float]]:
         con = _duck_connect_replicated(sf_dir, rep)
         duck, spk = {}, {}
@@ -929,8 +938,11 @@ def _deep_crossover(spark, sf_dir: str, factor: int = 30) -> dict:
         try:
             for name, spec in specs.items():
                 # budget-aware depth: min-of-5 while the (subprocess)
-                # budget affords it, the r11 min-of-2 floor otherwise
+                # budget affords it, the r11 min-of-2 floor otherwise —
+                # recorded explicitly (ADVICE r13 no-silent-degradation)
                 n_passes = 5 if _budget_left() > 120 else 2
+                if n_passes == 2:
+                    degraded.append(f"{name}@{rep}x")
                 con.sql(spec.oracle).df()  # warm
                 ts = []
                 for _ in range(n_passes):
@@ -953,7 +965,7 @@ def _deep_crossover(spark, sf_dir: str, factor: int = 30) -> dict:
 
     duck_1x, spark_1x = measure(1)
     duck_nx, spark_nx = measure(factor)
-    return {
+    out = {
         name: {
             "spark_1x": round(spark_1x[name], 4),
             "duckdb_1x": round(duck_1x[name], 4),
@@ -970,6 +982,12 @@ def _deep_crossover(spark, sf_dir: str, factor: int = 30) -> dict:
         }
         for name in specs
     }
+    if degraded:
+        # reserved marker key (consumers pop it before iterating cells):
+        # names whose timed depth the budget degraded from min-of-5 to
+        # min-of-2 (ADVICE r13 no-silent-degradation)
+        out["degraded_to_min2"] = sorted(degraded)
+    return out
 
 
 def _streaming_throughput(spark, n_msgs: int = 500_000) -> tuple[float, float]:

@@ -61,6 +61,44 @@ def dsum(col: Column | str) -> Column:
     return (total.cast("double") / _SCALE).cast("double")
 
 
+def dsum_scaled(col: Column | str) -> Column:
+    """Exact fixed-point SUM of a double column, returned as the
+    ×10^6-SCALED integer total in DECIMAL(18,0) (i.e. ``dsum`` before the
+    final unscale-to-double step).
+
+    Oracle mirror::
+
+        CAST(SUM(CAST(x AS DECIMAL(30,6))) * 1000000 AS DECIMAL(18,0))
+
+    Use this instead of :func:`dsum` when the sum feeds FURTHER exact
+    arithmetic (second-moment products, cross products): the scaled total
+    is an exact integer in BOTH engines, so ``s*s`` / ``s*t`` lanes are
+    pure decimal-integer multiplication with no double→decimal cast
+    anywhere — the one-last-place cross-engine split class that bit the
+    1e-6-grain moment snaps (ADVICE r13: at sf0.1 the xcorr ``x*x`` max
+    ~1.2e7 left the 1e-6 grain only ~537 ULPs above the double) cannot
+    occur at all. Downstream ratios that are scale-invariant (Pearson,
+    cosine) need no unscaling; others divide ONCE at the end.
+
+    Accumulation is a plain ``SUM(LONG)`` (not the limb split), so the
+    binding per-group bound is the DECIMAL(18,0) return capacity:
+    |Σx| < 10^18/10^6 = 10^12 unscaled (tighter than the 9.2e18 long
+    wrap). That holds for time-bounded groups — an hour of 100 TB/yr
+    tape is ~10^8 rows × ~10^2 magnitude = 10^10, 100× headroom;
+    callers with unbounded groups must use :func:`dsum`'s limb split.
+    Tests assert the fixture headroom (``test_xcorr_scaled_lane_headroom``).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    x = c * _SCALE
+    u = F.when(c >= 0, F.floor(x + 0.5)).otherwise(-F.floor(-x + 0.5)).cast("long")
+    return F.sum(u).cast("decimal(18,0)")
+
+
+def dsum_scaled_expr(sql_expr: str) -> str:
+    """The oracle-SQL text mirroring :func:`dsum_scaled` for ``sql_expr``."""
+    return f"CAST(SUM(CAST(({sql_expr}) AS DECIMAL(30,6))) * 1000000 AS DECIMAL(18,0))"
+
+
 def dsum_expr(sql_expr: str) -> str:
     """The oracle-SQL text mirroring :func:`dsum` for expression ``sql_expr``."""
     return f"CAST(SUM(CAST(({sql_expr}) AS DECIMAL(30,6))) AS DOUBLE)"

@@ -2200,3 +2200,125 @@ def incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select(
         F.col("id").alias("doc_id"), F.col("component").alias("keeper_doc_id")
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Exact substring dedup (Lee et al. 2022, "Deduplicating Training Data
+# Makes Language Models Better" — the ExactSubstr pass a corpus build runs
+# AFTER document-level near-dup): find every maximal character span of
+# length >= EXACT_SUBSTR_WINDOW that occurs at least twice anywhere in the
+# corpus (across docs or within one), so the pipeline can drop the
+# repeated span from all-but-one occurrence. The paper builds a corpus
+# suffix array; the distributed re-expression is the sorted-ngram-run
+# equivalence: a span of length M >= W repeats iff all of its M-W+1
+# overlapping W-grams repeat, so (1) bucket every W-gram by its text,
+# (2) keep positions whose gram occurs >= 2 times, (3) merge runs of
+# consecutive duplicated positions per doc back into maximal spans
+# (gaps-and-islands). Work is corpus-linear: one exchange keyed on the
+# gram (the same order-of-magnitude blowup the suffix array pays — W
+# bytes per position), then a doc-keyed pass over the FILTERED duplicated
+# positions only.
+
+#: Minimum repeated-span length in characters. The paper uses 50 BPE
+#: tokens on The Pile; this corpus is short synthetic prose, so 40 chars
+#: keeps the same "longer than any plausible coincidence" property while
+#: leaving non-trivial output at every fixture sf.
+EXACT_SUBSTR_WINDOW = 40
+
+
+def repeated_substring_spans(docs: DataFrame, window: int = EXACT_SUBSTR_WINDOW) -> DataFrame:
+    """Maximal repeated spans (doc_id, span_start, span_len), 1-indexed.
+
+    Shuffle shape at 100 TB (the reason each step looks the way it does):
+
+    * Gram occurrence counting is ``groupBy(gram).count()`` — partial
+      (map-side) aggregation collapses each scan task's repeats before
+      the exchange, and the reduce side holds one row per DISTINCT gram.
+      A ``count() OVER (PARTITION BY gram)`` window would ship every
+      occurrence of every gram to one task with no partial agg — a
+      boilerplate gram repeated 10^9 times becomes one unsplittable
+      straggler. The groupBy keeps the skew on the JOIN below, where AQE
+      skew-join splitting applies.
+    * Membership is a ``left_semi`` join of grams against the >=2-count
+      gram set: semi-join ships no payload back and stops probing a
+      bucket at first match.
+    * The island merge shuffles ONLY duplicated positions (filtered
+      before the exchange — ~9% of grams on this corpus), keyed by
+      doc_id; ``pos - row_number()`` is constant exactly on runs of
+      consecutive duplicated positions, so one hash aggregation emits
+      each maximal span.
+
+    The gram exchange carries the gram TEXT (W bytes/position — the
+    oracle-exact choice); a 100 TB deployment would pre-filter with an
+    8-byte ``xxhash64`` exchange and re-verify survivors on text,
+    trading one extra corpus scan for ~W/8 of the shuffle bytes. The
+    semantics (this function) are unchanged by that swap.
+    """
+    docs = docs.filter(F.length("text") >= window)
+    grams = docs.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(F.lit(1), F.length("text") - (window - 1))
+        ).alias("pos"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.substring(F.col("text"), F.col("pos"), F.lit(window)).alias("g"),
+    )
+    dup_grams = grams.groupBy("g").count().filter(F.col("count") >= 2).select("g")
+    dup_pos = grams.join(dup_grams, "g", "left_semi").select("doc_id", "pos")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = dup_pos.withColumn(
+        "island", F.col("pos") - F.row_number().over(w)
+    )
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") - F.min("pos") + window).cast("bigint").alias("span_len"),
+        )
+        .select("doc_id", "span_start", "span_len")
+        .orderBy("doc_id", "span_start")
+    )
+
+
+@query(
+    "exact_substring_spans",
+    oracle=f"""
+    WITH grams AS (
+      SELECT doc_id, i AS pos, substr(text, i, {EXACT_SUBSTR_WINDOW}) AS g
+      FROM documents,
+           LATERAL (SELECT unnest(generate_series(
+             1, length(text) - {EXACT_SUBSTR_WINDOW - 1})) AS i) t
+      WHERE length(text) >= {EXACT_SUBSTR_WINDOW}
+    ), dup AS (
+      SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2
+    ), duppos AS (
+      SELECT doc_id, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM grams WHERE g IN (SELECT g FROM dup)
+    )
+    SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) - MIN(pos) + {EXACT_SUBSTR_WINDOW} AS BIGINT) AS span_len
+    FROM duppos GROUP BY doc_id, island
+    ORDER BY doc_id, span_start
+    """,
+    tags=("U4",),
+)
+def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U4] ExactSubstr dedup span map (Lee et al. 2022): every maximal
+    character span of length >= {W} occurring >= 2 times in the corpus,
+    per document — the remove-the-repeated-span-inside-a-kept-doc pass
+    that runs AFTER document-level near-dup in a 100 TB corpus build
+    (MinHash keeps one doc per near-dup cluster; this finds the
+    boilerplate/quote spans REPEATED INSIDE kept docs). Blocked on the
+    W-gram text — never all-pairs, never a suffix array on one machine.
+    Downstream policy (keep first occurrence, cut the rest) is a trivial
+    join against this map; emitting the map keeps the operator
+    deterministic and engine-checkable. Exactness: pure integer/string
+    ops — positions are 1-indexed in both engines, spans close over
+    ``max(pos) + W - 1``."""
+    return repeated_substring_spans(load_table(spark, sf_dir, "documents"))

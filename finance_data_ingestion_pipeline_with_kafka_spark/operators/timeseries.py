@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.core import DEC, davg, dsum
+from ..functions.core import DEC, davg, dsum, dsum_scaled
 from ..registry import query
 
 MACD_WINDOW = 50  # lag truncation, matching the `ewma` query's frame
@@ -762,7 +762,7 @@ XCORR_MAX_LAG = 3  # hourly lags 0..3
     WITH events_us AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
     hourly AS (
       SELECT event_type, CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS h,
-             CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS s
+             CAST(SUM(CAST(value AS DECIMAL(30,6))) * 1000000 AS DECIMAL(18,0)) AS s
       FROM events_us GROUP BY event_type, h
     ), lags AS (
       SELECT unnest(generate_series(0, {XCORR_MAX_LAG})) AS lag_h
@@ -775,11 +775,11 @@ XCORR_MAX_LAG = 3  # hourly lags 0..3
     ), m AS (
       SELECT lead_type, lag_type, lag_h,
              CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(CAST(x AS DECIMAL(30,6))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(y AS DECIMAL(30,6))) AS DOUBLE) AS sy,
-             CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
-             CAST(SUM(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy,
-             CAST(SUM(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+             CAST(SUM(x) AS DOUBLE) AS sx,
+             CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x AS DECIMAL(19,0)) * x) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y AS DECIMAL(19,0)) * y) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(x AS DECIMAL(19,0)) * y) AS DOUBLE) AS sxy
       FROM paired GROUP BY lead_type, lag_type, lag_h
     )
     SELECT lead_type, lag_type, lag_h, n,
@@ -811,19 +811,27 @@ def lead_lag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero-filled variant is one ``gapfill_bars`` spine away and
     deliberately not conflated here).
 
-    Exactness: hourly sums are ``dsum`` decimal accumulations → identical
-    doubles; the hour key is integer epoch-hours (``floor(epoch/3600)``
-    — DuckDB's fractional-seconds epoch and Spark's truncating
-    ``unix_timestamp`` agree because a sub-second fraction cannot cross
-    a 3600 s boundary); the five moment sums are exact decimal lanes
-    (the ``correlation`` recipe), and the final formula is guarded
-    against degenerate variance (NULL in both engines, never a
-    div-by-zero NaN/inf split)."""
+    Exactness: hourly sums are kept as ``dsum_scaled`` ×10^6 EXACT
+    INTEGERS (DECIMAL(18,0)) rather than doubles, so all five moment
+    lanes are pure decimal-integer arithmetic — identical in both
+    engines BY CONSTRUCTION, with no double→decimal snap anywhere (the
+    snapped-double formulation left the 1e-6 grain only ~537 ULPs above
+    the sf0.1 ``x*x`` maxima — ADVICE r13 — inside the measured
+    one-last-place split regime; this formulation removes the cast
+    class entirely, and Pearson is scale-invariant so the ×10^6 never
+    needs unscaling). The hour key is integer epoch-hours
+    (``floor(epoch/3600)`` — DuckDB's fractional-seconds epoch and
+    Spark's truncating ``unix_timestamp`` agree because a sub-second
+    fraction cannot cross a 3600 s boundary), and the final formula is
+    guarded against degenerate variance (NULL in both engines, never a
+    div-by-zero NaN/inf split). Lane headroom (Σx² < 1e38, hourly
+    |Σvalue| < 1e12) is fixture-asserted by
+    ``test_xcorr_scaled_lane_headroom``."""
     e = load_table(spark, sf_dir, "events")
     hourly = e.groupBy(
         "event_type",
         F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("h"),
-    ).agg(dsum("value").alias("s"))
+    ).agg(dsum_scaled("value").alias("s"))
     # pure-plan lag literal (Range, not createDataFrame — the catalog-wide
     # prepared-plan sweep forbids LogicalRDD leaves)
     lags = spark.range(XCORR_MAX_LAG + 1).select(
@@ -844,13 +852,17 @@ def lead_lag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     x, y = F.col("x"), F.col("y")
+    # x/y are exact DECIMAL(18,0) scaled integers; widening one factor to
+    # (19,0) mirrors the oracle text and keeps the product inside (38,0)
+    # with no precision-loss rescale in either engine
+    xw, yw = x.cast("decimal(19,0)"), y.cast("decimal(19,0)")
     m = paired.groupBy("lead_type", "lag_type", "lag_h").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(x.cast(DEC)).cast("double").alias("sx"),
-        F.sum(y.cast(DEC)).cast("double").alias("sy"),
-        F.sum((x * x).cast("decimal(38,6)")).cast("double").alias("sxx"),
-        F.sum((y * y).cast("decimal(38,6)")).cast("double").alias("syy"),
-        F.sum((x * y).cast("decimal(38,6)")).cast("double").alias("sxy"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(xw * x).cast("double").alias("sxx"),
+        F.sum(yw * y).cast("double").alias("syy"),
+        F.sum(xw * y).cast("double").alias("sxy"),
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     varx = n * F.col("sxx") - sx * sx

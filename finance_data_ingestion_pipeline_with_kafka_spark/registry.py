@@ -375,82 +375,53 @@ def query(
 #: and after that the window refreshes the STALEST evidence (testdata
 #: regenerates between rounds, so old green rows decay).
 #:
-#: Round-13 ordering (cumulative after CORRECTNESS_r12: 239/239
+#: Round-14 ordering (cumulative after CORRECTNESS_r13: 253/253
 #: hash-green, zero latest-run failures; tiers derived by
-#: ``tools/rotate_verified.py`` over CORRECTNESS_r01..r12):
+#: ``tools/rotate_verified.py`` over CORRECTNESS_r01..r13):
 #:   (0) brand-new queries registered this round — no driver row at all.
-#:   (1) ``_R13_MODIFIED`` — queries whose Spark kernels, oracle CTEs, or
-#:       execution-affecting registration changed during round 13 after
+#:   (1) ``_R14_MODIFIED`` — queries whose Spark kernels, oracle CTEs, or
+#:       execution-affecting registration changed during round 14 after
 #:       their last driver verification. Standing rule: code-changed ⇒
 #:       next driver window.
-#:   (2) ``_VERIFIED_R7`` — latest green row is CORRECTNESS_r07 (the 10
-#:       unnamed rows the r12 window spilled; VERDICT r12 ask #1 leads
-#:       with them — this retires the r7 tier entirely).
-#:   (3) ``_VERIFIED_R8`` — the 48-row tier ask #1 names second ("then
-#:       the oldest r8 tier"). Each brand-new or r13-modified name
-#:       entering the window spills one r8 row to round 14, so ~40
-#:       minus that count fit this round.
-#:   (4..7) ``_VERIFIED_R9..R12`` — freshness order below the fold.
+#:   (2) ``_VERIFIED_R8`` — the 25 rows the r13 window spilled (VERDICT
+#:       r13 ask #1 leads with them — this retires the r8 tier entirely;
+#:       oldest evidence becomes r9).
+#:   (3..7) ``_VERIFIED_R9..R13`` — freshness order below the fold.
 
-#: Modified during round 13 (re-tiered per the standing rule):
-#: ``pq_ann`` — the ADVICE r12 medium item hardened its long-micros
-#: accumulation (limb-split the adc stage so the headroom bound is
-#: structural, not fixture-dependent), and its wide-pivot front end
-#: moved into the shared ``_pq_wide`` helper the new ``pq_distortion``
-#: audits; ``zorder_skipping`` — its 3-row predicate literal moved from
-#: ``createDataFrame`` (a statless LogicalRDD) to a pure
-#: explode-over-Range plan so the catalog-wide prepared-plan honesty
-#: sweep (VERDICT r12 ask #2) holds with zero exemptions;
-#: ``ngram_jaccard_pairs`` — its blocked-pair kernel split into the
-#: shared ``_bigram_pair_stats`` helper behind the new
-#: ``jaccard_threshold_curve`` (identical plan, but code-changed ⇒
-#: next window).
+#: Modified during round 14 (re-tiered per the standing rule):
+#: ``lead_lag_xcorr`` — the ADVICE r13 medium item: its five moment
+#: lanes moved from snapped-double DECIMAL(38,6) casts (whose 1e-6
+#: grain sat only ~537 ULPs above the sf0.1 ``x*x`` maxima — inside the
+#: measured cross-engine one-last-place split regime) to ``dsum_scaled``
+#: ×10^6 exact-integer DECIMAL lanes with no double→decimal cast at all
+#: (Pearson is scale-invariant, so the scaling never unwinds).
 #:
-#: Round-13 window arithmetic: 14 brand-new (``roll_spread``,
-#: ``pq_distortion``, ``jaccard_threshold_curve``, then the session-2
-#: additions ``ks_drift``, ``atr_keltner``, ``garman_klass_vol``,
-#: ``lead_lag_xcorr``, ``hybrid_rrf_fusion``, ``realized_bipower``,
-#: ``amihud_illiquidity``, session-3's ``bipower_fold_series`` +
-#: ``drawdown_fold_series``, and session-4's ``risk_adjusted_returns``
-#: + ``market_beta``) + 3 modified + 10 r7-stale (the whole remaining
-#: tier — retired) + 23 of the 48 r8 rows = 50; 25 r8 rows spill to
-#: round 14.
-_R13_MODIFIED = frozenset((
-    "ngram_jaccard_pairs", "pq_ann", "zorder_skipping",
-))
-_VERIFIED_R7 = frozenset((
-    "ab_test_readout", "autocorrelation", "bigram_lm_score", "cusum_changepoint",
-    "k_anonymity_audit", "length_outliers", "psi_value_drift", "vocab_coverage",
-    "volume_zscore_anomaly", "zscore_by_group",
+#: Round-14 window arithmetic: 25 r8 rows (tier retired) + 1 modified
+#: + brand-new registrations lead; the remainder of the ~50-row window
+#: refreshes the oldest r9 rows in registration order.
+
+_R14_MODIFIED = frozenset((
+    "lead_lag_xcorr",
 ))
 _VERIFIED_R8 = frozenset((
-    "approx_distinct", "basket_pair_lift", "benford_audit", "bmp_decode",
-    "bmp_features", "bollinger_fold_series", "correlated_exists", "correlation_matrix",
-    "dominant_event_type", "dsir_importance_selection", "dsir_selection_eval",
-    "filter_project", "frame_sample", "funnel_time_to_convert", "grouped_pandas_sign_flips",
-    "hhi_concentration", "jpeg_decode", "language_id_eval", "macd_fold_series",
-    "matryoshka_recall", "median_absolute_deviation", "membership_predicate",
+    "bmp_decode", "bmp_features", "bollinger_fold_series", "dsir_importance_selection",
+    "dsir_selection_eval", "filter_project", "frame_sample", "funnel_time_to_convert",
+    "grouped_pandas_sign_flips", "macd_fold_series", "matryoshka_recall", "membership_predicate",
     "mp3_frame_scan", "mp4_box_scan", "multimodal_metadata", "null_conditional",
-    "null_safe_join", "order_count_histogram", "pandas_udf_token_count", "part_supplier_stats",
-    "product_profit_by_nation", "quantile_sketch_merge", "range_join", "regional_revenue",
-    "repeat_purchase_intervals", "rsi_fold_series", "scalar_subquery", "seasonal_profile",
-    "ship_latency_percentiles", "sort_partition_balance", "udtf_bigrams", "udtf_tokenize",
-    "url_domain_dedup", "value_histogram", "wav_decode", "weighted_hash_sample",
-    "winsorized_stats", "word_entropy",
+    "pandas_udf_token_count", "repeat_purchase_intervals", "rsi_fold_series", "scalar_subquery",
+    "seasonal_profile", "udtf_bigrams", "udtf_tokenize", "wav_decode",
+    "weighted_hash_sample",
 ))
 _VERIFIED_R9 = frozenset((
     "array_functions", "asof_fold_series", "asof_join_tolerance", "bm25_topk_retrieval",
     "dataset_interleave", "dataset_split", "date_arithmetic", "datetime_functions",
-    "distinct_count", "distinct_rows",
-    "donchian_channel", "ewma", "except_feeds", "explode_outer_numbers",
-    "funnel_analysis", "grouped_stats", "hash_functions",
-    "intersect_feeds", "json_extraction",
-    "kmeans_refine", "kmv_distinct", "lsh_bucket_profile", "map_functions",
-    "minhash_band_sweep", "minhash_incremental",
-    "mp3_duration_profile",
-    "pricing_summary", "reservoir_sample", "retention_cohorts", "rolling_volatility",
-    "running_drawdown", "semantic_dedup", "shipping_priority_topk",
-    "stratified_sample", "string_functions", "table_profile",
+    "distinct_count", "distinct_rows", "donchian_channel", "ewma",
+    "except_feeds", "explode_outer_numbers", "funnel_analysis", "grouped_stats",
+    "hash_functions", "intersect_feeds", "json_extraction", "kmeans_refine",
+    "kmv_distinct", "lsh_bucket_profile", "map_functions", "minhash_band_sweep",
+    "minhash_incremental", "mp3_duration_profile", "pricing_summary", "reservoir_sample",
+    "retention_cohorts", "rolling_volatility", "running_drawdown", "semantic_dedup",
+    "shipping_priority_topk", "stratified_sample", "string_functions", "table_profile",
     "union_feeds", "variant_json_agg",
 ))
 _VERIFIED_R10 = frozenset((
@@ -458,30 +429,27 @@ _VERIFIED_R10 = frozenset((
     "cube_subtotals", "dataset_card", "dedup_cluster_stats", "dedup_survivors",
     "embedding_near_dup", "embedding_quantize", "exact_dedup", "except_all_multiset",
     "fingerprint_containment", "historical_var", "incremental_clusters", "intersect_all_multiset",
-    "knn_bruteforce", "last_closed_bar", "length_bucketing",
-    "minhash_jaccard_estimate", "minhash_near_dup", "minhash_recall", "multi_resolution_bars",
-    "near_dup_clusters", "ohlcv_bars", "ols_regression", "percentiles",
-    "pivot_matrix", "png_decode", "pq_encode",
-    "quality_survivors", "rollup_subtotals", "simhash_near_dup", "simhash_recall",
-    "sliding_window_agg", "sql_entry_revenue", "stddev_variance", "tumbling_window_agg",
-    "union_by_name_missing", "vwap", "window_cume_nth", "window_cumulative",
-    "window_first_last", "window_lag_returns", "window_moving_avg", "window_ntile_pctrank",
-    "window_range_frame", "window_rank_topk",
+    "knn_bruteforce", "last_closed_bar", "length_bucketing", "minhash_jaccard_estimate",
+    "minhash_near_dup", "minhash_recall", "multi_resolution_bars", "near_dup_clusters",
+    "ohlcv_bars", "ols_regression", "percentiles", "pivot_matrix",
+    "png_decode", "pq_encode", "quality_survivors", "rollup_subtotals",
+    "simhash_near_dup", "simhash_recall", "sliding_window_agg", "sql_entry_revenue",
+    "stddev_variance", "tumbling_window_agg", "union_by_name_missing", "vwap",
+    "window_cume_nth", "window_cumulative", "window_first_last", "window_lag_returns",
+    "window_moving_avg", "window_ntile_pctrank", "window_range_frame", "window_rank_topk",
 ))
 _VERIFIED_R11 = frozenset((
-    "anti_join", "approx_percentiles", "argmax_order",
-    "asof_join_forward", "asof_join_nearest", "boilerplate_ngrams", "bollinger_bands",
-    "bpe_token_count", "broadcast_dim_join", "contamination_check", "correlation",
-    "count_min_freq", "cross_join_pairs", "doc_fingerprint", "domain_mix_weights",
-    "embedding_normalize", "fuzzy_prefix_join", "gapfill_bars", "grouping_sets",
-    "hll_sketch_users",
+    "anti_join", "approx_percentiles", "argmax_order", "asof_join_forward",
+    "asof_join_nearest", "boilerplate_ngrams", "bollinger_bands", "bpe_token_count",
+    "broadcast_dim_join", "contamination_check", "correlation", "count_min_freq",
+    "cross_join_pairs", "doc_fingerprint", "domain_mix_weights", "embedding_normalize",
+    "fuzzy_prefix_join", "gapfill_bars", "grouping_sets", "hll_sketch_users",
     "language_id", "macd", "media_features", "media_resize",
     "min_cost_supplier", "obv_flow", "outer_join_counts", "pii_redaction",
-    "quality_score", "repetition_filter",
-    "rsi_indicator", "scd2_intervals", "scd2_point_in_time", "scd_upsert",
-    "semi_join", "sequence_packing", "stochastic_oscillator", "tfidf_top_terms",
-    "token_budget_sample", "token_stats", "top_revenue_orders", "unpivot_metrics",
-    "winnow_fingerprints", "word_frequency",
+    "quality_score", "repetition_filter", "rsi_indicator", "scd2_intervals",
+    "scd2_point_in_time", "scd_upsert", "semi_join", "sequence_packing",
+    "stochastic_oscillator", "tfidf_top_terms", "token_budget_sample", "token_stats",
+    "top_revenue_orders", "unpivot_metrics", "winnow_fingerprints", "word_frequency",
 ))
 _VERIFIED_R12 = frozenset((
     "activity_streaks", "ann_ndcg", "ann_recall", "bloom_join_prune",
@@ -491,12 +459,26 @@ _VERIFIED_R12 = frozenset((
     "interval_concurrency", "ivf_ann", "ivf_delta_assign", "ivf_probe_sweep",
     "key_skew_profile", "large_volume_customers", "nation_market_share", "nearest_centroid_eval",
     "order_priority_check", "pit_feature_matrix", "pmi_collocations", "position_ledger",
-    "pq_refine_rerank", "promo_revenue_share", "returned_item_ranking",
-    "rfm_segmentation", "rolling_pair_correlation", "rolling_robust_stats", "running_distinct_users",
-    "salted_skew_join", "session_fold_sessions", "session_window_agg", "small_quantity_revenue",
-    "snapshot_diff", "sq8_recall", "suppliers_kept_waiting", "table_expectations",
-    "top_supplier_revenue", "twap", "two_nation_volume", "unigram_logprob",
-    "var_breach_backtest",
+    "pq_refine_rerank", "promo_revenue_share", "returned_item_ranking", "rfm_segmentation",
+    "rolling_pair_correlation", "rolling_robust_stats", "running_distinct_users", "salted_skew_join",
+    "session_fold_sessions", "session_window_agg", "small_quantity_revenue", "snapshot_diff",
+    "sq8_recall", "suppliers_kept_waiting", "table_expectations", "top_supplier_revenue",
+    "twap", "two_nation_volume", "unigram_logprob", "var_breach_backtest",
+))
+_VERIFIED_R13 = frozenset((
+    "ab_test_readout", "amihud_illiquidity", "approx_distinct", "atr_keltner",
+    "autocorrelation", "basket_pair_lift", "benford_audit", "bigram_lm_score",
+    "bipower_fold_series", "correlated_exists", "correlation_matrix", "cusum_changepoint",
+    "dominant_event_type", "drawdown_fold_series", "garman_klass_vol", "hhi_concentration",
+    "hybrid_rrf_fusion", "jaccard_threshold_curve", "jpeg_decode", "k_anonymity_audit",
+    "ks_drift", "language_id_eval", "length_outliers",
+    "market_beta", "median_absolute_deviation", "ngram_jaccard_pairs", "null_safe_join",
+    "order_count_histogram", "part_supplier_stats", "pq_ann", "pq_distortion",
+    "product_profit_by_nation", "psi_value_drift", "quantile_sketch_merge", "range_join",
+    "realized_bipower", "regional_revenue", "risk_adjusted_returns", "roll_spread",
+    "ship_latency_percentiles", "sort_partition_balance", "url_domain_dedup", "value_histogram",
+    "vocab_coverage", "volume_zscore_anomaly", "winsorized_stats", "word_entropy",
+    "zorder_skipping", "zscore_by_group",
 ))
 
 
@@ -530,21 +512,21 @@ def load_all() -> dict[str, QuerySpec]:
 
     def rank(item: tuple[str, QuerySpec]) -> tuple[int, int, int]:
         name, _spec = item
-        if name in _R13_MODIFIED:
+        if name in _R14_MODIFIED:
             return (1, 0, reg_order[name])
-        if name in _VERIFIED_R7:
-            return (2, 0, reg_order[name])
         if name in _VERIFIED_R8:
-            return (3, 0, reg_order[name])
+            return (2, 0, reg_order[name])
         if name in _VERIFIED_R9:
-            return (4, 0, reg_order[name])
+            return (3, 0, reg_order[name])
         if name in _VERIFIED_R10:
-            return (5, 0, reg_order[name])
+            return (4, 0, reg_order[name])
         if name in _VERIFIED_R11:
-            return (6, 0, reg_order[name])
+            return (5, 0, reg_order[name])
         if name in _VERIFIED_R12:
+            return (6, 0, reg_order[name])
+        if name in _VERIFIED_R13:
             return (7, 0, reg_order[name])
-        # brand-new queries (registered after CORRECTNESS_r12 was
+        # brand-new queries (registered after CORRECTNESS_r13 was
         # written): no driver row yet, so they lead the window ahead of
         # even the code-modified re-verification tier
         return (0, 0, reg_order[name])

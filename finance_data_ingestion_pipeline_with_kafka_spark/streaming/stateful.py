@@ -1177,6 +1177,12 @@ _RV_BIPOWER_STATE_SCHEMA = StructType(
         StructField("n_pairs", LongType()),
         StructField("buf_ms", ArrayType(LongType())),
         StructField("buf_px", ArrayType(DoubleType())),
+        # deterministic per-tick key (the pipeline's sha2 ``id``): the
+        # fold sorts the buffer by (ts, id), so same-millisecond ticks
+        # fold in a stable, arrival-order-independent order (ADVICE r13:
+        # a ts-only sort folded same-ms ticks in arrival order, silently
+        # breaking the replay-parity claim)
+        StructField("buf_id", ArrayType(StringType())),
     ]
 )
 
@@ -1265,17 +1271,24 @@ def _update_rv_bipower(
     """Watermark-buffered daily RV/bipower fold — the
     ``_update_ewma_ordered`` buffering scheme around ``rv_bipower_fold``:
     ticks wait in state until the watermark passes them, then fold in
-    true event-time order, so the emitted daily rows equal the batch
-    kernel's output on the same data regardless of arrival order."""
+    (event-time, trade-id) order — the pipeline's deterministic sha2
+    ``id`` breaks same-millisecond ties, so the emitted daily rows are
+    identical on any arrival order / micro-batch slicing of the same
+    data (the batch-replay discipline: order by (ts, stable id)). A
+    ts-only sort would fold same-ms ticks in arrival order (ADVICE
+    r13)."""
     empty = (None, None, None, 0, 0, 0, 0)
     if state.hasTimedOut:
         vals = state.get
-        core, buf_ms, buf_px = vals[:7], vals[7], vals[8]
+        core, buf_ms, buf_px, buf_id = vals[:7], vals[7], vals[8], vals[9]
         pending = sorted(
-            zip(buf_ms or [], buf_px or []), key=lambda p: p[0]
+            zip(buf_ms or [], buf_px or [], buf_id or []),
+            key=lambda p: (p[0], p[2]),
         )
-        core, rows = rv_bipower_fold(tuple(core), pending)
-        state.update(tuple(core) + ([], []))
+        core, rows = rv_bipower_fold(
+            tuple(core), [(t, x) for t, x, _ in pending]
+        )
+        state.update(tuple(core) + ([], [], []))
         for r in rows:
             r["symbol"] = key[0]
         if rows:
@@ -1284,25 +1297,30 @@ def _update_rv_bipower(
 
     if state.exists:
         vals = state.get
-        core, buf = tuple(vals[:7]), list(zip(vals[7] or [], vals[8] or []))
+        core = tuple(vals[:7])
+        buf = list(zip(vals[7] or [], vals[8] or [], vals[9] or []))
     else:
         core, buf = empty, []
     for pdf in pdf_iter:
-        for ts, x in zip(pdf["datetime"], pdf["last_price"]):
+        for ts, x, tid in zip(pdf["datetime"], pdf["last_price"], pdf["id"]):
             if x is None or pd.isna(x):
                 continue
-            buf.append((int(ts.value // 1_000_000), float(x)))
+            buf.append((int(ts.value // 1_000_000), float(x), str(tid)))
     wm = state.getCurrentWatermarkMs()
-    buf.sort(key=lambda p: p[0])
-    ripe = [(t, x) for t, x in buf if t <= wm]
-    pending = [(t, x) for t, x in buf if t > wm]
+    buf.sort(key=lambda p: (p[0], p[2]))
+    ripe = [(t, x) for t, x, _ in buf if t <= wm]
+    pending = [p for p in buf if p[0] > wm]
     core, rows = rv_bipower_fold(core, ripe)
     state.update(
         tuple(core)
-        + ([t for t, _ in pending], [x for _, x in pending])
+        + (
+            [t for t, _, _ in pending],
+            [x for _, x, _ in pending],
+            [i for _, _, i in pending],
+        )
     )
     if pending:
-        state.setTimeoutTimestamp(max(t for t, _ in pending) + 1)
+        state.setTimeoutTimestamp(max(t for t, _, _ in pending) + 1)
     for r in rows:
         r["symbol"] = key[0]
     if rows:

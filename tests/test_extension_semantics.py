@@ -2738,6 +2738,39 @@ def test_dsum_grain_sits_far_above_term_ulp(sf_dir):
         )
 
 
+def test_xcorr_scaled_lane_headroom(sf_dir):
+    """Materialize ``lead_lag_xcorr``'s exact-integer lane bounds (the
+    ADVICE-r13 closure: the kernel's moment lanes are now ×10^6-scaled
+    DECIMAL integers with NO double→decimal snap, so the only failure
+    mode left is decimal overflow — assert the fixture sits far inside
+    both capacity bounds so a testdata regeneration that grows the tape
+    fails HERE, not as a silent NULL-on-overflow at driver time):
+
+      * hourly |Σvalue| < 1e12 — the ``dsum_scaled`` DECIMAL(18,0)
+        return capacity (×10^6-scaled must stay under 1e18);
+      * Σ(x·x) over any (pair, lag) group < 1e37 — one decimal digit of
+        margin under the DECIMAL(38,0) moment-sum accumulator.
+    """
+    import duckdb
+
+    con = duckdb.connect()
+    mx_sum, mx_sxx = con.execute(
+        f"""
+        WITH hourly AS (
+          SELECT event_type,
+                 CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP)) / 3600) AS BIGINT) AS h,
+                 CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS s
+          FROM '{sf_dir}/events.parquet' GROUP BY event_type, h
+        )
+        SELECT MAX(ABS(s)), SUM(s * s) * 1e12 FROM hourly
+        """
+    ).fetchone()
+    # ×1e3 regeneration margin on the (18,0) bound; the sxx bound is the
+    # GLOBAL sum ×1e12 (scaled²) — an upper bound on any group's lane
+    assert mx_sum < 1e12 / 1e3, f"hourly sum {mx_sum:.3g} eats the dsum_scaled margin"
+    assert mx_sxx < 1e37, f"global scaled sxx {mx_sxx:.3g} near DECIMAL(38,0) capacity"
+
+
 def test_risk_adjusted_returns_matches_brute_force(spark, sf_dir):
     """Sharpe/Sortino/Calmar vs a pandas recomputation from the same
     daily closes, replicating the per-term decimal snap (the GK-test
@@ -2927,3 +2960,63 @@ def test_random_fixture_oracle_exactness(spark, sf_dir, tmp_path):
                     shutil.copy(f"{sf_dir}/{t}.parquet", d / f"{t}.parquet")
             for name in group:
                 run_and_compare(spark, str(d), name, cat[name].fn, cat[name].oracle)
+
+
+def test_exact_substring_spans_crafted_repeats(spark):
+    """ExactSubstr span-map semantics on crafted documents: a cross-doc
+    shared sentence yields one maximal span per occurrence with exact
+    boundaries, a within-doc repeat yields two spans in the same doc,
+    unique text yields nothing, a repeat exactly at the window length
+    yields span_len == W, and a repeat one char short of the window is
+    invisible (the Lee-et-al threshold contract)."""
+    import random
+
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.dedup import (
+        EXACT_SUBSTR_WINDOW as W,
+        repeated_substring_spans,
+    )
+
+    rng = random.Random(14)
+    alpha = "abcdefghijklmnopqrstuvwxyz0123456789"
+
+    def unique(n):
+        # unique filler: no 2-gram of this stream appears twice across
+        # calls (draw from one global random stream, W >= 40 makes an
+        # accidental 40-char repeat across fillers impossible)
+        return "".join(rng.choice(alpha) for _ in range(n))
+
+    shared = "THE-QUICK-BROWN-FOX-JUMPS-OVER-THE-LAZY-DOG-AGAIN-AND-AGAIN!!"  # 61 chars
+    assert len(shared) == W + 21
+    exact_w = "X" * 0 + unique(W)  # exactly window-length shared chunk
+    short = unique(W - 1)  # one char below threshold
+
+    pre1, post1 = unique(30), unique(25)
+    pre2, post2 = unique(50), unique(10)
+    inner = unique(20)
+    pre4, mid4, post4 = unique(12), unique(33), unique(18)
+
+    docs = spark.createDataFrame(
+        [
+            (1, pre1 + shared + post1),                     # cross-doc repeat, occ 1
+            (2, pre2 + shared + post2),                     # cross-doc repeat, occ 2
+            (3, unique(200)),                               # fully unique -> no spans
+            (4, pre4 + inner + mid4 + inner + post4),       # 20-char repeat < W -> invisible
+            (5, unique(15) + exact_w + unique(40) + exact_w + unique(5)),  # within-doc, len == W
+            (6, unique(10) + short + unique(30) + short + unique(20)),     # W-1 repeat -> invisible
+        ],
+        ["doc_id", "text"],
+    )
+    rows = repeated_substring_spans(docs).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["doc_id"], []).append((r["span_start"], r["span_len"]))
+
+    # cross-doc shared sentence: one maximal span per doc, exact bounds
+    assert got[1] == [(len(pre1) + 1, len(shared))]
+    assert got[2] == [(len(pre2) + 1, len(shared))]
+    # unique doc and sub-threshold repeats: silent
+    assert 3 not in got and 4 not in got and 6 not in got
+    # within-doc repeat at exactly W: two spans, span_len == W
+    assert got[5] == [(16, W), (16 + W + 40, W)]
+    # nothing else leaked
+    assert set(got) == {1, 2, 5}

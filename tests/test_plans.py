@@ -573,3 +573,20 @@ def test_market_beta_market_table_broadcasts(spark, sf_dir):
     assert "BroadcastHashJoin" in p, p
     for bad in ("SortMergeJoin", "CartesianProduct", "BroadcastNestedLoop"):
         assert bad not in p, bad
+
+
+def test_exact_substring_spans_plan_shape(spark, sf_dir):
+    """ExactSubstr dedup must plan the corpus-linear shape its docstring
+    claims: gram occurrence counting runs partial+final (map-side combine
+    BEFORE the gram exchange — never a whole-partition count window),
+    membership is a LeftSemi join against the >=2 gram set, no cartesian
+    anywhere, and the island merge is a plain hash aggregation."""
+    p = executed_plan(q(spark, sf_dir, "exact_substring_spans"))
+    assert "partial_count" in p, p
+    assert "LeftSemi" in p, p
+    assert "CartesianProduct" not in p
+    # the island merge must be a doc_id-keyed hash exchange (the gram
+    # payload is projected away by the semi join before this shuffle —
+    # see the Project between BroadcastHashJoin and Exchange in the
+    # formatted plan)
+    assert "hashpartitioning(doc_id" in p, p

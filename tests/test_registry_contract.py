@@ -8,25 +8,25 @@ load-bearing, not cosmetic.
 import pytest
 
 from finance_data_ingestion_pipeline_with_kafka_spark.registry import (
-    _R13_MODIFIED,
-    _VERIFIED_R7,
+    _R14_MODIFIED,
     _VERIFIED_R8,
     _VERIFIED_R9,
     _VERIFIED_R10,
     _VERIFIED_R11,
     _VERIFIED_R12,
+    _VERIFIED_R13,
     load_all,
     query,
 )
 
 _ALL_TIERS = (
-    _R13_MODIFIED,
-    _VERIFIED_R7,
+    _R14_MODIFIED,
     _VERIFIED_R8,
     _VERIFIED_R9,
     _VERIFIED_R10,
     _VERIFIED_R11,
     _VERIFIED_R12,
+    _VERIFIED_R13,
 )
 
 
@@ -41,38 +41,40 @@ def test_bench_specs_are_oracle_checked():
     assert all(s.oracle is not None for s in cat.values() if s.bench)
 
 
-def test_tiers_partition_the_round12_catalog():
-    """The seven tier sets are disjoint and cover exactly the 239 names
-    that existed when CORRECTNESS_r12 was written; any name outside them
-    is brand-new this round. (_R13_MODIFIED holds names re-tiered from
-    their freshness tiers after round-13 kernel/registration changes.)"""
+def test_tiers_partition_the_round13_catalog():
+    """The tier sets are disjoint and cover exactly the 253 names that
+    existed when CORRECTNESS_r13 was written; any name outside them is
+    brand-new this round. (_R14_MODIFIED holds names re-tiered from
+    their freshness tiers after round-14 kernel/registration changes —
+    they overlap no freshness tier because rotate_verified moves them
+    out.)"""
     union = set()
     total = 0
     for tier in _ALL_TIERS:
         assert not (union & tier), sorted(union & tier)
         union |= tier
         total += len(tier)
-    assert total == len(union) == 239
+    assert total == len(union) == 253
     assert union <= set(load_all())
 
 
 def test_stalest_evidence_leads_the_window():
     """The driver verifies only the first ~50 catalog entries per round.
-    Round-13 contract (VERDICT r12 ask #1): brand-new queries (no driver
+    Round-14 contract (VERDICT r13 ask #1): brand-new queries (no driver
     row) rank first, then the queries whose kernels or execution-affecting
-    registration changed in round 13 AFTER their last driver verification
-    (standing rule: code-changed => next window), then the 10 r7-stale
-    rows the r12 window spilled (retiring the r7 tier), then the 48-row
-    r8 tier; r9/r10/r11/r12 greens sit below the fold in staleness
-    order."""
+    registration changed in round 14 AFTER their last driver verification
+    (standing rule: code-changed => next window), then the 25 r8-stale
+    rows the r13 window spilled (retiring the r8 tier — oldest evidence
+    becomes r9); r9..r13 greens sit below in staleness order, so the
+    window's remaining slots refresh the oldest r9 rows."""
     order = list(load_all())
     known = set().union(*_ALL_TIERS)
     new = [n for n in order if n not in known]
-    n_new, n_mod, n_r7 = len(new), len(_R13_MODIFIED), len(_VERIFIED_R7)
+    n_new, n_mod, n_r8 = len(new), len(_R14_MODIFIED), len(_VERIFIED_R8)
     assert set(order[:n_new]) == set(new)
-    assert set(order[n_new : n_new + n_mod]) == set(_R13_MODIFIED)
-    assert set(order[n_new + n_mod : n_new + n_mod + n_r7]) == set(_VERIFIED_R7)
-    # staleness order below the fold: r8 < r9 < r10 < r11 < r12
+    assert set(order[n_new : n_new + n_mod]) == set(_R14_MODIFIED)
+    assert set(order[n_new + n_mod : n_new + n_mod + n_r8]) == set(_VERIFIED_R8)
+    # staleness order below the fold: r8 < r9 < r10 < r11 < r12 < r13
     last_r8 = max(order.index(n) for n in _VERIFIED_R8)
     first_r9 = min(order.index(n) for n in _VERIFIED_R9)
     last_r9 = max(order.index(n) for n in _VERIFIED_R9)
@@ -81,29 +83,31 @@ def test_stalest_evidence_leads_the_window():
     first_r11 = min(order.index(n) for n in _VERIFIED_R11)
     last_r11 = max(order.index(n) for n in _VERIFIED_R11)
     first_r12 = min(order.index(n) for n in _VERIFIED_R12)
+    last_r12 = max(order.index(n) for n in _VERIFIED_R12)
+    first_r13 = min(order.index(n) for n in _VERIFIED_R13)
     assert last_r8 < first_r9 < last_r9 < first_r10 < last_r10 < first_r11
-    assert last_r11 < first_r12
-    # the 50-slot window: every code-modified name must be inside it
-    # (the standing rule outranks staleness), the whole spilled-r7 tier
-    # must be inside it, and every remaining slot goes to the r8 tier —
-    # each modified kernel or brand-new query spills one r8 row to
-    # round 14
+    assert last_r11 < first_r12 < last_r12 < first_r13
+    # the 50-slot window: every brand-new and code-modified name must be
+    # inside it (the standing rule outranks staleness), the whole
+    # spilled-r8 tier must be inside it, and every remaining slot goes
+    # to the oldest r9 rows
     window = set(order[:50])
-    assert set(_R13_MODIFIED) <= window, sorted(set(_R13_MODIFIED) - window)
-    assert set(_VERIFIED_R7) <= window, sorted(set(_VERIFIED_R7) - window)
-    assert window - set(new) - set(_R13_MODIFIED) - set(_VERIFIED_R7) <= set(
-        _VERIFIED_R8
+    assert set(new) <= window, sorted(set(new) - window)
+    assert set(_R14_MODIFIED) <= window, sorted(set(_R14_MODIFIED) - window)
+    assert set(_VERIFIED_R8) <= window, sorted(set(_VERIFIED_R8) - window)
+    assert window - set(new) - set(_R14_MODIFIED) - set(_VERIFIED_R8) <= set(
+        _VERIFIED_R9
     ), sorted(
-        window - set(new) - set(_R13_MODIFIED) - set(_VERIFIED_R7) - set(_VERIFIED_R8)
+        window - set(new) - set(_R14_MODIFIED) - set(_VERIFIED_R8) - set(_VERIFIED_R9)
     )
-    # no freshly-verified (r11/r12) row may waste a window slot
-    assert window & (set(_VERIFIED_R11) | set(_VERIFIED_R12)) == set(), sorted(
-        window & (set(_VERIFIED_R11) | set(_VERIFIED_R12))
+    # no freshly-verified (r12/r13) row may waste a window slot
+    assert window & (set(_VERIFIED_R12) | set(_VERIFIED_R13)) == set(), sorted(
+        window & (set(_VERIFIED_R12) | set(_VERIFIED_R13))
     )
 
 
 def test_brand_new_queries_sort_into_the_window():
-    """A query in no tier (i.e. added after CORRECTNESS_r12) must rank
+    """A query in no tier (i.e. added after CORRECTNESS_r13) must rank
     ahead of every tiered row, including the code-modified tier."""
     order = list(load_all())
     known = set().union(*_ALL_TIERS)

@@ -1824,6 +1824,59 @@ def test_rv_bipower_stream_state_survives_restart(spark, tmp_path):
     assert not last2["day_final"]
 
 
+def test_rv_bipower_stream_same_ms_ties_arrival_order_independent(spark, tmp_path):
+    """Same-millisecond ticks must fold in a deterministic order no
+    matter which micro-batch delivers them first (ADVICE r13: a ts-only
+    buffer sort folded same-ms ties in ARRIVAL order, so two replays of
+    the same tape could emit different rv/bv): deliver three ticks
+    sharing one millisecond, one per micro-batch, in two different
+    arrival orders, and require byte-identical daily statistics."""
+    import os as _os
+    import time as _time
+
+    from finance_data_ingestion_pipeline_with_kafka_spark.streaming.stateful import (
+        rv_bipower_stream,
+    )
+
+    ticks = [
+        ("TIE", 10, 100.0, 10),
+        ("TIE", 10, 105.0, 11),  # same ms, distinct price/volume → distinct id
+        ("TIE", 10, 95.0, 12),
+        ("TIE", 4000, 101.0, 13),
+    ]
+    results = {}
+    for tag, order in (("fwd", (0, 1, 2, 3)), ("rev", (2, 0, 3, 1))):
+        src = tmp_path / f"ties_{tag}"
+        for i, j in enumerate(order):
+            s, t, p, v = ticks[j]
+            write_json_fixture(str(src), [fh_msg(s, t, p, v)], f"f{i}.json")
+        write_json_fixture(str(src), [fh_msg("ZZZZ", 10**7)], "fz.json")
+        now = _time.time()
+        for i, f in enumerate(sorted(_os.listdir(str(src)))):
+            fp = _os.path.join(str(src), f)
+            _os.utime(fp, (now - 300 + 10 * i, now - 300 + 10 * i))
+        stream = finnhub_pipeline(
+            kafka_shaped_file_stream(spark, str(src), max_files_per_trigger=1),
+            dedup_watermark=None,
+        )
+        out = drain(
+            spark,
+            rv_bipower_stream(stream, watermark="1000 hours"),
+            f"rv_ties_{tag}",
+            mode="update",
+        ).collect()
+        last = {}
+        for r in out:  # update mode: last emission per (symbol, day) wins
+            if r["symbol"] == "TIE":
+                last[r["day"].isoformat()] = (
+                    r["n_rets"], r["rv"], r["bv"], r["jump_ratio"]
+                )
+        results[tag] = last
+    assert results["fwd"] == results["rev"], results
+    (stats,) = results["fwd"].values()
+    assert stats[0] == 3  # all four ticks folded: three returns, one day
+
+
 def test_rv_bipower_fold_semantics():
     """Pure-fold contract: day rollover finalizes with the batch
     arithmetic, a single-return day has UNDEFINED bipower (None, never a

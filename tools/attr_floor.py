@@ -87,6 +87,35 @@ def main() -> int:
     if not streaming and not names:
         raise SystemExit("usage: attr_floor.py QUERY_NAME [--jvms N] [--sf DIR] | --streaming")
 
+    duck_time = None
+    if not streaming:
+        import time as _t
+
+        import duckdb
+
+        con = duckdb.connect()
+        from finance_data_ingestion_pipeline_with_kafka_spark.catalog import TABLES
+        from finance_data_ingestion_pipeline_with_kafka_spark.registry import load_all
+
+        for t in TABLES:
+            p = f"{sf_dir}/{t}.parquet"
+            if os.path.exists(p):
+                con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        oracle = load_all()[names[0]].oracle
+        con.sql(oracle).df()  # warm once
+
+        def duck_time():
+            walls = []
+            for _ in range(3):
+                t0 = _t.perf_counter()
+                con.sql(oracle).df()
+                walls.append(_t.perf_counter() - t0)
+            return round(min(walls), 4)
+
+    # the DuckDB twin is drawn ONCE PER JVM, interleaved with the spark
+    # child runs, so each draw pair shares co-tenant load conditions and
+    # the per-draw ratio distribution is meaningful (VERDICT r13 ask #3:
+    # the per-cell band needs paired draws, not one duck number)
     draws = []
     for i in range(jvms):
         if streaming:
@@ -104,29 +133,14 @@ def main() -> int:
             draws.append(json.loads(line))
         except json.JSONDecodeError:
             draws.append({"error": out.stderr[-300:]})
+        if duck_time is not None and "min" in draws[-1]:
+            draws[-1]["duckdb_min"] = duck_time()
+            draws[-1]["ratio"] = round(draws[-1]["min"] / draws[-1]["duckdb_min"], 2)
         print(f"jvm {i + 1}/{jvms}: {draws[-1]}", flush=True)
 
-    if not streaming:
-        import duckdb
-
-        con = duckdb.connect()
-        from finance_data_ingestion_pipeline_with_kafka_spark.catalog import TABLES
-        from finance_data_ingestion_pipeline_with_kafka_spark.registry import load_all
-
-        for t in TABLES:
-            p = f"{sf_dir}/{t}.parquet"
-            if os.path.exists(p):
-                con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
-        oracle = load_all()[names[0]].oracle
-        import time as _t
-
-        con.sql(oracle).df()
-        duck = []
-        for _ in range(3):
-            t0 = _t.perf_counter()
-            con.sql(oracle).df()
-            duck.append(_t.perf_counter() - t0)
-        print(json.dumps({"duckdb_walls": [round(d, 4) for d in duck]}))
+    ratios = sorted(d["ratio"] for d in draws if "ratio" in d)
+    if ratios:
+        print(json.dumps({"ratio_band": [ratios[0], ratios[-1]], "ratios": ratios}))
     return 0
 
 

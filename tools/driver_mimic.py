@@ -96,8 +96,10 @@ def main() -> int:
                 ok.append(name)
             else:
                 # rows-only check — the driver's weaker path for
-                # genuinely non-SQL-expressible ops
-                assert len(spark_pdf) >= 0
+                # genuinely non-SQL-expressible ops; the driver expects
+                # NON-EMPTY output, so zero rows is a failure here too
+                # (ADVICE r13: >= 0 was vacuous)
+                assert len(spark_pdf) > 0, f"{name}: rows-only query returned 0 rows"
                 weak.append(name)
         except Exception as ex:
             bad.append(name)
