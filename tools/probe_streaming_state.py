@@ -64,7 +64,7 @@ def _messages(n_keys: int, per_key: int) -> list[str]:
     return out
 
 
-def _run_stream(spark, work: str, tag: str, msgs: list[str], make_query, n_batches=8):
+def _run_stream(spark, work: str, tag: str, msgs: list[str], make_query, mode: str, n_batches=8):
     from finance_data_ingestion_pipeline_with_kafka_spark.sources import (
         kafka_shaped_file_stream,
         write_json_fixture,
@@ -90,7 +90,7 @@ def _run_stream(spark, work: str, tag: str, msgs: list[str], make_query, n_batch
         make_query(stream)
         .writeStream.format("noop")
         .option("checkpointLocation", f"{work}/cp_{tag}")
-        .outputMode("update")
+        .outputMode(mode)
         .trigger(availableNow=True)
         .start()
     )
@@ -144,23 +144,23 @@ def main() -> int:
 
     # short watermarks so the probe's 40-minute tape spans many horizons
     operators = {
-        "rsi_stream": lambda s: rsi_stream(s, watermark="10 seconds"),
-        "session_stream": lambda s: session_stream(
+        "rsi_stream": ("append", lambda s: rsi_stream(s, watermark="10 seconds")),
+        "session_stream": ("append", lambda s: session_stream(
             s, gap="30 seconds", watermark="10 seconds"
-        ),
-        "rv_bipower_stream": lambda s: rv_bipower_stream(s, watermark="10 seconds"),
+        )),
+        "rv_bipower_stream": ("update", lambda s: rv_bipower_stream(s, watermark="10 seconds")),
     }
 
     work = tempfile.mkdtemp(prefix="probe_stream_state_")
     out = {"msgs_per_key": msgs_per_key, "tick_interval_s": TICK_INTERVAL_S, "sweep": {}}
     try:
-        for op_name, make in operators.items():
+        for op_name, (mode, make) in operators.items():
             out["sweep"][op_name] = {}
             for n_keys in keys:
                 msgs = _messages(n_keys, msgs_per_key)
                 tag = f"{op_name}_{n_keys}"
                 t0 = time.perf_counter()
-                batches = _run_stream(spark, work, tag, msgs, make)
+                batches = _run_stream(spark, work, tag, msgs, make, mode)
                 wall = time.perf_counter() - t0
                 tail = batches[len(batches) // 2 :]
                 peak_rows = max((b["state_rows"] or 0) for b in batches)
@@ -171,6 +171,7 @@ def main() -> int:
                     "wall_s": round(wall, 2),
                     "per_batch_ms_back_half": [b["wall_ms"] for b in tail],
                     "state_rows_per_batch": [b["state_rows"] for b in batches],
+                    "state_bytes_per_batch": [b["state_bytes"] for b in batches],
                     "rows_removed_per_batch": [b["rows_removed"] for b in batches],
                     "peak_state_rows": peak_rows,
                     "final_state_rows": final_rows,
