@@ -2322,3 +2322,121 @@ def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ops — positions are 1-indexed in both engines, spans close over
     ``max(pos) + W - 1``."""
     return repeated_substring_spans(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "exact_substring_dedup_apply",
+    oracle=f"""
+    WITH grams AS (
+      SELECT doc_id, i AS pos, substr(text, i, {EXACT_SUBSTR_WINDOW}) AS g
+      FROM documents,
+           LATERAL (SELECT unnest(generate_series(
+             1, length(text) - {EXACT_SUBSTR_WINDOW - 1})) AS i) t
+      WHERE length(text) >= {EXACT_SUBSTR_WINDOW}
+    ), dup AS (
+      SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2
+    ), duppos AS (
+      SELECT doc_id, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM grams WHERE g IN (SELECT g FROM dup)
+    ), spans AS (
+      SELECT doc_id, MIN(pos) AS span_start,
+             MAX(pos) - MIN(pos) + {EXACT_SUBSTR_WINDOW} AS span_len
+      FROM duppos GROUP BY doc_id, island
+    ), ranked AS (
+      SELECT s.doc_id, s.span_len,
+             ROW_NUMBER() OVER (
+               PARTITION BY substr(d.text, CAST(s.span_start AS INT),
+                                   CAST(s.span_len AS INT))
+               ORDER BY s.doc_id, s.span_start) AS rk
+      FROM spans s JOIN documents d USING (doc_id)
+    ), per_doc AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_spans,
+             CAST(SUM(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cut,
+             CAST(COALESCE(SUM(CASE WHEN rk > 1 THEN span_len END), 0) AS BIGINT)
+               AS chars_cut
+      FROM ranked GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(COALESCE(p.n_cut, 0) AS BIGINT) AS n_cut,
+           CAST(COALESCE(p.chars_cut, 0) AS BIGINT) AS chars_cut,
+           CAST(length(d.text) - COALESCE(p.chars_cut, 0) AS BIGINT) AS chars_kept,
+           ROUND((length(d.text) - COALESCE(p.chars_cut, 0))
+                 / CAST(length(d.text) AS DOUBLE), 6) AS keep_ratio
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+    tags=("U4",),
+)
+def exact_substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U4] ExactSubstr dedup APPLIED — the keep-one-occurrence policy
+    over :func:`exact_substring_spans`' span map, emitted as the per-doc
+    cut funnel a corpus build records (how much of each kept document
+    the pass removes): identical maximal spans are grouped by their
+    TEXT, the globally first occurrence (lowest (doc_id, span_start))
+    is kept, every other occurrence is cut, and each doc reports
+    (n_spans, n_cut, chars_cut, chars_kept, keep_ratio), including
+    zero-span docs (LEFT join back to the corpus — the funnel must
+    cover every document, not just flagged ones).
+
+    Granularity note (documented approximation, standard for blocked
+    ExactSubstr): keep-one applies at MAXIMAL-SPAN granularity — two
+    docs whose repeated regions overlap but extend differently produce
+    different span texts and are cut independently; the suffix-array
+    formulation would arbitrate the shared core once. Islands within a
+    doc are disjoint by construction, so ``chars_cut`` never
+    double-counts.
+
+    Scale: the span map is corpus-linear (see ``exact_substring_spans``);
+    everything after it runs on the SPAN table (≪ corpus) — one hash
+    join back to documents for the span text (doc_id-keyed, co-located
+    with the corpus scan), one exchange on span_text for the keeper
+    election, one per-doc aggregation, one LEFT join to re-attach
+    span-less docs."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    spans = repeated_substring_spans(docs)
+    ranked = (
+        spans.join(docs.select("doc_id", "text"), "doc_id")
+        .withColumn(
+            "span_text",
+            F.expr("substring(text, CAST(span_start AS INT), CAST(span_len AS INT))"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("span_text").orderBy("doc_id", "span_start")
+            ),
+        )
+    )
+    cut = F.col("rk") > 1
+    per_doc = ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.sum(cut.cast("int")).cast("bigint").alias("n_cut"),
+        F.coalesce(F.sum(F.when(cut, F.col("span_len"))), F.lit(0))
+        .cast("bigint")
+        .alias("chars_cut"),
+    )
+    n_chars = F.length("text").cast("bigint")
+    return (
+        docs.select("doc_id", n_chars.alias("len"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+            F.coalesce("n_cut", F.lit(0)).cast("bigint").alias("n_cut"),
+            F.coalesce("chars_cut", F.lit(0)).cast("bigint").alias("chars_cut"),
+            (F.col("len") - F.coalesce("chars_cut", F.lit(0)))
+            .cast("bigint")
+            .alias("chars_kept"),
+            F.round(
+                (F.col("len") - F.coalesce("chars_cut", F.lit(0)))
+                / F.col("len").cast("double"),
+                6,
+            ).alias("keep_ratio"),
+        )
+        .orderBy("doc_id")
+    )

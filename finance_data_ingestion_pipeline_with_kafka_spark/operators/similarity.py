@@ -2348,3 +2348,229 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", F.desc("rrf_score"), "doc_id")
     )
+
+
+_IVFPQ_ORACLE = f"""
+    WITH vecs AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+      WHERE list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                             list_transform(embedding, x -> CAST(x AS DOUBLE))) > 0
+    ), cd AS (
+      SELECT label AS cid, i,
+             CAST(SUM(CAST(v[i] AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS m
+      FROM vecs, (SELECT unnest(range(1, {EMBED_DIM + 1})) AS i) dims
+      GROUP BY label, i
+    ), cents AS (
+      SELECT cid, list(m ORDER BY i) AS cv FROM cd GROUP BY cid
+    ), c2 AS (
+      SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cnorm FROM cents
+    ), assigned AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT vecs.vec_id, vecs.v, c.cid AS cell,
+               ROW_NUMBER() OVER (PARTITION BY vecs.vec_id
+                 ORDER BY ROUND(list_dot_product(vecs.v, c.cv)
+                         / (sqrt(list_dot_product(vecs.v, vecs.v)) * c.cnorm), 9) DESC,
+                          c.cid) AS rn
+        FROM vecs CROSS JOIN c2 c
+      ) WHERE rn = 1
+    ), probes AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT q.vec_id AS query_id, q.v AS qv, c.cid AS cell,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY ROUND(list_dot_product(q.v, c.cv)
+                         / (sqrt(list_dot_product(q.v, q.v)) * c.cnorm), 9) DESC,
+                          c.cid) AS rn
+        FROM vecs q CROSS JOIN c2 c WHERE q.vec_id < {N_QUERY_VECS}
+      ) WHERE rn <= {N_PROBE}
+    ), rd AS (
+      SELECT a.vec_id, a.vec_id % {N_PQ_CLUSTERS} AS cl_seed, i - 1 AS dim,
+             (i - 1) // {PQ_SUB_DIM} AS sub,
+             a.v[CAST(i AS INT)] - ct.cv[CAST(i AS INT)] AS rx
+      FROM assigned a JOIN c2 ct ON ct.cid = a.cell,
+           (SELECT unnest(range(1, {EMBED_DIM + 1})) AS i) dims
+    ), codebook AS (
+      SELECT cl_seed AS cl, dim,
+             CAST(SUM(CAST(rx AS DECIMAL(30,6))) AS DOUBLE) / COUNT(rx) AS c
+      FROM rd GROUP BY cl_seed, dim
+    ), cdists AS (
+      SELECT d.vec_id, d.sub, cb.cl,
+             ROUND(CAST(SUM(CAST((d.rx - cb.c) * (d.rx - cb.c) AS DECIMAL(38,6)))
+                        AS DOUBLE), 6) AS d6
+      FROM rd d JOIN codebook cb ON cb.dim = d.dim
+      GROUP BY d.vec_id, d.sub, cb.cl
+    ), codes AS (
+      SELECT vec_id, sub, cl FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                     ORDER BY d6, cl) AS rn
+        FROM cdists
+      ) WHERE rn = 1
+    ), qrd AS (
+      SELECT p.query_id, p.cell, i - 1 AS dim, (i - 1) // {PQ_SUB_DIM} AS sub,
+             p.qv[CAST(i AS INT)] - ct.cv[CAST(i AS INT)] AS rx
+      FROM probes p JOIN c2 ct ON ct.cid = p.cell,
+           (SELECT unnest(range(1, {EMBED_DIM + 1})) AS i) dims
+    ), lut AS (
+      SELECT q.query_id, q.cell, q.sub, cb.cl,
+             ROUND(CAST(SUM(CAST((q.rx - cb.c) * (q.rx - cb.c) AS DECIMAL(38,6)))
+                        AS DOUBLE), 6) AS d6
+      FROM qrd q JOIN codebook cb ON cb.dim = q.dim
+      GROUP BY q.query_id, q.cell, q.sub, cb.cl
+    ), adc AS (
+      SELECT l.query_id, c.vec_id,
+             CAST(SUM(CAST(l.d6 AS DECIMAL(38,6))) AS DOUBLE) AS adc_dist
+      FROM codes c
+      JOIN assigned a ON a.vec_id = c.vec_id
+      JOIN lut l ON l.cell = a.cell AND l.sub = c.sub AND l.cl = c.cl
+                AND c.vec_id <> l.query_id
+      GROUP BY l.query_id, c.vec_id
+      HAVING COUNT(*) = {PQ_SUBS}
+    )
+    SELECT query_id, vec_id, adc_dist FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY adc_dist, vec_id) AS rn
+      FROM adc
+    ) WHERE rn <= {TOP_K}
+    ORDER BY query_id, adc_dist, vec_id
+"""
+
+
+@query("ivfpq_ann", oracle=_IVFPQ_ORACLE, tags=("U5",), sized_partitions=True)
+def ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U5] IVF-PQ compound index (the FAISS ``IndexIVFPQ`` architecture,
+    re-expressed Spark-first): coarse quantizer cells from ``ivf_ann``'s
+    in-plan centroid model, RESIDUAL product quantization inside each
+    cell (r = v − centroid(cell), PQ codebooks trained on residuals —
+    residual energy is what PQ should spend its bits on; encoding raw
+    vectors wastes the coarse structure), and asymmetric-distance (ADC)
+    search over only the probed cells. This is the architecture a real
+    100 TB vector store runs: the cell prunes the scan, the 4-byte code
+    replaces the 256-byte vector, the per-(query, cell) LUT makes each
+    candidate a 4-lookup add.
+
+    Residual codebook seed: ``vec_id % k`` (a deterministic pseudo-random
+    partition — the per-label seed the raw-space PQ family uses would be
+    DEGENERATE here: the mean residual of a coarse cell's own training
+    label is the zero vector by construction).
+
+    Exactness: coarse centroids and residual codebooks are decimal-mean
+    deterministic (``davg``); every residual is one IEEE subtract of
+    identical doubles; sub-distances snap to 1e-6 before summing (the
+    ``pq_encode`` recipe); code election and top-k carry full tie-breaks.
+
+    Scale: the corpus is touched by (a) the map-only cell assignment,
+    (b) one (vec, sub, cl)-grouped partial-aggregated residual-distance
+    pass (the encode — shuffles code-sized rows, not vectors), and
+    (c) one broadcast-LUT hash join over probed cells — the corpus
+    itself is never shuffled at search time, and the LUT is
+    O(queries × probes × subs × k) regardless of corpus size.
+
+    Measured recall decomposition (sf0.01, vs global-cosine truth):
+    exact residual-L2 within the 3 probed cells ceilings at ~0.5
+    (coarse-probe loss + the L2-vs-cosine metric gap), and the 4-sub ×
+    10-code ADC lands at ~0.1-0.2 — expected for a ~13-bit code; a
+    production index widens k (256 codes), raises n_probe, and
+    refine-reranks the ADC short-list exactly (the
+    ``pq_refine_rerank`` rung), which recovers the probed-cell
+    ceiling. The catalog keeps the RAW index semantics here so the
+    quantization loss itself stays measured and oracle-checked."""
+    model, assigned, q = _ivf_index(spark, sf_dir)
+
+    def cellv(cellcol: str):
+        # the probed/assigned cell's centroid vector, looked up from the
+        # 1-row broadcast model (map-only; never a join against a
+        # centroid TABLE, which would shuffle the corpus)
+        return F.element_at(
+            F.filter(F.col("ca"), lambda c: c["cid"] == F.col(cellcol)), 1
+        )["cv"]
+
+    rd = (
+        assigned.join(model)
+        .select(
+            "vec_id",
+            (F.col("vec_id") % N_PQ_CLUSTERS).alias("cl_seed"),
+            "cell",
+            cellv("cell").alias("cv"),
+            F.posexplode("v").alias("dim", "xf"),
+        )
+        .select(
+            "vec_id",
+            "cl_seed",
+            "cell",
+            "dim",
+            (F.col("dim") / PQ_SUB_DIM).cast("int").alias("sub"),
+            (
+                F.col("xf").cast("double")
+                - F.element_at(F.col("cv"), F.col("dim") + 1)
+            ).alias("rx"),
+        )
+    )
+    codebook = F.broadcast(
+        rd.groupBy(F.col("cl_seed").alias("cl"), "dim").agg(davg("rx").alias("c"))
+    )
+    diff = F.col("rx") - F.col("c")
+    cdists = (
+        rd.join(codebook, "dim")
+        .groupBy("vec_id", "sub", "cl")
+        .agg(
+            F.round(
+                F.sum((diff * diff).cast("decimal(38,6)")).cast("double"), 6
+            ).alias("d6")
+        )
+    )
+    codes = cdists.groupBy("vec_id", "sub").agg(
+        F.min_by("cl", F.struct("d6", "cl")).alias("cl")
+    )
+
+    probes = q.join(model).select(
+        "query_id",
+        "qv",
+        F.explode(F.transform(_probe_cells(N_PROBE), lambda s: s["cid"])).alias(
+            "cell"
+        ),
+    )
+    qrd = (
+        probes.join(model)
+        .select(
+            "query_id",
+            "cell",
+            cellv("cell").alias("cv"),
+            F.posexplode("qv").alias("dim", "xf"),
+        )
+        .select(
+            "query_id",
+            "cell",
+            "dim",
+            (F.col("dim") / PQ_SUB_DIM).cast("int").alias("sub"),
+            (
+                F.col("xf").cast("double")
+                - F.element_at(F.col("cv"), F.col("dim") + 1)
+            ).alias("rx"),
+        )
+    )
+    lut = F.broadcast(
+        qrd.join(codebook, "dim")
+        .groupBy("query_id", "cell", "sub", "cl")
+        .agg(
+            F.round(
+                F.sum((diff * diff).cast("decimal(38,6)")).cast("double"), 6
+            ).alias("d6")
+        )
+    )
+    adc = (
+        codes.join(assigned.select("vec_id", "cell"), "vec_id")
+        .join(lut, ["cell", "sub", "cl"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.sum(F.col("d6").cast("decimal(38,6)")).cast("double").alias("adc_dist"),
+            F.count(F.lit(1)).alias("n_subs"),
+        )
+        .filter(F.col("n_subs") == PQ_SUBS)
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "vec_id")
+    return (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "vec_id", "adc_dist")
+    )

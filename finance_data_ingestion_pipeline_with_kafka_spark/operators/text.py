@@ -992,3 +992,92 @@ def bm25_topk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= RETRIEVAL_TOP_K)
         .orderBy("query_id", "rank")
     )
+
+
+@query(
+    "zipf_fit",
+    oracle="""
+    WITH freq AS (
+      SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT lang, unnest(string_split_regex(trim(text), '\\s+')) AS token
+            FROM documents)
+      GROUP BY lang, token
+    ), ranked AS (
+      SELECT lang, ln(CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                                              ORDER BY c DESC, token) AS DOUBLE)) AS x,
+             ln(CAST(c AS DOUBLE)) AS y
+      FROM freq
+    ), m AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(30,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(30,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+      FROM ranked GROUP BY lang
+    )
+    SELECT lang, n AS n_words,
+           CASE WHEN n > 2 AND (n * sxx - sx * sx) > 0
+                THEN ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+           END AS zipf_slope,
+           CASE WHEN n > 2 AND (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                THEN ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                           / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+           END AS r2
+    FROM m ORDER BY lang
+    """,
+    tags=("U6", "A7"),
+)
+def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U6/A7] Zipf's-law fit per language — OLS slope of
+    ln(frequency) on ln(rank) over the vocabulary (natural text reads
+    ~ -1; a corpus whose slope drifts far from the reference corpus's is
+    template-heavy, deduplication-damaged, or synthetic — the
+    distributional cousin of ``word_entropy`` and the standard corpus
+    health check next to the Gopher gates in a 100 TB curation run).
+
+    Exactness: ranks and counts are identical integers (deterministic
+    (count desc, token) tie-break), so x/y are identical doubles; the
+    five moment lanes snap at DECIMAL(30,6)/(38,6) — terms cap at
+    ~ln(vocab)² (≈ 190 at a 10^6 vocabulary), leaving the 1e-6 grain
+    ~7e7 ULPs of margin; slope/r² round at the very end. Degenerate
+    languages (n ≤ 2 or zero x-variance) emit NULL identically.
+
+    Scale: word counting is the partial+final wordcount exchange; the
+    rank window and the moment aggregation run on the VOCABULARY frame
+    (≪ corpus — a 100 TB web corpus's vocabulary is ~10^8 rows, one
+    sort), never on token instances."""
+    d = load_table(spark, sf_dir, "documents")
+    freq = (
+        d.select("lang", F.explode(tokens()).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("c"), "token")
+    ranked = freq.select(
+        "lang",
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    x, y = F.col("x"), F.col("y")
+    m = ranked.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(x.cast(DEC)).cast("double").alias("sx"),
+        F.sum(y.cast(DEC)).cast("double").alias("sy"),
+        F.sum((x * x).cast("decimal(38,6)")).cast("double").alias("sxx"),
+        F.sum((y * y).cast("decimal(38,6)")).cast("double").alias("syy"),
+        F.sum((x * y).cast("decimal(38,6)")).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    ok = (n > 2) & (varx > 0)
+    return m.select(
+        "lang",
+        n.alias("n_words"),
+        F.when(ok, F.round((n * sxy - sx * sy) / varx, 6)).alias("zipf_slope"),
+        F.when(ok & (vary > 0), F.round(
+            (n * sxy - sx * sy) * (n * sxy - sx * sy) / (varx * vary), 6
+        )).alias("r2"),
+    ).orderBy("lang")

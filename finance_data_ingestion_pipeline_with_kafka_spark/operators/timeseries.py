@@ -4249,3 +4249,548 @@ def market_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(varx > 0, F.round(beta, 6)).alias("beta"),
         F.when(varx > 0, F.round((sy - beta * sx) / n, 6)).alias("alpha"),
     ).orderBy("event_type")
+
+
+#: Variance-ratio horizon (Lo–MacKinlay 1988): VR(4) compares the
+#: variance of overlapping 4-day returns against 4x the 1-day variance —
+#: ≈1 under a random walk, <1 mean-reversion, >1 momentum/trending.
+VR_Q = 4
+
+
+@query(
+    "variance_ratio",
+    oracle=_DAILY_RET_CTES
+    + f"""
+    , rm AS (
+      SELECT event_type, day,
+             CAST(CAST(r AS DECIMAL(30,6)) * 1000000 AS DECIMAL(12,0)) AS rm
+      FROM rets WHERE r IS NOT NULL
+    ), rq AS (
+      SELECT event_type, rm,
+             rm + LAG(rm, 1) OVER w + LAG(rm, 2) OVER w + LAG(rm, 3) OVER w AS rq
+      FROM rm
+      WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ), m AS (
+      SELECT event_type,
+             CAST(COUNT(rm) AS BIGINT) AS n1,
+             CAST(SUM(rm) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(rm AS DECIMAL(13,0)) * rm) AS DOUBLE) AS s11,
+             CAST(COUNT(rq) AS BIGINT) AS nq,
+             CAST(SUM(rq) AS DOUBLE) AS sq,
+             CAST(SUM(CAST(rq AS DECIMAL(16,0)) * rq) AS DOUBLE) AS sqq
+      FROM rq GROUP BY event_type
+    )
+    SELECT event_type, n1 AS n_rets, nq AS n_q,
+           CASE WHEN nq > 1 AND (n1 * s11 - s1 * s1) > 0
+                THEN ROUND(((nq * sqq - sq * sq) / (nq * nq) / {VR_Q}.0)
+                           / ((n1 * s11 - s1 * s1) / (n1 * n1)), 6)
+           END AS vr4
+    FROM m ORDER BY event_type
+    """,
+    tags=("A7", "W2"),
+)
+def variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A7/W2] Lo–MacKinlay variance ratio VR(4) per stream — the
+    classic random-walk test on daily close-to-close log returns:
+    overlapping 4-day return variance over 4x the 1-day variance
+    (population variances, mean-adjusted). The regime screen a strategy
+    desk runs before fitting momentum or mean-reversion models to a
+    series.
+
+    Exactness (the ``dsum_scaled``/``lead_lag_xcorr`` discipline,
+    extended to a window lane): each daily return snaps ONCE to a
+    x10^6 DECIMAL(12,0) integer; the 4-day return is an explicit
+    rm + lag1 + lag2 + lag3 decimal ADDITION (exact, and the operand
+    order is pinned — a windowed SUM's addition order is not
+    cross-engine stable for doubles, but decimal addition is
+    associative so even that wouldn't matter here); all four moment
+    sums are exact decimal-integer lanes. VR is a variance RATIO, so
+    the x10^6 scaling cancels algebraically and no unscaling ever
+    happens — the emitted double derives from identical exact operands
+    in both engines. Degenerate series (zero 1-day variance, <2 q-day
+    returns) emit NULL identically.
+
+    Scale: one tick-table hash aggregation to daily closes (the
+    ``_daily_close_returns`` pass), then windows + one hash aggregation
+    on the types x days frame — nothing data-sized after the first
+    exchange."""
+    closes, rets = _daily_close_returns(spark, sf_dir)
+    valid = rets.filter(F.col("r").isNotNull())
+    x = F.col("r") * 1_000_000
+    rm = (
+        F.when(F.col("r") >= 0, F.floor(x + 0.5))
+        .otherwise(-F.floor(-x + 0.5))
+        .cast("long")
+        .cast("decimal(12,0)")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    base = valid.select("event_type", "day", rm.alias("rm"))
+    rq = (
+        F.col("rm")
+        + F.lag("rm", 1).over(w)
+        + F.lag("rm", 2).over(w)
+        + F.lag("rm", 3).over(w)
+    )
+    frame = base.select("event_type", "rm", rq.alias("rq"))
+    m = frame.groupBy("event_type").agg(
+        F.count("rm").cast("bigint").alias("n1"),
+        F.sum("rm").cast("double").alias("s1"),
+        F.sum(F.col("rm").cast("decimal(13,0)") * F.col("rm"))
+        .cast("double")
+        .alias("s11"),
+        F.count("rq").cast("bigint").alias("nq"),
+        F.sum("rq").cast("double").alias("sq"),
+        F.sum(F.col("rq").cast("decimal(16,0)") * F.col("rq"))
+        .cast("double")
+        .alias("sqq"),
+    )
+    n1, s1, s11 = F.col("n1"), F.col("s1"), F.col("s11")
+    nq, sq, sqq = F.col("nq"), F.col("sq"), F.col("sqq")
+    var1 = (n1 * s11 - s1 * s1) / (n1 * n1)
+    varq = (nq * sqq - sq * sq) / (nq * nq)
+    return m.select(
+        "event_type",
+        n1.alias("n_rets"),
+        nq.alias("n_q"),
+        F.when((nq > 1) & ((n1 * s11 - s1 * s1) > 0), F.round(varq / VR_Q / var1, 6)).alias("vr4"),
+    ).orderBy("event_type")
+
+
+@query(
+    "ulcer_index",
+    oracle=_DAILY_RET_CTES
+    + """
+    , dd AS (
+      SELECT event_type,
+             CASE WHEN run_peak > 0
+                  THEN 100.0 * (run_peak - close) / run_peak ELSE 0.0 END AS dd_pct
+      FROM (SELECT event_type, close,
+                   MAX(close) OVER (PARTITION BY event_type ORDER BY day
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND CURRENT ROW) AS run_peak
+            FROM closes)
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(MAX(dd_pct), 6) AS max_dd_pct,
+           ROUND(sqrt(CAST(SUM(CAST(dd_pct * dd_pct AS DECIMAL(30,6))) AS DOUBLE)
+                      / COUNT(*)), 6) AS ulcer_index
+    FROM dd GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("A7", "W4"),
+)
+def ulcer_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A7/W4] Ulcer index per stream — the root-mean-square percentage
+    drawdown over the daily close series (Martin & McCann): unlike max
+    drawdown (a single worst point, see ``risk_adjusted_returns``) the
+    ulcer index integrates DEPTH x DURATION of every underwater
+    stretch, which is the risk number drawdown-averse allocators
+    actually size against.
+
+    Exactness: the running peak is a bit-exact order statistic on
+    identical doubles; dd_pct derives from one subtract + divide on
+    identical operands; each squared-drawdown term snaps to
+    DECIMAL(30,6) before the order-free sum (terms ≤ 1e4 — the grain
+    sits ~5e8 ULPs above them, far inside the safety bound); sqrt and
+    the final ROUND run on identical doubles. Non-positive peaks
+    contribute an exact 0 in both engines.
+
+    Scale: the tick->daily-close hash aggregation is the only
+    data-sized pass; the running-max window and the RMS aggregation run
+    on the types x days frame."""
+    closes, _ = _daily_close_returns(spark, sf_dir)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    peak = F.max("close").over(w)
+    dd = F.when(
+        peak > 0, 100.0 * (peak - F.col("close")) / peak
+    ).otherwise(F.lit(0.0))
+    frame = closes.select("event_type", dd.alias("dd_pct"))
+    return (
+        frame.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.round(F.max("dd_pct"), 6).alias("max_dd_pct"),
+            F.round(
+                F.sqrt(
+                    F.sum((F.col("dd_pct") * F.col("dd_pct")).cast(DEC)).cast("double")
+                    / F.count(F.lit(1))
+                ),
+                6,
+            ).alias("ulcer_index"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "realized_moments",
+    oracle="""
+    WITH events_us AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    rets AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CASE WHEN value > 0
+                   AND LAG(value) OVER w > 0
+                   AND date_trunc('day', LAG(ts) OVER w) = date_trunc('day', ts)
+                  THEN ln(value / LAG(value) OVER w)
+             END AS r
+      FROM events_us
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    ), rm AS (
+      SELECT event_type, day,
+             CAST(CAST(r AS DECIMAL(30,6)) * 1000000 AS DECIMAL(12,0)) AS rm
+      FROM rets WHERE r IS NOT NULL
+    ), lanes AS (
+      SELECT event_type, day, rm,
+             CAST(rm AS DECIMAL(13,0)) * rm AS rm2
+      FROM rm
+    ), m AS (
+      SELECT event_type, day,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(rm2) AS DOUBLE) AS s2,
+             CAST(SUM(CAST(rm2 AS DECIMAL(25,0)) * rm) AS DOUBLE) AS s3,
+             CAST(SUM(CAST(rm2 AS DECIMAL(19,0)) * CAST(rm2 AS DECIMAL(18,0)))
+                  AS DOUBLE) AS s4
+      FROM lanes GROUP BY event_type, day
+    )
+    SELECT event_type, day, n AS n_rets,
+           CASE WHEN n > 2 AND s2 > 0
+                THEN ROUND(sqrt(CAST(n AS DOUBLE)) * s3 / (s2 * sqrt(s2)), 6)
+           END AS rskew,
+           CASE WHEN n > 2 AND s2 > 0
+                THEN ROUND(CAST(n AS DOUBLE) * s4 / (s2 * s2), 6)
+           END AS rkurt
+    FROM m ORDER BY event_type, day
+    """,
+    tags=("A7", "W2"),
+)
+def realized_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A7/W2] Realized skewness and kurtosis per stream-day
+    (Amaya–Christoffersen–Jacobs–Vasquez): RSkew = sqrt(n)*Σr³/RV^{3/2}
+    picks up intraday crash asymmetry, RKurt = n*Σr⁴/RV² picks up tail
+    weight — the higher-moment companions to ``realized_bipower``'s
+    jump screen, computed from the same within-day (ts, event_id)-ordered
+    log returns.
+
+    Exactness: the ``dsum_scaled`` discipline extended to HIGHER powers —
+    each return snaps ONCE to a x10^6 DECIMAL(12,0) integer, and r², r³,
+    r⁴ are exact decimal-integer products with every width chosen so no
+    engine rescales (Spark (25,0)x(12,0) and (19,0)x(18,0) both land
+    exactly at precision 38; DuckDB at 37/36). Both statistics are
+    scale-free ratios — sqrt(n)*S3/S2^{3/2} and n*S4/S2² are invariant
+    under r -> c*r — so the x10^6 scaling cancels algebraically and the
+    emitted doubles derive from identical exact operands in both
+    engines. Degenerate days (n <= 2 or zero RV) emit NULL identically.
+
+    Scale: one (event_type)-keyed window pass over ticks for the
+    return (shared shape with ``realized_bipower`` — at scale the
+    planner colocates), then one partial+final hash aggregation to
+    day rows; the power lanes are map-side expressions."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    day = F.date_trunc("day", "ts")
+    prev_v = F.lag("value").over(w)
+    prev_day = F.date_trunc("day", F.lag("ts").over(w))
+    r = F.when(
+        (F.col("value") > 0) & (prev_v > 0) & (prev_day == day),
+        F.log(F.col("value") / prev_v),
+    )
+    rets = e.select("event_type", day.alias("day"), r.alias("r")).filter(
+        F.col("r").isNotNull()
+    )
+    x = F.col("r") * 1_000_000
+    rm = (
+        F.when(F.col("r") >= 0, F.floor(x + 0.5))
+        .otherwise(-F.floor(-x + 0.5))
+        .cast("long")
+        .cast("decimal(12,0)")
+    )
+    lanes = rets.select(
+        "event_type", "day", rm.alias("rm")
+    ).withColumn("rm2", F.col("rm").cast("decimal(13,0)") * F.col("rm"))
+    m = lanes.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("rm2").cast("double").alias("s2"),
+        F.sum(F.col("rm2").cast("decimal(25,0)") * F.col("rm"))
+        .cast("double")
+        .alias("s3"),
+        F.sum(
+            F.col("rm2").cast("decimal(19,0)") * F.col("rm2").cast("decimal(18,0)")
+        )
+        .cast("double")
+        .alias("s4"),
+    )
+    n, s2, s3, s4 = F.col("n"), F.col("s2"), F.col("s3"), F.col("s4")
+    ok = (n > 2) & (s2 > 0)
+    return m.select(
+        "event_type",
+        "day",
+        n.alias("n_rets"),
+        F.when(ok, F.round(F.sqrt(n.cast("double")) * s3 / (s2 * F.sqrt(s2)), 6)).alias(
+            "rskew"
+        ),
+        F.when(ok, F.round(n.cast("double") * s4 / (s2 * s2), 6)).alias("rkurt"),
+    ).orderBy("event_type", "day")
+
+
+@query(
+    "kyle_lambda",
+    oracle="""
+    WITH events_us AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    ranked AS (
+      SELECT event_type, date_trunc('day', ts) AS day, value,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+             ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_close
+      FROM events_us
+    ), days AS (
+      SELECT event_type, day,
+             MAX(CASE WHEN rn_close = 1 THEN value END) AS close,
+             CAST(SUM(CAST(value * k AS DECIMAL(30,6))) * 1000000
+                  AS DECIMAL(18,0)) AS dvol_sc
+      FROM ranked GROUP BY event_type, day
+    ), flows AS (
+      SELECT event_type,
+             CAST(CAST(close - LAG(close) OVER w AS DECIMAL(30,6)) * 1000000
+                  AS DECIMAL(12,0)) AS dp_mi,
+             CASE WHEN close - LAG(close) OVER w > 0 THEN dvol_sc
+                  WHEN close - LAG(close) OVER w < 0 THEN -dvol_sc
+                  ELSE CAST(0 AS DECIMAL(18,0)) END AS sv
+      FROM days
+      WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ), m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(dp_mi) AS DOUBLE) AS sdp,
+             CAST(SUM(CAST(dp_mi AS DECIMAL(13,0)) * dp_mi) AS DOUBLE) AS sdp2,
+             CAST(SUM(sv) AS DOUBLE) AS ssv,
+             CAST(SUM(CAST(sv AS DECIMAL(19,0)) * sv) AS DOUBLE) AS ssv2,
+             CAST(SUM(CAST(dp_mi AS DECIMAL(19,0)) * sv) AS DOUBLE) AS sdpsv
+      FROM flows WHERE dp_mi IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type, n AS n_days,
+           CASE WHEN n > 1 AND (n * ssv2 - ssv * ssv) > 0
+                THEN ROUND((n * sdpsv - sdp * ssv)
+                           / (n * ssv2 - ssv * ssv) * 1000000000.0, 6)
+           END AS lambda_per_1e9,
+           CASE WHEN n > 1 AND (n * ssv2 - ssv * ssv) > 0
+                     AND (n * sdp2 - sdp * sdp) > 0
+                THEN ROUND((n * sdpsv - sdp * ssv) * (n * sdpsv - sdp * ssv)
+                           / ((n * ssv2 - ssv * ssv) * (n * sdp2 - sdp * sdp)), 6)
+           END AS r2
+    FROM m ORDER BY event_type
+    """,
+    tags=("A7", "F9"),
+)
+def kyle_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A7] Kyle's lambda (price-impact) proxy per stream — the OLS
+    slope of daily price change on tick-rule SIGNED dollar volume
+    (sign(Δclose)·Σ value·k), reported per 1e9 of flow, plus the
+    regression r². The price-impact companion to
+    ``amihud_illiquidity`` (which is the ratio estimator of the same
+    quantity) and ``roll_spread`` in the microstructure panel — λ is
+    what an execution desk sizes participation against.
+
+    Exactness: both regression inputs are EXACT integers — Δclose snaps
+    once to x10^6 micros (DECIMAL(12,0); closes are identical doubles,
+    the subtract is one IEEE op), signed dollar volume is the
+    ``dsum_scaled`` x10^6 integer with its sign flipped by CASE (no
+    multiply) — so all five moment lanes are exact decimal products
+    (widths pinned at Spark (19,0)x(18,0) -> (38,0), no rescale).
+    λ's x10^6/x10^6 scaling cancels in the covariance/variance ratio;
+    r² is scale-free. Degenerate groups (zero signed-flow variance,
+    zero price-change variance, n <= 1) emit NULL identically.
+
+    Scale: one tick-table hash aggregation to (type, day) rows —
+    shared shape with ``amihud_illiquidity`` — then windows + one hash
+    aggregation on the tiny daily frame."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    tiebreak = F.struct(F.col("ts"), F.col("event_id"))
+    days = e.groupBy("event_type", F.date_trunc("day", "ts").alias("day")).agg(
+        F.max_by("value", tiebreak).alias("close"),
+        dsum_scaled(F.col("value") * k).alias("dvol_sc"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    dp = F.col("close") - F.lag("close").over(w)
+    x = dp * 1_000_000
+    dp_mi = (
+        F.when(dp >= 0, F.floor(x + 0.5))
+        .otherwise(-F.floor(-x + 0.5))
+        .cast("long")
+        .cast("decimal(12,0)")
+    )
+    sv = (
+        F.when(dp > 0, F.col("dvol_sc"))
+        .when(dp < 0, -F.col("dvol_sc"))
+        .otherwise(F.lit(0).cast("decimal(18,0)"))
+    )
+    flows = days.select(
+        "event_type", dp_mi.alias("dp_mi"), sv.alias("sv")
+    ).filter(F.col("dp_mi").isNotNull())
+    m = flows.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("dp_mi").cast("double").alias("sdp"),
+        F.sum(F.col("dp_mi").cast("decimal(13,0)") * F.col("dp_mi"))
+        .cast("double")
+        .alias("sdp2"),
+        F.sum("sv").cast("double").alias("ssv"),
+        F.sum(F.col("sv").cast("decimal(19,0)") * F.col("sv"))
+        .cast("double")
+        .alias("ssv2"),
+        F.sum(F.col("dp_mi").cast("decimal(19,0)") * F.col("sv"))
+        .cast("double")
+        .alias("sdpsv"),
+    )
+    n = F.col("n")
+    sdp, sdp2 = F.col("sdp"), F.col("sdp2")
+    ssv, ssv2, sdpsv = F.col("ssv"), F.col("ssv2"), F.col("sdpsv")
+    var_sv = n * ssv2 - ssv * ssv
+    var_dp = n * sdp2 - sdp * sdp
+    cov = n * sdpsv - sdp * ssv
+    ok = (n > 1) & (var_sv > 0)
+    return m.select(
+        "event_type",
+        n.alias("n_days"),
+        F.when(ok, F.round(cov / var_sv * 1_000_000_000.0, 6)).alias("lambda_per_1e9"),
+        F.when(ok & (var_dp > 0), F.round(cov * cov / (var_sv * var_dp), 6)).alias(
+            "r2"
+        ),
+    ).orderBy("event_type")
+
+
+#: ln(2) pinned as ONE shared double literal (the GK_COEF rule) — the
+#: Hurst regression's x-axis is j*ln2 for block sizes 2^j, so the whole
+#: 4-point OLS collapses to fixed weights over the log-variances.
+LN2 = 0.6931471805599453
+
+
+@query(
+    "hurst_aggvar",
+    oracle=_DAILY_RET_CTES
+    + f"""
+    , rm AS (
+      SELECT event_type, day,
+             CAST(CAST(r AS DECIMAL(30,6)) * 1000000 AS DECIMAL(12,0)) AS rm
+      FROM rets WHERE r IS NOT NULL
+    ), lagged AS (
+      SELECT event_type, rm,
+             rm + LAG(rm, 1) OVER w AS r2,
+             rm + LAG(rm, 1) OVER w + LAG(rm, 2) OVER w + LAG(rm, 3) OVER w AS r4,
+             rm + LAG(rm, 1) OVER w + LAG(rm, 2) OVER w + LAG(rm, 3) OVER w
+                + LAG(rm, 4) OVER w + LAG(rm, 5) OVER w + LAG(rm, 6) OVER w
+                + LAG(rm, 7) OVER w AS r8
+      FROM rm
+      WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ), m AS (
+      SELECT event_type,
+             CAST(COUNT(rm) AS BIGINT) AS n1,
+             CAST(SUM(rm) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(rm AS DECIMAL(13,0)) * rm) AS DOUBLE) AS s11,
+             CAST(COUNT(r2) AS BIGINT) AS n2,
+             CAST(SUM(r2) AS DOUBLE) AS s2,
+             CAST(SUM(CAST(r2 AS DECIMAL(14,0)) * r2) AS DOUBLE) AS s22,
+             CAST(COUNT(r4) AS BIGINT) AS n4,
+             CAST(SUM(r4) AS DOUBLE) AS s4,
+             CAST(SUM(CAST(r4 AS DECIMAL(16,0)) * r4) AS DOUBLE) AS s44,
+             CAST(COUNT(r8) AS BIGINT) AS n8,
+             CAST(SUM(r8) AS DOUBLE) AS s8,
+             CAST(SUM(CAST(r8 AS DECIMAL(17,0)) * r8) AS DOUBLE) AS s88
+      FROM lagged GROUP BY event_type
+    ), vars AS (
+      SELECT event_type, n1, n8,
+             (n1 * s11 - s1 * s1) / (n1 * n1) AS v1,
+             (n2 * s22 - s2 * s2) / (n2 * n2) AS v2,
+             (n4 * s44 - s4 * s4) / (n4 * n4) AS v4,
+             (n8 * s88 - s8 * s8) / (n8 * n8) AS v8
+      FROM m
+    )
+    SELECT event_type, n1 AS n_rets,
+           CASE WHEN n8 > 1 AND v1 > 0 AND v2 > 0 AND v4 > 0 AND v8 > 0
+                THEN ROUND((-1.5 * ln(v1) - 0.5 * ln(v2)
+                            + 0.5 * ln(v4) + 1.5 * ln(v8))
+                           / (10.0 * {LN2}), 6)
+           END AS hurst
+    FROM vars ORDER BY event_type
+    """,
+    tags=("A7", "W2"),
+)
+def hurst_aggvar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A7/W2] Hurst exponent via the aggregated-variance method — the
+    long-memory screen companion to ``variance_ratio``: the variance of
+    q-day overlapping returns grows like q^(2H), so H is half the OLS
+    slope of ln(var_q) on ln(q) over block sizes q in {1,2,4,8}.
+    H ≈ 0.5 is a random walk, > 0.5 trending/persistent, < 0.5
+    mean-reverting — the regime number behind momentum-vs-reversion
+    strategy selection.
+
+    Exactness: the same ``dsum_scaled`` window-lane discipline as
+    ``variance_ratio`` (one ×10^6 snap per return, explicit decimal lag
+    additions, exact integer moment lanes; variances scale-cancel in
+    the LOG-DIFFERENCE — a constant c² multiplies every var_q, shifting
+    all four logs equally, and the regression weights sum to zero so
+    the shift cancels algebraically). The 4-point OLS collapses to
+    fixed literal weights (x_j = j·ln2 ⇒ slope = Σ(j−1.5)·ln v_j /
+    (5·ln2); H = slope/2), with ln(2) pinned as ONE shared double
+    literal (the GK_COEF rule — never each engine's own transcendental).
+    Degenerate series (any zero variance, <2 8-day returns) emit NULL
+    identically.
+
+    Scale: identical shape to ``variance_ratio`` — one tick-table hash
+    aggregation, then windows + one hash aggregation on the types×days
+    frame."""
+    closes, rets = _daily_close_returns(spark, sf_dir)
+    valid = rets.filter(F.col("r").isNotNull())
+    x = F.col("r") * 1_000_000
+    rm = (
+        F.when(F.col("r") >= 0, F.floor(x + 0.5))
+        .otherwise(-F.floor(-x + 0.5))
+        .cast("long")
+        .cast("decimal(12,0)")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    base = valid.select("event_type", "day", rm.alias("rm"))
+
+    def qsum(q: int):
+        out = F.col("rm")
+        for j in range(1, q):
+            out = out + F.lag("rm", j).over(w)
+        return out
+
+    lagged = base.select(
+        "event_type",
+        "rm",
+        qsum(2).alias("r2"),
+        qsum(4).alias("r4"),
+        qsum(8).alias("r8"),
+    )
+    aggs = []
+    for col, wide in (("rm", 13), ("r2", 14), ("r4", 16), ("r8", 17)):
+        tag = "1" if col == "rm" else col[1:]
+        aggs += [
+            F.count(col).cast("bigint").alias(f"n{tag}"),
+            F.sum(col).cast("double").alias(f"s{tag}"),
+            F.sum(F.col(col).cast(f"decimal({wide},0)") * F.col(col))
+            .cast("double")
+            .alias(f"s{tag}{tag}"),
+        ]
+    m = lagged.groupBy("event_type").agg(*aggs)
+
+    def var(tag: str):
+        n, s, ss = F.col(f"n{tag}"), F.col(f"s{tag}"), F.col(f"s{tag}{tag}")
+        return (n * ss - s * s) / (n * n)
+
+    v1, v2, v4, v8 = var("1"), var("2"), var("4"), var("8")
+    ok = (F.col("n8") > 1) & (v1 > 0) & (v2 > 0) & (v4 > 0) & (v8 > 0)
+    hurst = (
+        -1.5 * F.log(v1) - 0.5 * F.log(v2) + 0.5 * F.log(v4) + 1.5 * F.log(v8)
+    ) / (10.0 * LN2)
+    return m.select(
+        "event_type",
+        F.col("n1").alias("n_rets"),
+        F.when(ok, F.round(hurst, 6)).alias("hurst"),
+    ).orderBy("event_type")

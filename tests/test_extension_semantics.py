@@ -3020,3 +3020,403 @@ def test_exact_substring_spans_crafted_repeats(spark):
     assert got[5] == [(16, W), (16 + W + 40, W)]
     # nothing else leaked
     assert set(got) == {1, 2, 5}
+
+
+def test_exact_substring_dedup_apply_keeper_policy(spark, tmp_path):
+    """Apply-policy semantics on crafted docs: the globally FIRST
+    occurrence (lowest (doc_id, span_start)) of each repeated span is
+    kept, every later occurrence is cut, zero-span docs report
+    keep_ratio 1.0, and chars_cut equals the exact cut span lengths."""
+    import random
+
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators import dedup as dd
+
+    rng = random.Random(41)
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    unique = lambda n: "".join(rng.choice(alpha) for _ in range(n))
+    W = dd.EXACT_SUBSTR_WINDOW
+    shared = unique(W + 10)  # 50-char repeated block
+
+    pre1, pre2, pre3 = unique(5), unique(25), unique(40)
+    docs_pdf = [
+        (1, pre1 + shared + unique(20)),   # first occurrence (doc 1, pos 6) — KEPT
+        (2, pre2 + shared + unique(10)),   # cut
+        (3, pre3 + shared + unique(30)),   # cut
+        (4, unique(120)),                  # no spans
+    ]
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(docs_pdf, ["doc_id", "text"]).coalesce(1).write.parquet(src)
+
+    # build the same keeper election the catalog query builds, over
+    # the crafted corpus
+    docs = spark.read.parquet(src)
+    spans = dd.repeated_substring_spans(docs)
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ranked = (
+        spans.join(docs.select("doc_id", "text"), "doc_id")
+        .withColumn(
+            "span_text",
+            F.expr("substring(text, CAST(span_start AS INT), CAST(span_len AS INT))"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("span_text").orderBy("doc_id", "span_start")
+            ),
+        )
+        .collect()
+    )
+    assert len(ranked) == 3  # one maximal span per sharing doc
+    kept = [r for r in ranked if r["rk"] == 1]
+    cut = [r for r in ranked if r["rk"] > 1]
+    assert len(kept) == 1 and kept[0]["doc_id"] == 1
+    assert sorted(r["doc_id"] for r in cut) == [2, 3]
+    assert all(r["span_len"] == len(shared) for r in ranked)
+    assert all(r["span_text"] == shared for r in ranked)
+
+
+def _daily_closes_pdf(spark, sf_dir):
+    """Daily last-tick close per (event_type, day), the (ts, event_id)
+    tiebreak — shared by the r14 microstructure brute-force tests."""
+    e = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_type", "ts", "event_id", "value")
+        .toPandas()
+        .sort_values(["event_type", "ts", "event_id"])
+    )
+    e["day"] = e["ts"].dt.floor("D")
+    return (
+        e.groupby(["event_type", "day"]).agg(close=("value", "last")).reset_index()
+    )
+
+
+def test_variance_ratio_matches_brute_force(spark, sf_dir):
+    """VR(4) vs a pure-python recomputation replicating the x1e6 integer
+    snap, the explicit 4-lag sum, and the population-variance formulas."""
+    import math
+
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.timeseries import (
+        VR_Q,
+        variance_ratio,
+    )
+
+    rows = {r["event_type"]: r for r in variance_ratio(spark, sf_dir).collect()}
+    assert rows
+    closes = _daily_closes_pdf(spark, "%s" % sf_dir)
+    snap_mi = lambda v: int(math.floor(abs(v) * 1e6 + 0.5)) * (1 if v >= 0 else -1)
+    for etype, g in closes.groupby("event_type"):
+        px = list(g.sort_values("day")["close"])
+        rm = [
+            snap_mi(math.log(b / a))
+            for a, b in zip(px, px[1:])
+            if a > 0 and b > 0
+        ]
+        r = rows[etype]
+        assert r["n_rets"] == len(rm)
+        rq = [sum(rm[i - VR_Q + 1 : i + 1]) for i in range(VR_Q - 1, len(rm))]
+        assert r["n_q"] == len(rq)
+        if len(rq) <= 1:
+            assert r["vr4"] is None
+            continue
+        n1, nq = len(rm), len(rq)
+        var1 = (n1 * sum(x * x for x in rm) - sum(rm) ** 2) / (n1 * n1)
+        varq = (nq * sum(x * x for x in rq) - sum(rq) ** 2) / (nq * nq)
+        if var1 > 0:
+            assert abs(r["vr4"] - varq / VR_Q / var1) < 1e-5, etype
+        else:
+            assert r["vr4"] is None
+
+
+def test_ulcer_index_matches_brute_force(spark, sf_dir):
+    """Ulcer index vs a pandas walk: running peak, percent drawdown,
+    per-term 1e-6 snap, RMS."""
+    import math
+
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.timeseries import (
+        ulcer_index,
+    )
+
+    rows = {r["event_type"]: r for r in ulcer_index(spark, sf_dir).collect()}
+    assert rows
+    closes = _daily_closes_pdf(spark, "%s" % sf_dir)
+    snap = lambda v: math.floor(v * 1e6 + 0.5) / 1e6  # dd_pct^2 is non-negative
+    for etype, g in closes.groupby("event_type"):
+        px = list(g.sort_values("day")["close"])
+        peak, dds = float("-inf"), []
+        for c in px:
+            peak = max(peak, c)
+            dds.append(100.0 * (peak - c) / peak if peak > 0 else 0.0)
+        r = rows[etype]
+        assert r["n_days"] == len(px)
+        assert abs(r["max_dd_pct"] - max(dds)) < 1e-6
+        ui = math.sqrt(sum(snap(d * d) for d in dds) / len(dds))
+        assert abs(r["ulcer_index"] - ui) < 1e-6, etype
+
+
+def test_realized_moments_matches_brute_force(spark, sf_dir):
+    """Realized skew/kurt vs numpy over the same within-day returns with
+    the x1e6 integer snap (the scale-free ratio means the scaled and
+    unscaled statistics agree to float precision)."""
+    import math
+
+    import numpy as np
+
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.timeseries import (
+        realized_moments,
+    )
+
+    got = {
+        (r["event_type"], r["day"].date().isoformat()): r
+        for r in realized_moments(spark, sf_dir).collect()
+    }
+    assert got
+    e = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_type", "ts", "event_id", "value")
+        .toPandas()
+        .sort_values(["event_type", "ts", "event_id"])
+    )
+    e["day"] = e["ts"].dt.floor("D")
+    snap_mi = lambda v: int(math.floor(abs(v) * 1e6 + 0.5)) * (1 if v >= 0 else -1)
+    want_keys = set()
+    for (etype, day_), g in e.groupby(["event_type", "day"]):
+        v = g["value"].to_numpy()
+        rm = [
+            snap_mi(math.log(b / a))
+            for a, b in zip(v, v[1:])
+            if a > 0 and b > 0
+        ]
+        if not rm:
+            continue
+        key = (etype, day_.date().isoformat())
+        want_keys.add(key)
+        r = got[key]
+        assert r["n_rets"] == len(rm)
+        n = len(rm)
+        s2 = sum(x * x for x in rm)
+        if n <= 2 or s2 == 0:
+            assert r["rskew"] is None and r["rkurt"] is None
+            continue
+        s3 = sum(x**3 for x in rm)
+        s4 = sum(x**4 for x in rm)
+        assert abs(r["rskew"] - math.sqrt(n) * s3 / (s2 * math.sqrt(s2))) < 1e-5
+        assert abs(r["rkurt"] - n * s4 / (s2 * s2)) < 1e-5
+        # magnitude headroom for the decimal power lanes (regeneration guard)
+        assert max(abs(x) for x in rm) < 10**11  # DECIMAL(12,0)
+    assert want_keys == set(got)
+
+
+def test_kyle_lambda_matches_brute_force(spark, sf_dir):
+    """Price-impact regression vs a pure-python recomputation from the
+    same daily closes and exact scaled dollar volumes."""
+    import json
+    import math
+
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.timeseries import (
+        kyle_lambda,
+    )
+
+    rows = {r["event_type"]: r for r in kyle_lambda(spark, sf_dir).collect()}
+    assert rows
+    e = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_type", "ts", "event_id", "value", "props")
+        .toPandas()
+        .sort_values(["event_type", "ts", "event_id"])
+    )
+    e["day"] = e["ts"].dt.floor("D")
+    e["k"] = e["props"].map(lambda p: int(json.loads(p)["k"]))
+    snap_mi = lambda v: int(math.floor(abs(v) * 1e6 + 0.5)) * (1 if v >= 0 else -1)
+    for etype, g in e.groupby("event_type"):
+        days = []
+        for day_, gd in g.groupby("day"):
+            close = gd["value"].iloc[-1]
+            dvol_sc = sum(snap_mi(v * k) for v, k in zip(gd["value"], gd["k"]))
+            days.append((close, dvol_sc))
+        dp_mi, sv = [], []
+        for (c0, _), (c1, dv) in zip(days, days[1:]):
+            d = c1 - c0
+            dp_mi.append(snap_mi(d))
+            sv.append(dv if d > 0 else -dv if d < 0 else 0)
+        r = rows[etype]
+        assert r["n_days"] == len(dp_mi)
+        n = len(dp_mi)
+        if n <= 1:
+            assert r["lambda_per_1e9"] is None
+            continue
+        sdp, ssv = sum(dp_mi), sum(sv)
+        sdp2 = sum(x * x for x in dp_mi)
+        ssv2 = sum(x * x for x in sv)
+        sdpsv = sum(x * y for x, y in zip(dp_mi, sv))
+        var_sv = n * ssv2 - ssv * ssv
+        var_dp = n * sdp2 - sdp * sdp
+        cov = n * sdpsv - sdp * ssv
+        if var_sv > 0:
+            assert abs(r["lambda_per_1e9"] - cov / var_sv * 1e9) < 1e-4, etype
+            if var_dp > 0:
+                assert abs(r["r2"] - cov * cov / (var_sv * var_dp)) < 1e-5
+        else:
+            assert r["lambda_per_1e9"] is None
+
+
+def test_ivfpq_adc_algebra_and_containment(spark, sf_dir):
+    """IVF-PQ contract: every emitted candidate lives in one of its
+    query's probed cells; each ADC distance is exactly the sum of the
+    query's per-(cell, sub) LUT entries at the candidate's codes (the
+    asymmetric-distance lookup algebra, recomputed in pandas from the
+    same decimal-deterministic codebooks); per-query output is the
+    strict (adc, vec_id)-ordered top-k."""
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.similarity import (
+        N_PROBE,
+        PQ_SUBS,
+        TOP_K,
+        _ivf_index,
+        ivfpq_ann,
+    )
+
+    rows = ivfpq_ann(spark, sf_dir).collect()
+    assert rows
+    model, assigned, q = _ivf_index(spark, sf_dir)
+    cells = {r["vec_id"]: r["cell"] for r in assigned.select("vec_id", "cell").collect()}
+    from pyspark.sql import functions as F
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.similarity import (
+        _probe_cells,
+    )
+
+    probed = {
+        r["query_id"]: [s["cid"] for s in r["p"]]
+        for r in q.join(model)
+        .select("query_id", _probe_cells(N_PROBE).alias("p"))
+        .collect()
+    }
+    by_q = {}
+    for r in rows:
+        assert cells[r["vec_id"]] in probed[r["query_id"]], r
+        assert r["vec_id"] != r["query_id"]
+        by_q.setdefault(r["query_id"], []).append((r["adc_dist"], r["vec_id"]))
+    for qid, lst in by_q.items():
+        assert len(lst) <= TOP_K
+        assert lst == sorted(lst)
+    # ADC algebra on one query: recompute LUT + codes in pandas and
+    # compare the summed lookup for every emitted candidate
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .toPandas()
+    )
+    V = {
+        int(r.vec_id): np.array(r.embedding, dtype=np.float64)
+        for r in emb.itertuples()
+        if float(np.dot(np.array(r.embedding, dtype=np.float64),
+                        np.array(r.embedding, dtype=np.float64))) > 0
+    }
+    ca = model.collect()[0]["ca"]
+    cv = {c["cid"]: np.array(c["cv"], dtype=np.float64) for c in ca}
+    # residuals + codebook exactly as the kernel builds them (double
+    # means here; the kernel's decimal means agree to ~1e-12, absorbed
+    # by the 2e-6 tolerance on the 1e-6-snapped lanes)
+    res = {vid: V[vid] - cv[cells[vid]] for vid in V}
+    k = 10
+    groups: dict[int, list] = {}
+    for vid, r in res.items():
+        groups.setdefault(vid % k, []).append(r)
+    cb = {cl: np.mean(np.stack(rs), axis=0) for cl, rs in groups.items()}
+    snap6 = lambda v: math.floor(v * 1e6 + 0.5) / 1e6
+    subdim = len(next(iter(V.values()))) // PQ_SUBS
+
+    def sub_d6(r, c, s):
+        seg = slice(s * subdim, (s + 1) * subdim)
+        return snap6(float(((r[seg] - c[seg]) ** 2).sum()))
+
+    codes = {
+        vid: [
+            min(range(k), key=lambda cl: (sub_d6(r, cb[cl], s), cl))
+            for s in range(PQ_SUBS)
+        ]
+        for vid, r in res.items()
+    }
+    qid = rows[0]["query_id"]
+    for adc_dist, vid in by_q[qid]:
+        qr = V[qid] - cv[cells[vid]]
+        want = sum(sub_d6(qr, cb[codes[vid][s]], s) for s in range(PQ_SUBS))
+        assert abs(adc_dist - want) < 2e-5, (vid, adc_dist, want)
+
+
+def test_hurst_aggvar_matches_brute_force(spark, sf_dir):
+    """Hurst via aggregated variance vs a pure-python recomputation
+    (x1e6 snap, overlapping q-sums, population variances, the fixed
+    4-point log-log regression weights)."""
+    import math
+
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.timeseries import (
+        LN2,
+        hurst_aggvar,
+    )
+
+    rows = {r["event_type"]: r for r in hurst_aggvar(spark, sf_dir).collect()}
+    assert rows
+    closes = _daily_closes_pdf(spark, "%s" % sf_dir)
+    snap_mi = lambda v: int(math.floor(abs(v) * 1e6 + 0.5)) * (1 if v >= 0 else -1)
+    for etype, g in closes.groupby("event_type"):
+        px = list(g.sort_values("day")["close"])
+        rm = [
+            snap_mi(math.log(b / a))
+            for a, b in zip(px, px[1:])
+            if a > 0 and b > 0
+        ]
+        r = rows[etype]
+        assert r["n_rets"] == len(rm)
+
+        def povar(xs):
+            n = len(xs)
+            return (n * sum(x * x for x in xs) - sum(xs) ** 2) / (n * n) if n else 0.0
+
+        vs = []
+        for q in (1, 2, 4, 8):
+            qs = [sum(rm[i - q + 1 : i + 1]) for i in range(q - 1, len(rm))]
+            vs.append((len(qs), povar(qs)))
+        if vs[3][0] <= 1 or any(v <= 0 for _, v in vs):
+            assert r["hurst"] is None
+            continue
+        lv = [math.log(v) for _, v in vs]
+        h = (-1.5 * lv[0] - 0.5 * lv[1] + 0.5 * lv[2] + 1.5 * lv[3]) / (10.0 * LN2)
+        assert abs(r["hurst"] - h) < 1e-5, (etype, r["hurst"], h)
+        assert -0.5 < r["hurst"] < 1.5  # sanity envelope
+
+
+def test_zipf_fit_matches_numpy(spark, sf_dir):
+    """Zipf slope/r² vs numpy lstsq over the same (ln rank, ln count)
+    points (whitespace tokens, (count desc, token) rank tie-break)."""
+    import numpy as np
+
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.text import zipf_fit
+
+    rows = {r["lang"]: r for r in zipf_fit(spark, sf_dir).collect()}
+    assert rows
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    for lang, g in d.groupby("lang"):
+        from collections import Counter
+
+        c = Counter()
+        for t in g["text"]:
+            c.update(t.strip().split())
+        ranked = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        x = np.log(np.arange(1, len(ranked) + 1, dtype=np.float64))
+        y = np.log(np.array([v for _, v in ranked], dtype=np.float64))
+        r = rows[lang]
+        assert r["n_words"] == len(ranked)
+        if len(ranked) <= 2 or np.var(x) == 0:
+            assert r["zipf_slope"] is None
+            continue
+        slope = np.polyfit(x, y, 1)[0]
+        assert abs(r["zipf_slope"] - slope) < 1e-4, (lang, r["zipf_slope"], slope)
+        corr = np.corrcoef(x, y)[0, 1]
+        assert abs(r["r2"] - corr * corr) < 1e-4
+        assert r["zipf_slope"] < 0  # frequencies fall with rank
