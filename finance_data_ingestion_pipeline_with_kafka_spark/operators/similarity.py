@@ -2350,7 +2350,7 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_IVFPQ_ORACLE = f"""
+_IVFPQ_CTES = f"""
     WITH vecs AS (
       SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings
@@ -2426,6 +2426,11 @@ _IVFPQ_ORACLE = f"""
       GROUP BY l.query_id, c.vec_id
       HAVING COUNT(*) = {PQ_SUBS}
     )
+"""
+
+_IVFPQ_ORACLE = (
+    _IVFPQ_CTES
+    + f"""
     SELECT query_id, vec_id, adc_dist FROM (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                    ORDER BY adc_dist, vec_id) AS rn
@@ -2433,6 +2438,7 @@ _IVFPQ_ORACLE = f"""
     ) WHERE rn <= {TOP_K}
     ORDER BY query_id, adc_dist, vec_id
 """
+)
 
 
 @query("ivfpq_ann", oracle=_IVFPQ_ORACLE, tags=("U5",), sized_partitions=True)
@@ -2573,4 +2579,67 @@ def ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         adc.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= TOP_K)
         .select("query_id", "vec_id", "adc_dist")
+    )
+
+
+_IVFPQ_RECALL_ORACLE = (
+    _IVFPQ_CTES
+    + f"""
+    , ivfpq_top AS (
+      SELECT query_id, vec_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adc_dist, vec_id) AS rn
+        FROM adc
+      ) WHERE rn <= {TOP_K}
+    ), gscored AS (
+      SELECT q.vec_id AS query_id, vecs.vec_id,
+             ROUND(list_dot_product(q.v, vecs.v)
+                   / (sqrt(list_dot_product(q.v, q.v))
+                      * sqrt(list_dot_product(vecs.v, vecs.v))), 6) AS cs
+      FROM vecs q JOIN vecs ON vecs.vec_id <> q.vec_id
+      WHERE q.vec_id < {N_QUERY_VECS}
+    ), gt AS (
+      SELECT query_id, vec_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cs DESC, vec_id) AS rn
+        FROM gscored
+      ) WHERE rn <= {TOP_K}
+    )
+    SELECT g.query_id,
+           CAST(COUNT(t.vec_id) AS BIGINT) AS n_hits,
+           COUNT(t.vec_id) / CAST({TOP_K} AS DOUBLE) AS recall_at_k
+    FROM gt g LEFT JOIN ivfpq_top t
+      ON t.query_id = g.query_id AND t.vec_id = g.vec_id
+    GROUP BY g.query_id
+    ORDER BY g.query_id
+"""
+)
+
+
+@query("ivfpq_recall", oracle=_IVFPQ_RECALL_ORACLE, tags=("U5",))
+def ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U5] recall@k acceptance metric for ``ivfpq_ann`` against the
+    exact ``knn_bruteforce`` truth — the number that makes the compound
+    index's quantization loss MEASURED AND ORACLE-CHECKED rather than a
+    docstring claim: at this fixture's deliberately tiny code
+    (4 subspaces × 10 codes ≈ 13 bits/vector) raw-ADC recall lands
+    ~0.1–0.2, the cost side of the ~64× vector-payload compression the
+    docstring trades (recovery rungs: wider k, higher n_probe, the
+    ``pq_refine_rerank`` rerank pattern). Composes the two catalog
+    builders verbatim; evaluation cost is index cost — the join touches
+    k·n_queries id pairs."""
+    gt = knn_bruteforce(spark, sf_dir).select("query_id", "vec_id")
+    top = ivfpq_ann(spark, sf_dir).select(
+        "query_id", "vec_id", F.lit(1).alias("hit")
+    )
+    return (
+        gt.join(top, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").cast("bigint").alias("n_hits"),
+            (F.count("hit").cast("double") / F.lit(float(TOP_K))).alias(
+                "recall_at_k"
+            ),
+        )
+        .orderBy("query_id")
     )

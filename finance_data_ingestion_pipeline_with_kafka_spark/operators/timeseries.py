@@ -4274,10 +4274,10 @@ VR_Q = 4
       SELECT event_type,
              CAST(COUNT(rm) AS BIGINT) AS n1,
              CAST(SUM(rm) AS DOUBLE) AS s1,
-             CAST(SUM(CAST(rm AS DECIMAL(13,0)) * rm) AS DOUBLE) AS s11,
+             CAST(SUM(CAST(rm AS DECIMAL(19,0)) * rm) AS DOUBLE) AS s11,
              CAST(COUNT(rq) AS BIGINT) AS nq,
              CAST(SUM(rq) AS DOUBLE) AS sq,
-             CAST(SUM(CAST(rq AS DECIMAL(16,0)) * rq) AS DOUBLE) AS sqq
+             CAST(SUM(CAST(rq AS DECIMAL(19,0)) * rq) AS DOUBLE) AS sqq
       FROM rq GROUP BY event_type
     )
     SELECT event_type, n1 AS n_rets, nq AS n_q,
@@ -4335,12 +4335,12 @@ def variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = frame.groupBy("event_type").agg(
         F.count("rm").cast("bigint").alias("n1"),
         F.sum("rm").cast("double").alias("s1"),
-        F.sum(F.col("rm").cast("decimal(13,0)") * F.col("rm"))
+        F.sum(F.col("rm").cast("decimal(19,0)") * F.col("rm"))
         .cast("double")
         .alias("s11"),
         F.count("rq").cast("bigint").alias("nq"),
         F.sum("rq").cast("double").alias("sq"),
-        F.sum(F.col("rq").cast("decimal(16,0)") * F.col("rq"))
+        F.sum(F.col("rq").cast("decimal(19,0)") * F.col("rq"))
         .cast("double")
         .alias("sqq"),
     )
@@ -4446,7 +4446,7 @@ def ulcer_index(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM rets WHERE r IS NOT NULL
     ), lanes AS (
       SELECT event_type, day, rm,
-             CAST(rm AS DECIMAL(13,0)) * rm AS rm2
+             CAST(rm AS DECIMAL(19,0)) * rm AS rm2
       FROM rm
     ), m AS (
       SELECT event_type, day,
@@ -4511,7 +4511,7 @@ def realized_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lanes = rets.select(
         "event_type", "day", rm.alias("rm")
-    ).withColumn("rm2", F.col("rm").cast("decimal(13,0)") * F.col("rm"))
+    ).withColumn("rm2", F.col("rm").cast("decimal(19,0)") * F.col("rm"))
     m = lanes.groupBy("event_type", "day").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("rm2").cast("double").alias("s2"),
@@ -4566,7 +4566,7 @@ def realized_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type,
              CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(dp_mi) AS DOUBLE) AS sdp,
-             CAST(SUM(CAST(dp_mi AS DECIMAL(13,0)) * dp_mi) AS DOUBLE) AS sdp2,
+             CAST(SUM(CAST(dp_mi AS DECIMAL(19,0)) * dp_mi) AS DOUBLE) AS sdp2,
              CAST(SUM(sv) AS DOUBLE) AS ssv,
              CAST(SUM(CAST(sv AS DECIMAL(19,0)) * sv) AS DOUBLE) AS ssv2,
              CAST(SUM(CAST(dp_mi AS DECIMAL(19,0)) * sv) AS DOUBLE) AS sdpsv
@@ -4635,7 +4635,7 @@ def kyle_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = flows.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("dp_mi").cast("double").alias("sdp"),
-        F.sum(F.col("dp_mi").cast("decimal(13,0)") * F.col("dp_mi"))
+        F.sum(F.col("dp_mi").cast("decimal(19,0)") * F.col("dp_mi"))
         .cast("double")
         .alias("sdp2"),
         F.sum("sv").cast("double").alias("ssv"),
@@ -4690,16 +4690,16 @@ LN2 = 0.6931471805599453
       SELECT event_type,
              CAST(COUNT(rm) AS BIGINT) AS n1,
              CAST(SUM(rm) AS DOUBLE) AS s1,
-             CAST(SUM(CAST(rm AS DECIMAL(13,0)) * rm) AS DOUBLE) AS s11,
+             CAST(SUM(CAST(rm AS DECIMAL(19,0)) * rm) AS DOUBLE) AS s11,
              CAST(COUNT(r2) AS BIGINT) AS n2,
              CAST(SUM(r2) AS DOUBLE) AS s2,
-             CAST(SUM(CAST(r2 AS DECIMAL(14,0)) * r2) AS DOUBLE) AS s22,
+             CAST(SUM(CAST(r2 AS DECIMAL(19,0)) * r2) AS DOUBLE) AS s22,
              CAST(COUNT(r4) AS BIGINT) AS n4,
              CAST(SUM(r4) AS DOUBLE) AS s4,
-             CAST(SUM(CAST(r4 AS DECIMAL(16,0)) * r4) AS DOUBLE) AS s44,
+             CAST(SUM(CAST(r4 AS DECIMAL(19,0)) * r4) AS DOUBLE) AS s44,
              CAST(COUNT(r8) AS BIGINT) AS n8,
              CAST(SUM(r8) AS DOUBLE) AS s8,
-             CAST(SUM(CAST(r8 AS DECIMAL(17,0)) * r8) AS DOUBLE) AS s88
+             CAST(SUM(CAST(r8 AS DECIMAL(19,0)) * r8) AS DOUBLE) AS s88
       FROM lagged GROUP BY event_type
     ), vars AS (
       SELECT event_type, n1, n8,
@@ -4769,7 +4769,7 @@ def hurst_aggvar(spark: SparkSession, sf_dir: str) -> DataFrame:
         qsum(8).alias("r8"),
     )
     aggs = []
-    for col, wide in (("rm", 13), ("r2", 14), ("r4", 16), ("r8", 17)):
+    for col, wide in (("rm", 19), ("r2", 19), ("r4", 19), ("r8", 19)):
         tag = "1" if col == "rm" else col[1:]
         aggs += [
             F.count(col).cast("bigint").alias(f"n{tag}"),
@@ -4794,3 +4794,101 @@ def hurst_aggvar(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n1").alias("n_rets"),
         F.when(ok, F.round(hurst, 6)).alias("hurst"),
     ).orderBy("event_type")
+
+
+@query(
+    "drawdown_duration",
+    oracle=_DAILY_RET_CTES
+    + """
+    , walk AS (
+      SELECT event_type, day, close,
+             MAX(close) OVER (PARTITION BY event_type ORDER BY day
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS run_peak,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      FROM closes
+    ), uw AS (
+      SELECT event_type, day, rn,
+             rn - ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS island
+      FROM walk WHERE close < run_peak
+    ), spells AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS spell_days
+      FROM uw GROUP BY event_type, island
+    )
+    SELECT w.event_type,
+           CAST(MAX(w.rn) AS BIGINT) AS n_days,
+           CAST(COALESCE(s.n_spells, 0) AS BIGINT) AS n_spells,
+           CAST(COALESCE(s.longest, 0) AS BIGINT) AS longest_underwater_days,
+           CASE WHEN s.n_spells > 0
+                THEN s.total / CAST(s.n_spells AS DOUBLE) END AS avg_underwater_days
+    FROM walk w
+    LEFT JOIN (SELECT event_type, COUNT(*) AS n_spells, MAX(spell_days) AS longest,
+                      SUM(spell_days) AS total
+               FROM spells GROUP BY event_type) s
+      ON s.event_type = w.event_type
+    GROUP BY w.event_type, s.n_spells, s.longest, s.total
+    ORDER BY w.event_type
+    """,
+    tags=("A7", "W4"),
+)
+def drawdown_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A7/W4] Underwater-spell durations per stream — the TIME axis of
+    drawdown risk that ``risk_adjusted_returns``' max-drawdown (depth)
+    and ``ulcer_index`` (depth×time RMS) don't expose directly: how
+    many consecutive trading days the series spends below its running
+    peak (a strict ``close < peak`` day is underwater), the number an
+    allocator reads as "how long would I have waited to get back to
+    even". Emits spell count, longest spell, and mean spell length.
+
+    Exactness: the running peak is a bit-exact order statistic; the
+    underwater flag is one comparison of identical doubles; spells are
+    integer gaps-and-islands (rn − rn_underwater constant on runs), and
+    the mean is one integer/integer divide — every lane exact, no
+    rounding anywhere. Zero-spell series (monotone new highs) emit
+    0 / 0 / NULL identically.
+
+    Scale: the tick→daily-close hash aggregation is the only data-sized
+    pass; two windows + two hash aggregations run on the types×days
+    frame."""
+    closes, _ = _daily_close_returns(spark, sf_dir)
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wrow = Window.partitionBy("event_type").orderBy("day")
+    walk = closes.select(
+        "event_type",
+        "day",
+        "close",
+        F.max("close").over(wcum).alias("run_peak"),
+        F.row_number().over(wrow).alias("rn"),
+    )
+    uw = walk.filter(F.col("close") < F.col("run_peak")).withColumn(
+        "island", F.col("rn") - F.row_number().over(wrow)
+    )
+    spells = uw.groupBy("event_type", "island").agg(
+        F.count(F.lit(1)).cast("bigint").alias("spell_days")
+    )
+    per_type = spells.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_spells"),
+        F.max("spell_days").alias("longest"),
+        F.sum("spell_days").alias("total"),
+    )
+    days = walk.groupBy("event_type").agg(F.max("rn").cast("bigint").alias("n_days"))
+    return (
+        days.join(per_type, "event_type", "left")
+        .select(
+            "event_type",
+            "n_days",
+            F.coalesce("n_spells", F.lit(0)).cast("bigint").alias("n_spells"),
+            F.coalesce("longest", F.lit(0))
+            .cast("bigint")
+            .alias("longest_underwater_days"),
+            F.when(
+                F.col("n_spells") > 0,
+                F.col("total").cast("double") / F.col("n_spells").cast("double"),
+            ).alias("avg_underwater_days"),
+        )
+        .orderBy("event_type")
+    )

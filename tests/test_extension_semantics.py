@@ -2920,6 +2920,20 @@ def test_random_fixture_oracle_exactness(spark, sf_dir, tmp_path):
         "realized_bipower",
         "amihud_illiquidity",
         "garman_klass_vol",
+        # r14 kernels: exact-integer lanes (no double->decimal moment
+        # snap), so the sweep guards lane CAPACITY and degenerate-group
+        # NULL contracts. All are log/ratio/percent/integer-lane shapes
+        # except kyle_lambda's LINEAR dp-micros snap, whose 1e5-value
+        # margin is 1e-6/ulp(1e5) ~ 6.7e4 ULPs — inside the safety bound
+        # (roll_spread's QUADRATIC products are what the cap regime is
+        # for; nothing here squares a raw price before snapping)
+        "variance_ratio",
+        "hurst_aggvar",
+        "ulcer_index",
+        "realized_moments",
+        "kyle_lambda",
+        "drawdown_duration",
+        "lead_lag_xcorr",
     )
     capped_names = ("roll_spread",)
     day_ms = 86_400_000
@@ -3420,3 +3434,37 @@ def test_zipf_fit_matches_numpy(spark, sf_dir):
         corr = np.corrcoef(x, y)[0, 1]
         assert abs(r["r2"] - corr * corr) < 1e-4
         assert r["zipf_slope"] < 0  # frequencies fall with rank
+
+
+def test_drawdown_duration_matches_brute_force(spark, sf_dir):
+    """Underwater spells vs a pure-python walk over the same daily
+    closes: strict close < running-peak flags, consecutive-run lengths,
+    longest/mean/count — all integer-exact."""
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.timeseries import (
+        drawdown_duration,
+    )
+
+    rows = {r["event_type"]: r for r in drawdown_duration(spark, sf_dir).collect()}
+    assert rows
+    closes = _daily_closes_pdf(spark, "%s" % sf_dir)
+    for etype, g in closes.groupby("event_type"):
+        px = list(g.sort_values("day")["close"])
+        peak, spells, cur = float("-inf"), [], 0
+        for c in px:
+            peak = max(peak, c)
+            if c < peak:
+                cur += 1
+            else:
+                if cur:
+                    spells.append(cur)
+                cur = 0
+        if cur:
+            spells.append(cur)
+        r = rows[etype]
+        assert r["n_days"] == len(px)
+        assert r["n_spells"] == len(spells)
+        assert r["longest_underwater_days"] == (max(spells) if spells else 0)
+        if spells:
+            assert r["avg_underwater_days"] == sum(spells) / len(spells)
+        else:
+            assert r["avg_underwater_days"] is None
