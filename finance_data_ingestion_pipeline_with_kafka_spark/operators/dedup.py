@@ -2440,3 +2440,85 @@ def exact_substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "ngram_novelty",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ), grams AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, greatest(len(t)-{SHINGLE_N - 1}, 0)+1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+      FROM toks WHERE len(t) >= {SHINGLE_N}
+    ), first_seen AS (
+      SELECT sh, MIN(doc_id) AS first_doc FROM grams GROUP BY sh
+    ), per_doc AS (
+      SELECT g.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_shingles,
+             CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_novel
+      FROM grams g JOIN first_seen f ON f.sh = g.sh
+      GROUP BY g.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_shingles, 0) AS BIGINT) AS n_shingles,
+           CAST(COALESCE(p.n_novel, 0) AS BIGINT) AS n_novel,
+           CASE WHEN p.n_shingles > 0
+                THEN ROUND(p.n_novel / CAST(p.n_shingles AS DOUBLE), 6)
+           END AS novelty
+    FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+    tags=("U4", "U6"),
+)
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U4/U6] Per-document n-gram novelty — the fraction of a doc's
+    DISTINCT 3-word shingles whose FIRST corpus occurrence (lowest
+    doc_id, the ingestion-order proxy) is in that document. The
+    curve of this number over ingestion order is how a corpus build
+    measures SATURATION: when marginal novelty collapses, additional
+    raw data is re-buying the same n-grams, and the crawl/dedup budget
+    should move on — the corpus-level complement of the per-pair dedup
+    family (a doc can be 0.9-novel yet near-dup-free, or 0.1-novel with
+    no single near-dup neighbor).
+
+    Exactness: everything is integer/string — distinct shingles per doc,
+    min-doc_id first-seen election, one integer ratio rounded at the
+    end; zero-shingle docs (< 3 tokens) report 0/0/NULL identically.
+
+    Scale: corpus-linear — one distinct over (doc, shingle) (exchange on
+    the pair), one partial+final MIN per shingle (exchange on the
+    shingle — the same order-of-magnitude blowup every shingle pipeline
+    here pays), one join back (same key, co-partitioned), one per-doc
+    aggregation. No windows over the corpus, no pair set."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = shingle_rows(docs).select("doc_id", "sh").distinct()
+    first_seen = grams.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        grams.join(first_seen, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("int"))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).cast("bigint").alias("n_shingles"),
+            F.coalesce("n_novel", F.lit(0)).cast("bigint").alias("n_novel"),
+            F.when(
+                F.col("n_shingles") > 0,
+                F.round(
+                    F.col("n_novel").cast("double") / F.col("n_shingles"), 6
+                ),
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )

@@ -3468,3 +3468,40 @@ def test_drawdown_duration_matches_brute_force(spark, sf_dir):
             assert r["avg_underwater_days"] == sum(spells) / len(spells)
         else:
             assert r["avg_underwater_days"] is None
+
+
+def test_ngram_novelty_crafted_corpus(spark, tmp_path):
+    """Novelty semantics on a crafted corpus: the first doc introduces
+    everything (1.0), an exact copy introduces nothing (0.0), a
+    half-overlapping doc lands exactly between, and a doc too short to
+    shingle reports 0/0/NULL."""
+    import shutil
+
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.dedup import (
+        SHINGLE_N,
+        ngram_novelty,
+    )
+
+    assert SHINGLE_N == 3
+    d = tmp_path / "nov"
+    d.mkdir()
+    base = "alpha beta gamma delta epsilon zeta"      # 4 distinct shingles
+    fresh = "one two three four five"                 # 3 distinct shingles
+    docs = [
+        (1, base),
+        (2, base),                                    # exact copy -> 0 novel
+        (3, base + " " + fresh),                      # seam adds new shingles
+        (4, "too short"),                             # < 3 tokens -> no shingles
+    ]
+    spark.createDataFrame(docs, ["doc_id", "text"]).coalesce(1).write.parquet(
+        str(d / "documents.parquet")
+    )
+    rows = {r["doc_id"]: r for r in ngram_novelty(spark, str(d)).collect()}
+    assert rows[1]["n_shingles"] == 4 and rows[1]["novelty"] == 1.0
+    assert rows[2]["n_shingles"] == 4 and rows[2]["n_novel"] == 0
+    assert rows[2]["novelty"] == 0.0
+    # doc 3: 9 shingles total, the 4 from base are first seen in doc 1;
+    # the 2 seam shingles + 3 fresh shingles are novel
+    assert rows[3]["n_shingles"] == 9 and rows[3]["n_novel"] == 5
+    assert rows[3]["novelty"] == round(5 / 9, 6)
+    assert rows[4]["n_shingles"] == 0 and rows[4]["novelty"] is None
