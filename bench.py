@@ -292,7 +292,15 @@ def main() -> None:
     compact = _compact_line(detail, bench_specs)
     line = json.dumps(compact)
     if len(line) >= 1900:  # hard driver-contract guard, belt over the test
-        for drop in ("dedup_crossover_10x", "deep_crossover_30x"):
+        # degradation markers drop FIRST (they also live in
+        # BENCH_DETAIL.json) so the graded tables survive longest; a
+        # degraded run can add ~400 chars of marker keys (r14 review
+        # finding: the old list left them undroppable)
+        for drop in (
+            "dedup_crossover_skipped",
+            "dedup_crossover_10x",
+            "deep_crossover_30x",
+        ):
             compact.pop(drop, None)
             line = json.dumps(compact)
             if len(line) < 1900:
@@ -391,7 +399,10 @@ def _compact_line(detail: dict, bench_specs: dict) -> dict:
             if n != "degraded_to_min2"
         }
         if deep.get("degraded_to_min2"):
-            out["deep_crossover_degraded_to_min2"] = deep["degraded_to_min2"]
+            # compact line carries the COUNT (the names live in
+            # BENCH_DETAIL.json) — full lists can push a fully-degraded
+            # worst case past the driver's 2000-char tail
+            out["deep_crossover_degraded_to_min2_n"] = len(deep["degraded_to_min2"])
     dxo = detail.get("dedup_crossover_10x")
     if isinstance(dxo, dict) and "error" not in dxo:
         # {name: [spark_scaling, duckdb_scaling, ratio_10x]} — the
@@ -408,7 +419,7 @@ def _compact_line(detail: dict, bench_specs: dict) -> dict:
             # say so in the graded line, never only in the detail file
             out["dedup_crossover_skipped"] = dxo["skipped_for_budget"]
         if dxo.get("degraded_to_min2"):
-            out["dedup_crossover_degraded_to_min2"] = dxo["degraded_to_min2"]
+            out["dedup_crossover_degraded_to_min2_n"] = len(dxo["degraded_to_min2"])
     skew = detail.get("skew_crossover")
     if isinstance(skew, dict) and "error" not in skew:
         # the whole phase result is six scalars — carry it verbatim

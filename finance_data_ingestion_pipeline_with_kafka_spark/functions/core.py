@@ -94,6 +94,26 @@ def dsum_scaled(col: Column | str) -> Column:
     return F.sum(u).cast("decimal(18,0)")
 
 
+def snap_scaled(col: Column | str, width: int = 12) -> Column:
+    """One ×10^6 round-half-away-from-zero snap of a double to an exact
+    DECIMAL(``width``,0) integer — the per-ROW atom of the
+    :func:`dsum_scaled` discipline, for kernels whose integer lane is a
+    single value (a return, a price change) rather than a group sum.
+    Shares the rounding kernel with :func:`dsum` (see the tie caveat
+    there); oracle mirror::
+
+        CAST(CAST(x AS DECIMAL(30,6)) * 1000000 AS DECIMAL(width,0))
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    x = c * _SCALE
+    return (
+        F.when(c >= 0, F.floor(x + 0.5))
+        .otherwise(-F.floor(-x + 0.5))
+        .cast("long")
+        .cast(f"decimal({width},0)")
+    )
+
+
 def dsum_scaled_expr(sql_expr: str) -> str:
     """The oracle-SQL text mirroring :func:`dsum_scaled` for ``sql_expr``."""
     return f"CAST(SUM(CAST(({sql_expr}) AS DECIMAL(30,6))) * 1000000 AS DECIMAL(18,0))"

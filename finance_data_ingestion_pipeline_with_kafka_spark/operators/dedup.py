@@ -2344,28 +2344,50 @@ def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
              MAX(pos) - MIN(pos) + {EXACT_SUBSTR_WINDOW} AS span_len
       FROM duppos GROUP BY doc_id, island
     ), ranked AS (
-      SELECT s.doc_id, s.span_len,
+      SELECT s.doc_id, s.span_start, s.span_len,
              ROW_NUMBER() OVER (
                PARTITION BY substr(d.text, CAST(s.span_start AS INT),
                                    CAST(s.span_len AS INT))
                ORDER BY s.doc_id, s.span_start) AS rk
       FROM spans s JOIN documents d USING (doc_id)
-    ), per_doc AS (
+    ), spanagg AS (
       SELECT doc_id,
              CAST(COUNT(*) AS BIGINT) AS n_spans,
-             CAST(SUM(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cut,
-             CAST(COALESCE(SUM(CASE WHEN rk > 1 THEN span_len END), 0) AS BIGINT)
-               AS chars_cut
+             CAST(SUM(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cut
       FROM ranked GROUP BY doc_id
+    ), cutspans AS (
+      SELECT doc_id, span_start AS s, span_start + span_len - 1 AS e
+      FROM ranked WHERE rk > 1
+    ), flagged AS (
+      SELECT doc_id, s, e,
+             CASE WHEN MAX(e) OVER prior IS NULL
+                    OR s > MAX(e) OVER prior THEN 1 ELSE 0 END AS brk
+      FROM cutspans
+      WINDOW prior AS (PARTITION BY doc_id ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), merged AS (
+      SELECT doc_id, MIN(s) AS ms, MAX(e) AS me
+      FROM (SELECT doc_id, s, e,
+                   SUM(brk) OVER (PARTITION BY doc_id ORDER BY s
+                                  ROWS UNBOUNDED PRECEDING) AS isl
+            FROM flagged)
+      GROUP BY doc_id, isl
+    ), cutagg AS (
+      SELECT doc_id, CAST(SUM(me - ms + 1) AS BIGINT) AS chars_cut
+      FROM merged GROUP BY doc_id
     )
     SELECT d.doc_id,
-           CAST(COALESCE(p.n_spans, 0) AS BIGINT) AS n_spans,
-           CAST(COALESCE(p.n_cut, 0) AS BIGINT) AS n_cut,
-           CAST(COALESCE(p.chars_cut, 0) AS BIGINT) AS chars_cut,
-           CAST(length(d.text) - COALESCE(p.chars_cut, 0) AS BIGINT) AS chars_kept,
-           ROUND((length(d.text) - COALESCE(p.chars_cut, 0))
-                 / CAST(length(d.text) AS DOUBLE), 6) AS keep_ratio
-    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+           CAST(COALESCE(sa.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(COALESCE(sa.n_cut, 0) AS BIGINT) AS n_cut,
+           CAST(COALESCE(ca.chars_cut, 0) AS BIGINT) AS chars_cut,
+           CAST(length(d.text) - COALESCE(ca.chars_cut, 0) AS BIGINT) AS chars_kept,
+           CASE WHEN length(d.text) > 0
+                THEN ROUND((length(d.text) - COALESCE(ca.chars_cut, 0))
+                           / CAST(length(d.text) AS DOUBLE), 6)
+           END AS keep_ratio
+    FROM documents d
+    LEFT JOIN spanagg sa ON sa.doc_id = d.doc_id
+    LEFT JOIN cutagg ca ON ca.doc_id = d.doc_id
     ORDER BY d.doc_id
     """,
     tags=("U4",),
@@ -2381,20 +2403,29 @@ def exact_substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero-span docs (LEFT join back to the corpus — the funnel must
     cover every document, not just flagged ones).
 
+    ``chars_cut`` is the size of the UNION of the doc's cut spans as
+    CHARACTER intervals (classic interval merge — running-max-of-end
+    islands): maximal spans are disjoint in gram-POSITION space, but
+    each extends W−1 characters past its last position, so two islands
+    2..W−1 positions apart overlap in characters — a plain span-length
+    sum would double-count the overlap and could even drive
+    ``chars_kept`` negative (r14 review finding). With the union,
+    0 ≤ chars_cut ≤ length(text) always, and ``keep_ratio`` guards
+    zero-length docs (NULL in both engines — Spark's 0/0 divide is
+    NULL, DuckDB's is NaN; the CASE makes them agree, the
+    ``embedding_normalize`` discipline).
+
     Granularity note (documented approximation, standard for blocked
     ExactSubstr): keep-one applies at MAXIMAL-SPAN granularity — two
     docs whose repeated regions overlap but extend differently produce
     different span texts and are cut independently; the suffix-array
-    formulation would arbitrate the shared core once. Islands within a
-    doc are disjoint by construction, so ``chars_cut`` never
-    double-counts.
+    formulation would arbitrate the shared core once.
 
     Scale: the span map is corpus-linear (see ``exact_substring_spans``);
     everything after it runs on the SPAN table (≪ corpus) — one hash
-    join back to documents for the span text (doc_id-keyed, co-located
-    with the corpus scan), one exchange on span_text for the keeper
-    election, one per-doc aggregation, one LEFT join to re-attach
-    span-less docs."""
+    join back to documents for the span text, one exchange on span_text
+    for the keeper election, one doc-keyed interval-merge window pass
+    over CUT spans only, one LEFT join to re-attach span-less docs."""
     docs = load_table(spark, sf_dir, "documents")
     from pyspark.sql import Window
 
@@ -2411,19 +2442,44 @@ def exact_substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
                 Window.partitionBy("span_text").orderBy("doc_id", "span_start")
             ),
         )
+        .select("doc_id", "span_start", "span_len", "rk")
     )
     cut = F.col("rk") > 1
-    per_doc = ranked.groupBy("doc_id").agg(
+    spanagg = ranked.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_spans"),
         F.sum(cut.cast("int")).cast("bigint").alias("n_cut"),
-        F.coalesce(F.sum(F.when(cut, F.col("span_len"))), F.lit(0))
-        .cast("bigint")
-        .alias("chars_cut"),
+    )
+    cutspans = ranked.filter(cut).select(
+        "doc_id",
+        F.col("span_start").alias("s"),
+        (F.col("span_start") + F.col("span_len") - 1).alias("e"),
+    )
+    prior = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev_max = F.max("e").over(prior)
+    flagged = cutspans.withColumn(
+        "brk",
+        F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0),
+    ).withColumn("isl", F.sum("brk").over(run))
+    cutagg = (
+        flagged.groupBy("doc_id", "isl")
+        .agg(F.min("s").alias("ms"), F.max("e").alias("me"))
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("me") - F.col("ms") + 1).cast("bigint").alias("chars_cut"))
     )
     n_chars = F.length("text").cast("bigint")
     return (
         docs.select("doc_id", n_chars.alias("len"))
-        .join(per_doc, "doc_id", "left")
+        .join(spanagg, "doc_id", "left")
+        .join(cutagg, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
@@ -2432,14 +2488,26 @@ def exact_substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("len") - F.coalesce("chars_cut", F.lit(0)))
             .cast("bigint")
             .alias("chars_kept"),
-            F.round(
-                (F.col("len") - F.coalesce("chars_cut", F.lit(0)))
-                / F.col("len").cast("double"),
-                6,
+            F.when(
+                F.col("len") > 0,
+                F.round(
+                    (F.col("len") - F.coalesce("chars_cut", F.lit(0)))
+                    / F.col("len").cast("double"),
+                    6,
+                ),
             ).alias("keep_ratio"),
         )
         .orderBy("doc_id")
     )
+
+
+#: The oracle's gram concat is GENERATED from SHINGLE_N (the same
+#: builder expression the minhash CTE uses) so a future SHINGLE_N change
+#: cannot silently leave this oracle at 3-grams while ``shingle_rows``
+#: moves on (r14 review finding).
+_NOVELTY_GRAM = " || ' ' || ".join(
+    f"t[i+{j}]" if j else "t[i]" for j in range(SHINGLE_N)
+)
 
 
 @query(
@@ -2450,7 +2518,7 @@ def exact_substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), grams AS (
       SELECT DISTINCT doc_id,
              unnest(list_transform(range(1, greatest(len(t)-{SHINGLE_N - 1}, 0)+1),
-                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+                    i -> {_NOVELTY_GRAM})) AS sh
       FROM toks WHERE len(t) >= {SHINGLE_N}
     ), first_seen AS (
       SELECT sh, MIN(doc_id) AS first_doc FROM grams GROUP BY sh

@@ -2579,6 +2579,7 @@ def ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         adc.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= TOP_K)
         .select("query_id", "vec_id", "adc_dist")
+        .orderBy("query_id", "adc_dist", "vec_id")
     )
 
 

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.core import DEC, davg, dsum, dsum_scaled
+from ..functions.core import DEC, davg, dsum, dsum_scaled, snap_scaled
 from ..registry import query
 
 MACD_WINDOW = 50  # lag truncation, matching the `ewma` query's frame
@@ -4316,13 +4316,7 @@ def variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange."""
     closes, rets = _daily_close_returns(spark, sf_dir)
     valid = rets.filter(F.col("r").isNotNull())
-    x = F.col("r") * 1_000_000
-    rm = (
-        F.when(F.col("r") >= 0, F.floor(x + 0.5))
-        .otherwise(-F.floor(-x + 0.5))
-        .cast("long")
-        .cast("decimal(12,0)")
-    )
+    rm = snap_scaled("r")
     w = Window.partitionBy("event_type").orderBy("day")
     base = valid.select("event_type", "day", rm.alias("rm"))
     rq = (
@@ -4502,13 +4496,7 @@ def realized_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     rets = e.select("event_type", day.alias("day"), r.alias("r")).filter(
         F.col("r").isNotNull()
     )
-    x = F.col("r") * 1_000_000
-    rm = (
-        F.when(F.col("r") >= 0, F.floor(x + 0.5))
-        .otherwise(-F.floor(-x + 0.5))
-        .cast("long")
-        .cast("decimal(12,0)")
-    )
+    rm = snap_scaled("r")
     lanes = rets.select(
         "event_type", "day", rm.alias("rm")
     ).withColumn("rm2", F.col("rm").cast("decimal(19,0)") * F.col("rm"))
@@ -4617,13 +4605,7 @@ def kyle_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("event_type").orderBy("day")
     dp = F.col("close") - F.lag("close").over(w)
-    x = dp * 1_000_000
-    dp_mi = (
-        F.when(dp >= 0, F.floor(x + 0.5))
-        .otherwise(-F.floor(-x + 0.5))
-        .cast("long")
-        .cast("decimal(12,0)")
-    )
+    dp_mi = snap_scaled(dp)
     sv = (
         F.when(dp > 0, F.col("dvol_sc"))
         .when(dp < 0, -F.col("dvol_sc"))
@@ -4745,13 +4727,7 @@ def hurst_aggvar(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame."""
     closes, rets = _daily_close_returns(spark, sf_dir)
     valid = rets.filter(F.col("r").isNotNull())
-    x = F.col("r") * 1_000_000
-    rm = (
-        F.when(F.col("r") >= 0, F.floor(x + 0.5))
-        .otherwise(-F.floor(-x + 0.5))
-        .cast("long")
-        .cast("decimal(12,0)")
-    )
+    rm = snap_scaled("r")
     w = Window.partitionBy("event_type").orderBy("day")
     base = valid.select("event_type", "day", rm.alias("rm"))
 

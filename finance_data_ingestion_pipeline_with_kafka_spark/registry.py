@@ -396,9 +396,13 @@ def query(
 #: ×10^6 exact-integer DECIMAL lanes with no double→decimal cast at all
 #: (Pearson is scale-invariant, so the scaling never unwinds).
 #:
-#: Round-14 window arithmetic: 25 r8 rows (tier retired) + 1 modified
-#: + brand-new registrations lead; the remainder of the ~50-row window
-#: refreshes the oldest r9 rows in registration order.
+#: Round-14 window arithmetic: 12 brand-new (``exact_substring_spans``,
+#: ``exact_substring_dedup_apply``, ``variance_ratio``, ``ulcer_index``,
+#: ``realized_moments``, ``kyle_lambda``, ``hurst_aggvar``, ``zipf_fit``,
+#: ``ivfpq_ann``, ``ivfpq_recall``, ``drawdown_duration``,
+#: ``ngram_novelty``) + 1 modified + 25 r8 (tier retired — oldest
+#: evidence becomes r9) = 38; the remaining 12 window slots refresh the
+#: oldest r9 rows in registration order.
 
 _R14_MODIFIED = frozenset((
     "lead_lag_xcorr",

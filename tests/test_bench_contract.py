@@ -68,17 +68,23 @@ def _full_detail(specs) -> dict:
             "n_queries_ratio_improving": 14,
         },
         "deep_crossover_30x": {
-            n: {
-                "spark_1x": 123.4567,
-                "duckdb_1x": 123.4567,
-                "ratio_1x": 123.45,
-                "spark_30x": 123.4567,
-                "duckdb_30x": 123.4567,
-                "ratio_30x": 123.45,
-                "spark_scaling": 123.45,
-                "duckdb_scaling": 123.45,
-            }
-            for n in bench.FLOOR_BOUND
+            **{
+                n: {
+                    "spark_1x": 123.4567,
+                    "duckdb_1x": 123.4567,
+                    "ratio_1x": 123.45,
+                    "spark_30x": 123.4567,
+                    "duckdb_30x": 123.4567,
+                    "ratio_30x": 123.45,
+                    "spark_scaling": 123.45,
+                    "duckdb_scaling": 123.45,
+                }
+                for n in bench.FLOOR_BOUND
+            },
+            # worst case: every cell degraded at both reps (r14 marker)
+            "degraded_to_min2": sorted(
+                f"{n}@{rep}x" for n in bench.FLOOR_BOUND for rep in (1, 30)
+            ),
         },
         "dedup_crossover_10x": {
             "factor": 10,
@@ -101,6 +107,11 @@ def _full_detail(specs) -> dict:
             "duckdb_total_10x": 12345.678,
             "duckdb_scaling_total": 123.45,
             "ratio_total_10x": 123.45,
+            # worst case: one skipped cell + every cell degraded (r14)
+            "skipped_for_budget": ["near_dup_clusters"],
+            "degraded_to_min2": sorted(
+                f"{n}@{rep}x" for n in bench.DEDUP_CROSSOVER for rep in (1, 10)
+            ),
         },
         "skew_crossover": {
             "factor": 10,

@@ -3037,58 +3037,76 @@ def test_exact_substring_spans_crafted_repeats(spark):
 
 
 def test_exact_substring_dedup_apply_keeper_policy(spark, tmp_path):
-    """Apply-policy semantics on crafted docs: the globally FIRST
-    occurrence (lowest (doc_id, span_start)) of each repeated span is
-    kept, every later occurrence is cut, zero-span docs report
-    keep_ratio 1.0, and chars_cut equals the exact cut span lengths."""
+    """Apply-funnel semantics on crafted docs, exercising the REGISTERED
+    query end-to-end: the globally first occurrence of each repeated
+    span is kept (keep_ratio 1.0), later occurrences are cut with
+    chars_cut equal to the cut span length, overlapping cut spans are
+    counted as their character-interval UNION (never a double-counted
+    sum — the r14 review finding), zero-span docs report keep_ratio
+    1.0, and an empty doc reports NULL (the 0/0 divide guard)."""
     import random
 
     from finance_data_ingestion_pipeline_with_kafka_spark.operators import dedup as dd
 
     rng = random.Random(41)
-    alpha = "abcdefghijklmnopqrstuvwxyz"
-    unique = lambda n: "".join(rng.choice(alpha) for _ in range(n))
     W = dd.EXACT_SUBSTR_WINDOW
-    shared = unique(W + 10)  # 50-char repeated block
+    # DISJOINT alphabets: repeated blocks are lowercase, fillers are
+    # digits — a boundary gram (39 structurally-shared chars + 1 filler
+    # char) can then never equal an all-lowercase block gram, which a
+    # shared alphabet allowed with probability 1/26 per boundary (and
+    # hit: seed 41's doc-6 prefix ended with T[1], fusing the islands)
+    unique = lambda n: "".join(rng.choice("0123456789") for _ in range(n))
+    block = lambda n: "".join(rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(n))
+    shared = block(W + 10)  # 50-char repeated block
 
-    pre1, pre2, pre3 = unique(5), unique(25), unique(40)
-    docs_pdf = [
-        (1, pre1 + shared + unique(20)),   # first occurrence (doc 1, pos 6) — KEPT
-        (2, pre2 + shared + unique(10)),   # cut
-        (3, pre3 + shared + unique(30)),   # cut
-        (4, unique(120)),                  # no spans
+    # overlap construction: T has W+2 chars; gram A = T[0:W] repeats in
+    # doc 5, gram B = T[2:W+2] repeats in doc 6, the straddling gram
+    # T[1:W+1] is unique -> doc 7 gets TWO maximal spans [1, W] and
+    # [3, W+2], overlapping by W-2 characters
+    T = block(W + 2)
+    A, B = T[:W], T[2 : W + 2]
+
+    pre1, pre2 = unique(5), unique(25)
+    docs = [
+        (1, pre1 + shared + unique(20)),   # first occurrence - KEPT
+        (2, pre2 + shared + unique(10)),   # cut: chars_cut == len(shared)
+        (3, unique(120)),                  # no spans -> keep_ratio 1.0
+        (4, ""),                           # empty -> keep_ratio NULL
+        (5, A + unique(30)),               # keeper of A
+        (6, unique(10) + B + unique(15)),  # keeper of B
+        (7, T + unique(25)),               # TWO overlapping cut spans
     ]
-    src = str(tmp_path / "docs.parquet")
-    spark.createDataFrame(docs_pdf, ["doc_id", "text"]).coalesce(1).write.parquet(src)
-
-    # build the same keeper election the catalog query builds, over
-    # the crafted corpus
-    docs = spark.read.parquet(src)
-    spans = dd.repeated_substring_spans(docs)
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
-
-    ranked = (
-        spans.join(docs.select("doc_id", "text"), "doc_id")
-        .withColumn(
-            "span_text",
-            F.expr("substring(text, CAST(span_start AS INT), CAST(span_len AS INT))"),
-        )
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("span_text").orderBy("doc_id", "span_start")
-            ),
-        )
-        .collect()
+    d = tmp_path / "apply"
+    d.mkdir()
+    spark.createDataFrame(docs, ["doc_id", "text"]).coalesce(1).write.parquet(
+        str(d / "documents.parquet")
     )
-    assert len(ranked) == 3  # one maximal span per sharing doc
-    kept = [r for r in ranked if r["rk"] == 1]
-    cut = [r for r in ranked if r["rk"] > 1]
-    assert len(kept) == 1 and kept[0]["doc_id"] == 1
-    assert sorted(r["doc_id"] for r in cut) == [2, 3]
-    assert all(r["span_len"] == len(shared) for r in ranked)
-    assert all(r["span_text"] == shared for r in ranked)
+    rows = {r["doc_id"]: r for r in dd.exact_substring_dedup_apply(spark, str(d)).collect()}
+    assert set(rows) == {1, 2, 3, 4, 5, 6, 7}
+
+    # keeper doc: span present, nothing cut
+    r1 = rows[1]
+    assert (r1["n_spans"], r1["n_cut"], r1["chars_cut"]) == (1, 0, 0)
+    assert r1["keep_ratio"] == 1.0 and r1["chars_kept"] == len(docs[0][1])
+    # cut doc: exactly the shared block removed
+    r2 = rows[2]
+    assert (r2["n_spans"], r2["n_cut"], r2["chars_cut"]) == (1, 1, len(shared))
+    assert r2["chars_kept"] == len(docs[1][1]) - len(shared)
+    assert r2["keep_ratio"] == round(r2["chars_kept"] / len(docs[1][1]), 6)
+    # span-less and empty docs
+    assert rows[3]["n_spans"] == 0 and rows[3]["keep_ratio"] == 1.0
+    r4 = rows[4]
+    assert (r4["n_spans"], r4["chars_cut"], r4["chars_kept"]) == (0, 0, 0)
+    assert r4["keep_ratio"] is None
+    # keepers of A and B keep everything
+    assert rows[5]["n_cut"] == 0 and rows[5]["keep_ratio"] == 1.0
+    assert rows[6]["n_cut"] == 0 and rows[6]["keep_ratio"] == 1.0
+    # the overlap doc: two cut spans, UNION = W+2 chars (a naive
+    # span-length sum would claim 2W and understate chars_kept)
+    r7 = rows[7]
+    assert (r7["n_spans"], r7["n_cut"]) == (2, 2)
+    assert r7["chars_cut"] == W + 2
+    assert r7["chars_kept"] == len(docs[6][1]) - (W + 2) >= 0
 
 
 def _daily_closes_pdf(spark, sf_dir):
@@ -3217,8 +3235,13 @@ def test_realized_moments_matches_brute_force(spark, sf_dir):
         s4 = sum(x**4 for x in rm)
         assert abs(r["rskew"] - math.sqrt(n) * s3 / (s2 * math.sqrt(s2))) < 1e-5
         assert abs(r["rkurt"] - n * s4 / (s2 * s2)) < 1e-5
-        # magnitude headroom for the decimal power lanes (regeneration guard)
-        assert max(abs(x) for x in rm) < 10**11  # DECIMAL(12,0)
+        # magnitude headroom for the decimal power lanes (regeneration
+        # guard): the BINDING bound is the s4 lane — rm2 = rm^2 must fit
+        # its DECIMAL(18,0) widening cast, i.e. |rm| < 1e9 — held with a
+        # 10x margin (the DECIMAL(12,0) snap bound of 1e12 is looser and
+        # was the WRONG guard: a fixture in [1e9, 1e11) would pass it and
+        # overflow the s4 cast at driver time — r14 review finding)
+        assert max(abs(x) for x in rm) < 10**8
     assert want_keys == set(got)
 
 
