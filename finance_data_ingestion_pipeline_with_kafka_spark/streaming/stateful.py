@@ -484,6 +484,13 @@ def _update_ewma_ordered(
                 continue
             buf.append((int(ts.value // 1_000_000), float(x)))
     wm = state.getCurrentWatermarkMs()
+    # full-tuple sort: same-ms ticks tie-break on PRICE, which is
+    # deterministic under any arrival order, and ticks equal in BOTH
+    # (ts, price) are interchangeable in a scalar fold — so unlike the
+    # ts-only sort the r13 advice caught in rv_bipower (fixed with an
+    # explicit id lane), the (ts, px)-sorted folds here are
+    # arrival-order-independent as-is. Same argument applies to the
+    # rsi/macd/bollinger ordered folds below.
     buf.sort()
     ripe = [(t, x) for t, x in buf if t <= wm]
     pending = [(t, x) for t, x in buf if t > wm]
