@@ -1,0 +1,391 @@
+"""Link-graph quality ranking over the document corpus (SURVEY §2.10 U6;
+the Common-Crawl-style domain-weighting signal — VERDICT r14 ask #5).
+
+A 100 TB curation pipeline ranks *domains* (not pages): the page corpus
+is huge but the domain graph is millions of nodes, so the scalable shape
+is (a) a corpus-linear edge-extraction pass and (b) a fixed number of
+power-method iterations over the small(er) graph — each iteration one
+shuffle-join on the source key plus one grouped sum, no driver-side
+loop state beyond the fixed plan depth (the ``kmeans_refine`` /
+``near_dup_clusters`` declarative-iteration discipline).
+
+Edge derivation here: two document sources are linked when they share a
+rare 4-token shingle (content syndication/citation proxy — the fixtures
+carry no explicit hyperlinks; reference repo has no graph surface at
+all). The shared-shingle self-join is df-capped exactly like the LSH
+hot-bucket guard: shingles appearing in more than ``PR_DF_CAP`` distinct
+sources are stopword-grade and dropped, bounding the pair fan-out per
+shingle at ``PR_DF_CAP²`` — without the cap a boilerplate shingle shared
+by k domains emits k² pairs.
+
+Determinism: the power method runs in FIXED-POINT integer arithmetic —
+ranks are scaled by ``PR_SCALE`` (10^12) and every divide is an integral
+``div`` (Spark) / ``//`` (DuckDB), so both engines compute bit-identical
+BIGINT ranks with no float summation, no rounding snaps, and no
+order-sensitivity (integer sums commute). Each floor-divide truncates
+< 1 fixed-point unit (10^-12), so total mass ``Σr`` drifts below
+``PR_SCALE`` by at most (edges + 2·nodes + 2) units per iteration —
+pinned by ``tests/test_graph.py::test_pagerank_mass_conserved``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+#: fixed-point scale: ranks live in [0, PR_SCALE] as BIGINTs. Overflow
+#: headroom: the largest intermediate is ``r·w ≤ PR_SCALE·w``, so edge
+#: weights up to ~9·10^6 shared shingles fit int64; past that (a
+#: pathological duplicated-boilerplate pair of domains) the lanes would
+#: move to DECIMAL(38,0) — the df-cap makes such weights unreachable
+#: here (w ≤ distinct capped shingles).
+PR_SCALE = 10**12
+#: damping d = 0.85 as the exact rational 17/20 (no float anywhere).
+PR_DAMP_NUM, PR_DAMP_DEN = 17, 20
+PR_ITERS = 3
+PR_SHINGLE_N = 4
+#: drop shingles shared by more than this many distinct sources —
+#: boilerplate/stopword shingles carry no citation signal and their
+#: pair fan-out is quadratic (same role as dedup.HOT_BUCKET_CAP).
+PR_DF_CAP = 10
+
+_TOKEN_SPLIT = r"\s+"
+
+
+def source_shingle_edges(docs: DataFrame) -> DataFrame:
+    """(src, dst, w, out_w) weighted directed edges between document
+    sources sharing rare ``PR_SHINGLE_N``-gram shingles.
+
+    Pipeline is corpus-linear and narrow until the per-shingle exchange:
+    ``arrays_zip``-of-slices shingling (the ``dedup.shingle_rows`` shape
+    — whole-stage codegen, no window), per-(source, shingle) distinct,
+    one window count per shingle for the df-cap, then the capped
+    self-join. ``out_w`` rides a window over the already-grouped edges —
+    no extra shuffle (stays partitioned on src)."""
+    toks = F.split(F.trim(F.col("text")), _TOKEN_SPLIT)
+    m = F.size(toks) - (PR_SHINGLE_N - 1)
+    zipped = F.arrays_zip(*[F.slice(toks, j + 1, m) for j in range(PR_SHINGLE_N)])
+    sh = (
+        docs.filter(F.size(toks) >= PR_SHINGLE_N)
+        .select("source", F.explode(zipped).alias("z"))
+        .select(
+            "source",
+            F.concat_ws(" ", *[F.col(f"z.{j}") for j in range(PR_SHINGLE_N)]).alias("sh"),
+        )
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    good = (
+        sh.withColumn("nsrc", F.count(F.lit(1)).over(Window.partitionBy("sh")))
+        .filter((F.col("nsrc") >= 2) & (F.col("nsrc") <= PR_DF_CAP))
+        .select("source", "sh")
+    )
+    a = good.alias("a")
+    b = good.alias("b")
+    edges = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.source") != F.col("b.source")))
+        .groupBy(F.col("a.source").alias("src"), F.col("b.source").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    return edges.withColumn(
+        "out_w", F.sum("w").over(Window.partitionBy("src"))
+    )
+
+
+def pagerank_fixed_point(
+    nodes: DataFrame, edges: DataFrame, iters: int = PR_ITERS
+) -> DataFrame:
+    """``iters`` power-method iterations in exact fixed-point arithmetic.
+
+    ``nodes``: one ``source`` column (every vertex, including isolated
+    ones). ``edges``: (src, dst, w, out_w) with ``out_w = Σ_dst w`` per
+    src. Returns (source, r) with ``r`` the PR_SCALE-scaled BIGINT rank.
+
+    Per iteration: dangling mass (nodes with no out-edge) is summed into
+    a 1-row broadcast and redistributed uniformly — explicit, not
+    dropped; contributions ``(r·w) div out_w`` shuffle once on src and
+    group-sum once on dst; the teleport/damping combine is pure integral
+    arithmetic. The iteration count is fixed plan depth — ONE declarative
+    plan, no collect, no checkpoint."""
+    n1 = F.broadcast(nodes.agg(F.count(F.lit(1)).cast("long").alias("n")))
+    srcs = edges.select("src").distinct()
+    r = nodes.crossJoin(n1).select(
+        "source", F.expr(f"{PR_SCALE} div n").cast("long").alias("r")
+    )
+    for _ in range(iters):
+        dang = F.broadcast(
+            r.join(srcs, r["source"] == srcs["src"], "left_anti").agg(
+                F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dm")
+            )
+        )
+        contrib = (
+            r.join(edges, r["source"] == edges["src"])
+            .select("dst", F.expr("(r * w) div out_w").alias("ct"))
+            .groupBy("dst")
+            .agg(F.sum("ct").cast("long").alias("c"))
+        )
+        r = (
+            nodes.join(contrib, nodes["source"] == contrib["dst"], "left")
+            .crossJoin(n1)
+            .crossJoin(dang)
+            .select(
+                "source",
+                F.expr(
+                    f"(({3 * PR_SCALE} div {PR_DAMP_DEN}) div n)"
+                    f" + ({PR_DAMP_NUM} * (coalesce(c, 0L) + dm div n))"
+                    f" div {PR_DAMP_DEN}"
+                )
+                .cast("long")
+                .alias("r"),
+            )
+        )
+    return r
+
+
+def _pagerank_iter_cte(prev: str, k: int) -> str:
+    """One DuckDB power-method iteration as chained CTEs — the exact
+    integer twin of one ``pagerank_fixed_point`` loop body."""
+    return f"""d{k} AS (
+      SELECT CAST(COALESCE(SUM(r), 0) AS BIGINT) AS dm FROM {prev}
+      WHERE source NOT IN (SELECT src FROM srcs)
+    ), c{k} AS (
+      SELECT e.dst AS source, CAST(SUM((r.r * e.w) // e.out_w) AS BIGINT) AS c
+      FROM {prev} r JOIN enorm e ON r.source = e.src GROUP BY e.dst
+    ), r{k} AS (
+      SELECT n.source,
+             CAST((({3 * PR_SCALE} // {PR_DAMP_DEN}) // nn.n)
+                + ({PR_DAMP_NUM} * (COALESCE(c.c, 0) + d{k}.dm // nn.n))
+                  // {PR_DAMP_DEN} AS BIGINT) AS r
+      FROM nodes n CROSS JOIN nn CROSS JOIN d{k}
+      LEFT JOIN c{k} c ON n.source = c.source
+    )"""
+
+
+_PAGERANK_ORACLE = f"""
+    WITH toks AS (
+      SELECT source, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ), sh AS (
+      SELECT DISTINCT source,
+             list_aggregate(t[i:i+{PR_SHINGLE_N - 1}], 'string_agg', ' ') AS sh
+      FROM toks, UNNEST(range(1, len(t) - {PR_SHINGLE_N} + 2)) AS rr(i)
+      WHERE len(t) >= {PR_SHINGLE_N}
+    ), good AS (
+      SELECT source, sh FROM (
+        SELECT source, sh, COUNT(*) OVER (PARTITION BY sh) AS nsrc FROM sh
+      ) WHERE nsrc BETWEEN 2 AND {PR_DF_CAP}
+    ), edges AS (
+      SELECT a.source AS src, b.source AS dst, CAST(COUNT(*) AS BIGINT) AS w
+      FROM good a JOIN good b ON a.sh = b.sh AND a.source <> b.source
+      GROUP BY 1, 2
+    ), enorm AS (
+      SELECT src, dst, w, CAST(SUM(w) OVER (PARTITION BY src) AS BIGINT) AS out_w
+      FROM edges
+    ), nodes AS (
+      SELECT DISTINCT source FROM documents
+    ), nn AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes
+    ), srcs AS (
+      SELECT DISTINCT src FROM edges
+    ), r0 AS (
+      SELECT source, CAST({PR_SCALE} // n AS BIGINT) AS r FROM nodes CROSS JOIN nn
+    ), {_pagerank_iter_cte("r0", 1)}, {_pagerank_iter_cte("r1", 2)},
+    {_pagerank_iter_cte("r2", 3)}
+    SELECT n.source,
+           r{PR_ITERS}.r AS rank_fp,
+           CAST(r{PR_ITERS}.r AS DOUBLE) / {float(PR_SCALE)} AS rank,
+           COALESCE(ow.out_w, 0) AS out_weight,
+           COALESCE(iw.n_in, 0) AS n_in
+    FROM nodes n
+    JOIN r{PR_ITERS} ON n.source = r{PR_ITERS}.source
+    LEFT JOIN (SELECT src, CAST(MAX(out_w) AS BIGINT) AS out_w FROM enorm GROUP BY src) ow
+      ON n.source = ow.src
+    LEFT JOIN (SELECT dst, CAST(COUNT(*) AS BIGINT) AS n_in FROM edges GROUP BY dst) iw
+      ON n.source = iw.dst
+    ORDER BY n.source
+"""
+
+
+HC_MAX_HOPS = 3
+#: lcm(1..HC_MAX_HOPS): harmonic contributions 1/d ride as the exact
+#: integers HC_LCM/d, so the centrality sum is integer arithmetic and
+#: the final unscale is one deterministic double divide.
+HC_LCM = 6
+
+
+def khop_distances(edges: DataFrame, max_hops: int = HC_MAX_HOPS) -> DataFrame:
+    """(u, v, d): shortest-path distance for every ordered pair within
+    ``max_hops`` — BFS frontier expansion as a fixed-depth declarative
+    plan. Each hop is one join of the previous frontier onto the edge
+    list plus an anti-join against everything already reached (BFS
+    finds shortest distances precisely because closer pairs are claimed
+    by earlier hops). Truncated k-hop is the standard web-scale
+    formulation (exact all-pairs is quadratic; the hop cap bounds the
+    materialized pair set by the k-neighborhood size)."""
+    reached = edges.select("src", "dst").distinct().withColumn(
+        "d", F.lit(1).cast("int")
+    )
+    frontier = reached
+    for hop in range(2, max_hops + 1):
+        grown = (
+            frontier.alias("f")
+            .join(edges.alias("e"), F.col("f.dst") == F.col("e.src"))
+            .filter(F.col("f.src") != F.col("e.dst"))
+            .select(F.col("f.src").alias("src"), F.col("e.dst").alias("dst"))
+            .distinct()
+            .withColumn("d", F.lit(hop).cast("int"))
+        )
+        fresh = grown.join(
+            reached.select("src", "dst"), ["src", "dst"], "left_anti"
+        )
+        reached = reached.unionAll(fresh)
+        frontier = fresh
+    return reached
+
+
+def _hc_hop_ctes(max_hops: int = HC_MAX_HOPS) -> str:
+    """DuckDB twin of ``khop_distances``: chained frontier CTEs."""
+    parts = [
+        "p1 AS (SELECT DISTINCT src, dst, 1 AS d FROM edges)",
+    ]
+    for hop in range(2, max_hops + 1):
+        prev_union = " UNION ALL ".join(
+            f"SELECT src, dst FROM p{i}" for i in range(1, hop)
+        )
+        parts.append(
+            f"""p{hop} AS (
+      SELECT DISTINCT f.src, e.dst, {hop} AS d
+      FROM p{hop - 1} f JOIN edges e ON f.dst = e.src
+      WHERE f.src <> e.dst
+        AND NOT EXISTS (SELECT 1 FROM ({prev_union}) q
+                        WHERE q.src = f.src AND q.dst = e.dst)
+    )"""
+        )
+    return ", ".join(parts)
+
+
+_HARMONIC_ORACLE = f"""
+    WITH toks AS (
+      SELECT source, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ), sh AS (
+      SELECT DISTINCT source,
+             list_aggregate(t[i:i+{PR_SHINGLE_N - 1}], 'string_agg', ' ') AS sh
+      FROM toks, UNNEST(range(1, len(t) - {PR_SHINGLE_N} + 2)) AS rr(i)
+      WHERE len(t) >= {PR_SHINGLE_N}
+    ), good AS (
+      SELECT source, sh FROM (
+        SELECT source, sh, COUNT(*) OVER (PARTITION BY sh) AS nsrc FROM sh
+      ) WHERE nsrc BETWEEN 2 AND {PR_DF_CAP}
+    ), edges AS (
+      SELECT DISTINCT a.source AS src, b.source AS dst
+      FROM good a JOIN good b ON a.sh = b.sh AND a.source <> b.source
+    ), nodes AS (
+      SELECT DISTINCT source FROM documents
+    ), {_hc_hop_ctes()}, pairs AS (
+      {" UNION ALL ".join(f"SELECT * FROM p{i}" for i in range(1, HC_MAX_HOPS + 1))}
+    ), scores AS (
+      SELECT dst AS source,
+             CAST(SUM({HC_LCM} // d) AS BIGINT) AS harmonic{HC_LCM},
+             CAST(COUNT(*) AS BIGINT) AS n_reachable,
+             CAST(SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_in
+      FROM pairs GROUP BY dst
+    )
+    SELECT n.source,
+           COALESCE(s.harmonic{HC_LCM}, 0) AS harmonic{HC_LCM},
+           CAST(COALESCE(s.harmonic{HC_LCM}, 0) AS DOUBLE) / {HC_LCM}.0
+             AS harmonic,
+           COALESCE(s.n_reachable, 0) AS n_reachable,
+           COALESCE(s.n_in, 0) AS n_in
+    FROM nodes n LEFT JOIN scores s ON n.source = s.source
+    ORDER BY n.source
+"""
+
+
+@query("harmonic_centrality", oracle=_HARMONIC_ORACLE, tags=("U6",), prepared=False)
+def harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U6] Truncated ({HC_MAX_HOPS}-hop) harmonic centrality over the
+    shared-shingle domain graph — H(v) = Σ_u 1/d(u→v), the
+    distance-based quality signal that complements ``domain_pagerank``'s
+    flow-based one (Boldi & Vigna 2014 rank harmonic centrality as the
+    best-axiomatized centrality; the k-hop truncation is the web-scale
+    neighborhood-function formulation). Contributions ride as exact
+    integers (HC_LCM/d) so the score is order-independent integer
+    summation; the only double is the final unscale divide.
+
+    Scale: the frontier expansion materializes k-neighborhood pairs —
+    bounded by the hop cap; each hop is one shuffle join + one anti-join
+    on the pair key. Same checkpointed-graph discipline as
+    ``domain_pagerank``."""
+    docs = load_table(spark, sf_dir, "documents")
+    edges = (
+        source_shingle_edges(docs)
+        .select("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    nodes = docs.select("source").distinct().localCheckpoint(eager=True)
+    pairs = khop_distances(edges, HC_MAX_HOPS)
+    scores = pairs.groupBy("dst").agg(
+        F.sum(F.expr(f"{HC_LCM} div d")).cast("long").alias(f"harmonic{HC_LCM}"),
+        F.count(F.lit(1)).cast("long").alias("n_reachable"),
+        F.sum(F.when(F.col("d") == 1, 1).otherwise(0)).cast("long").alias("n_in"),
+    )
+    return (
+        nodes.join(scores, nodes["source"] == scores["dst"], "left")
+        .select(
+            "source",
+            F.coalesce(F.col(f"harmonic{HC_LCM}"), F.lit(0).cast("long")).alias(
+                f"harmonic{HC_LCM}"
+            ),
+            (
+                F.coalesce(F.col(f"harmonic{HC_LCM}"), F.lit(0).cast("long")).cast(
+                    "double"
+                )
+                / F.lit(float(HC_LCM))
+            ).alias("harmonic"),
+            F.coalesce(F.col("n_reachable"), F.lit(0).cast("long")).alias(
+                "n_reachable"
+            ),
+            F.coalesce(F.col("n_in"), F.lit(0).cast("long")).alias("n_in"),
+        )
+        .orderBy("source")
+    )
+
+
+@query("domain_pagerank", oracle=_PAGERANK_ORACLE, tags=("U6",), prepared=False)
+def domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U6] Domain-level PageRank over the shared-shingle source graph —
+    {PR_ITERS} fixed-point power iterations with explicit dangling-mass
+    redistribution (see module docstring for the exact-arithmetic and
+    df-cap design).
+
+    Scale: edge extraction is corpus-linear (narrow shingling, one
+    per-shingle exchange, df-capped pair join) and runs ONCE — the graph
+    is ``localCheckpoint``-ed before the loop (the ``near_dup_clusters``
+    iteration discipline; without it each iteration's plan re-embeds the
+    extraction ~3× per level since ``r`` feeds dangling + contributions
+    + the next state, measured 14 s → 3 s at sf0.01). The iteration
+    loop touches only the domain-cardinality graph — at 100 TB the
+    corpus never enters the loop. 100× corpus replication leaves the
+    graph bit-identical while the extraction pass scales linearly (soak
+    row in SCALE.md). ``prepared=False`` for the checkpoint lineage."""
+    docs = load_table(spark, sf_dir, "documents")
+    edges = source_shingle_edges(docs).localCheckpoint(eager=True)
+    nodes = docs.select("source").distinct().localCheckpoint(eager=True)
+    r = pagerank_fixed_point(nodes, edges, PR_ITERS)
+    outw = edges.groupBy("src").agg(F.max("out_w").cast("long").alias("out_w"))
+    inw = edges.groupBy("dst").agg(F.count(F.lit(1)).cast("long").alias("n_in"))
+    return (
+        r.join(outw, r["source"] == outw["src"], "left")
+        .join(inw, r["source"] == inw["dst"], "left")
+        .select(
+            "source",
+            F.col("r").alias("rank_fp"),
+            (F.col("r").cast("double") / F.lit(float(PR_SCALE))).alias("rank"),
+            F.coalesce(F.col("out_w"), F.lit(0).cast("long")).alias("out_weight"),
+            F.coalesce(F.col("n_in"), F.lit(0).cast("long")).alias("n_in"),
+        )
+        .orderBy("source")
+    )

@@ -375,59 +375,35 @@ def query(
 #: and after that the window refreshes the STALEST evidence (testdata
 #: regenerates between rounds, so old green rows decay).
 #:
-#: Round-14 ordering (cumulative after CORRECTNESS_r13: 253/253
-#: hash-green, zero latest-run failures; tiers derived by
-#: ``tools/rotate_verified.py`` over CORRECTNESS_r01..r13):
-#:   (0) brand-new queries registered this round — no driver row at all.
-#:   (1) ``_R14_MODIFIED`` — queries whose Spark kernels, oracle CTEs, or
-#:       execution-affecting registration changed during round 14 after
+#: Round-15 ordering (cumulative after CORRECTNESS_r14: 265/265
+#: hash-green, zero latest-run failures across r01–r14; tiers derived by
+#: ``tools/rotate_verified.py`` over CORRECTNESS_r01..r14):
+#:   (0) brand-new queries registered this round — no driver row at all
+#:       (``domain_pagerank``, ``bpe_train_merges``, ``bpe_apply_tokenize``).
+#:   (1) ``_R15_MODIFIED`` — queries whose Spark kernels, oracle CTEs, or
+#:       execution-affecting registration changed during round 15 after
 #:       their last driver verification. Standing rule: code-changed ⇒
-#:       next driver window.
-#:   (2) ``_VERIFIED_R8`` — the 25 rows the r13 window spilled (VERDICT
-#:       r13 ask #1 leads with them — this retires the r8 tier entirely;
-#:       oldest evidence becomes r9).
-#:   (3..7) ``_VERIFIED_R9..R13`` — freshness order below the fold.
-
-#: Modified during round 14 (re-tiered per the standing rule):
-#: ``lead_lag_xcorr`` — the ADVICE r13 medium item: its five moment
-#: lanes moved from snapped-double DECIMAL(38,6) casts (whose 1e-6
-#: grain sat only ~537 ULPs above the sf0.1 ``x*x`` maxima — inside the
-#: measured cross-engine one-last-place split regime) to ``dsum_scaled``
-#: ×10^6 exact-integer DECIMAL lanes with no double→decimal cast at all
-#: (Pearson is scale-invariant, so the scaling never unwinds).
+#:       next driver window. (Empty so far this round.)
+#:   (2) ``_VERIFIED_R9`` — the 26 r9-stale rows (VERDICT r14 ask #4
+#:       leads with them — this retires the r9 tier entirely; oldest
+#:       evidence becomes r10).
+#:   (3..7) ``_VERIFIED_R10..R14`` — freshness order below the fold.
 #:
-#: Round-14 window arithmetic: 12 brand-new (``exact_substring_spans``,
-#: ``exact_substring_dedup_apply``, ``variance_ratio``, ``ulcer_index``,
-#: ``realized_moments``, ``kyle_lambda``, ``hurst_aggvar``, ``zipf_fit``,
-#: ``ivfpq_ann``, ``ivfpq_recall``, ``drawdown_duration``,
-#: ``ngram_novelty``) + 1 modified + 25 r8 (tier retired — oldest
-#: evidence becomes r9) = 38; the remaining 12 window slots refresh the
-#: oldest r9 rows in registration order.
+#: Round-15 window arithmetic: 3 brand-new + 0 modified + 26 r9 (tier
+#: retired) = 29; the remaining 21 window slots refresh the oldest r10
+#: rows in registration order.
 
-_R14_MODIFIED = frozenset((
-    "lead_lag_xcorr",
-))
-_VERIFIED_R8 = frozenset((
-    "bmp_decode", "bmp_features", "bollinger_fold_series", "dsir_importance_selection",
-    "dsir_selection_eval", "filter_project", "frame_sample", "funnel_time_to_convert",
-    "grouped_pandas_sign_flips", "macd_fold_series", "matryoshka_recall", "membership_predicate",
-    "mp3_frame_scan", "mp4_box_scan", "multimodal_metadata", "null_conditional",
-    "pandas_udf_token_count", "repeat_purchase_intervals", "rsi_fold_series", "scalar_subquery",
-    "seasonal_profile", "udtf_bigrams", "udtf_tokenize", "wav_decode",
-    "weighted_hash_sample",
-))
+_R15_MODIFIED: frozenset[str] = frozenset()
 _VERIFIED_R9 = frozenset((
-    "array_functions", "asof_fold_series", "asof_join_tolerance", "bm25_topk_retrieval",
-    "dataset_interleave", "dataset_split", "date_arithmetic", "datetime_functions",
-    "distinct_count", "distinct_rows", "donchian_channel", "ewma",
-    "except_feeds", "explode_outer_numbers", "funnel_analysis", "grouped_stats",
-    "hash_functions", "intersect_feeds", "json_extraction", "kmeans_refine",
-    "kmv_distinct", "lsh_bucket_profile", "map_functions", "minhash_band_sweep",
-    "minhash_incremental", "mp3_duration_profile", "pricing_summary", "reservoir_sample",
-    "retention_cohorts", "rolling_volatility", "running_drawdown", "semantic_dedup",
-    "shipping_priority_topk", "stratified_sample", "string_functions", "table_profile",
+    "array_functions", "asof_fold_series", "asof_join_tolerance", "dataset_interleave",
+    "dataset_split", "date_arithmetic", "donchian_channel", "ewma",
+    "except_feeds", "explode_outer_numbers", "funnel_analysis", "hash_functions",
+    "intersect_feeds", "json_extraction", "kmeans_refine", "kmv_distinct",
+    "map_functions", "reservoir_sample", "retention_cohorts", "rolling_volatility",
+    "running_drawdown", "semantic_dedup", "stratified_sample", "table_profile",
     "union_feeds", "variant_json_agg",
 ))
+
 _VERIFIED_R10 = frozenset((
     "ann_lsh_bucketed", "asof_join", "bm25_score", "chunk_documents",
     "cube_subtotals", "dataset_card", "dedup_cluster_stats", "dedup_survivors",
@@ -442,6 +418,7 @@ _VERIFIED_R10 = frozenset((
     "window_cume_nth", "window_cumulative", "window_first_last", "window_lag_returns",
     "window_moving_avg", "window_ntile_pctrank", "window_range_frame", "window_rank_topk",
 ))
+
 _VERIFIED_R11 = frozenset((
     "anti_join", "approx_percentiles", "argmax_order", "asof_join_forward",
     "asof_join_nearest", "boilerplate_ngrams", "bollinger_bands", "bpe_token_count",
@@ -455,6 +432,7 @@ _VERIFIED_R11 = frozenset((
     "stochastic_oscillator", "tfidf_top_terms", "token_budget_sample", "token_stats",
     "top_revenue_orders", "unpivot_metrics", "winnow_fingerprints", "word_frequency",
 ))
+
 _VERIFIED_R12 = frozenset((
     "activity_streaks", "ann_ndcg", "ann_recall", "bloom_join_prune",
     "conversion_funnel", "corpus_build_funnel", "customer_ltv_pareto", "disjunctive_predicate_join",
@@ -469,21 +447,39 @@ _VERIFIED_R12 = frozenset((
     "sq8_recall", "suppliers_kept_waiting", "table_expectations", "top_supplier_revenue",
     "twap", "two_nation_volume", "unigram_logprob", "var_breach_backtest",
 ))
+
 _VERIFIED_R13 = frozenset((
     "ab_test_readout", "amihud_illiquidity", "approx_distinct", "atr_keltner",
     "autocorrelation", "basket_pair_lift", "benford_audit", "bigram_lm_score",
     "bipower_fold_series", "correlated_exists", "correlation_matrix", "cusum_changepoint",
     "dominant_event_type", "drawdown_fold_series", "garman_klass_vol", "hhi_concentration",
     "hybrid_rrf_fusion", "jaccard_threshold_curve", "jpeg_decode", "k_anonymity_audit",
-    "ks_drift", "language_id_eval", "length_outliers",
-    "market_beta", "median_absolute_deviation", "ngram_jaccard_pairs", "null_safe_join",
-    "order_count_histogram", "part_supplier_stats", "pq_ann", "pq_distortion",
-    "product_profit_by_nation", "psi_value_drift", "quantile_sketch_merge", "range_join",
-    "realized_bipower", "regional_revenue", "risk_adjusted_returns", "roll_spread",
-    "ship_latency_percentiles", "sort_partition_balance", "url_domain_dedup", "value_histogram",
-    "vocab_coverage", "volume_zscore_anomaly", "winsorized_stats", "word_entropy",
-    "zorder_skipping", "zscore_by_group",
+    "ks_drift", "language_id_eval", "length_outliers", "market_beta",
+    "median_absolute_deviation", "ngram_jaccard_pairs", "null_safe_join", "order_count_histogram",
+    "part_supplier_stats", "pq_ann", "pq_distortion", "product_profit_by_nation",
+    "psi_value_drift", "quantile_sketch_merge", "range_join", "realized_bipower",
+    "regional_revenue", "risk_adjusted_returns", "roll_spread", "ship_latency_percentiles",
+    "sort_partition_balance", "url_domain_dedup", "value_histogram", "vocab_coverage",
+    "volume_zscore_anomaly", "winsorized_stats", "word_entropy", "zorder_skipping",
+    "zscore_by_group",
 ))
+
+_VERIFIED_R14 = frozenset((
+    "bm25_topk_retrieval", "bmp_decode", "bmp_features", "bollinger_fold_series",
+    "datetime_functions", "distinct_count", "distinct_rows", "drawdown_duration",
+    "dsir_importance_selection", "dsir_selection_eval", "exact_substring_dedup_apply", "exact_substring_spans",
+    "filter_project", "frame_sample", "funnel_time_to_convert", "grouped_pandas_sign_flips",
+    "grouped_stats", "hurst_aggvar", "ivfpq_ann", "ivfpq_recall",
+    "kyle_lambda", "lead_lag_xcorr", "lsh_bucket_profile", "macd_fold_series",
+    "matryoshka_recall", "membership_predicate", "minhash_band_sweep", "minhash_incremental",
+    "mp3_duration_profile", "mp3_frame_scan", "mp4_box_scan", "multimodal_metadata",
+    "ngram_novelty", "null_conditional", "pandas_udf_token_count", "pricing_summary",
+    "realized_moments", "repeat_purchase_intervals", "rsi_fold_series", "scalar_subquery",
+    "seasonal_profile", "shipping_priority_topk", "string_functions", "udtf_bigrams",
+    "udtf_tokenize", "ulcer_index", "variance_ratio", "wav_decode",
+    "weighted_hash_sample", "zipf_fit",
+))
+
 
 
 def load_all() -> dict[str, QuerySpec]:
@@ -492,8 +488,10 @@ def load_all() -> dict[str, QuerySpec]:
     queries first, then stalest evidence — see the tier frozensets above)."""
     from .operators import (  # noqa: F401
         aggregations,
+        bpe,
         decision_support,
         dedup,
+        graph,
         jpeg,
         joins,
         mp3,
@@ -516,21 +514,21 @@ def load_all() -> dict[str, QuerySpec]:
 
     def rank(item: tuple[str, QuerySpec]) -> tuple[int, int, int]:
         name, _spec = item
-        if name in _R14_MODIFIED:
+        if name in _R15_MODIFIED:
             return (1, 0, reg_order[name])
-        if name in _VERIFIED_R8:
-            return (2, 0, reg_order[name])
         if name in _VERIFIED_R9:
-            return (3, 0, reg_order[name])
+            return (2, 0, reg_order[name])
         if name in _VERIFIED_R10:
-            return (4, 0, reg_order[name])
+            return (3, 0, reg_order[name])
         if name in _VERIFIED_R11:
-            return (5, 0, reg_order[name])
+            return (4, 0, reg_order[name])
         if name in _VERIFIED_R12:
-            return (6, 0, reg_order[name])
+            return (5, 0, reg_order[name])
         if name in _VERIFIED_R13:
+            return (6, 0, reg_order[name])
+        if name in _VERIFIED_R14:
             return (7, 0, reg_order[name])
-        # brand-new queries (registered after CORRECTNESS_r13 was
+        # brand-new queries (registered after CORRECTNESS_r14 was
         # written): no driver row yet, so they lead the window ahead of
         # even the code-modified re-verification tier
         return (0, 0, reg_order[name])

@@ -590,3 +590,56 @@ def test_exact_substring_spans_plan_shape(spark, sf_dir):
     # see the Project between BroadcastHashJoin and Exchange in the
     # formatted plan)
     assert "hashpartitioning(doc_id" in p, p
+
+
+def test_pagerank_iterations_never_rescan_the_corpus(spark, sf_dir):
+    """domain_pagerank's iteration plan must run over the CHECKPOINTED
+    graph only: no parquet scan (the corpus entered exactly once, during
+    edge extraction, billed before the loop), no cartesian — the only
+    nested-loop joins are the broadcast 1-row scalar carries (node
+    count, dangling mass)."""
+    p = executed_plan(q(spark, sf_dir, "domain_pagerank"))
+    assert "parquet" not in p.lower(), p[:800]
+    assert "CartesianProduct" not in p
+    if "BroadcastNestedLoopJoin" in p:
+        # every nested-loop must be a broadcast of a 1-row aggregate
+        assert "BroadcastExchange IdentityBroadcastMode" in p, p[:800]
+
+
+def test_harmonic_hops_are_joins_with_anti_dedup(spark, sf_dir):
+    """The k-hop frontier expansion must plan as equi-joins plus
+    LeftAnti dedup against the reached set — never a cartesian, never a
+    corpus rescan (same checkpointed-graph discipline as pagerank)."""
+    p = executed_plan(q(spark, sf_dir, "harmonic_centrality"))
+    assert "parquet" not in p.lower(), p[:800]
+    assert "LeftAnti" in p, p
+    assert "CartesianProduct" not in p
+
+
+def test_edge_extraction_pair_join_is_equi_blocked(spark, sf_dir):
+    """source_shingle_edges' pair generation must join on the shingle
+    key (hash/sort-merge equi join) — a cartesian here is the k² blowup
+    the df-cap exists to prevent — and the df-cap count must ride a
+    single shingle-keyed window exchange."""
+    from finance_data_ingestion_pipeline_with_kafka_spark.catalog import load_table
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.graph import (
+        source_shingle_edges,
+    )
+
+    p = executed_plan(
+        source_shingle_edges(load_table(spark, sf_dir, "documents"))
+    )
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "hashpartitioning(sh" in p, p[:800]
+
+
+def test_bpe_apply_is_one_corpus_pass_with_broadcast_merges(spark, sf_dir):
+    """bpe_apply_tokenize must scan the corpus ONCE (the apply pass —
+    trainer state is checkpointed) and chain the K learned merges as
+    broadcast 1-row joins; no cartesian, no corpus re-shuffle."""
+    p = executed_plan(q(spark, sf_dir, "bpe_apply_tokenize"))
+    n_scans = p.lower().count("scan parquet")
+    assert n_scans == 1, f"{n_scans} parquet scans\n{p[:800]}"
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastExchange IdentityBroadcastMode") >= 1, p[:800]
