@@ -87,6 +87,14 @@ def main() -> None:
         spark.sparkContext.setLogLevel("ERROR")
         print(json.dumps(_deep_crossover(spark, sf_dir, factor=30)))
         return
+    if os.environ.get("SPARK_GRAFT_XO_REDRAW"):
+        # Subprocess mode (see _xo_redraw_subprocess): fresh JVM, one
+        # named query's Spark walls at 1× and N×, one JSON line.
+        name, _, factor = os.environ["SPARK_GRAFT_XO_REDRAW"].partition(":")
+        spark = get_spark(app_name="engine-bench-xo-redraw")
+        spark.sparkContext.setLogLevel("ERROR")
+        print(json.dumps(_xo_redraw(spark, sf_dir, name, int(factor or "10"))))
+        return
     if os.environ.get("SPARK_GRAFT_STREAM_AB_ONLY") == "1":
         # Subprocess mode (see _streaming_steady_ab): fresh JVM, one
         # standalone steady-throughput replay, one JSON line to stdout.
@@ -106,18 +114,6 @@ def main() -> None:
     # batch passes it reads 2-3x lower purely from accumulated heap/GC
     # pressure, which says nothing about the pipeline.
     streaming_rate, streaming_steady = _streaming_throughput(spark)
-    # Co-tenant attribution A/B (VERDICT r12 ask #6): twice (r10,
-    # r12-local) a dipped steady reading was manually attributed to
-    # sibling load with a standalone fresh-JVM replay. Fold that into
-    # the artifact: a sub-25k draw triggers two standalone re-runs whose
-    # steady rates ship alongside the in-bench number, so the
-    # attribution is machine-recorded instead of SCALE.md prose.
-    streaming_steady_ab: list[float] | None = None
-    if streaming_steady < 25_000:
-        try:
-            streaming_steady_ab = _streaming_steady_ab()
-        except Exception as ex:
-            streaming_steady_ab = [f"error: {str(ex)[:120]}"]  # type: ignore[list-item]
     streaming_stateful = _streaming_stateful_throughput(spark)
 
     # Two-phase measurement. Cold pass: first execution at the bench SF,
@@ -214,8 +210,6 @@ def main() -> None:
         "streaming_steady_msgs_per_sec": streaming_steady,
         "streaming_stateful_msgs_per_sec": streaming_stateful,
     }
-    if streaming_steady_ab is not None:
-        detail["streaming_steady_ab"] = streaming_steady_ab
     try:
         # Same-host DuckDB wall for the SAME headline oracles (warm,
         # min-of-2, .df() materialization) — the self-contained
@@ -244,21 +238,11 @@ def main() -> None:
         _write_detail(detail)
         print(json.dumps(_compact_line(detail, bench_specs)), flush=True)
         try:
-            # Deep crossover: the queries whose sf0.1 ratio is pure
-            # per-action floor get one extra measurement at 30× volume,
-            # where the floor is amortized and the ratio trend either
-            # crosses 2× inside the measurement or exposes a real defect.
-            detail["deep_crossover_30x"] = _deep_crossover_subprocess(sf_dir)
-        except Exception as ex:
-            detail["deep_crossover_30x"] = {"error": str(ex)[:200]}
-        _write_detail(detail)
-        print(json.dumps(_compact_line(detail, bench_specs)), flush=True)
-        try:
             # Hot-key join at volume: plain AQE vs the salted plan
-            # (VERDICT r9 ask #6). Runs BEFORE the dedup family since
-            # round 13: it costs ~30 s and cannot degrade, while the
-            # dedup phase is budget-aware — under a co-tenant spike the
-            # degradable phase should absorb the shortfall, not this one.
+            # (VERDICT r9 ask #6). Runs early since round 13: it costs
+            # ~30 s and cannot degrade, while the later phases are
+            # budget-aware — under a co-tenant spike the degradable
+            # phases should absorb the shortfall, not this one.
             if _budget_left() > 40:
                 detail["skew_crossover"] = _skew_crossover(spark, sf_dir)
             else:
@@ -271,13 +255,60 @@ def main() -> None:
             # Dedup/ANN family at 10× volume (VERDICT r8 ask #7), with
             # same-volume DuckDB denominators (VERDICT r9 ask #4): the
             # 100 TB-posture numbers, driver-produced every round instead
-            # of a one-off soak-tool run.
+            # of a one-off soak-tool run. Runs BEFORE the deep crossover
+            # since round 15 (VERDICT r14 ask #1: the r14 draw skipped
+            # this phase entirely for budget while deep ran first and
+            # degraded to min-of-2 anyway — the deep phase has a
+            # graceful per-cell degradation path, so IT should be the
+            # one absorbing a co-tenant shortfall, not a whole-phase
+            # skip here).
             if _budget_left() > 50:
                 detail["dedup_crossover_10x"] = _dedup_crossover(spark, sf_dir)
             else:
                 detail["dedup_crossover_10x"] = {"error": "skipped_for_budget"}
         except Exception as ex:
             detail["dedup_crossover_10x"] = {"error": str(ex)[:200]}
+        _write_detail(detail)
+        print(json.dumps(_compact_line(detail, bench_specs)), flush=True)
+        try:
+            # Deep crossover: the queries whose sf0.1 ratio is pure
+            # per-action floor get one extra measurement at 30× volume,
+            # where the floor is amortized and the ratio trend either
+            # crosses 2× inside the measurement or exposes a real defect.
+            # Runs LAST of the long phases: its child JVM inherits the
+            # remaining budget and degrades min-of-5 → min-of-2 per cell
+            # instead of skipping whole tables. Pre-guard at 150 s: a
+            # child below that cannot finish even fully degraded (~12 s
+            # session + 8 cells × warm+min-of-2 at 30×) — spawning one
+            # burns its whole timeout for an error row (observed in the
+            # r15 reorder shakeout: a 90 s child timed out with nothing).
+            if _budget_left() > 150:
+                detail["deep_crossover_30x"] = _deep_crossover_subprocess(sf_dir)
+            else:
+                detail["deep_crossover_30x"] = {"error": "skipped_for_budget"}
+        except Exception as ex:
+            detail["deep_crossover_30x"] = {"error": str(ex)[:200]}
+        _write_detail(detail)
+        print(json.dumps(_compact_line(detail, bench_specs)), flush=True)
+        # Co-tenant attribution A/B (VERDICT r12 ask #6), LAST since
+        # round 15: a sub-25k steady draw triggers standalone fresh-JVM
+        # replays whose steady rates ship alongside the in-bench number
+        # — diagnostic attribution, so it ranks below every GRADED
+        # crossover table when the budget runs short (the r15 shakeout
+        # run spent ~180 s here before the dedup phase and pushed
+        # near_dup_clusters out of budget — the r14 failure shape again,
+        # self-inflicted). Budget-degraded to one run, then a marker.
+        if streaming_steady < 25_000:
+            bl = _budget_left()
+            if bl > 100:
+                try:
+                    detail["streaming_steady_ab"] = _streaming_steady_ab(
+                        n_runs=2 if bl > 220 else 1
+                    )
+                except Exception as ex:
+                    detail["streaming_steady_ab"] = [f"error: {str(ex)[:120]}"]
+            else:
+                detail["streaming_steady_ab"] = ["skipped_for_budget"]
 
     # The driver captures only the TAIL (~2000 chars) of stdout: the full
     # per-query detail goes to stderr for humans/logs, and the FINAL stdout
@@ -387,6 +418,10 @@ def _compact_line(detail: dict, bench_specs: dict) -> dict:
         out["crossover_ratio_total_10x"] = xo["ratio_total_10x"]
         out["crossover_n_improving"] = xo["n_queries_ratio_improving"]
         out["crossover_n_queries"] = len(xo["queries"])
+        if xo.get("redrawn_cells"):
+            # cells whose Spark numerators came from a fresh-JVM redraw
+            # (in-bench values retained in BENCH_DETAIL.json)
+            out["crossover_redrawn_cells"] = xo["redrawn_cells"]
     deep = detail.get("deep_crossover_30x")
     if isinstance(deep, dict) and "error" not in deep:
         # {name: [ratio_1x, ratio_30x, spark_scaling, duckdb_scaling]} —
@@ -525,6 +560,38 @@ def _scale_crossover(spark, sf_dir: str, factor: int = 10) -> dict:
     duck_1x, spark_1x = measure(1)
     duck_nx, spark_nx = measure(factor)
 
+    # Fresh-child-JVM redraw for cells whose in-bench spark scaling
+    # exceeds the standalone band (VERDICT r14 ask #3): two consecutive
+    # rounds read session_window_agg spark_scaling 4.5–5.8 in THIS phase
+    # while the standalone tool (tools/ab_session_window.py, five draws)
+    # and the 30× deep cells read 2.3–2.5 — a reproducible property of
+    # the long-lived bench JVM's state at this phase, not of the kernel.
+    # When a banded cell inverts, its Spark numerators are re-drawn in a
+    # fresh subprocess JVM (same protocol depth); the in-bench values
+    # are KEPT in the cell under in_bench_* keys (no-silent-caps rule)
+    # and `redrawn: true` marks the substitution. DuckDB denominators
+    # are never redrawn — the inversion lives on the Spark side.
+    cell_extra: dict[str, dict] = {}
+    for name, band in _XO_REDRAW_BANDS.items():
+        if name not in spark_1x or name not in spark_nx:
+            continue
+        scaling = spark_nx[name] / max(spark_1x[name], 1e-6)
+        if scaling <= band or _budget_left() < 90:
+            continue
+        try:
+            rd = _xo_redraw_subprocess(sf_dir, name, factor)
+        except Exception as ex:
+            cell_extra[name] = {"redraw_error": str(ex)[:120]}
+            continue
+        cell_extra[name] = {
+            "redrawn": True,
+            "in_bench_spark_1x": round(spark_1x[name], 4),
+            f"in_bench_spark_{factor}x": round(spark_nx[name], 4),
+            "in_bench_spark_scaling": round(scaling, 2),
+        }
+        spark_1x[name] = rd["spark_1x"]
+        spark_nx[name] = rd[f"spark_{factor}x"]
+
     table = {}
     for name in specs:
         r1 = spark_1x.get(name, 0.0) / max(duck_1x[name], 1e-6)
@@ -543,11 +610,15 @@ def _scale_crossover(spark, sf_dir: str, factor: int = 10) -> dict:
             "spark_scaling": round(spark_nx[name] / max(spark_1x.get(name, 1e-6), 1e-6), 2),
             "duckdb_scaling": round(duck_nx[name] / max(duck_1x[name], 1e-6), 2),
         }
+    for name, extra in cell_extra.items():
+        table[name].update(extra)
     n_improving = sum(
         1 for v in table.values() if v[f"ratio_{factor}x"] < v["ratio_1x"]
     )
+    redrawn_cells = sorted(n for n, e in cell_extra.items() if e.get("redrawn"))
     return {
         "factor": factor,
+        **({"redrawn_cells": redrawn_cells} if redrawn_cells else {}),
         "queries": table,
         "spark_total_1x": round(sum(spark_1x.get(n, 0.0) for n in specs), 3),
         "duckdb_total_1x": round(sum(duck_1x.values()), 3),
@@ -878,6 +949,64 @@ def _streaming_steady_ab(n_runs: int = 2) -> list[float]:
             )
         rates.append(json.loads(proc.stdout.strip().splitlines()[-1])["steady"])
     return rates
+
+
+#: Standalone-band upper bounds for in-bench 10× spark_scaling, per
+#: query: when the in-bench crossover cell reads above its band, the
+#: Spark numerators are re-drawn in a fresh child JVM (VERDICT r14 ask
+#: #3). session_window_agg's band top is the five-draw standalone
+#: ceiling from tools/ab_session_window.py (2.31–2.47) plus the 30×
+#: deep-cell reads (2.3–4.07/30≈linear-equivalent), rounded up to 3.0 —
+#: the r13/r14 in-bench inversions read 4.5–5.8, well clear of it.
+_XO_REDRAW_BANDS = {"session_window_agg": 3.0}
+
+
+def _xo_redraw(spark, sf_dir: str, name: str, factor: int) -> dict:
+    """Spark-only walls for ONE catalog query at 1× and ``factor``× —
+    the fresh-JVM redraw target (subprocess mode SPARK_GRAFT_XO_REDRAW).
+    Protocol matches the in-bench cell it replaces: per rep, warm passes
+    then min-of-5 timed."""
+    spec = load_all()[name]
+    out: dict = {}
+    for rep in (1, factor):
+        os.environ["ENGINE_SCAN_REPLICATE"] = str(rep)
+        try:
+            for _ in range(2):
+                _force(spec.fn(spark, sf_dir))  # plan + codegen at N×
+            ts = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                _force(spec.fn(spark, sf_dir))
+                ts.append(time.perf_counter() - t0)
+        finally:
+            os.environ.pop("ENGINE_SCAN_REPLICATE", None)
+        out["spark_1x" if rep == 1 else f"spark_{factor}x"] = round(min(ts), 4)
+    out["spark_scaling"] = round(
+        out[f"spark_{factor}x"] / max(out["spark_1x"], 1e-6), 2
+    )
+    return out
+
+
+def _xo_redraw_subprocess(sf_dir: str, name: str, factor: int) -> dict:
+    """Run ``_xo_redraw`` in a fresh subprocess JVM — deterministic
+    session history (none), exactly like the deep-crossover child."""
+    import subprocess
+    import sys as _sys
+
+    env = dict(os.environ)
+    env["SPARK_GRAFT_XO_REDRAW"] = f"{name}:{factor}"
+    proc = subprocess.run(
+        [_sys.executable, os.path.abspath(__file__)],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=max(90, min(240, int(_budget_left()) - 30)),
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"xo-redraw subprocess rc={proc.returncode}: {proc.stderr[-200:]}"
+        )
+    return json.loads(proc.stdout.strip().splitlines()[-1])
 
 
 def _deep_crossover_subprocess(sf_dir: str) -> dict:
