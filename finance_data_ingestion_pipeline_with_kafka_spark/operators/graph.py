@@ -354,6 +354,186 @@ def harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: TrustRank seed-restart probability lives on the same fixed-point
+#: lanes as PageRank; seeds are the majority-English sources (en-doc
+#: count × 2 > doc count — a deterministic integer predicate standing in
+#: for the human-audited whitelist the Gyöngyi et al. 2004 algorithm
+#: assumes; real deployments plug their curated seed list in here).
+TR_ITERS = 3
+
+
+def trustrank_fixed_point(
+    nodes: DataFrame, edges: DataFrame, seeds: DataFrame, iters: int = TR_ITERS
+) -> DataFrame:
+    """``iters`` TrustRank iterations: PageRank's power method with the
+    teleport vector RESTRICTED to the seed set (Gyöngyi, Garcia-Molina &
+    Pedersen 2004, "Combating web spam with TrustRank") — trust mass
+    enters only at seeds and flows along edges, so unreferenced regions
+    of the graph decay toward zero instead of receiving uniform teleport.
+    Dangling mass also re-enters at the seeds (the standard fold of the
+    dangling term into the restart vector).
+
+    Same exact fixed-point discipline as ``pagerank_fixed_point``: BIGINT
+    lanes scaled by ``PR_SCALE``, damping as the rational 17/20, every
+    divide integral — bit-identical across engines. ``seeds``: one
+    ``source`` column, a non-empty subset of ``nodes`` — an EMPTY seed
+    set makes every ``div ns`` NULL (both engines) rather than raising;
+    callers own the precondition (every fixture SF yields ≥1
+    majority-English source, like the BPE trainer's ≥K-pairs caveat)."""
+    s1 = F.broadcast(seeds.agg(F.count(F.lit(1)).cast("long").alias("ns")))
+    seed_flag = seeds.select(F.col("source").alias("source"), F.lit(1).alias("is_seed"))
+    srcs = edges.select("src").distinct()
+    base = nodes.join(seed_flag, "source", "left").select(
+        "source", F.coalesce(F.col("is_seed"), F.lit(0)).alias("is_seed")
+    )
+    r = base.crossJoin(s1).select(
+        "source",
+        "is_seed",
+        F.expr(f"CASE WHEN is_seed = 1 THEN {PR_SCALE} div ns ELSE 0 END")
+        .cast("long")
+        .alias("r"),
+    )
+    for _ in range(iters):
+        dang = F.broadcast(
+            r.join(srcs, r["source"] == srcs["src"], "left_anti").agg(
+                F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dm")
+            )
+        )
+        contrib = (
+            r.join(edges, r["source"] == edges["src"])
+            .select("dst", F.expr("(r * w) div out_w").alias("ct"))
+            .groupBy("dst")
+            .agg(F.sum("ct").cast("long").alias("c"))
+        )
+        r = (
+            base.join(contrib, base["source"] == contrib["dst"], "left")
+            .crossJoin(s1)
+            .crossJoin(dang)
+            .select(
+                "source",
+                "is_seed",
+                F.expr(
+                    f"CASE WHEN is_seed = 1 THEN ({3 * PR_SCALE} div {PR_DAMP_DEN}) div ns"
+                    f" ELSE 0 END"
+                    f" + ({PR_DAMP_NUM} * (coalesce(c, 0L)"
+                    f" + CASE WHEN is_seed = 1 THEN dm div ns ELSE 0 END))"
+                    f" div {PR_DAMP_DEN}"
+                )
+                .cast("long")
+                .alias("r"),
+            )
+        )
+    return r
+
+
+def _trustrank_iter_cte(prev: str, k: int) -> str:
+    """One DuckDB TrustRank iteration as chained CTEs — the exact
+    integer twin of one ``trustrank_fixed_point`` loop body."""
+    return f"""d{k} AS (
+      SELECT CAST(COALESCE(SUM(r), 0) AS BIGINT) AS dm FROM {prev}
+      WHERE source NOT IN (SELECT src FROM srcs)
+    ), c{k} AS (
+      SELECT e.dst AS source, CAST(SUM((r.r * e.w) // e.out_w) AS BIGINT) AS c
+      FROM {prev} r JOIN enorm e ON r.source = e.src GROUP BY e.dst
+    ), r{k} AS (
+      SELECT b.source, b.is_seed,
+             CAST(CASE WHEN b.is_seed = 1
+                       THEN ({3 * PR_SCALE} // {PR_DAMP_DEN}) // ss.ns ELSE 0 END
+                + ({PR_DAMP_NUM} * (COALESCE(c.c, 0)
+                     + CASE WHEN b.is_seed = 1 THEN d{k}.dm // ss.ns ELSE 0 END))
+                  // {PR_DAMP_DEN} AS BIGINT) AS r
+      FROM base b CROSS JOIN ss CROSS JOIN d{k}
+      LEFT JOIN c{k} c ON b.source = c.source
+    )"""
+
+
+_TRUSTRANK_ORACLE = f"""
+    WITH toks AS (
+      SELECT source, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ), sh AS (
+      SELECT DISTINCT source,
+             list_aggregate(t[i:i+{PR_SHINGLE_N - 1}], 'string_agg', ' ') AS sh
+      FROM toks, UNNEST(range(1, len(t) - {PR_SHINGLE_N} + 2)) AS rr(i)
+      WHERE len(t) >= {PR_SHINGLE_N}
+    ), good AS (
+      SELECT source, sh FROM (
+        SELECT source, sh, COUNT(*) OVER (PARTITION BY sh) AS nsrc FROM sh
+      ) WHERE nsrc BETWEEN 2 AND {PR_DF_CAP}
+    ), edges AS (
+      SELECT a.source AS src, b.source AS dst, CAST(COUNT(*) AS BIGINT) AS w
+      FROM good a JOIN good b ON a.sh = b.sh AND a.source <> b.source
+      GROUP BY 1, 2
+    ), enorm AS (
+      SELECT src, dst, w, CAST(SUM(w) OVER (PARTITION BY src) AS BIGINT) AS out_w
+      FROM edges
+    ), nodes AS (
+      SELECT DISTINCT source FROM documents
+    ), seeds AS (
+      SELECT source FROM documents GROUP BY source
+      HAVING 2 * SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) > COUNT(*)
+    ), ss AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS ns FROM seeds
+    ), base AS (
+      SELECT n.source,
+             CASE WHEN s.source IS NULL THEN 0 ELSE 1 END AS is_seed
+      FROM nodes n LEFT JOIN seeds s ON n.source = s.source
+    ), srcs AS (
+      SELECT DISTINCT src FROM edges
+    ), r0 AS (
+      SELECT source, is_seed,
+             CAST(CASE WHEN is_seed = 1 THEN {PR_SCALE} // ss.ns ELSE 0 END
+                  AS BIGINT) AS r
+      FROM base CROSS JOIN ss
+    ), {_trustrank_iter_cte("r0", 1)}, {_trustrank_iter_cte("r1", 2)},
+    {_trustrank_iter_cte("r2", 3)}
+    SELECT source,
+           r AS trust_fp,
+           CAST(r AS DOUBLE) / {float(PR_SCALE)} AS trust,
+           CAST(is_seed AS BIGINT) AS is_seed
+    FROM r{TR_ITERS}
+    ORDER BY source
+"""
+
+
+@query("trustrank_seeded", oracle=_TRUSTRANK_ORACLE, tags=("U6",), prepared=False)
+def trustrank_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U6] TrustRank over the shared-shingle source graph — personalized
+    PageRank whose teleport vector is restricted to a trusted SEED set
+    (Gyöngyi et al. 2004): the standard seed-propagated quality signal a
+    100 TB curation pipeline runs next to raw PageRank, because uniform
+    teleport hands every spam/SEO domain a rank floor while TrustRank
+    gives unreferenced regions none. Complements ``domain_pagerank``
+    (flow volume) and ``harmonic_centrality`` (distance): the three
+    are the standard centrality panel for link-informed corpus curation.
+
+    Seeds here: majority-English sources (a deterministic stand-in for
+    the audited whitelist — see ``TR_ITERS`` note). Scale: identical
+    posture to ``domain_pagerank`` — corpus-linear df-capped edge
+    extraction runs once and is checkpointed; the iteration loop touches
+    only the domain-cardinality graph; seed/dangling totals are 1-row
+    broadcasts. ``prepared=False`` for the checkpoint lineage."""
+    docs = load_table(spark, sf_dir, "documents")
+    edges = source_shingle_edges(docs).localCheckpoint(eager=True)
+    nodes = docs.select("source").distinct().localCheckpoint(eager=True)
+    seeds = (
+        docs.groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("en"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter(2 * F.col("en") > F.col("n"))
+        .select("source")
+        .localCheckpoint(eager=True)
+    )
+    r = trustrank_fixed_point(nodes, edges, seeds, TR_ITERS)
+    return r.select(
+        "source",
+        F.col("r").alias("trust_fp"),
+        (F.col("r").cast("double") / F.lit(float(PR_SCALE))).alias("trust"),
+        F.col("is_seed").cast("long").alias("is_seed"),
+    ).orderBy("source")
+
+
 @query("domain_pagerank", oracle=_PAGERANK_ORACLE, tags=("U6",), prepared=False)
 def domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[U6] Domain-level PageRank over the shared-shingle source graph —

@@ -85,6 +85,15 @@ def decode_media(payload: bytes, mime: str) -> bytes:
 
         _w, _h, pixels = decode_jpeg(payload)
         return pixels
+    if mime == "image/gif":
+        from .gif import decode_gif
+
+        _w, _h, indices, palette = decode_gif(payload)
+        # palette lookup → RGB, the same channel-expanded contract the
+        # other image decoders return
+        return b"".join(
+            palette[3 * i : 3 * i + 3] for i in indices
+        )
     raise NotImplementedError(
         f"decoder for {mime!r} requires media libraries not present in this "
         "environment (MP3/video PCM/pixel synthesis); MP3 container "

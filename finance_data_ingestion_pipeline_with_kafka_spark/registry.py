@@ -379,7 +379,9 @@ def query(
 #: hash-green, zero latest-run failures across r01–r14; tiers derived by
 #: ``tools/rotate_verified.py`` over CORRECTNESS_r01..r14):
 #:   (0) brand-new queries registered this round — no driver row at all
-#:       (``domain_pagerank``, ``bpe_train_merges``, ``bpe_apply_tokenize``).
+#:       (session 1: ``domain_pagerank``, ``harmonic_centrality``,
+#:       ``bpe_train_merges``, ``bpe_apply_tokenize``; session 2:
+#:       ``trustrank_seeded``, ``km_survival``, ``gif_decode``).
 #:   (1) ``_R15_MODIFIED`` — queries whose Spark kernels, oracle CTEs, or
 #:       execution-affecting registration changed during round 15 after
 #:       their last driver verification. Standing rule: code-changed ⇒
@@ -389,8 +391,8 @@ def query(
 #:       evidence becomes r10).
 #:   (3..7) ``_VERIFIED_R10..R14`` — freshness order below the fold.
 #:
-#: Round-15 window arithmetic: 3 brand-new + 0 modified + 26 r9 (tier
-#: retired) = 29; the remaining 21 window slots refresh the oldest r10
+#: Round-15 window arithmetic: 7 brand-new + 0 modified + 26 r9 (tier
+#: retired) = 33; the remaining 17 window slots refresh the oldest r10
 #: rows in registration order.
 
 _R15_MODIFIED: frozenset[str] = frozenset()
@@ -491,6 +493,7 @@ def load_all() -> dict[str, QuerySpec]:
         bpe,
         decision_support,
         dedup,
+        gif,
         graph,
         jpeg,
         joins,
@@ -504,6 +507,7 @@ def load_all() -> dict[str, QuerySpec]:
         setops,
         similarity,
         sketches,
+        survival,
         text,
         timeseries,
         training,

@@ -16,6 +16,7 @@ from finance_data_ingestion_pipeline_with_kafka_spark.operators.jpeg import (
 )
 from finance_data_ingestion_pipeline_with_kafka_spark.operators.mp3 import parse_mp3
 from finance_data_ingestion_pipeline_with_kafka_spark.operators.mp4 import parse_mp4
+from finance_data_ingestion_pipeline_with_kafka_spark.operators.gif import decode_gif
 from finance_data_ingestion_pipeline_with_kafka_spark.operators.multimodal import (
     decode_bmp,
     decode_png,
@@ -35,6 +36,7 @@ _seeded = st.one_of(
     st.binary(max_size=400).map(lambda b: b"\x89PNG\r\n\x1a\n" + b),
     st.binary(max_size=400).map(lambda b: b"RIFF" + b),
     st.binary(max_size=400).map(lambda b: b"\x00\x00\x00\x10ftyp" + b),
+    st.binary(max_size=400).map(lambda b: b"GIF89a" + b),
 )
 
 
@@ -48,6 +50,7 @@ def test_parsers_fail_cleanly_on_arbitrary_bytes(data):
         decode_bmp,
         decode_png,
         decode_wav,
+        decode_gif,
     ):
         try:
             parser(data)
@@ -90,6 +93,9 @@ def test_mutated_valid_streams_fail_cleanly():
     from finance_data_ingestion_pipeline_with_kafka_spark.operators.mp4 import (
         encode_mp4,
     )
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.gif import (
+        encode_gif,
+    )
     from finance_data_ingestion_pipeline_with_kafka_spark.operators.multimodal import (
         encode_bmp,
         encode_png,
@@ -105,6 +111,7 @@ def test_mutated_valid_streams_fail_cleanly():
         (encode_bmp(bytes(36), 4, 3), decode_bmp),
         (encode_png(bytes(39), 13, 1), decode_png),
         (encode_wav(bytes(40), 8000), decode_wav),
+        (encode_gif(bytes(range(33)) + b"abcabc", 13, 3), decode_gif),
     ]
     rng = random.Random(1234)
     for valid, parser in cases:
