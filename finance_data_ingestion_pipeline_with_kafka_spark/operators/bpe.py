@@ -115,7 +115,7 @@ def _trainer_ctes(k: int = BPE_MERGES) -> str:
       SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
         SELECT UNNEST(string_split_regex(trim(text), '\\s+')) AS w FROM documents
       ) WHERE w <> '' GROUP BY w
-    ), w0 AS (
+    ), w0 AS MATERIALIZED (
       SELECT regexp_replace(w, '(.)', '{SEP}\\1{SEP}', 'g') AS s, freq FROM words
     )"""
     ]
@@ -127,9 +127,9 @@ def _trainer_ctes(k: int = BPE_MERGES) -> str:
         FROM (SELECT freq, string_split(s[2:-2], '{SEP}{SEP}') AS syms FROM w{i - 1}),
              UNNEST(range(1, len(syms))) AS t(i)
       ) GROUP BY l, r
-    ), b{i} AS (
+    ), b{i} AS MATERIALIZED (
       SELECT l, r, cnt FROM p{i} ORDER BY cnt DESC, l, r LIMIT 1
-    ), w{i} AS (
+    ), w{i} AS MATERIALIZED (
       SELECT replace(s, '{SEP}' || l || '{SEP}{SEP}' || r || '{SEP}',
                         '{SEP}' || l || r || '{SEP}') AS s, freq
       FROM w{i - 1} CROSS JOIN b{i}

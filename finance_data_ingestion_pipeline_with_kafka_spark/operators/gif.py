@@ -374,3 +374,104 @@ def gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pixels",
         F.md5(F.hex("pixels")).alias("pixel_md5"),
     ).orderBy("doc_id")
+
+
+@query(
+    "gif_features",
+    oracle=f"""
+    WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
+                      octet_length(encode(text)) AS n
+               FROM documents),
+    px AS (SELECT doc_id,
+                  LEAST({GIF_MAX_ROWS}, n // {GIF_WIDTH}) * {GIF_WIDTH} AS np,
+                  hx
+           FROM h WHERE n >= {GIF_WIDTH})
+    SELECT doc_id, CAST(np * 3 AS BIGINT) AS n_bytes,
+           3 * len(list_filter(range(0, np), i -> hx[CAST(i*2+1 AS INT)] = '0'))
+             AS bin0_count,
+           3 * len(list_filter(range(0, np), i -> hx[CAST(i*2+1 AS INT)] = '1'))
+             AS bin1_count,
+           16 AS n_bins
+    FROM px ORDER BY doc_id
+    """,
+    tags=("U7", "U1"),
+)
+def gif_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U7] The full multimodal feature pipeline dispatched through the
+    LZW codec: document bytes become the palette indices of an actual
+    GIF89a file (``encode_gif``), ``meta.mime='image/gif'``, and the
+    standard ``featurize_media`` kernel decodes via ``decode_media`` →
+    ``decode_gif`` → grayscale-palette expansion (index i → (i,i,i))
+    before histogramming. The oracle knows the decoded stream
+    analytically: every prefix byte appears exactly 3× (the palette
+    triple), so ``n_bytes`` and each bin count are 3× the prefix's —
+    an error anywhere in LZW or the palette lookup breaks the compare.
+    Same ``bmp_features`` shape, one more real mime in the dispatch."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..catalog import load_table
+    from .multimodal import featurize_media
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.octet_length(F.encode("text", "utf-8")) >= GIF_WIDTH
+    )
+
+    def _to_gif(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = text.encode("utf-8")
+                height = min(GIF_MAX_ROWS, len(raw) // GIF_WIDTH)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "payload": encode_gif(
+                            raw[: height * GIF_WIDTH], GIF_WIDTH, height
+                        ),
+                        "meta": {
+                            "mime": "image/gif",
+                            "n_bytes": len(raw),
+                            "origin": "gif",
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "payload", "meta"])
+
+    media_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+            StructField(
+                "meta",
+                StructType(
+                    [
+                        StructField("mime", StringType()),
+                        StructField("n_bytes", LongType()),
+                        StructField("origin", StringType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    gif_media = d.select("doc_id", "text").mapInPandas(_to_gif, media_schema)
+    feats = featurize_media(gif_media)
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        F.round(F.element_at("features", 1) * F.col("n_bytes"), 0)
+        .cast("long")
+        .alias("bin0_count"),
+        F.round(F.element_at("features", 2) * F.col("n_bytes"), 0)
+        .cast("long")
+        .alias("bin1_count"),
+        F.size("features").alias("n_bins"),
+    ).orderBy("doc_id")

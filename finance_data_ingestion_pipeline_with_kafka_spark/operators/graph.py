@@ -155,7 +155,7 @@ def _pagerank_iter_cte(prev: str, k: int) -> str:
     ), c{k} AS (
       SELECT e.dst AS source, CAST(SUM((r.r * e.w) // e.out_w) AS BIGINT) AS c
       FROM {prev} r JOIN enorm e ON r.source = e.src GROUP BY e.dst
-    ), r{k} AS (
+    ), r{k} AS MATERIALIZED (
       SELECT n.source,
              CAST((({3 * PR_SCALE} // {PR_DAMP_DEN}) // nn.n)
                 + ({PR_DAMP_NUM} * (COALESCE(c.c, 0) + d{k}.dm // nn.n))
@@ -173,24 +173,24 @@ _PAGERANK_ORACLE = f"""
              list_aggregate(t[i:i+{PR_SHINGLE_N - 1}], 'string_agg', ' ') AS sh
       FROM toks, UNNEST(range(1, len(t) - {PR_SHINGLE_N} + 2)) AS rr(i)
       WHERE len(t) >= {PR_SHINGLE_N}
-    ), good AS (
+    ), good AS MATERIALIZED (
       SELECT source, sh FROM (
         SELECT source, sh, COUNT(*) OVER (PARTITION BY sh) AS nsrc FROM sh
       ) WHERE nsrc BETWEEN 2 AND {PR_DF_CAP}
-    ), edges AS (
+    ), edges AS MATERIALIZED (
       SELECT a.source AS src, b.source AS dst, CAST(COUNT(*) AS BIGINT) AS w
       FROM good a JOIN good b ON a.sh = b.sh AND a.source <> b.source
       GROUP BY 1, 2
-    ), enorm AS (
+    ), enorm AS MATERIALIZED (
       SELECT src, dst, w, CAST(SUM(w) OVER (PARTITION BY src) AS BIGINT) AS out_w
       FROM edges
-    ), nodes AS (
+    ), nodes AS MATERIALIZED (
       SELECT DISTINCT source FROM documents
-    ), nn AS (
+    ), nn AS MATERIALIZED (
       SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes
-    ), srcs AS (
+    ), srcs AS MATERIALIZED (
       SELECT DISTINCT src FROM edges
-    ), r0 AS (
+    ), r0 AS MATERIALIZED (
       SELECT source, CAST({PR_SCALE} // n AS BIGINT) AS r FROM nodes CROSS JOIN nn
     ), {_pagerank_iter_cte("r0", 1)}, {_pagerank_iter_cte("r1", 2)},
     {_pagerank_iter_cte("r2", 3)}
@@ -249,14 +249,14 @@ def khop_distances(edges: DataFrame, max_hops: int = HC_MAX_HOPS) -> DataFrame:
 def _hc_hop_ctes(max_hops: int = HC_MAX_HOPS) -> str:
     """DuckDB twin of ``khop_distances``: chained frontier CTEs."""
     parts = [
-        "p1 AS (SELECT DISTINCT src, dst, 1 AS d FROM edges)",
+        "p1 AS MATERIALIZED (SELECT DISTINCT src, dst, 1 AS d FROM edges)",
     ]
     for hop in range(2, max_hops + 1):
         prev_union = " UNION ALL ".join(
             f"SELECT src, dst FROM p{i}" for i in range(1, hop)
         )
         parts.append(
-            f"""p{hop} AS (
+            f"""p{hop} AS MATERIALIZED (
       SELECT DISTINCT f.src, e.dst, {hop} AS d
       FROM p{hop - 1} f JOIN edges e ON f.dst = e.src
       WHERE f.src <> e.dst
@@ -275,14 +275,14 @@ _HARMONIC_ORACLE = f"""
              list_aggregate(t[i:i+{PR_SHINGLE_N - 1}], 'string_agg', ' ') AS sh
       FROM toks, UNNEST(range(1, len(t) - {PR_SHINGLE_N} + 2)) AS rr(i)
       WHERE len(t) >= {PR_SHINGLE_N}
-    ), good AS (
+    ), good AS MATERIALIZED (
       SELECT source, sh FROM (
         SELECT source, sh, COUNT(*) OVER (PARTITION BY sh) AS nsrc FROM sh
       ) WHERE nsrc BETWEEN 2 AND {PR_DF_CAP}
-    ), edges AS (
+    ), edges AS MATERIALIZED (
       SELECT DISTINCT a.source AS src, b.source AS dst
       FROM good a JOIN good b ON a.sh = b.sh AND a.source <> b.source
-    ), nodes AS (
+    ), nodes AS MATERIALIZED (
       SELECT DISTINCT source FROM documents
     ), {_hc_hop_ctes()}, pairs AS (
       {" UNION ALL ".join(f"SELECT * FROM p{i}" for i in range(1, HC_MAX_HOPS + 1))}
@@ -349,6 +349,155 @@ def harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_reachable"
             ),
             F.coalesce(F.col("n_in"), F.lit(0).cast("long")).alias("n_in"),
+        )
+        .orderBy("source")
+    )
+
+
+_TRIANGLE_ORACLE = f"""
+    WITH toks AS (
+      SELECT source, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ), sh AS (
+      SELECT DISTINCT source,
+             list_aggregate(t[i:i+{PR_SHINGLE_N - 1}], 'string_agg', ' ') AS sh
+      FROM toks, UNNEST(range(1, len(t) - {PR_SHINGLE_N} + 2)) AS rr(i)
+      WHERE len(t) >= {PR_SHINGLE_N}
+    ), good AS MATERIALIZED (
+      SELECT source, sh FROM (
+        SELECT source, sh, COUNT(*) OVER (PARTITION BY sh) AS nsrc FROM sh
+      ) WHERE nsrc BETWEEN 2 AND {PR_DF_CAP}
+    ), und AS MATERIALIZED (
+      SELECT DISTINCT LEAST(a.source, b.source) AS a,
+                      GREATEST(a.source, b.source) AS b
+      FROM good a JOIN good b ON a.sh = b.sh AND a.source <> b.source
+    ), deg AS MATERIALIZED (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und
+      ) GROUP BY v
+    ), oriented AS MATERIALIZED (
+      SELECT CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.a ELSE e.b END AS u,
+             CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.b ELSE e.a END AS v,
+             CASE WHEN (da.d, e.a) < (db.d, e.b) THEN db.d ELSE da.d END AS dv
+      FROM und e JOIN deg da ON e.a = da.v JOIN deg db ON e.b = db.v
+    ), tri AS MATERIALIZED (
+      SELECT x.u AS c1, x.v AS c2, y.v AS c3
+      FROM oriented x
+      JOIN oriented y ON x.u = y.u AND (x.dv, x.v) < (y.dv, y.v)
+      JOIN oriented z ON z.u = x.v AND z.v = y.v
+    ), corner AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS t FROM (
+        SELECT c1 AS v FROM tri UNION ALL SELECT c2 FROM tri
+        UNION ALL SELECT c3 FROM tri
+      ) GROUP BY v
+    ), nodes AS MATERIALIZED (
+      SELECT DISTINCT source FROM documents
+    )
+    SELECT n.source,
+           COALESCE(d.d, 0) AS degree,
+           COALESCE(c.t, 0) AS n_triangles,
+           CASE WHEN COALESCE(d.d, 0) >= 2
+                THEN CAST(2 * COALESCE(c.t, 0) AS DOUBLE)
+                   / CAST(d.d * (d.d - 1) AS DOUBLE)
+                ELSE 0.0 END AS clustering
+    FROM nodes n
+    LEFT JOIN deg d ON n.source = d.v
+    LEFT JOIN corner c ON n.source = c.v
+    ORDER BY n.source
+"""
+
+
+@query("triangle_clustering", oracle=_TRIANGLE_ORACLE, tags=("U6",), prepared=False)
+def triangle_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U6] Triangle count + local clustering coefficient per source over
+    the shared-shingle graph — the standard cohesion signal (a domain
+    whose neighbors also reference each other is a community hub; an
+    LCC near 0 at high degree is the link-farm / scraped-hub shape that
+    TrustRank demotes and this measures directly).
+
+    Scale design: the DEGREE-ORDERED orientation (Schank & Wagner 2005
+    node-iterator / the MapReduce formulation of Suri & Vassilvitskii
+    2011): each undirected edge is directed from its (degree, name)-
+    smaller endpoint, so every wedge is generated at its lowest-degree
+    corner and the wedge count is bounded by Σ_v d_out(v)² with
+    d_out = O(√m) — the bound that makes triangle counting feasible on
+    power-law graphs where a naive neighbor-pair join explodes at the
+    hubs. Everything is equi-joins (wedge join on the apex, closing
+    check on the (v,w) pair key); counts are exact integers; the LCC
+    2T/(d(d-1)) is one IEEE divide of exact integers. Triangles are
+    materialized once and exploded to corners for per-node counts.
+    ``prepared=False`` for the checkpointed edge list."""
+    docs = load_table(spark, sf_dir, "documents")
+    edges = source_shingle_edges(docs).localCheckpoint(eager=True)
+    nodes = docs.select("source").distinct().localCheckpoint(eager=True)
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    return clustering_from_edges(nodes, und)
+
+
+def clustering_from_edges(nodes: DataFrame, und: DataFrame) -> DataFrame:
+    """The degree-ordered triangle/LCC kernel on canonical undirected
+    edges (columns a < b, deduplicated) — split out so crafted-graph
+    tests drive the exact code the registered query runs."""
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    e = (
+        und.join(deg.withColumnRenamed("v", "a").withColumnRenamed("d", "da"), "a")
+        .join(deg.withColumnRenamed("v", "b").withColumnRenamed("d", "db"), "b")
+    )
+    lower = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = e.select(
+        F.when(lower, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(lower, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    )
+    x = oriented.alias("x")
+    y = oriented.alias("y")
+    z = oriented.alias("z")
+    wedge_lt = (F.col("x.dv") < F.col("y.dv")) | (
+        (F.col("x.dv") == F.col("y.dv")) & (F.col("x.v") < F.col("y.v"))
+    )
+    tri = (
+        x.join(y, (F.col("x.u") == F.col("y.u")) & wedge_lt)
+        .join(z, (F.col("z.u") == F.col("x.v")) & (F.col("z.v") == F.col("y.v")))
+        .select(
+            F.col("x.u").alias("c1"),
+            F.col("x.v").alias("c2"),
+            F.col("y.v").alias("c3"),
+        )
+    )
+    corner = (
+        tri.select(F.col("c1").alias("v"))
+        .unionAll(tri.select(F.col("c2").alias("v")))
+        .unionAll(tri.select(F.col("c3").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+    )
+    d0 = F.coalesce(F.col("d"), F.lit(0).cast("long"))
+    t0 = F.coalesce(F.col("t"), F.lit(0).cast("long"))
+    return (
+        nodes.join(deg, nodes["source"] == deg["v"], "left")
+        .drop("v")
+        .join(corner, nodes["source"] == corner["v"], "left")
+        .select(
+            "source",
+            d0.alias("degree"),
+            t0.alias("n_triangles"),
+            F.when(
+                d0 >= 2,
+                (2 * t0).cast("double") / (F.col("d") * (F.col("d") - 1)).cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering"),
         )
         .orderBy("source")
     )
@@ -435,7 +584,7 @@ def _trustrank_iter_cte(prev: str, k: int) -> str:
     ), c{k} AS (
       SELECT e.dst AS source, CAST(SUM((r.r * e.w) // e.out_w) AS BIGINT) AS c
       FROM {prev} r JOIN enorm e ON r.source = e.src GROUP BY e.dst
-    ), r{k} AS (
+    ), r{k} AS MATERIALIZED (
       SELECT b.source, b.is_seed,
              CAST(CASE WHEN b.is_seed = 1
                        THEN ({3 * PR_SCALE} // {PR_DAMP_DEN}) // ss.ns ELSE 0 END
@@ -455,31 +604,31 @@ _TRUSTRANK_ORACLE = f"""
              list_aggregate(t[i:i+{PR_SHINGLE_N - 1}], 'string_agg', ' ') AS sh
       FROM toks, UNNEST(range(1, len(t) - {PR_SHINGLE_N} + 2)) AS rr(i)
       WHERE len(t) >= {PR_SHINGLE_N}
-    ), good AS (
+    ), good AS MATERIALIZED (
       SELECT source, sh FROM (
         SELECT source, sh, COUNT(*) OVER (PARTITION BY sh) AS nsrc FROM sh
       ) WHERE nsrc BETWEEN 2 AND {PR_DF_CAP}
-    ), edges AS (
+    ), edges AS MATERIALIZED (
       SELECT a.source AS src, b.source AS dst, CAST(COUNT(*) AS BIGINT) AS w
       FROM good a JOIN good b ON a.sh = b.sh AND a.source <> b.source
       GROUP BY 1, 2
-    ), enorm AS (
+    ), enorm AS MATERIALIZED (
       SELECT src, dst, w, CAST(SUM(w) OVER (PARTITION BY src) AS BIGINT) AS out_w
       FROM edges
-    ), nodes AS (
+    ), nodes AS MATERIALIZED (
       SELECT DISTINCT source FROM documents
-    ), seeds AS (
+    ), seeds AS MATERIALIZED (
       SELECT source FROM documents GROUP BY source
       HAVING 2 * SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) > COUNT(*)
-    ), ss AS (
+    ), ss AS MATERIALIZED (
       SELECT CAST(COUNT(*) AS BIGINT) AS ns FROM seeds
-    ), base AS (
+    ), base AS MATERIALIZED (
       SELECT n.source,
              CASE WHEN s.source IS NULL THEN 0 ELSE 1 END AS is_seed
       FROM nodes n LEFT JOIN seeds s ON n.source = s.source
-    ), srcs AS (
+    ), srcs AS MATERIALIZED (
       SELECT DISTINCT src FROM edges
-    ), r0 AS (
+    ), r0 AS MATERIALIZED (
       SELECT source, is_seed,
              CAST(CASE WHEN is_seed = 1 THEN {PR_SCALE} // ss.ns ELSE 0 END
                   AS BIGINT) AS r

@@ -53,7 +53,7 @@ _KM_ORACLE = f"""
       FROM events
     ), cutoff AS (
       SELECT MAX(ts) AS mx FROM events
-    ), subj AS (
+    ), subj AS MATERIALIZED (
       SELECT CASE WHEN np IS NOT NULL
                   THEN (epoch_us(np) - epoch_us(ts)) // {_US_PER_DAY}
                   ELSE (epoch_us(mx) - epoch_us(ts)) // {_US_PER_DAY} END AS tb,

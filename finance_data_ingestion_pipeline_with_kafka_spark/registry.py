@@ -381,7 +381,8 @@ def query(
 #:   (0) brand-new queries registered this round — no driver row at all
 #:       (session 1: ``domain_pagerank``, ``harmonic_centrality``,
 #:       ``bpe_train_merges``, ``bpe_apply_tokenize``; session 2:
-#:       ``trustrank_seeded``, ``km_survival``, ``gif_decode``).
+#:       ``trustrank_seeded``, ``km_survival``, ``gif_decode``,
+#:       ``triangle_clustering``, ``touch_attribution``, ``gif_features``).
 #:   (1) ``_R15_MODIFIED`` — queries whose Spark kernels, oracle CTEs, or
 #:       execution-affecting registration changed during round 15 after
 #:       their last driver verification. Standing rule: code-changed ⇒
@@ -391,8 +392,8 @@ def query(
 #:       evidence becomes r10).
 #:   (3..7) ``_VERIFIED_R10..R14`` — freshness order below the fold.
 #:
-#: Round-15 window arithmetic: 7 brand-new + 0 modified + 26 r9 (tier
-#: retired) = 33; the remaining 17 window slots refresh the oldest r10
+#: Round-15 window arithmetic: 10 brand-new + 0 modified + 26 r9 (tier
+#: retired) = 36; the remaining 14 window slots refresh the oldest r10
 #: rows in registration order.
 
 _R15_MODIFIED: frozenset[str] = frozenset()
@@ -490,6 +491,7 @@ def load_all() -> dict[str, QuerySpec]:
     queries first, then stalest evidence — see the tier frozensets above)."""
     from .operators import (  # noqa: F401
         aggregations,
+        attribution,
         bpe,
         decision_support,
         dedup,

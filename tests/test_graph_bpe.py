@@ -218,6 +218,8 @@ def test_random_documents_oracle_exactness(spark, sf_dir, tmp_path):
         "harmonic_centrality",
         "bpe_train_merges",
         "bpe_apply_tokenize",
+        "trustrank_seeded",
+        "triangle_clustering",
     )
     letters = list("abcdef")
     for seed in range(3):
@@ -238,7 +240,11 @@ def test_random_documents_oracle_exactness(spark, sf_dir, tmp_path):
             text = " ".join(rng.choice(vocab, size=n_words))
             if seed == 1 and i % 2 == 0:  # shared boilerplate across sources
                 text = boiler + " " + text
-            rows.append((i, text, "en", src, len(text)))
+            # s0 is all-zh → a guaranteed NON-seed source for trustrank
+            # (the others are all-en majority seeds): both branches of
+            # the seed predicate run in every corpus
+            lang = "zh" if src == "s0" else "en"
+            rows.append((i, text, lang, src, len(text)))
         pdf = pd.DataFrame(
             rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
         )

@@ -643,3 +643,15 @@ def test_bpe_apply_is_one_corpus_pass_with_broadcast_merges(spark, sf_dir):
     assert n_scans == 1, f"{n_scans} parquet scans\n{p[:800]}"
     assert "CartesianProduct" not in p
     assert p.count("BroadcastExchange IdentityBroadcastMode") >= 1, p[:800]
+
+
+def test_triangle_wedge_and_close_are_equi_joins(spark, sf_dir):
+    """triangle_clustering's wedge join (apex key) and closing check
+    ((v,w) pair key) must both plan as equi-joins over the checkpointed
+    graph — a cartesian or nested-loop here is exactly the hub blowup
+    the degree-ordered orientation exists to prevent; no corpus rescan
+    inside the kernel."""
+    p = executed_plan(q(spark, sf_dir, "triangle_clustering"))
+    assert "parquet" not in p.lower(), p[:800]
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p, p[:800]

@@ -182,3 +182,220 @@ def test_km_fixture_matches_python_brute_force(spark, sf_dir):
         if n > 0:
             surv = surv * ((n - d) / n)
         assert r["survival"] == surv  # bit-identical fold
+
+
+# ------------------------------------------------------- triangles / LCC
+
+
+def _und(spark, pairs):
+    return spark.createDataFrame(pairs, ["a", "b"])
+
+
+def _lcc(df):
+    return {
+        r["source"]: (r["degree"], r["n_triangles"], r["clustering"])
+        for r in df.collect()
+    }
+
+
+def test_triangle_hand_computed(spark):
+    """Triangle a-b-c plus pendant d on c: per-node triangle counts and
+    exact LCC values (c has degree 3, one closed wedge of three)."""
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.graph import (
+        clustering_from_edges,
+    )
+
+    out = _lcc(
+        clustering_from_edges(
+            _nodes(spark, ["a", "b", "c", "d", "iso"]),
+            _und(spark, [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")]),
+        )
+    )
+    assert out["a"] == (2, 1, 1.0)
+    assert out["b"] == (2, 1, 1.0)
+    assert out["c"] == (3, 1, 1 / 3)
+    assert out["d"] == (1, 0, 0.0)
+    assert out["iso"] == (0, 0, 0.0)
+
+
+def test_triangles_sharing_an_edge(spark):
+    """Two triangles sharing edge a-b: a and b corner both, c and d one
+    each — the wedge-orientation must not double- or under-count."""
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.graph import (
+        clustering_from_edges,
+    )
+
+    out = _lcc(
+        clustering_from_edges(
+            _nodes(spark, ["a", "b", "c", "d"]),
+            _und(
+                spark,
+                [("a", "b"), ("a", "c"), ("b", "c"), ("a", "d"), ("b", "d")],
+            ),
+        )
+    )
+    assert out["a"] == (3, 2, 2 / 3)
+    assert out["b"] == (3, 2, 2 / 3)
+    assert out["c"] == (2, 1, 1.0)
+    assert out["d"] == (2, 1, 1.0)
+
+
+def test_k4_counts_every_triangle(spark):
+    """K4: every vertex corners C(3,2)=3 triangles, LCC exactly 1 —
+    the complete-graph identity catches orientation tie-break bugs
+    (all degrees equal, so ordering falls through to the name)."""
+    from itertools import combinations
+
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.graph import (
+        clustering_from_edges,
+    )
+
+    vs = ["a", "b", "c", "d"]
+    out = _lcc(
+        clustering_from_edges(
+            _nodes(spark, vs), _und(spark, list(combinations(vs, 2)))
+        )
+    )
+    for v in vs:
+        assert out[v] == (3, 3, 1.0)
+
+
+def test_triangle_fixture_corner_sum_is_three_per_triangle(spark, sf_dir):
+    """Σ per-node triangle counts ≡ 0 (mod 3) on the fixture, and the
+    registered query agrees with a brute-force python triangle count
+    over the same edge set."""
+    from itertools import combinations
+
+    from finance_data_ingestion_pipeline_with_kafka_spark.catalog import load_table
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.graph import (
+        source_shingle_edges,
+        triangle_clustering,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = {
+        tuple(sorted((r["src"], r["dst"])))
+        for r in source_shingle_edges(docs).select("src", "dst").collect()
+    }
+    adj: dict[str, set[str]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    brute = {
+        v: sum(
+            1
+            for x, y in combinations(sorted(ns), 2)
+            if y in adj.get(x, ())
+        )
+        for v, ns in adj.items()
+    }
+    out = triangle_clustering(spark, sf_dir).collect()
+    total = 0
+    for r in out:
+        assert r["n_triangles"] == brute.get(r["source"], 0), r["source"]
+        total += r["n_triangles"]
+    assert total % 3 == 0
+
+
+# ------------------------------------------------------------ attribution
+
+
+def _attr_ev(spark, rows):
+    pdf = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    return spark.createDataFrame(pdf)
+
+
+def _h(hours: float) -> dt.datetime:
+    return dt.datetime(2024, 5, 10, 0, 0, 0) + dt.timedelta(hours=hours)
+
+
+def test_attribution_hand_computed_models(spark):
+    """u1: ch0 @ t-10h, ch1 @ t-5h, ch0 @ t-2h → $10 purchase at t.
+    first = ch0 (earliest), last = ch0 (latest), linear = 2/3 vs 1/3
+    with the documented floor (6.666666 + 3.333333). u2's only click is
+    outside the 72h lookback and u3's click is AFTER the purchase —
+    both purchases land in 'direct' under every model."""
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.attribution import (
+        attribution_report,
+    )
+
+    t = 100.0  # purchase hour offset
+    rows = [
+        (1, _h(t - 10), 1, "click", 1.0, '{"k": 0}'),   # ch0
+        (2, _h(t - 5), 1, "click", 1.0, '{"k": 1}'),    # ch1
+        (3, _h(t - 2), 1, "click", 1.0, '{"k": 5}'),    # 5 % 5 -> ch0
+        (4, _h(t), 1, "purchase", 10.0, "{}"),
+        (5, _h(t - 80), 2, "click", 1.0, '{"k": 2}'),   # outside lookback
+        (6, _h(t), 2, "purchase", 7.0, "{}"),
+        (7, _h(t + 1), 3, "click", 1.0, '{"k": 3}'),    # after purchase
+        (8, _h(t), 3, "purchase", 5.0, "{}"),
+    ]
+    out = {
+        r["channel"]: r
+        for r in attribution_report(_attr_ev(spark, rows)).collect()
+    }
+    ch0, ch1, direct = out["ch0"], out["ch1"], out["direct"]
+    assert (ch0["n_touches"], ch0["n_first"], ch0["n_last"]) == (2, 1, 1)
+    assert ch0["first_revenue"] == 10.0 and ch0["last_revenue"] == 10.0
+    assert ch0["linear_revenue"] == 6666666 / 1e6
+    assert (ch1["n_touches"], ch1["n_first"], ch1["n_last"]) == (1, 0, 0)
+    assert ch1["linear_revenue"] == 3333333 / 1e6
+    assert (direct["n_first"], direct["first_revenue"]) == (2, 12.0)
+    assert direct["last_revenue"] == 12.0 and direct["linear_revenue"] == 12.0
+    assert "ch2" not in out and "ch3" not in out
+
+
+def test_attribution_same_timestamp_tiebreak(spark):
+    """A click sharing the purchase's exact timestamp counts iff its
+    event_id is smaller — the (ts, event_id) strict total order."""
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.attribution import (
+        attribution_report,
+    )
+
+    rows = [
+        (1, _h(0), 1, "click", 1.0, '{"k": 0}'),   # same ts, id 1 < 2: counts
+        (2, _h(0), 1, "purchase", 4.0, "{}"),
+        (9, _h(0), 2, "click", 1.0, '{"k": 1}'),   # same ts, id 9 > 3: excluded
+        (3, _h(0), 2, "purchase", 6.0, "{}"),
+    ]
+    out = {
+        r["channel"]: r
+        for r in attribution_report(_attr_ev(spark, rows)).collect()
+    }
+    assert out["ch0"]["first_revenue"] == 4.0
+    assert out["direct"]["first_revenue"] == 6.0
+    assert "ch1" not in out
+
+
+def test_attribution_conservation(spark, sf_dir):
+    """Every model's total credited revenue equals total purchase micros
+    (linear up to the documented < n-micro floor undershoot per
+    purchase) and Σ n_first = Σ n_last = number of purchases."""
+    from finance_data_ingestion_pipeline_with_kafka_spark.catalog import load_table
+    from finance_data_ingestion_pipeline_with_kafka_spark.functions.core import (
+        snap_scaled,
+    )
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.attribution import (
+        touch_attribution,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter("event_type = 'purchase'")
+    n_p = purchases.count()
+    total = (
+        purchases.select(snap_scaled("value").cast("long").alias("m"))
+        .agg(F.sum("m"))
+        .collect()[0][0]
+    )
+    rows = touch_attribution(spark, sf_dir).collect()
+    first = round(sum(r["first_revenue"] for r in rows) * 1e6)
+    last = round(sum(r["last_revenue"] for r in rows) * 1e6)
+    linear = round(sum(r["linear_revenue"] for r in rows) * 1e6)
+    assert first == total
+    assert last == total
+    assert total - n_p * 10 <= linear <= total
+    assert sum(r["n_first"] for r in rows) == n_p
+    assert sum(r["n_last"] for r in rows) == n_p

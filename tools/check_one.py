@@ -67,7 +67,12 @@ def main() -> None:
             try:
                 import pandas as pd
 
-                pd.testing.assert_frame_equal(a, b, check_dtype=False)
+                # check_exact: the driver hash-compares byte-exact, so a
+                # last-ULP float drift must FAIL here too, not pass under
+                # assert_frame_equal's default rtol
+                pd.testing.assert_frame_equal(
+                    a, b, check_dtype=False, check_exact=True
+                )
                 ok_vals = True
             except AssertionError as ex:
                 print(f"  value diff: {str(ex)[:500]}")
