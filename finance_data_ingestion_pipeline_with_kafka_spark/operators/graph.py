@@ -683,6 +683,216 @@ def trustrank_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
+#: top-k cutoff for the centrality agreement metric.
+CA_TOPK = 5
+
+
+def _tr_iter_cte(prev: str, k: int) -> str:
+    """TrustRank iteration CTEs under ``t``-prefixed names so they can
+    share one WITH clause with the PageRank chain (same shared graph
+    CTEs, disjoint state names)."""
+    return f"""td{k} AS (
+      SELECT CAST(COALESCE(SUM(r), 0) AS BIGINT) AS dm FROM {prev}
+      WHERE source NOT IN (SELECT src FROM srcs)
+    ), tc{k} AS (
+      SELECT e.dst AS source, CAST(SUM((r.r * e.w) // e.out_w) AS BIGINT) AS c
+      FROM {prev} r JOIN enorm e ON r.source = e.src GROUP BY e.dst
+    ), tr{k} AS MATERIALIZED (
+      SELECT b.source, b.is_seed,
+             CAST(CASE WHEN b.is_seed = 1
+                       THEN ({3 * PR_SCALE} // {PR_DAMP_DEN}) // ss.ns ELSE 0 END
+                + ({PR_DAMP_NUM} * (COALESCE(c.c, 0)
+                     + CASE WHEN b.is_seed = 1 THEN td{k}.dm // ss.ns ELSE 0 END))
+                  // {PR_DAMP_DEN} AS BIGINT) AS r
+      FROM base b CROSS JOIN ss CROSS JOIN td{k}
+      LEFT JOIN tc{k} c ON b.source = c.source
+    )"""
+
+
+def _spearman_select(pair: str, ra: str, rb: str) -> str:
+    return f"""
+      SELECT '{pair}' AS pair,
+             CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             CAST(SUM(({ra} - {rb}) * ({ra} - {rb})) AS BIGINT) AS sum_d2,
+             CASE WHEN COUNT(*) >= 2 THEN
+               1.0 - CAST(6 * SUM(({ra} - {rb}) * ({ra} - {rb})) AS DOUBLE)
+                   / CAST(COUNT(*) * (COUNT(*) * COUNT(*) - 1) AS DOUBLE)
+             ELSE NULL END AS spearman_rho,
+             CAST(SUM(CASE WHEN {ra} <= {CA_TOPK} AND {rb} <= {CA_TOPK}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS topk_common,
+             CAST(SUM(CASE WHEN {ra} <= {CA_TOPK} AND {rb} <= {CA_TOPK}
+                           THEN 1 ELSE 0 END) AS DOUBLE) / {CA_TOPK}.0
+               AS topk_share
+      FROM ranks"""
+
+
+_AGREEMENT_ORACLE = f"""
+    WITH toks AS (
+      SELECT source, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ), sh AS (
+      SELECT DISTINCT source,
+             list_aggregate(t[i:i+{PR_SHINGLE_N - 1}], 'string_agg', ' ') AS sh
+      FROM toks, UNNEST(range(1, len(t) - {PR_SHINGLE_N} + 2)) AS rr(i)
+      WHERE len(t) >= {PR_SHINGLE_N}
+    ), good AS MATERIALIZED (
+      SELECT source, sh FROM (
+        SELECT source, sh, COUNT(*) OVER (PARTITION BY sh) AS nsrc FROM sh
+      ) WHERE nsrc BETWEEN 2 AND {PR_DF_CAP}
+    ), edges AS MATERIALIZED (
+      SELECT a.source AS src, b.source AS dst, CAST(COUNT(*) AS BIGINT) AS w
+      FROM good a JOIN good b ON a.sh = b.sh AND a.source <> b.source
+      GROUP BY 1, 2
+    ), enorm AS MATERIALIZED (
+      SELECT src, dst, w, CAST(SUM(w) OVER (PARTITION BY src) AS BIGINT) AS out_w
+      FROM edges
+    ), nodes AS MATERIALIZED (
+      SELECT DISTINCT source FROM documents
+    ), nn AS MATERIALIZED (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes
+    ), srcs AS MATERIALIZED (
+      SELECT DISTINCT src FROM edges
+    ), r0 AS MATERIALIZED (
+      SELECT source, CAST({PR_SCALE} // n AS BIGINT) AS r FROM nodes CROSS JOIN nn
+    ), {_pagerank_iter_cte("r0", 1)}, {_pagerank_iter_cte("r1", 2)},
+    {_pagerank_iter_cte("r2", 3)},
+    seeds AS MATERIALIZED (
+      SELECT source FROM documents GROUP BY source
+      HAVING 2 * SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) > COUNT(*)
+    ), ss AS MATERIALIZED (
+      SELECT CAST(COUNT(*) AS BIGINT) AS ns FROM seeds
+    ), base AS MATERIALIZED (
+      SELECT n.source,
+             CASE WHEN s.source IS NULL THEN 0 ELSE 1 END AS is_seed
+      FROM nodes n LEFT JOIN seeds s ON n.source = s.source
+    ), tr0 AS MATERIALIZED (
+      SELECT source, is_seed,
+             CAST(CASE WHEN is_seed = 1 THEN {PR_SCALE} // ss.ns ELSE 0 END
+                  AS BIGINT) AS r
+      FROM base CROSS JOIN ss
+    ), {_tr_iter_cte("tr0", 1)}, {_tr_iter_cte("tr1", 2)}, {_tr_iter_cte("tr2", 3)},
+    uedges AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges),
+    {_hc_hop_ctes().replace("FROM edges", "FROM uedges").replace("JOIN edges e", "JOIN uedges e")}, pairs AS (
+      {" UNION ALL ".join(f"SELECT * FROM p{i}" for i in range(1, HC_MAX_HOPS + 1))}
+    ), hscores AS MATERIALIZED (
+      SELECT dst AS source, CAST(SUM({HC_LCM} // d) AS BIGINT) AS h
+      FROM pairs GROUP BY dst
+    ), ranks AS MATERIALIZED (
+      SELECT n.source,
+             ROW_NUMBER() OVER (ORDER BY pr.r DESC, n.source) AS rk_pr,
+             ROW_NUMBER() OVER (ORDER BY t.r DESC, n.source) AS rk_tr,
+             ROW_NUMBER() OVER (ORDER BY COALESCE(hs.h, 0) DESC, n.source) AS rk_hc
+      FROM nodes n
+      JOIN r{PR_ITERS} pr ON n.source = pr.source
+      JOIN tr{TR_ITERS} t ON n.source = t.source
+      LEFT JOIN hscores hs ON n.source = hs.source
+    )
+    SELECT * FROM ({_spearman_select("pagerank~harmonic", "rk_pr", "rk_hc")}
+    UNION ALL {_spearman_select("pagerank~trustrank", "rk_pr", "rk_tr")}
+    UNION ALL {_spearman_select("trustrank~harmonic", "rk_tr", "rk_hc")})
+    ORDER BY pair
+"""
+
+
+@query("centrality_agreement", oracle=_AGREEMENT_ORACLE, tags=("U6", "A7"), prepared=False)
+def centrality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U6/A7] Acceptance metric for the centrality panel — the
+    ``ann_recall`` analogue for the graph family: Spearman rank
+    correlation and top-{CA_TOPK} overlap between each pair of quality
+    signals (PageRank vs TrustRank vs harmonic), over ONE shared
+    checkpointed graph. Flow-based and distance-based signals agreeing
+    is the sanity check before any is used as a corpus-curation weight;
+    where they DISAGREE (trustrank demoting a high-PageRank region) is
+    exactly the spam-demotion effect, now a measured number.
+
+    Exactness: ranks are ROW_NUMBER over the total (score DESC, source)
+    order — a deterministic permutation (the tie-broken Spearman
+    variant, documented; no averaged ranks), so Σd² and the top-k
+    overlap are exact integers and rho is one IEEE divide. Width note:
+    ``sum_d2`` ≤ n³/3 stays in int64 to n ≈ 2M domains; past that the
+    lane moves to DECIMAL(38,0) (the PR_SCALE headroom discipline). Scale: the
+    extraction runs ONCE (checkpointed); each power method touches only
+    the graph; the global rank windows sort the domain-cardinality
+    table (≪ corpus; at 10^7 domains a single-partition sort is the
+    honest cost of a total ranking and still trivial next to the
+    corpus scan)."""
+    docs = load_table(spark, sf_dir, "documents")
+    edges = source_shingle_edges(docs).localCheckpoint(eager=True)
+    nodes = docs.select("source").distinct().localCheckpoint(eager=True)
+    seeds = (
+        docs.groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("en"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter(2 * F.col("en") > F.col("n"))
+        .select("source")
+        .localCheckpoint(eager=True)
+    )
+    pr = pagerank_fixed_point(nodes, edges, PR_ITERS).select(
+        "source", F.col("r").alias("pr")
+    )
+    tr = trustrank_fixed_point(nodes, edges, seeds, TR_ITERS).select(
+        "source", F.col("r").alias("tr")
+    )
+    hs = (
+        khop_distances(edges.select("src", "dst").distinct(), HC_MAX_HOPS)
+        .groupBy("dst")
+        .agg(F.sum(F.expr(f"{HC_LCM} div d")).cast("long").alias("h"))
+    )
+    from pyspark.sql import Window
+
+    joined = (
+        nodes.join(pr, "source")
+        .join(tr, "source")
+        .join(hs, nodes["source"] == hs["dst"], "left")
+        .select(
+            "source",
+            "pr",
+            "tr",
+            F.coalesce(F.col("h"), F.lit(0).cast("long")).alias("h"),
+        )
+    )
+    ranks = joined.select(
+        "source",
+        F.row_number().over(Window.orderBy(F.desc("pr"), "source")).alias("rk_pr"),
+        F.row_number().over(Window.orderBy(F.desc("tr"), "source")).alias("rk_tr"),
+        F.row_number().over(Window.orderBy(F.desc("h"), "source")).alias("rk_hc"),
+    )
+
+    def agree(pair: str, ra: str, rb: str) -> DataFrame:
+        d2 = (F.col(ra) - F.col(rb)) * (F.col(ra) - F.col(rb))
+        both_top = F.when(
+            (F.col(ra) <= CA_TOPK) & (F.col(rb) <= CA_TOPK), 1
+        ).otherwise(0)
+        return ranks.agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum(d2).cast("long").alias("sum_d2"),
+            F.sum(both_top).cast("long").alias("tk"),
+        ).select(
+            F.lit(pair).alias("pair"),
+            "n_nodes",
+            "sum_d2",
+            F.when(
+                F.col("n_nodes") >= 2,
+                1.0
+                - (6 * F.col("sum_d2")).cast("double")
+                / (
+                    F.col("n_nodes")
+                    * (F.col("n_nodes") * F.col("n_nodes") - 1)
+                ).cast("double"),
+            ).alias("spearman_rho"),
+            F.col("tk").alias("topk_common"),
+            (F.col("tk").cast("double") / F.lit(float(CA_TOPK))).alias("topk_share"),
+        )
+
+    out = (
+        agree("pagerank~harmonic", "rk_pr", "rk_hc")
+        .unionAll(agree("pagerank~trustrank", "rk_pr", "rk_tr"))
+        .unionAll(agree("trustrank~harmonic", "rk_tr", "rk_hc"))
+    )
+    return out.orderBy("pair")
+
+
 @query("domain_pagerank", oracle=_PAGERANK_ORACLE, tags=("U6",), prepared=False)
 def domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[U6] Domain-level PageRank over the shared-shingle source graph —

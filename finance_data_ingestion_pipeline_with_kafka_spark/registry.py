@@ -382,7 +382,8 @@ def query(
 #:       (session 1: ``domain_pagerank``, ``harmonic_centrality``,
 #:       ``bpe_train_merges``, ``bpe_apply_tokenize``; session 2:
 #:       ``trustrank_seeded``, ``km_survival``, ``gif_decode``,
-#:       ``triangle_clustering``, ``touch_attribution``, ``gif_features``).
+#:       ``triangle_clustering``, ``touch_attribution``, ``gif_features``,
+#:       ``centrality_agreement``).
 #:   (1) ``_R15_MODIFIED`` — queries whose Spark kernels, oracle CTEs, or
 #:       execution-affecting registration changed during round 15 after
 #:       their last driver verification. Standing rule: code-changed ⇒
@@ -392,8 +393,8 @@ def query(
 #:       evidence becomes r10).
 #:   (3..7) ``_VERIFIED_R10..R14`` — freshness order below the fold.
 #:
-#: Round-15 window arithmetic: 10 brand-new + 0 modified + 26 r9 (tier
-#: retired) = 36; the remaining 14 window slots refresh the oldest r10
+#: Round-15 window arithmetic: 11 brand-new + 0 modified + 26 r9 (tier
+#: retired) = 37; the remaining 13 window slots refresh the oldest r10
 #: rows in registration order.
 
 _R15_MODIFIED: frozenset[str] = frozenset()

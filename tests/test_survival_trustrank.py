@@ -399,3 +399,39 @@ def test_attribution_conservation(spark, sf_dir):
     assert total - n_p * 10 <= linear <= total
     assert sum(r["n_first"] for r in rows) == n_p
     assert sum(r["n_last"] for r in rows) == n_p
+
+
+def test_trustrank_with_all_seeds_is_pagerank(spark):
+    """Seeds = every node collapses TrustRank to plain PageRank (uniform
+    teleport, uniform dangling redistribution) — bit-identical fixed-
+    point ranks on an arbitrary small graph. This is the identity the
+    `centrality_agreement` metric reads as rho == 1."""
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.graph import (
+        pagerank_fixed_point,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b", 2, 3), ("a", "c", 1, 3), ("b", "a", 1, 1)], _EDGE_COLS
+    )
+    nodes = _nodes(spark, ["a", "b", "c"])
+    pr = {r["source"]: r["r"] for r in pagerank_fixed_point(nodes, edges, 3).collect()}
+    tr = _trust(trustrank_fixed_point(nodes, edges, nodes, iters=3))
+    assert pr == tr
+
+
+def test_centrality_agreement_ranks_are_permutations(spark, sf_dir):
+    """Each rho lies in [-1, 1]; n_nodes equals the source count; the
+    self-consistency bound sum_d2 <= (n^3 - n) / 3 (the reversed
+    permutation's maximum) holds for every pair."""
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.graph import (
+        centrality_agreement,
+    )
+
+    rows = centrality_agreement(spark, sf_dir).collect()
+    assert len(rows) == 3
+    n = rows[0]["n_nodes"]
+    for r in rows:
+        assert r["n_nodes"] == n
+        assert -1.0 <= r["spearman_rho"] <= 1.0
+        assert 0 <= r["sum_d2"] <= (n ** 3 - n) // 3
+        assert 0 <= r["topk_common"] <= 5
