@@ -683,6 +683,129 @@ def trustrank_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
+LPA_ITERS = 3
+
+
+def label_propagation_fixed(nodes: DataFrame, edges: DataFrame, iters: int = LPA_ITERS) -> DataFrame:
+    """``iters`` SYNCHRONOUS label-propagation rounds (Raghavan et al.
+    2007) with a deterministic tie-break: every node simultaneously
+    adopts the label most frequent among its in-neighbors, ties broken
+    by (count DESC, label ASC); nodes with no in-edges keep their label.
+    Labels start as the node's own name. Fixed iteration count +
+    synchronous updates + total-order tie-break ⇒ bit-identical results
+    in both engines (asynchronous LPA's update-order dependence is the
+    standard reproducibility complaint; this is the deterministic
+    variant a pipeline can actually regression-test).
+
+    Per round: one join of the label table onto the edge list, one
+    grouped count, one per-node window pick — graph-sized, never
+    corpus-sized. ``nodes``: (source); ``edges``: (src, dst)."""
+    from pyspark.sql import Window
+
+    lab = nodes.select("source", F.col("source").alias("label"))
+    for _ in range(iters):
+        votes = (
+            lab.join(edges, lab["source"] == edges["src"])
+            .groupBy("dst", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        w = Window.partitionBy("dst").orderBy(F.desc("cnt"), "label")
+        pick = (
+            votes.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select(F.col("dst"), F.col("label").alias("new_label"))
+        )
+        lab = (
+            lab.join(pick, lab["source"] == pick["dst"], "left")
+            .select(
+                "source",
+                F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
+            )
+        )
+    return lab
+
+
+def _lpa_iter_cte(prev: str, k: int) -> str:
+    return f"""v{k} AS (
+      SELECT e.dst, l.label, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM {prev} l JOIN uedges e ON l.source = e.src
+      GROUP BY e.dst, l.label
+    ), pk{k} AS (
+      SELECT dst, label AS new_label FROM (
+        SELECT dst, label,
+               ROW_NUMBER() OVER (PARTITION BY dst
+                                  ORDER BY cnt DESC, label) AS rk
+        FROM v{k}
+      ) WHERE rk = 1
+    ), l{k} AS MATERIALIZED (
+      SELECT l.source, COALESCE(p.new_label, l.label) AS label
+      FROM {prev} l LEFT JOIN pk{k} p ON l.source = p.dst
+    )"""
+
+
+_LPA_ORACLE = f"""
+    WITH toks AS (
+      SELECT source, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ), sh AS (
+      SELECT DISTINCT source,
+             list_aggregate(t[i:i+{PR_SHINGLE_N - 1}], 'string_agg', ' ') AS sh
+      FROM toks, UNNEST(range(1, len(t) - {PR_SHINGLE_N} + 2)) AS rr(i)
+      WHERE len(t) >= {PR_SHINGLE_N}
+    ), good AS MATERIALIZED (
+      SELECT source, sh FROM (
+        SELECT source, sh, COUNT(*) OVER (PARTITION BY sh) AS nsrc FROM sh
+      ) WHERE nsrc BETWEEN 2 AND {PR_DF_CAP}
+    ), uedges AS MATERIALIZED (
+      SELECT DISTINCT a.source AS src, b.source AS dst
+      FROM good a JOIN good b ON a.sh = b.sh AND a.source <> b.source
+    ), nodes AS MATERIALIZED (
+      SELECT DISTINCT source FROM documents
+    ), l0 AS MATERIALIZED (
+      SELECT source, source AS label FROM nodes
+    ), {_lpa_iter_cte("l0", 1)}, {_lpa_iter_cte("l1", 2)}, {_lpa_iter_cte("l2", 3)}
+    SELECT l.source, l.label AS community,
+           CAST(COUNT(*) OVER (PARTITION BY l.label) AS BIGINT) AS community_size
+    FROM l{LPA_ITERS} l
+    ORDER BY l.source
+"""
+
+
+@query("label_propagation", oracle=_LPA_ORACLE, tags=("U6",), prepared=False)
+def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U6] Community detection by deterministic synchronous label
+    propagation over the shared-shingle graph — the content-community
+    signal next to connectivity (``near_dup_clusters`` gives components;
+    LPA splits a component into densely-linked communities, the
+    domain-clustering step a curation pipeline runs before per-community
+    sampling caps). Fixed {LPA_ITERS} rounds, (count DESC, label ASC)
+    tie-break — see ``label_propagation_fixed`` for the determinism
+    argument. Scale: each round is one graph-sized join + grouped count
+    + per-node window pick; the corpus enters only the (checkpointed)
+    edge extraction. ``prepared=False`` for the checkpoint lineage."""
+    docs = load_table(spark, sf_dir, "documents")
+    edges = (
+        source_shingle_edges(docs)
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = docs.select("source").distinct().localCheckpoint(eager=True)
+    lab = label_propagation_fixed(nodes, edges, LPA_ITERS)
+    from pyspark.sql import Window
+
+    return (
+        lab.select(
+            "source",
+            F.col("label").alias("community"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy("label"))
+            .cast("long")
+            .alias("community_size"),
+        )
+        .orderBy("source")
+    )
+
+
 #: top-k cutoff for the centrality agreement metric.
 CA_TOPK = 5
 

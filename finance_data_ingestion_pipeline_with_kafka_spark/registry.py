@@ -383,7 +383,7 @@ def query(
 #:       ``bpe_train_merges``, ``bpe_apply_tokenize``; session 2:
 #:       ``trustrank_seeded``, ``km_survival``, ``gif_decode``,
 #:       ``triangle_clustering``, ``touch_attribution``, ``gif_features``,
-#:       ``centrality_agreement``).
+#:       ``centrality_agreement``, ``label_propagation``, ``bootstrap_ci``).
 #:   (1) ``_R15_MODIFIED`` — queries whose Spark kernels, oracle CTEs, or
 #:       execution-affecting registration changed during round 15 after
 #:       their last driver verification. Standing rule: code-changed ⇒
@@ -393,8 +393,8 @@ def query(
 #:       evidence becomes r10).
 #:   (3..7) ``_VERIFIED_R10..R14`` — freshness order below the fold.
 #:
-#: Round-15 window arithmetic: 11 brand-new + 0 modified + 26 r9 (tier
-#: retired) = 37; the remaining 13 window slots refresh the oldest r10
+#: Round-15 window arithmetic: 13 brand-new + 0 modified + 26 r9 (tier
+#: retired) = 39; the remaining 11 window slots refresh the oldest r10
 #: rows in registration order.
 
 _R15_MODIFIED: frozenset[str] = frozenset()
@@ -493,6 +493,7 @@ def load_all() -> dict[str, QuerySpec]:
     from .operators import (  # noqa: F401
         aggregations,
         attribution,
+        bootstrap,
         bpe,
         decision_support,
         dedup,

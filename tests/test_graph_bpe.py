@@ -220,6 +220,8 @@ def test_random_documents_oracle_exactness(spark, sf_dir, tmp_path):
         "bpe_apply_tokenize",
         "trustrank_seeded",
         "triangle_clustering",
+        "label_propagation",
+        "centrality_agreement",
     )
     letters = list("abcdef")
     for seed in range(3):

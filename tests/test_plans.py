@@ -655,3 +655,13 @@ def test_triangle_wedge_and_close_are_equi_joins(spark, sf_dir):
     assert "parquet" not in p.lower(), p[:800]
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p, p[:800]
+
+
+def test_attribution_band_join_is_user_keyed(spark, sf_dir):
+    """touch_attribution's click→purchase lookback join must key on
+    user_id (hash/sort-merge equi join with the time band as residual) —
+    a nested-loop here is the cross-user blowup the user-bucketed
+    design exists to prevent."""
+    p = executed_plan(q(spark, sf_dir, "touch_attribution"))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p, p[:800]

@@ -435,3 +435,101 @@ def test_centrality_agreement_ranks_are_permutations(spark, sf_dir):
         assert -1.0 <= r["spearman_rho"] <= 1.0
         assert 0 <= r["sum_d2"] <= (n ** 3 - n) // 3
         assert 0 <= r["topk_common"] <= 5
+
+
+# ------------------------------------------------------- label propagation
+
+
+def test_lpa_two_cliques_with_bridge_split(spark):
+    """Two 3-cliques joined by one bridge edge: synchronous LPA with the
+    (count DESC, label ASC) tie-break must put each clique in its own
+    community and leave the isolated node alone — the bridge is never
+    enough votes to merge them."""
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.graph import (
+        label_propagation_fixed,
+    )
+
+    und = [("a", "b"), ("a", "c"), ("b", "c"), ("d", "e"), ("d", "f"),
+           ("e", "f"), ("c", "d")]
+    pairs = und + [(y, x) for x, y in und]
+    edges = spark.createDataFrame(pairs, ["src", "dst"])
+    nodes = _nodes(spark, ["a", "b", "c", "d", "e", "f", "iso"])
+    lab = {
+        r["source"]: r["label"]
+        for r in label_propagation_fixed(nodes, edges, 3).collect()
+    }
+    assert lab["a"] == lab["b"] == lab["c"]
+    assert lab["d"] == lab["e"] == lab["f"]
+    assert lab["a"] != lab["d"]
+    assert lab["iso"] == "iso"
+
+
+def test_lpa_star_converges_to_center_label_or_spoke_min(spark):
+    """Star: spokes see only the center, so after round 1 every spoke
+    holds the center's label; the center sees unanimous spokes. The
+    exact fixed point is hand-computable: sync updates oscillate the
+    center between the min spoke label and its own, while spokes settle
+    on 'c' after round 2 (c's round-1 label was the min spoke 's1')."""
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.graph import (
+        label_propagation_fixed,
+    )
+
+    spokes = ["s1", "s2", "s3"]
+    pairs = [("c", s) for s in spokes] + [(s, "c") for s in spokes]
+    edges = spark.createDataFrame(pairs, ["src", "dst"])
+    nodes = _nodes(spark, ["c"] + spokes)
+    lab = {
+        r["source"]: r["label"]
+        for r in label_propagation_fixed(nodes, edges, 3).collect()
+    }
+    # round 1: spokes -> 'c', center -> 's1'; round 2: spokes -> 's1',
+    # center -> 'c'; round 3: spokes -> 'c', center -> 's1'
+    assert lab == {"c": "s1", "s1": "c", "s2": "c", "s3": "c"}
+
+
+# --------------------------------------------------------------- bootstrap
+
+
+def test_bootstrap_ci_brackets_the_point_mean(spark, sf_dir):
+    """The ~94% percentile interval must bracket the exact point mean on
+    every event type (deterministic hashes → this is a fixed property
+    of the fixture, not a flaky statistical assertion), with
+    ci_lo <= ci_hi and the full B=32 resamples present."""
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.bootstrap import (
+        BOOT_B,
+        bootstrap_ci,
+    )
+
+    rows = bootstrap_ci(spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["n_res"] == BOOT_B
+        assert r["ci_lo"] <= r["mean_value"] <= r["ci_hi"], r
+        assert r["ci_hi"] - r["ci_lo"] < r["mean_value"]  # sane width
+
+
+def test_bootstrap_weights_average_to_one(spark, sf_dir):
+    """The hash-Poisson weight table must actually BE Poisson(1)-shaped:
+    across all (row, b) draws the mean weight sits at 1 within 1% and
+    weight 0 is drawn ~e^-1 of the time (deterministic fixture: exact
+    reproducible numbers, generous bounds)."""
+    from finance_data_ingestion_pipeline_with_kafka_spark.catalog import load_table
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.bootstrap import (
+        BOOT_B,
+        _weight_case_sql,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_id")
+    u = (
+        "substring(md5(concat(CAST(event_id AS STRING), ':',"
+        " CAST(b AS STRING))), 1, 15)"
+    )
+    w = ev.select(
+        "event_id", F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b")
+    ).selectExpr(f"{_weight_case_sql(u)} AS wt")
+    agg = w.agg(
+        F.avg("wt").alias("m"),
+        F.avg(F.when(F.col("wt") == 0, 1.0).otherwise(0.0)).alias("p0"),
+    ).collect()[0]
+    assert abs(agg["m"] - 1.0) < 0.01
+    assert abs(agg["p0"] - 0.3679) < 0.01
