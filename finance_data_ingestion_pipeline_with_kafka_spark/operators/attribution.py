@@ -120,10 +120,15 @@ def attribution_report(ev: DataFrame) -> DataFrame:
         F.col("ts").alias("pts"),
         snap_scaled("value").cast("long").alias("micros"),
     )
+    # click-side columns renamed up front: purchases and clicks share
+    # the events lineage, and a raw user_id == user_id join condition is
+    # only disambiguated by Spark's self-join plan tagging (it works but
+    # warns "trivially true equals predicate") — distinct names make the
+    # equi-key unambiguous in the plan text too
     clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id",
-        "ts",
-        "event_id",
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("cts"),
+        F.col("event_id").alias("cid"),
         F.concat(
             F.lit("ch"),
             (F.get_json_object("props", "$.k").cast("bigint") % ATTR_N_CHANNELS).cast(
@@ -133,16 +138,22 @@ def attribution_report(ev: DataFrame) -> DataFrame:
     )
     touches = purchases.join(
         clicks,
-        (purchases["user_id"] == clicks["user_id"])
+        (F.col("user_id") == F.col("cu"))
         & (
-            (clicks["ts"] < purchases["pts"])
-            | ((clicks["ts"] == purchases["pts"]) & (clicks["event_id"] < purchases["pid"]))
+            (F.col("cts") < F.col("pts"))
+            | ((F.col("cts") == F.col("pts")) & (F.col("cid") < F.col("pid")))
         )
         & (
-            F.unix_micros(clicks["ts"])
-            >= F.unix_micros(purchases["pts"]) - ATTR_LOOKBACK_H * _US_PER_H
+            F.unix_micros(F.col("cts"))
+            >= F.unix_micros(F.col("pts")) - ATTR_LOOKBACK_H * _US_PER_H
         ),
-    ).select("pid", "micros", "channel", "ts", "event_id")
+    ).select(
+        "pid",
+        "micros",
+        "channel",
+        F.col("cts").alias("ts"),
+        F.col("cid").alias("event_id"),
+    )
     w_f = Window.partitionBy("pid").orderBy("ts", "event_id")
     w_l = Window.partitionBy("pid").orderBy(F.desc("ts"), F.desc("event_id"))
     w_n = Window.partitionBy("pid")

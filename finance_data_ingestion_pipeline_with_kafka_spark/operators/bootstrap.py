@@ -42,9 +42,8 @@ _HEX_BITS = 60  # 15 hex chars
 
 def _poisson1_hex_thresholds(cap: int = BOOT_WCAP) -> list[str]:
     """CDF(k) for Poisson(1), k = 0..cap-1, as 15-char lowercase hex of
-    floor(CDF · 2^60) — module-load-time constants shared verbatim by
-    the Spark expression and the DuckDB oracle, so the (row, b) → weight
-    map is one literal table, not per-engine math."""
+    floor(CDF · 2^60) — the generator behind the PINNED ``_THRESH``
+    literals below (kept for documentation and the equality test)."""
     out = []
     acc = 0.0
     term = math.exp(-1.0)
@@ -55,7 +54,16 @@ def _poisson1_hex_thresholds(cap: int = BOOT_WCAP) -> list[str]:
     return out
 
 
-_THRESH = _poisson1_hex_thresholds()
+#: PINNED literal thresholds (not recomputed at import): a platform
+#: libm whose exp(-1) differs in the last ulp would shift a threshold
+#: by one 2^-60 slot and flip ~1e-18 of weight decisions — pinning the
+#: table makes the (row, b) → weight map a spec constant everywhere.
+#: ``test_bootstrap_thresholds_match_generator`` keeps the two in sync.
+_THRESH = [
+    "5e2d58d8b3bce00", "bc5ab1b16779c00", "eb715e1dc158300",
+    "fb23979734a2580", "ff1025f59174e00", "ffd90f3ba405600",
+    "fffa8b71fc72c80",
+]
 
 
 def _weight_case_sql(u: str) -> str:

@@ -533,3 +533,17 @@ def test_bootstrap_weights_average_to_one(spark, sf_dir):
     ).collect()[0]
     assert abs(agg["m"] - 1.0) < 0.01
     assert abs(agg["p0"] - 0.3679) < 0.01
+
+
+def test_bootstrap_thresholds_match_generator():
+    """The pinned Poisson(1)-CDF hex literals must equal what the
+    documented generator produces on this platform (guards accidental
+    edits of the spec constants)."""
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.bootstrap import (
+        _THRESH,
+        _poisson1_hex_thresholds,
+    )
+
+    assert _THRESH == _poisson1_hex_thresholds()
+    assert all(len(t) == 15 for t in _THRESH)
+    assert _THRESH == sorted(_THRESH)
