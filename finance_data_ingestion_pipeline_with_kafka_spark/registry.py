@@ -383,7 +383,8 @@ def query(
 #:       ``bpe_train_merges``, ``bpe_apply_tokenize``; session 2:
 #:       ``trustrank_seeded``, ``km_survival``, ``gif_decode``,
 #:       ``triangle_clustering``, ``touch_attribution``, ``gif_features``,
-#:       ``centrality_agreement``, ``label_propagation``, ``bootstrap_ci``).
+#:       ``centrality_agreement``, ``label_propagation``, ``bootstrap_ci``,
+#:       ``km_logrank``).
 #:   (1) ``_R15_MODIFIED`` — queries whose Spark kernels, oracle CTEs, or
 #:       execution-affecting registration changed during round 15 after
 #:       their last driver verification. Standing rule: code-changed ⇒
@@ -393,8 +394,8 @@ def query(
 #:       evidence becomes r10).
 #:   (3..7) ``_VERIFIED_R10..R14`` — freshness order below the fold.
 #:
-#: Round-15 window arithmetic: 13 brand-new + 0 modified + 26 r9 (tier
-#: retired) = 39; the remaining 11 window slots refresh the oldest r10
+#: Round-15 window arithmetic: 14 brand-new + 0 modified + 26 r9 (tier
+#: retired) = 40; the remaining 10 window slots refresh the oldest r10
 #: rows in registration order.
 
 _R15_MODIFIED: frozenset[str] = frozenset()
@@ -504,6 +505,7 @@ def load_all() -> dict[str, QuerySpec]:
         mp3,
         mp4,
         layout,
+        logrank,
         multimodal,
         pandas_udfs,
         relational,

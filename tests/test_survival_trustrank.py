@@ -547,3 +547,50 @@ def test_bootstrap_thresholds_match_generator():
     assert _THRESH == _poisson1_hex_thresholds()
     assert all(len(t) == 15 for t in _THRESH)
     assert _THRESH == sorted(_THRESH)
+
+
+# ---------------------------------------------------------------- log-rank
+
+
+def test_logrank_consistent_with_km_and_aa_bounded(spark, sf_dir):
+    """The two-group table must partition km_survival's: n_a+n_b and
+    d_a+d_b equal the single-curve risk/death counts at every step;
+    cum_v is nondecreasing; and the A/A hash split keeps |z| well inside
+    ±2 at every step (deterministic fixture → fixed numbers, generous
+    bound). The cumulative fold re-derives from the per-step columns
+    bit-exactly."""
+    import math
+
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.logrank import (
+        km_logrank,
+    )
+
+    km = {r["step"]: r for r in km_survival(spark, sf_dir).collect()}
+    rows = km_logrank(spark, sf_dir).collect()
+    assert len(rows) == KM_HORIZON
+    prev_v = 0.0
+    oe = 0.0
+    v = 0.0
+    for r in sorted(rows, key=lambda r: r["step"]):
+        k = km[r["step"]]
+        assert r["n_a"] + r["n_b"] == k["n_risk"]
+        assert r["d_a"] + r["d_b"] == k["n_death"]
+        assert r["cum_v"] >= prev_v
+        prev_v = r["cum_v"]
+        if r["z"] is not None:
+            assert abs(r["z"]) < 2.0
+        n = r["n_a"] + r["n_b"]
+        d = r["d_a"] + r["d_b"]
+        e_t = (float(r["n_a"]) * float(d)) / float(n) if n > 0 else 0.0
+        v_t = (
+            (((float(r["n_a"]) * float(r["n_b"])) * float(d)) * float(n - d))
+            / ((float(n) * float(n)) * float(n - 1))
+            if n > 1
+            else 0.0
+        )
+        oe = oe + (float(r["d_a"]) - e_t)
+        v = v + v_t
+        assert r["cum_oe"] == oe  # bit-identical left fold
+        assert r["cum_v"] == v
+        if v > 0:
+            assert r["z"] == oe / math.sqrt(v)
