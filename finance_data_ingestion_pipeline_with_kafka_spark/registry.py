@@ -375,53 +375,39 @@ def query(
 #: and after that the window refreshes the STALEST evidence (testdata
 #: regenerates between rounds, so old green rows decay).
 #:
-#: Round-15 ordering (cumulative after CORRECTNESS_r14: 265/265
-#: hash-green, zero latest-run failures across r01–r14; tiers derived by
-#: ``tools/rotate_verified.py`` over CORRECTNESS_r01..r14):
+#: Round-16 ordering (cumulative after CORRECTNESS_r15: 279/279
+#: hash-green, zero latest-run failures across r01–r15; tiers derived by
+#: ``tools/rotate_verified.py`` over CORRECTNESS_r01..r15):
 #:   (0) brand-new queries registered this round — no driver row at all
-#:       (session 1: ``domain_pagerank``, ``harmonic_centrality``,
-#:       ``bpe_train_merges``, ``bpe_apply_tokenize``; session 2:
-#:       ``trustrank_seeded``, ``km_survival``, ``gif_decode``,
-#:       ``triangle_clustering``, ``touch_attribution``, ``gif_features``,
-#:       ``centrality_agreement``, ``label_propagation``, ``bootstrap_ci``,
-#:       ``km_logrank``).
-#:   (1) ``_R15_MODIFIED`` — queries whose Spark kernels, oracle CTEs, or
-#:       execution-affecting registration changed during round 15 after
+#:       (``phash_near_dup``, ``phash_recall``, ``unigram_lm_train``,
+#:       ``unigram_lm_tokenize``, …).
+#:   (1) ``_R16_MODIFIED`` — queries whose Spark kernels, oracle CTEs, or
+#:       execution-affecting registration changed during round 16 after
 #:       their last driver verification. Standing rule: code-changed ⇒
-#:       next driver window. (Empty so far this round.)
-#:   (2) ``_VERIFIED_R9`` — the 26 r9-stale rows (VERDICT r14 ask #4
-#:       leads with them — this retires the r9 tier entirely; oldest
-#:       evidence becomes r10).
-#:   (3..7) ``_VERIFIED_R10..R14`` — freshness order below the fold.
+#:       next driver window.
+#:   (2) ``_VERIFIED_R10`` — the 38 r10-stale rows (VERDICT r15 ask #1
+#:       leads with them — this retires the r10 tier entirely; oldest
+#:       evidence becomes r11). The dedup/ANN flagships
+#:       (``minhash_near_dup``, ``near_dup_clusters``, ``knn_bruteforce``)
+#:       sit in this tier after five driver rounds on r10 evidence.
+#:   (3..7) ``_VERIFIED_R11..R15`` — freshness order below the fold.
 #:
-#: Round-15 window arithmetic: 14 brand-new + 0 modified + 26 r9 (tier
-#: retired) = 40; the remaining 10 window slots refresh the oldest r10
+#: Round-16 window arithmetic: brand-new + modified + 38 r10 rows (tier
+#: retired) fill the window; any remaining slots refresh the oldest r11
 #: rows in registration order.
 
-_R15_MODIFIED: frozenset[str] = frozenset()
-_VERIFIED_R9 = frozenset((
-    "array_functions", "asof_fold_series", "asof_join_tolerance", "dataset_interleave",
-    "dataset_split", "date_arithmetic", "donchian_channel", "ewma",
-    "except_feeds", "explode_outer_numbers", "funnel_analysis", "hash_functions",
-    "intersect_feeds", "json_extraction", "kmeans_refine", "kmv_distinct",
-    "map_functions", "reservoir_sample", "retention_cohorts", "rolling_volatility",
-    "running_drawdown", "semantic_dedup", "stratified_sample", "table_profile",
-    "union_feeds", "variant_json_agg",
-))
-
+_R16_MODIFIED: frozenset[str] = frozenset()
 _VERIFIED_R10 = frozenset((
-    "ann_lsh_bucketed", "asof_join", "bm25_score", "chunk_documents",
-    "cube_subtotals", "dataset_card", "dedup_cluster_stats", "dedup_survivors",
-    "embedding_near_dup", "embedding_quantize", "exact_dedup", "except_all_multiset",
-    "fingerprint_containment", "historical_var", "incremental_clusters", "intersect_all_multiset",
-    "knn_bruteforce", "last_closed_bar", "length_bucketing", "minhash_jaccard_estimate",
-    "minhash_near_dup", "minhash_recall", "multi_resolution_bars", "near_dup_clusters",
-    "ohlcv_bars", "ols_regression", "percentiles", "pivot_matrix",
-    "png_decode", "pq_encode", "quality_survivors", "rollup_subtotals",
-    "simhash_near_dup", "simhash_recall", "sliding_window_agg", "sql_entry_revenue",
-    "stddev_variance", "tumbling_window_agg", "union_by_name_missing", "vwap",
-    "window_cume_nth", "window_cumulative", "window_first_last", "window_lag_returns",
-    "window_moving_avg", "window_ntile_pctrank", "window_range_frame", "window_rank_topk",
+    "ann_lsh_bucketed", "asof_join", "dedup_cluster_stats", "dedup_survivors",
+    "embedding_near_dup", "embedding_quantize", "except_all_multiset", "fingerprint_containment",
+    "historical_var", "incremental_clusters", "intersect_all_multiset", "knn_bruteforce",
+    "last_closed_bar", "length_bucketing", "minhash_jaccard_estimate", "minhash_near_dup",
+    "minhash_recall", "multi_resolution_bars", "near_dup_clusters", "ohlcv_bars",
+    "png_decode", "pq_encode", "quality_survivors", "simhash_near_dup",
+    "simhash_recall", "sliding_window_agg", "sql_entry_revenue", "tumbling_window_agg",
+    "union_by_name_missing", "vwap", "window_cume_nth", "window_cumulative",
+    "window_first_last", "window_lag_returns", "window_moving_avg", "window_ntile_pctrank",
+    "window_range_frame", "window_rank_topk",
 ))
 
 _VERIFIED_R11 = frozenset((
@@ -485,6 +471,21 @@ _VERIFIED_R14 = frozenset((
     "weighted_hash_sample", "zipf_fit",
 ))
 
+_VERIFIED_R15 = frozenset((
+    "array_functions", "asof_fold_series", "asof_join_tolerance", "bm25_score",
+    "bootstrap_ci", "bpe_apply_tokenize", "bpe_train_merges", "centrality_agreement",
+    "chunk_documents", "cube_subtotals", "dataset_card", "dataset_interleave",
+    "dataset_split", "date_arithmetic", "domain_pagerank", "donchian_channel",
+    "ewma", "exact_dedup", "except_feeds", "explode_outer_numbers",
+    "funnel_analysis", "gif_decode", "gif_features", "harmonic_centrality",
+    "hash_functions", "intersect_feeds", "json_extraction", "km_logrank",
+    "km_survival", "kmeans_refine", "kmv_distinct", "label_propagation",
+    "map_functions", "ols_regression", "percentiles", "pivot_matrix",
+    "reservoir_sample", "retention_cohorts", "rolling_volatility", "rollup_subtotals",
+    "running_drawdown", "semantic_dedup", "stddev_variance", "stratified_sample",
+    "table_profile", "touch_attribution", "triangle_clustering", "trustrank_seeded",
+    "union_feeds", "variant_json_agg",
+))
 
 
 def load_all() -> dict[str, QuerySpec]:
@@ -508,6 +509,7 @@ def load_all() -> dict[str, QuerySpec]:
         logrank,
         multimodal,
         pandas_udfs,
+        phash,
         relational,
         sampling,
         setops,
@@ -517,6 +519,7 @@ def load_all() -> dict[str, QuerySpec]:
         text,
         timeseries,
         training,
+        unigram,
         windows,
     )
 
@@ -524,21 +527,21 @@ def load_all() -> dict[str, QuerySpec]:
 
     def rank(item: tuple[str, QuerySpec]) -> tuple[int, int, int]:
         name, _spec = item
-        if name in _R15_MODIFIED:
+        if name in _R16_MODIFIED:
             return (1, 0, reg_order[name])
-        if name in _VERIFIED_R9:
-            return (2, 0, reg_order[name])
         if name in _VERIFIED_R10:
-            return (3, 0, reg_order[name])
+            return (2, 0, reg_order[name])
         if name in _VERIFIED_R11:
-            return (4, 0, reg_order[name])
+            return (3, 0, reg_order[name])
         if name in _VERIFIED_R12:
-            return (5, 0, reg_order[name])
+            return (4, 0, reg_order[name])
         if name in _VERIFIED_R13:
-            return (6, 0, reg_order[name])
+            return (5, 0, reg_order[name])
         if name in _VERIFIED_R14:
+            return (6, 0, reg_order[name])
+        if name in _VERIFIED_R15:
             return (7, 0, reg_order[name])
-        # brand-new queries (registered after CORRECTNESS_r14 was
+        # brand-new queries (registered after CORRECTNESS_r15 was
         # written): no driver row yet, so they lead the window ahead of
         # even the code-modified re-verification tier
         return (0, 0, reg_order[name])

@@ -81,10 +81,11 @@ def _full_detail(specs) -> dict:
                 }
                 for n in bench.FLOOR_BOUND
             },
-            # worst case: every cell degraded at both reps (r14 marker)
-            "degraded_to_min2": sorted(
-                f"{n}@{rep}x" for n in bench.FLOOR_BOUND for rep in (1, 30)
-            ),
+            # r16 protocol marker: fixed min-of-2 at 1×, min-of-5 at 30×
+            "protocol": {"passes_1x": 2, "passes_30x": 5},
+            # worst case: every 30× cell degraded (1× cells are protocol
+            # min-of-2 since r16 and cannot appear here)
+            "degraded_to_min2": sorted(f"{n}@30x" for n in bench.FLOOR_BOUND),
         },
         "dedup_crossover_10x": {
             "factor": 10,

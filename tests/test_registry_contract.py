@@ -8,25 +8,25 @@ load-bearing, not cosmetic.
 import pytest
 
 from finance_data_ingestion_pipeline_with_kafka_spark.registry import (
-    _R15_MODIFIED,
-    _VERIFIED_R9,
+    _R16_MODIFIED,
     _VERIFIED_R10,
     _VERIFIED_R11,
     _VERIFIED_R12,
     _VERIFIED_R13,
     _VERIFIED_R14,
+    _VERIFIED_R15,
     load_all,
     query,
 )
 
 _ALL_TIERS = (
-    _R15_MODIFIED,
-    _VERIFIED_R9,
+    _R16_MODIFIED,
     _VERIFIED_R10,
     _VERIFIED_R11,
     _VERIFIED_R12,
     _VERIFIED_R13,
     _VERIFIED_R14,
+    _VERIFIED_R15,
 )
 
 
@@ -41,11 +41,11 @@ def test_bench_specs_are_oracle_checked():
     assert all(s.oracle is not None for s in cat.values() if s.bench)
 
 
-def test_tiers_partition_the_round14_catalog():
-    """The tier sets are disjoint and cover exactly the 265 names that
-    existed when CORRECTNESS_r14 was written; any name outside them is
-    brand-new this round. (_R15_MODIFIED holds names re-tiered from
-    their freshness tiers after round-15 kernel/registration changes —
+def test_tiers_partition_the_round15_catalog():
+    """The tier sets are disjoint and cover exactly the 279 names that
+    existed when CORRECTNESS_r15 was written; any name outside them is
+    brand-new this round. (_R16_MODIFIED holds names re-tiered from
+    their freshness tiers after round-16 kernel/registration changes —
     they overlap no freshness tier because rotate_verified moves them
     out.)"""
     union = set()
@@ -54,29 +54,27 @@ def test_tiers_partition_the_round14_catalog():
         assert not (union & tier), sorted(union & tier)
         union |= tier
         total += len(tier)
-    assert total == len(union) == 265
+    assert total == len(union) == 279
     assert union <= set(load_all())
 
 
 def test_stalest_evidence_leads_the_window():
     """The driver verifies only the first ~50 catalog entries per round.
-    Round-15 contract (VERDICT r14 ask #4): brand-new queries (no driver
+    Round-16 contract (VERDICT r15 ask #1): brand-new queries (no driver
     row) rank first, then the queries whose kernels or execution-affecting
-    registration changed in round 15 AFTER their last driver verification
-    (standing rule: code-changed => next window), then the 26 r9-stale
-    rows (retiring the r9 tier — oldest evidence becomes r10); r10..r14
+    registration changed in round 16 AFTER their last driver verification
+    (standing rule: code-changed => next window), then the 38 r10-stale
+    rows (retiring the r10 tier — oldest evidence becomes r11); r11..r15
     greens sit below in staleness order, so the window's remaining slots
-    refresh the oldest r10 rows."""
+    refresh the oldest r11 rows."""
     order = list(load_all())
     known = set().union(*_ALL_TIERS)
     new = [n for n in order if n not in known]
-    n_new, n_mod, n_r9 = len(new), len(_R15_MODIFIED), len(_VERIFIED_R9)
+    n_new, n_mod, n_r10 = len(new), len(_R16_MODIFIED), len(_VERIFIED_R10)
     assert set(order[:n_new]) == set(new)
-    assert set(order[n_new : n_new + n_mod]) == set(_R15_MODIFIED)
-    assert set(order[n_new + n_mod : n_new + n_mod + n_r9]) == set(_VERIFIED_R9)
-    # staleness order below the fold: r9 < r10 < r11 < r12 < r13 < r14
-    last_r9 = max(order.index(n) for n in _VERIFIED_R9)
-    first_r10 = min(order.index(n) for n in _VERIFIED_R10)
+    assert set(order[n_new : n_new + n_mod]) == set(_R16_MODIFIED)
+    assert set(order[n_new + n_mod : n_new + n_mod + n_r10]) == set(_VERIFIED_R10)
+    # staleness order below the fold: r10 < r11 < r12 < r13 < r14 < r15
     last_r10 = max(order.index(n) for n in _VERIFIED_R10)
     first_r11 = min(order.index(n) for n in _VERIFIED_R11)
     last_r11 = max(order.index(n) for n in _VERIFIED_R11)
@@ -85,30 +83,32 @@ def test_stalest_evidence_leads_the_window():
     first_r13 = min(order.index(n) for n in _VERIFIED_R13)
     last_r13 = max(order.index(n) for n in _VERIFIED_R13)
     first_r14 = min(order.index(n) for n in _VERIFIED_R14)
-    assert last_r9 < first_r10 < last_r10 < first_r11
-    assert last_r11 < first_r12 < last_r12 < first_r13
-    assert last_r13 < first_r14
+    last_r14 = max(order.index(n) for n in _VERIFIED_R14)
+    first_r15 = min(order.index(n) for n in _VERIFIED_R15)
+    assert last_r10 < first_r11 < last_r11 < first_r12
+    assert last_r12 < first_r13 < last_r13 < first_r14
+    assert last_r14 < first_r15
     # the 50-slot window: every brand-new and code-modified name must be
     # inside it (the standing rule outranks staleness), the whole
-    # r9-stale tier must be inside it, and every remaining slot goes
-    # to the oldest r10 rows
+    # r10-stale tier must be inside it, and every remaining slot goes
+    # to the oldest r11 rows
     window = set(order[:50])
     assert set(new) <= window, sorted(set(new) - window)
-    assert set(_R15_MODIFIED) <= window, sorted(set(_R15_MODIFIED) - window)
-    assert set(_VERIFIED_R9) <= window, sorted(set(_VERIFIED_R9) - window)
-    assert window - set(new) - set(_R15_MODIFIED) - set(_VERIFIED_R9) <= set(
-        _VERIFIED_R10
+    assert set(_R16_MODIFIED) <= window, sorted(set(_R16_MODIFIED) - window)
+    assert set(_VERIFIED_R10) <= window, sorted(set(_VERIFIED_R10) - window)
+    assert window - set(new) - set(_R16_MODIFIED) - set(_VERIFIED_R10) <= set(
+        _VERIFIED_R11
     ), sorted(
-        window - set(new) - set(_R15_MODIFIED) - set(_VERIFIED_R9) - set(_VERIFIED_R10)
+        window - set(new) - set(_R16_MODIFIED) - set(_VERIFIED_R10) - set(_VERIFIED_R11)
     )
-    # no freshly-verified (r13/r14) row may waste a window slot
-    assert window & (set(_VERIFIED_R13) | set(_VERIFIED_R14)) == set(), sorted(
-        window & (set(_VERIFIED_R13) | set(_VERIFIED_R14))
+    # no freshly-verified (r14/r15) row may waste a window slot
+    assert window & (set(_VERIFIED_R14) | set(_VERIFIED_R15)) == set(), sorted(
+        window & (set(_VERIFIED_R14) | set(_VERIFIED_R15))
     )
 
 
 def test_brand_new_queries_sort_into_the_window():
-    """A query in no tier (i.e. added after CORRECTNESS_r14) must rank
+    """A query in no tier (i.e. added after CORRECTNESS_r15) must rank
     ahead of every tiered row, including the code-modified tier."""
     order = list(load_all())
     known = set().union(*_ALL_TIERS)
