@@ -5,12 +5,15 @@ Hamming-distance candidate generation that never materializes all
 pairs.
 
 This is the standard image-dedup stage of large multimodal corpus
-builds (DCT-based pHash): resize to a small grayscale raster, take the
+builds (DCT-based pHash): render a small grayscale raster, take the
 low-frequency 8×8 DCT band, and hash each AC coefficient's sign
 against the band median. Near-identical images differ in few bits of
 the hash, so near-dup detection is Hamming distance over 64-bit codes
 — exactly the shape the SimHash machinery already handles at corpus
-scale (banding by pigeonhole, hot-bucket star guard).
+scale (banding by pigeonhole, hot-bucket star guard). Documents render
+to images via ``token_raster`` (a token-bucket histogram — edits stay
+local in pixel space, the property file-byte tiling lacks), and every
+raster round-trips through the real GIF89a/LZW codec before hashing.
 
 Everything is exact integer arithmetic so the DuckDB oracle recomputes
 bit-identical hashes: the DCT basis is a PRECOMPUTED integer table
@@ -21,8 +24,8 @@ libm trust anywhere. The reference has no image operators at all
 SURVEY §2 define the parity target.
 
 100 TB posture: hashing is per-row narrow work (mapInPandas over the
-payload column — decode + two 8×32 integer matmuls per image, no
-shuffle); candidate generation is the banded self-join with bounded
+text column — render + codec round-trip + two 8×32 integer matmuls
+per image, no shuffle); candidate generation is the banded self-join with bounded
 task memory (≤ ``HOT_BUCKET_CAP`` collected per bucket, hot buckets
 stream star pairs straight off a window); the 63-bit code is 8 bytes
 per image regardless of image size, so the shuffle carries hashes,
@@ -53,7 +56,7 @@ PHASH_SCALE = 8192
 PHASH_BANDS = 4
 PHASH_BAND_BITS = 16
 PHASH_HAMMING = 3
-#: Minimum payload bytes for a meaningful raster (shorter docs are
+#: Minimum document bytes for a meaningful raster (shorter docs are
 #: excluded in both engines).
 PHASH_MIN_BYTES = PHASH_DIM
 #: Gray step per token landing in a bucket (saturating at 255): one
@@ -263,50 +266,52 @@ def _phash_cte() -> str:
         for k in range(PHASH_BANDS)
     )
     return f"""
-    ph_cos(u, x, c) AS (SELECT * FROM (VALUES {basis})),
-    ph_docs AS (
+    ph_cos(u, x, c) AS MATERIALIZED (SELECT * FROM (VALUES {basis})),
+    ph_docs AS MATERIALIZED (
       SELECT doc_id, text FROM documents
       WHERE octet_length(encode(text)) >= {PHASH_MIN_BYTES}
     ),
-    ph_toks AS (
+    ph_toks AS MATERIALIZED (
       SELECT doc_id,
              unnest(string_split_regex(trim(text), '\\s+')) AS tok
       FROM ph_docs
     ),
-    ph_buckets AS (
+    ph_buckets AS MATERIALIZED (
       SELECT doc_id,
              CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % {need} AS p,
              COUNT(*) AS cnt
       FROM ph_toks GROUP BY doc_id, p
     ),
-    ph_pix AS (
-      SELECT d.doc_id, CAST(t.p // {PHASH_DIM} AS INT) AS y,
-             CAST(t.p % {PHASH_DIM} AS INT) AS x,
-             CAST(LEAST(255, {PHASH_PIXEL_SCALE} * COALESCE(b.cnt, 0)) AS BIGINT)
-               AS b
-      FROM ph_docs d
-      CROSS JOIN range({need}) t(p)
-      LEFT JOIN ph_buckets b ON b.doc_id = d.doc_id AND b.p = t.p
+    ph_pix AS MATERIALIZED (
+      -- SPARSE raster: only nonzero pixels. A document's raster has at
+      -- most (distinct tokens) nonzero cells out of 1024; zero pixels
+      -- contribute nothing to any DCT sum, so the dense cross join is
+      -- pure wasted work (measured 16 s -> sub-second at sf0.1). The
+      -- integer sums are identical to the dense form.
+      SELECT doc_id, CAST(p // {PHASH_DIM} AS INT) AS y,
+             CAST(p % {PHASH_DIM} AS INT) AS x,
+             CAST(LEAST(255, {PHASH_PIXEL_SCALE} * cnt) AS BIGINT) AS b
+      FROM ph_buckets
     ),
-    ph_rowpass AS (
+    ph_rowpass AS MATERIALIZED (
       SELECT p.doc_id, c.u, p.x, CAST(SUM(c.c * p.b) AS BIGINT) AS a
       FROM ph_pix p JOIN ph_cos c ON c.x = p.y
       GROUP BY p.doc_id, c.u, p.x
     ),
-    ph_dct AS (
+    ph_dct AS MATERIALIZED (
       SELECT r.doc_id, r.u, c.u AS v, CAST(SUM(c.c * r.a) AS BIGINT) AS d
       FROM ph_rowpass r JOIN ph_cos c ON c.x = r.x
       GROUP BY r.doc_id, r.u, c.u
     ),
-    ph_ac AS (SELECT * FROM ph_dct WHERE NOT (u = 0 AND v = 0)),
-    ph_med AS (
+    ph_ac AS MATERIALIZED (SELECT * FROM ph_dct WHERE NOT (u = 0 AND v = 0)),
+    ph_med AS MATERIALIZED (
       SELECT doc_id, d AS med FROM (
         SELECT doc_id, d,
                row_number() OVER (PARTITION BY doc_id ORDER BY d, u, v) AS rn
         FROM ph_ac
       ) WHERE rn = 32
     ),
-    ph_hashes AS (
+    ph_hashes AS MATERIALIZED (
       SELECT a.doc_id,
              CAST(SUM(CASE WHEN a.d > m.med
                            THEN (1::BIGINT << (a.u * {PHASH_BAND} + a.v - 1))
@@ -314,8 +319,8 @@ def _phash_cte() -> str:
       FROM ph_ac a JOIN ph_med m ON m.doc_id = a.doc_id
       GROUP BY a.doc_id
     ),
-    ph_banded AS ({banded}),
-    ph_sized AS (
+    ph_banded AS MATERIALIZED ({banded}),
+    ph_sized AS MATERIALIZED (
       SELECT doc_id, phash, band_id, band_val,
              COUNT(*) OVER w AS bsz,
              MIN(doc_id) OVER w AS bmin,
@@ -324,7 +329,7 @@ def _phash_cte() -> str:
       FROM ph_banded
       WINDOW w AS (PARTITION BY band_id, band_val)
     ),
-    ph_flagged AS (
+    ph_flagged AS MATERIALIZED (
       SELECT doc_a, doc_b, hamming FROM (
         SELECT DISTINCT doc_a, doc_b, hamming FROM (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -431,4 +436,101 @@ def phash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_hit").cast("double") / F.col("n_flagged"),
             ).alias("precision"),
         )
+    )
+
+
+@query(
+    "phash_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_phash_cte()},
+    ph_edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM ph_flagged
+      UNION ALL SELECT doc_b, doc_a FROM ph_flagged
+    ),
+    ph_nodes AS (SELECT DISTINCT src AS id FROM ph_edges),
+    ph_reach(id, r) AS (
+      SELECT id, id FROM ph_nodes
+      UNION
+      SELECT ph_reach.id, e.dst FROM ph_reach JOIN ph_edges e
+        ON e.src = ph_reach.r
+    )
+    SELECT id AS doc_id, MIN(r) AS keeper_doc_id
+    FROM ph_reach GROUP BY id ORDER BY doc_id
+    """,
+    tags=("U4", "U7"),
+    prepared=False,  # iterative components loop materializes checkpoints
+    crossover=False,
+)
+def phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U4+U7] Image-dedup cluster assignment: pHash Hamming pairs →
+    connected components (the same alternating large-star/small-star
+    contraction as the text lane — ``dedup.connected_components``) →
+    keeper = smallest doc_id per cluster. Completes the image lane to
+    parity with ``near_dup_clusters``: detector → clusters → survivors.
+    Oracle resolves components with the recursive transitive-closure
+    CTE over the identical integer pair set."""
+    from .dedup import connected_components
+
+    pairs = phash_near_dup(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    comp = connected_components(pairs)
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("keeper_doc_id"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "phash_survivors",
+    oracle=f"""
+    WITH RECURSIVE {_phash_cte()},
+    ph_edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM ph_flagged
+      UNION ALL SELECT doc_b, doc_a FROM ph_flagged
+    ),
+    ph_nodes AS (SELECT DISTINCT src AS id FROM ph_edges),
+    ph_reach(id, r) AS (
+      SELECT id, id FROM ph_nodes
+      UNION
+      SELECT ph_reach.id, e.dst FROM ph_reach JOIN ph_edges e
+        ON e.src = ph_reach.r
+    ),
+    ph_clusters AS (
+      SELECT id AS doc_id, MIN(r) AS keeper FROM ph_reach GROUP BY id
+    )
+    SELECT d.doc_id,
+           COALESCE(c.keeper, d.doc_id) AS keeper_doc_id,
+           COALESCE(c.keeper, d.doc_id) = d.doc_id AS keep
+    FROM documents d LEFT JOIN ph_clusters c ON d.doc_id = c.doc_id
+    WHERE octet_length(encode(d.text)) >= {PHASH_MIN_BYTES}
+    ORDER BY d.doc_id
+    """,
+    tags=("U4", "U7"),
+    prepared=False,
+    crossover=False,
+)
+def phash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U4+U7] Full-corpus image-dedup decision: every hashable document
+    with its pHash-cluster keeper (itself when unclustered) and a
+    keep/drop verdict — ``filter(keep)`` IS the image-deduplicated
+    corpus, mirroring ``dedup_survivors``. One key-bounded left join
+    from the corpus to the (small) cluster table."""
+    clusters = phash_clusters(spark, sf_dir).withColumnRenamed(
+        "keeper_doc_id", "cluster_keeper"
+    )
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.octet_length(F.encode("text", "utf-8")) >= PHASH_MIN_BYTES)
+        .select("doc_id")
+    )
+    keeper = F.coalesce(F.col("cluster_keeper"), F.col("doc_id"))
+    return (
+        d.join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            keeper.alias("keeper_doc_id"),
+            (keeper == F.col("doc_id")).alias("keep"),
+        )
+        .orderBy("doc_id")
     )

@@ -421,3 +421,78 @@ def unigram_lm_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_pieces",
         )
     )
+
+
+@query(
+    "unigram_lm_eval",
+    oracle=f"""
+    WITH {_ul_cte()},
+    used AS (
+      SELECT DISTINCT unnest(string_split(path, chr(31))) AS piece
+      FROM ul_seg_final
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(SUM(freq) AS BIGINT) AS n_tokens,
+             CAST(SUM(freq * n_pieces) AS BIGINT) AS total_pieces,
+             CAST(SUM(freq * length(word)) AS BIGINT) AS total_chars
+      FROM ul_seg_final
+    )
+    SELECT n_words, n_tokens, total_pieces, total_chars,
+           CAST(total_pieces AS DOUBLE) / n_tokens AS pieces_per_token,
+           CAST(total_chars AS DOUBLE) / total_pieces AS chars_per_piece,
+           CAST((SELECT COUNT(*) FROM used) AS BIGINT) AS vocab_used,
+           CAST((SELECT COUNT(*) FROM ul_vocab0) AS BIGINT) AS vocab_size
+    FROM stats
+    """,
+    tags=("U6",),
+    prepared=False,
+    crossover=False,
+)
+def unigram_lm_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U6] Acceptance metric for the trained tokenizer — the numbers an
+    operator reads before adopting a vocabulary: corpus compression
+    (pieces per token — 1.0 means every word is one piece, higher means
+    fragmentation), piece granularity (chars per piece), and vocabulary
+    utilization (pieces actually used by the final segmentation vs the
+    candidate vocabulary). All ratios are exact-integer quotients, so
+    the doubles hash-match the oracle."""
+    _scores, seg = _train(spark, sf_dir)
+    used = (
+        seg.select(F.explode(F.split("path", UL_SEP)).alias("piece"))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("vocab_used"))
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    vocab_size = (
+        _candidate_scores(_word_counts(docs))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("vocab_size"))
+    )
+    stats = seg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.sum("freq").cast("bigint").alias("n_tokens"),
+        F.sum(F.col("freq") * F.col("n_pieces"))
+        .cast("bigint")
+        .alias("total_pieces"),
+        F.sum(F.col("freq") * F.length("word"))
+        .cast("bigint")
+        .alias("total_chars"),
+    )
+    return (
+        stats.crossJoin(used)  # three 1-row frames: literal-carry
+        .crossJoin(vocab_size)
+        .select(
+            "n_words",
+            "n_tokens",
+            "total_pieces",
+            "total_chars",
+            (
+                F.col("total_pieces").cast("double") / F.col("n_tokens")
+            ).alias("pieces_per_token"),
+            (
+                F.col("total_chars").cast("double") / F.col("total_pieces")
+            ).alias("chars_per_piece"),
+            "vocab_used",
+            "vocab_size",
+        )
+    )
