@@ -250,16 +250,38 @@ def phash_pairs(
     )
 
 
-def _phash_cte() -> str:
+def _phash_cte(hot_bucket_cap: int | None = HOT_BUCKET_CAP) -> str:
     """Shared oracle CTE chain reproducing the pHash pipeline in DuckDB
-    — same byte tiling, same integer DCT basis table, same median sign
-    hash, same band blocking and Hamming verify — terminating in a
+    — same feature raster, same integer DCT basis table, same median
+    sign hash, same band blocking and Hamming verify — terminating in a
     ``ph_flagged`` relation of (doc_a, doc_b, hamming) pairs within the
     Hamming limit. Prefixed ``ph_`` so the chain composes with
-    ``_minhash_cte`` in one WITH clause (``phash_recall``)."""
+    ``_minhash_cte`` in one WITH clause (``phash_recall``).
+    ``hot_bucket_cap=None`` emits the UNGUARDED all-pairs bucket set
+    (the incremental oracle — see ``phash_incremental``)."""
     basis = ", ".join(f"({u}, {x}, {c})" for u, x, c in _DCT_ROWS)
     need = PHASH_DIM * PHASH_DIM
     mask = (1 << PHASH_BAND_BITS) - 1
+    if hot_bucket_cap is None:
+        pair_branch = """
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+          FROM ph_sized a JOIN ph_sized b ON a.band_id = b.band_id
+                                          AND a.band_val = b.band_val
+                                          AND a.doc_id < b.doc_id"""
+    else:
+        pair_branch = f"""
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+          FROM ph_sized a JOIN ph_sized b ON a.band_id = b.band_id
+                                          AND a.band_val = b.band_val
+                                          AND a.doc_id < b.doc_id
+          WHERE a.bsz <= {hot_bucket_cap}
+          UNION ALL
+          SELECT bmin AS doc_a, doc_id AS doc_b,
+                 CAST(bit_count(xor(bmin_hash, phash)) AS INT) AS hamming
+          FROM ph_sized WHERE bsz > {hot_bucket_cap} AND doc_id <> bmin"""
+
     banded = " UNION ALL ".join(
         f"SELECT doc_id, phash, {k} AS band_id,"
         f" ((phash >> {PHASH_BAND_BITS * k}) & {mask}) AS band_val FROM ph_hashes"
@@ -331,18 +353,7 @@ def _phash_cte() -> str:
     ),
     ph_flagged AS MATERIALIZED (
       SELECT doc_a, doc_b, hamming FROM (
-        SELECT DISTINCT doc_a, doc_b, hamming FROM (
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                 CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
-          FROM ph_sized a JOIN ph_sized b ON a.band_id = b.band_id
-                                          AND a.band_val = b.band_val
-                                          AND a.doc_id < b.doc_id
-          WHERE a.bsz <= {HOT_BUCKET_CAP}
-          UNION ALL
-          SELECT bmin AS doc_a, doc_id AS doc_b,
-                 CAST(bit_count(xor(bmin_hash, phash)) AS INT) AS hamming
-          FROM ph_sized WHERE bsz > {HOT_BUCKET_CAP} AND doc_id <> bmin
-        )
+        SELECT DISTINCT doc_a, doc_b, hamming FROM ({pair_branch})
       ) WHERE hamming <= {PHASH_HAMMING}
     )"""
 
@@ -533,4 +544,96 @@ def phash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
             (keeper == F.col("doc_id")).alias("keep"),
         )
         .orderBy("doc_id")
+    )
+
+
+def phash_incremental_pairs(
+    base_docs: DataFrame, delta_docs: DataFrame
+) -> DataFrame:
+    """Incremental image near-dup: Hamming pairs involving ≥1 DELTA doc.
+
+    The nightly shape of a 100 TB image lake, mirroring
+    ``dedup.minhash_incremental_pairs``: the corpus's (band_id,
+    band_val, phash) table is persisted once (stood in here by banding
+    ``phash_column(base_docs)`` — in production a parquet table
+    maintained across runs) and hashes are computed ONLY for the delta.
+    Candidates come from probing the delta's band rows against the full
+    band table, so the join touches exactly the buckets containing a
+    delta image; a bucket whose members are all pre-existing is never
+    re-paired. Unlike the MinHash lane there is no second verification
+    pass at all — the Hamming verify runs on the 8-byte codes already
+    carried by the band rows. Work per night ∝ |delta| ×
+    affected-bucket occupancy, never corpus size."""
+
+    def bands_of(sigs: DataFrame) -> DataFrame:
+        mask = (1 << PHASH_BAND_BITS) - 1
+        arr = F.array(
+            *[
+                F.struct(
+                    F.lit(k).alias("band_id"),
+                    F.shiftright("phash", PHASH_BAND_BITS * k)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("band_val"),
+                )
+                for k in range(PHASH_BANDS)
+            ]
+        )
+        return sigs.select(
+            "doc_id", "phash", F.explode(arr).alias("b")
+        ).select("doc_id", "phash", "b.band_id", "b.band_val")
+
+    delta_bands = bands_of(phash_column(delta_docs))
+    # in production this is a read of the PERSISTED band table, not a
+    # recompute; the plan shape downstream is identical either way
+    all_bands = bands_of(phash_column(base_docs)).unionByName(delta_bands)
+    return (
+        delta_bands.alias("a")
+        .join(
+            all_bands.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        # delta×delta pairs surface twice (once from each side's probe):
+        # normalize to (min, max) and de-dup
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= PHASH_HAMMING)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@query(
+    "phash_incremental",
+    oracle=f"""
+    WITH {_phash_cte(hot_bucket_cap=None)}
+    SELECT doc_a, doc_b, hamming FROM ph_flagged
+    WHERE doc_a % 10 = 0 OR doc_b % 10 = 0
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("U4", "U7"),
+    crossover=False,
+)
+def phash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U4+U7] Incremental image dedup (``phash_incremental_pairs``):
+    docs with ``doc_id % 10 == 0`` play the nightly delta, the rest the
+    standing corpus — the same deterministic split as
+    ``minhash_incremental``. The full-corpus oracle's UNGUARDED pair
+    set filtered to delta-involving pairs is exactly what the delta
+    probe must surface (a pair sharing a band bucket with a delta image
+    ⇔ the probe finds it), so the driver hash-compares incrementality
+    against the batch ground truth."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.octet_length(F.encode("text", "utf-8")) >= PHASH_MIN_BYTES
+    )
+    is_delta = (F.col("doc_id") % 10) == 0
+    return phash_incremental_pairs(
+        docs.filter(~is_delta).select("doc_id", "text"),
+        docs.filter(is_delta).select("doc_id", "text"),
     )
