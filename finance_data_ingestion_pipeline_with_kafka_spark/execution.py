@@ -9,6 +9,9 @@ whole engine flips with one env var.
 from __future__ import annotations
 
 import os
+import threading
+import weakref
+from collections.abc import Callable
 
 from pyspark.sql import DataFrame
 
@@ -73,3 +76,63 @@ def materialize(df: DataFrame) -> DataFrame:
         finally:
             df.unpersist()
     return df.localCheckpoint(eager=True)
+
+
+#: Analyzed SUB-plan memo: session → {(tag, anchor frame): DataFrame}.
+#: registry._PLAN_CACHE gives every ``prepared=True`` catalog query
+#: prepared-statement semantics, but the ``prepared=False`` pipelines
+#: (dedup's checkpointed stages) rebuild their whole expression tree on
+#: every invocation — measured ~0.9-1.1 s of pure Python→JVM py4j round
+#: trips for the MinHash signatures+candidates subtree at any SF, paid
+#: per bench pass and per driver-verify run. Only the PLAN is memoized:
+#: each hit re-wraps the analyzed plan in a fresh Dataset (new RDD, new
+#: shuffle stages — every stage re-executes), and the eager checkpoint a
+#: caller applies on top runs per invocation as before. Rows are never
+#: stored; this is the registry's prepared-statement rule applied to a
+#: sub-tree. Keys hold the anchor DataFrame strongly (the scan cache
+#: already pins those frames); the map is weakly keyed by the session so
+#: a stopped session releases everything it owned.
+_SUBPLAN_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+_SUBPLAN_CACHE_MAX = 256
+_SUBPLAN_LOCK = threading.Lock()
+
+
+def cached_subplan(
+    tag: str, anchor: DataFrame, builder: Callable[[], DataFrame]
+) -> DataFrame:
+    """Build-once/re-wrap-forever for an expensive sub-plan.
+
+    ``anchor`` keys the cache by INPUT IDENTITY: callers pass the source
+    frame the built plan closes over (e.g. the catalog's memoized scan,
+    one object per (session, sf_dir, replicate, lake_cache) — so a
+    replicated bench scan and the plain scan can never collide). A
+    caller-computed frame that isn't cached upstream simply misses every
+    time: correctness never depends on a hit. PySpark DataFrames use
+    object identity for ``__eq__``/``__hash__``, so dict keying is safe."""
+    spark = anchor.sparkSession
+    per_session = _SUBPLAN_CACHE.get(spark)
+    if per_session is None:
+        per_session = _SUBPLAN_CACHE.setdefault(spark, {})
+    key = (tag, anchor)
+    df = per_session.get(key)
+    if df is None:
+        df = builder()
+        with _SUBPLAN_LOCK:
+            if key not in per_session:
+                while len(per_session) >= _SUBPLAN_CACHE_MAX:
+                    try:
+                        per_session.pop(next(iter(per_session)))
+                    except (KeyError, StopIteration):
+                        break
+                per_session[key] = df
+        return df
+    try:
+        # fresh Dataset over the memoized ANALYZED plan: re-executes every
+        # stage (no shuffle-stage reuse), exactly like registry's cache
+        jdf = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+            spark._jsparkSession, df._jdf.queryExecution().analyzed()
+        )
+        return DataFrame(jdf, spark)
+    except Exception:
+        # JVM internals moved (non-classic session, connect mode)
+        return builder()

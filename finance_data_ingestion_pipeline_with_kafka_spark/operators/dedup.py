@@ -356,9 +356,28 @@ def minhash_pairs(docs: DataFrame) -> DataFrame:
     scale the equivalent is writing candidates/shingle-sets to the lake
     between stages; nothing here holds more than the candidate-pair
     working set. The signature table itself is single-consumer in this
-    lineage, so it is deliberately NOT persisted (ADVICE r9)."""
-    sigs = minhash_signatures(docs)
-    cands = materialize(minhash_candidates(sigs))
+    lineage, so it is deliberately NOT persisted (ADVICE r9).
+
+    Construction strategy (r16, guide §1/§4 — the Python boundary is
+    also the DRIVER boundary): building the signatures+candidates
+    expression tree costs ~0.9-1.1 s of py4j round trips (hundreds of
+    Column constructions), re-paid on every invocation because this
+    pipeline is ``prepared=False`` (the registry can't plan-cache a
+    query whose construction materializes checkpoints). The subtree
+    BELOW the first checkpoint is side-effect-free, so its analyzed
+    plan is memoized via ``cached_subplan`` keyed on the (already
+    scan-cached) ``docs`` frame — every invocation still re-executes
+    every stage through a fresh Dataset + a fresh eager checkpoint;
+    only the Python-side expression construction is amortized."""
+    from ..execution import cached_subplan
+
+    cands = materialize(
+        cached_subplan(
+            "minhash_sigs_cands",
+            docs,
+            lambda: minhash_candidates(minhash_signatures(docs)),
+        )
+    )
     # Exact-Jaccard verification only needs shingle SETS for candidate
     # docs (a few hundred), not the whole corpus — semi-join first.
     cand_ids = (
@@ -726,7 +745,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .select("doc_a", "doc_b", "jaccard")
-        .orderBy("doc_a", "doc_b")
+        # presentation sort dropped (order-insensitive compare)
     )
 
 
@@ -1070,11 +1089,17 @@ def simhash_pairs(
     cold_pairs = grouped.select(F.explode(all_pairs).alias("p")).select(
         "p.doc_a", "p.doc_b", "p.hamming"
     )
+    # Hamming gate BEFORE the distinct (guide §2.3 — shuffle fewer
+    # rows): hamming is a pure function of the pair, so filtering first
+    # drops every over-limit candidate ahead of the distinct's exchange
+    # instead of after it. Identical output set (the oracle's
+    # DISTINCT-then-WHERE commutes for a per-pair-deterministic column).
+    # Presentation sort dropped (order-insensitive compare) — it cost a
+    # rangepartitioning Exchange + global Sort on the result.
     return (
         cold_pairs.unionByName(star_pairs)
-        .distinct()
         .filter(F.col("hamming") <= SIMHASH_HAMMING)
-        .orderBy("doc_a", "doc_b")
+        .distinct()
     )
 
 
@@ -1146,8 +1171,10 @@ def _large_star(e: DataFrame) -> DataFrame:
     """Large-star operation (Kiveris et al., "Connected Components in
     MapReduce and Beyond"): for every node u, connect each strictly
     LARGER neighbor v to m = min(Γ(u) ∪ {u}). Emitted edges (m, v) are
-    already canonical (m ≤ u < v). Input and output are canonical
-    (u < v) distinct edge sets.
+    already canonical (m ≤ u < v). Input is a canonical (u < v) distinct
+    edge set; output is canonical but MAY carry duplicates (two u's can
+    map the same (m, v)) — the composed _small_star's final distinct
+    canonicalizes the round.
 
     Shape (r10): the neighborhood minimum is a window ``min`` over the
     node key rather than the r9 groupBy+join-back — the min and its
@@ -1164,11 +1191,17 @@ def _large_star(e: DataFrame) -> DataFrame:
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
     m = F.least(F.min("v").over(Window.partitionBy("u")), F.col("u"))
+    # No intermediate distinct (r16, guide §2.4): the only consumer is
+    # _small_star, whose window-min is duplicate-insensitive and whose
+    # own final distinct canonicalizes the round's output — the exchange
+    # this distinct cost bought nothing. Row count into _small_star is
+    # bounded by the directed edge count (≤ 2|E|) instead of the
+    # deduplicated set, a bounded constant-factor trade for one fewer
+    # shuffle per contraction round.
     return (
         both.withColumn("m", m)
         .filter(F.col("v") > F.col("u"))
         .select(F.col("m").alias("u"), F.col("v").alias("v"))
-        .distinct()
     )
 
 
@@ -1189,7 +1222,9 @@ def _small_star(e: DataFrame) -> DataFrame:
     return leaf.unionByName(center).distinct()
 
 
-def connected_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:
+def connected_components(
+    edges: DataFrame, max_iter: int = 30, assume_canonical: bool = False
+) -> DataFrame:
     """Connected components by alternating large-star/small-star
     contraction (Kiveris et al. 2014) — the union-find step that turns
     pairwise near-dup matches into dedup clusters. ``edges``: (src, dst)
@@ -1214,23 +1249,52 @@ def connected_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:
     of small∘large the edge set is a star forest whose centers are the
     component minima; labels read directly off the star edges.
 
+    ``assume_canonical=True`` (r16, guide §2.4) skips the seed
+    normalization job: the caller asserts ``edges`` is already a
+    DISTINCT canonical pair set (src < dst strictly — no self-loops)
+    with materialized lineage, which is exactly what the banded dedup
+    pipelines emit (``minhash_pairs``/``phash_pairs`` end in a
+    checkpointed distinct with doc_a < doc_b by construction). The
+    least/greatest + distinct + checkpoint round trip over the input is
+    then pure overhead — one job and one shuffle removed. Both star
+    operations preserve the node set (every node of a ≥2-component stays
+    a ``u`` or ``v`` through every round), so the final labels read
+    directly off the star forest — leaves (v ← u) plus distinct centers
+    (u ← u) — with no nodes-table join; the generic path keeps the
+    left join because non-canonical inputs can carry self-loop-only
+    nodes that vanish from ``e``.
+
     Raises ``RuntimeError`` if not converged after ``max_iter`` rounds;
     returning silently would hand the caller wrong keeper assignments."""
-    nodes = (
-        edges.select(F.col("src").alias("id"))
-        .unionByName(edges.select(F.col("dst").alias("id")))
-        .distinct()
-    )
-    e = (
-        edges.select(
-            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+    if assume_canonical:
+        e = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    else:
+        nodes = (
+            edges.select(F.col("src").alias("id"))
+            .unionByName(edges.select(F.col("dst").alias("id")))
+            .distinct()
         )
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-    )
-    e = materialize(e)
+        e = (
+            edges.select(
+                F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        e = materialize(e)
+    n_e = e.count()  # near-free on the checkpointed blocks
     for _ in range(max_iter):
         new_e = materialize(_small_star(_large_star(e)))
+        # Two-tier fixed-point check (r16, guide §2.4): both sides are
+        # DISTINCT canonical sets, so unequal counts prove inequality
+        # without the union-groupBy's shuffle — a count over the freshly
+        # checkpointed blocks is one cheap map-only job. Only
+        # equal-count rounds (the convergence round, plus rare same-size
+        # contractions) pay the full set-equality check.
+        n_new = new_e.count()
+        if n_new != n_e:
+            e, n_e = new_e, n_new
+            continue
         n_changed = (
             new_e.unionByName(e)
             .groupBy("u", "v")
@@ -1239,9 +1303,20 @@ def connected_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:
             .limit(1)
             .count()
         )
-        e = new_e
+        e, n_e = new_e, n_new
         if n_changed == 0:
             # star forest: every edge is (component_min, member)
+            if assume_canonical:
+                # node set preserved through every round (see docstring):
+                # labels are the leaves plus the distinct centers — no
+                # nodes-table join needed
+                return e.select(
+                    F.col("v").alias("id"), F.col("u").alias("component")
+                ).unionByName(
+                    e.select(
+                        F.col("u").alias("id"), F.col("u").alias("component")
+                    ).distinct()
+                )
             return nodes.join(
                 e.select(F.col("v").alias("id"), F.col("u").alias("component")),
                 "id",
@@ -1292,11 +1367,13 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_near_dup(spark, sf_dir).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
-    comp = connected_components(pairs)
-    return (
-        comp.select(F.col("id").alias("doc_id"), F.col("component").alias("keeper_doc_id"))
-        .orderBy("doc_id")
-    )
+    # minhash_pairs ends in a checkpointed DISTINCT canonical set
+    # (doc_a < doc_b strictly), so the seed-normalization job and the
+    # nodes-table join are skipped (see connected_components docstring)
+    comp = connected_components(pairs, assume_canonical=True)
+    return comp.select(
+        F.col("id").alias("doc_id"), F.col("component").alias("keeper_doc_id")
+    )  # presentation sort dropped (order-insensitive compare)
 
 
 @query(

@@ -242,11 +242,14 @@ def phash_pairs(
     cold_pairs = grouped.select(F.explode(all_pairs).alias("p")).select(
         "p.doc_a", "p.doc_b", "p.hamming"
     )
+    # Hamming gate BEFORE the distinct (fewer rows into the exchange;
+    # per-pair-deterministic column, so DISTINCT/WHERE commute) and
+    # presentation sort dropped (order-insensitive compare) — both
+    # mirroring the r16 simhash_pairs change.
     return (
         cold_pairs.unionByName(star_pairs)
-        .distinct()
         .filter(F.col("hamming") <= PHASH_HAMMING)
-        .orderBy("doc_a", "doc_b")
+        .distinct()
     )
 
 
@@ -480,16 +483,21 @@ def phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     parity with ``near_dup_clusters``: detector → clusters → survivors.
     Oracle resolves components with the recursive transitive-closure
     CTE over the identical integer pair set."""
+    from ..execution import materialize
     from .dedup import connected_components
 
     pairs = phash_near_dup(spark, sf_dir).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
-    comp = connected_components(pairs)
+    # phash_pairs emits a DISTINCT canonical set (doc_a < doc_b) but
+    # lazily — materialize once, then skip the seed-normalization job
+    # and the nodes-table join (see connected_components docstring);
+    # presentation sort dropped (order-insensitive compare)
+    comp = connected_components(materialize(pairs), assume_canonical=True)
     return comp.select(
         F.col("id").alias("doc_id"),
         F.col("component").alias("keeper_doc_id"),
-    ).orderBy("doc_id")
+    )
 
 
 @query(

@@ -260,7 +260,20 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the tf table — no driver-side action, no extra scan job; the 1-row
     # side is a BroadcastNestedLoopJoin costing nothing per tf row.
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
-    df_tbl = F.broadcast(tf.groupBy("term").agg(F.count(F.lit(1)).alias("df")))
+    # df counts rows of tf, but written as count(1) Catalyst prunes tf's
+    # unused count column, rewrites this branch to a DISTINCT(doc_id,
+    # term), and the subtree no longer canonically matches the tf
+    # branch — so ReuseExchange can't fire and the corpus is tokenized
+    # and partially aggregated TWICE (two Generate+HashAggregate+Exchange
+    # chains over documents in the r15 plan). count(CASE WHEN tf > 0
+    # THEN 1 END) is value-identical (tf = count(*) ≥ 1 always) but
+    # keeps the dependence on tf, so both branches share one exchange:
+    # plan shows ReusedExchange, one corpus tokenize instead of two
+    # (guide §2.4 — two operations keyed the same way share one
+    # exchange).
+    df_tbl = F.broadcast(
+        tf.groupBy("term").agg(F.count(F.when(F.col("tf") > 0, 1)).alias("df"))
+    )
     with_df = tf.join(df_tbl, "term").crossJoin(F.broadcast(n))
     tfidf = F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
     # argmax term per doc via min_by over (-tfidf, term): max tfidf, ties

@@ -3528,3 +3528,77 @@ def test_ngram_novelty_crafted_corpus(spark, tmp_path):
     assert rows[3]["n_shingles"] == 9 and rows[3]["n_novel"] == 5
     assert rows[3]["novelty"] == round(5 / 9, 6)
     assert rows[4]["n_shingles"] == 0 and rows[4]["novelty"] is None
+
+
+def test_connected_components_assume_canonical_equals_generic(spark):
+    """r16 optimization pin: the assume_canonical fast path (no seed
+    normalization job, labels read off the star forest without a
+    nodes-table join) must equal the generic path on canonical DISTINCT
+    src<dst inputs — including shapes that converge with an equal-count
+    round (the two-tier fixed-point check's slow branch)."""
+    from finance_data_ingestion_pipeline_with_kafka_spark.execution import materialize
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.dedup import (
+        connected_components,
+    )
+
+    cases = [
+        [(i, j) for i in range(1, 9) for j in range(i + 1, 9)],  # clique
+        [(i, i + 1) for i in range(10)] + [(5, 100), (100, 101)],  # chain+bridge
+        [(1, 2)],  # single edge
+        [(1, 2), (3, 4), (5, 6)],  # disjoint pairs (already a star forest)
+        [(2, 3), (2, 5), (7, 9)],  # star forest with non-min-adjacent ids
+        [(1, 2), (2, 3), (4, 5), (5, 6), (3, 4)],  # long chain via bridges
+    ]
+    for edges in cases:
+        df = materialize(spark.createDataFrame(edges, ["src", "dst"]))
+        generic = {
+            r["id"]: r["component"] for r in connected_components(df).collect()
+        }
+        fast = {
+            r["id"]: r["component"]
+            for r in connected_components(df, assume_canonical=True).collect()
+        }
+        assert fast == generic, edges
+
+
+def test_cached_subplan_reexecutes_and_matches(spark):
+    """r16 optimization pin: cached_subplan memoizes only the ANALYZED
+    plan — a cache hit returns a FRESH Dataset (different object, new
+    execution) whose result equals a from-scratch build."""
+    from finance_data_ingestion_pipeline_with_kafka_spark.execution import (
+        _SUBPLAN_CACHE,
+        cached_subplan,
+    )
+
+    anchor = spark.range(100).withColumnRenamed("id", "n")
+    build_calls = []
+
+    def builder():
+        build_calls.append(1)
+        return anchor.groupBy((F.col("n") % 7).alias("k")).count()
+
+    a = cached_subplan("test_tag", anchor, builder)
+    b = cached_subplan("test_tag", anchor, builder)
+    assert len(build_calls) == 1  # second call was a cache hit
+    assert a is not b  # hit re-wraps into a fresh Dataset, never the cached object
+    rows_a = sorted(map(tuple, a.collect()))
+    rows_b = sorted(map(tuple, b.collect()))
+    assert rows_a == rows_b
+    # a different anchor object misses (input identity IS the key)
+    anchor2 = spark.range(100).withColumnRenamed("id", "n")
+    cached_subplan("test_tag", anchor2, builder)
+    assert len(build_calls) == 2
+    per_session = _SUBPLAN_CACHE.get(spark)
+    assert ("test_tag", anchor) in per_session
+
+
+def test_tfidf_single_corpus_tokenize(spark, sf_dir):
+    """r16 optimization pin: tfidf_top_terms' df branch reuses the tf
+    branch's exchange (ReusedExchange) instead of re-tokenizing the
+    corpus — exactly one Generate(explode) over documents in the plan."""
+    from finance_data_ingestion_pipeline_with_kafka_spark.registry import load_all
+
+    df = load_all()["tfidf_top_terms"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
+    assert plan.count("Generate") == 1
