@@ -42,6 +42,13 @@ SHINGLE_N = 3
     """,
     tags=("U4", "A5"),
     bench=True,
+    # r16: the dedup family's blanket exclusion from the sized-partition
+    # path exists for explosion-dominated shuffles (shingle rows ≫ input
+    # bytes); exact_dedup is one row per document — the bytes heuristic
+    # fits, and the tiny-input AQE-off static path applies cleanly.
+    # Measured (interleaved same-JVM A/B, min-of-5 × 2 rounds, sf0.1):
+    # unsized 0.32-0.43 s vs sized 0.175-0.200 s.
+    sized_partitions=True,
 )
 def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[U4] Exact dedup via canonical-fingerprint hash-groupBy: one shuffle
@@ -1283,6 +1290,57 @@ def connected_components(
         )
         e = materialize(e)
     n_e = e.count()  # near-free on the checkpointed blocks
+
+    # Data-aware loop parallelism (r16, guide §2.2/§2.4): each
+    # contraction round shuffles the CURRENT edge set three times, and
+    # on a small graph a session-default-width exchange is pure
+    # task-scheduling overhead (32 sub-millisecond reduce tasks per
+    # exchange, times 3 exchanges, times rounds). The partition count
+    # derives from the MEASURED seed edge count — never a constant —
+    # floored at 1 and capped at the session's own shuffle.partitions,
+    # so a 100 TB edge set keeps full cluster parallelism (the knob can
+    # only remove overhead from loops too small to need the width; same
+    # pattern as registry's tiny-input static path). AQE is switched
+    # off for the loop only in the small regime, where adaptive
+    # replanning per materialized stage buys nothing. Conf mutations
+    # respect the registry's concurrent-phase freeze and are restored
+    # in the finally below.
+    from .. import registry as _registry
+
+    spark = edges.sparkSession
+    _LOOP_EDGES_PER_PARTITION = 1 << 16
+    manage_conf = (
+        not _registry._SUPPRESS_CONF_MUTATION
+        and n_e < 64 * _LOOP_EDGES_PER_PARTITION
+    )
+    saved_conf: dict[str, str] = {}
+    if manage_conf:
+        saved_conf = {
+            "spark.sql.adaptive.enabled": spark.conf.get("spark.sql.adaptive.enabled"),
+            "spark.sql.shuffle.partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+        }
+        n_parts = max(1, min(int(saved_conf["spark.sql.shuffle.partitions"] or "32"),
+                             n_e // _LOOP_EDGES_PER_PARTITION + 1))
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+    try:
+        return _cc_loop(e, n_e, nodes if not assume_canonical else None,
+                        assume_canonical, max_iter)
+    finally:
+        for k, v in saved_conf.items():
+            spark.conf.set(k, v)
+
+
+def _cc_loop(
+    e: DataFrame,
+    n_e: int,
+    nodes: DataFrame | None,
+    assume_canonical: bool,
+    max_iter: int,
+) -> DataFrame:
+    """The alternating-star contraction loop body of
+    ``connected_components`` (factored out so the data-aware conf scope
+    wraps exactly the loop's actions)."""
     for _ in range(max_iter):
         new_e = materialize(_small_star(_large_star(e)))
         # Two-tier fixed-point check (r16, guide §2.4): both sides are

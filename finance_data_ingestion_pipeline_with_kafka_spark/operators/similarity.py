@@ -167,7 +167,10 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     qrows = sorted(
-        e.filter(F.col("vec_id") < N_QUERY_VECS).collect(),
+        # project to the two columns the kernel closure needs before the
+        # collect (guide §2.3/§5: the driver transfer and the scan read
+        # only what crosses)
+        e.select("vec_id", "v").filter(F.col("vec_id") < N_QUERY_VECS).collect(),
         key=lambda r: r["vec_id"],
     )
     Q = np.array([list(r["v"]) for r in qrows], dtype=np.float64)  # nq×dim

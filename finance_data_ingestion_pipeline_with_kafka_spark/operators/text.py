@@ -554,7 +554,10 @@ def bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), davg("dl").alias("avgdl")
     )
-    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # count a tf-referencing expression (value-identical: tf >= 1) so
+    # this branch shares the tf exchange instead of re-tokenizing the
+    # corpus (ReuseExchange — the r16 tfidf lesson, guide §2.4)
+    df_tbl = tf.groupBy("term").agg(F.count(F.when(F.col("tf") > 0, 1)).alias("df"))
     w = Window.orderBy(F.desc("df"), "term")
     q = df_tbl.select("term", "df", F.row_number().over(w).alias("rn")).filter(
         F.col("rn") <= BM25_N_TERMS
@@ -706,8 +709,13 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(tokens()).alias("w"))
     dwc = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("k"))
-    cw = toks.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    tot = toks.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    # cw and tot derive from dwc (Σk per term / Σk overall — exact
+    # integer identities), not from toks: written over toks they each
+    # re-tokenized the corpus (three Generate+Exchange chains); derived
+    # from dwc they share its exchange (ReuseExchange — the r16 tfidf
+    # lesson, guide §2.4), one tokenize total.
+    cw = dwc.groupBy("w").agg(F.sum("k").cast("bigint").alias("c"))
+    tot = dwc.agg(F.sum("k").cast("bigint").alias("n"))
     term = (
         F.col("k") * F.log(F.col("c").cast("double") / F.col("n"))
     ).cast(DEC)
@@ -964,7 +972,10 @@ def bm25_topk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), davg("dl").alias("avgdl"))
-    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # count a tf-referencing expression (value-identical: tf >= 1) so
+    # this branch shares the tf exchange instead of re-tokenizing the
+    # corpus (ReuseExchange — the r16 tfidf lesson, guide §2.4)
+    df_tbl = tf.groupBy("term").agg(F.count(F.when(F.col("tf") > 0, 1)).alias("df"))
     w = Window.orderBy(F.desc("df"), "term")
     q = (
         df_tbl.select("term", "df", F.row_number().over(w).alias("rn"))

@@ -252,9 +252,11 @@ def _update_factory(cap: int, ttl_ms: int):
                     "doc_a": [p[0] for p in pairs],
                     "doc_b": [p[1] for p in pairs],
                     "est_jaccard": [p[2] for p in pairs],
-                    "datetime": [
-                        pd.to_datetime(p[3], unit="ms") for p in pairs
-                    ],
+                    # one vectorized conversion, not one Timestamp per
+                    # row (value-identical; r16 stateful-emit change)
+                    "datetime": pd.to_datetime(
+                        [p[3] for p in pairs], unit="ms"
+                    ),
                 }
             )
 
