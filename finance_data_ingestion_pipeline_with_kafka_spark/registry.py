@@ -396,15 +396,26 @@ def query(
 #: retired) fill the window; any remaining slots refresh the oldest r11
 #: rows in registration order.
 
-_R16_MODIFIED: frozenset[str] = frozenset()
+#: Queries whose execution path changed during round 16's OPTIMIZATION
+#: work after their last driver verification (standing rule:
+#: code-changed ⇒ next driver window): the minhash/CC composition
+#: (cached_subplan + star-contraction changes), the simhash pair
+#: emitter, the presentation-sort drops, the tfidf/bm25/unigram_logprob
+#: exchange-reuse rewrites, exact_dedup's sized-partition registration,
+#: and knn's narrowed query-vector collect. Moving them here displaces
+#: the LAST 2 r10-stale rows from the 50-slot window (new 8 + modified
+#: 16 + 26 of the 28 remaining r10 rows) — the modified-first rule
+#: outranks staleness by the window contract's own precedence.
+_R16_MODIFIED: frozenset[str] = frozenset((
+    "bm25_score", "bm25_topk_retrieval", "dedup_cluster_stats", "dedup_survivors",
+    "exact_dedup", "incremental_clusters", "knn_bruteforce", "minhash_near_dup",
+    "minhash_recall", "near_dup_clusters", "ngram_jaccard_pairs", "quality_survivors",
+    "simhash_near_dup", "simhash_recall", "tfidf_top_terms", "unigram_logprob",
+))
 _VERIFIED_R10 = frozenset((
-    "ann_lsh_bucketed", "asof_join", "dedup_cluster_stats", "dedup_survivors",
-    "embedding_near_dup", "embedding_quantize", "except_all_multiset", "fingerprint_containment",
-    "historical_var", "incremental_clusters", "intersect_all_multiset", "knn_bruteforce",
-    "last_closed_bar", "length_bucketing", "minhash_jaccard_estimate", "minhash_near_dup",
-    "minhash_recall", "multi_resolution_bars", "near_dup_clusters", "ohlcv_bars",
-    "png_decode", "pq_encode", "quality_survivors", "simhash_near_dup",
-    "simhash_recall", "sliding_window_agg", "sql_entry_revenue", "tumbling_window_agg",
+    "ann_lsh_bucketed", "asof_join", "embedding_near_dup", "embedding_quantize", "except_all_multiset", "fingerprint_containment",
+    "historical_var", "intersect_all_multiset", "last_closed_bar", "length_bucketing", "minhash_jaccard_estimate", "multi_resolution_bars", "ohlcv_bars",
+    "png_decode", "pq_encode", "sliding_window_agg", "sql_entry_revenue", "tumbling_window_agg",
     "union_by_name_missing", "vwap", "window_cume_nth", "window_cumulative",
     "window_first_last", "window_lag_returns", "window_moving_avg", "window_ntile_pctrank",
     "window_range_frame", "window_rank_topk",
@@ -420,7 +431,7 @@ _VERIFIED_R11 = frozenset((
     "min_cost_supplier", "obv_flow", "outer_join_counts", "pii_redaction",
     "quality_score", "repetition_filter", "rsi_indicator", "scd2_intervals",
     "scd2_point_in_time", "scd_upsert", "semi_join", "sequence_packing",
-    "stochastic_oscillator", "tfidf_top_terms", "token_budget_sample", "token_stats",
+    "stochastic_oscillator", "token_budget_sample", "token_stats",
     "top_revenue_orders", "unpivot_metrics", "winnow_fingerprints", "word_frequency",
 ))
 
@@ -436,7 +447,7 @@ _VERIFIED_R12 = frozenset((
     "rolling_pair_correlation", "rolling_robust_stats", "running_distinct_users", "salted_skew_join",
     "session_fold_sessions", "session_window_agg", "small_quantity_revenue", "snapshot_diff",
     "sq8_recall", "suppliers_kept_waiting", "table_expectations", "top_supplier_revenue",
-    "twap", "two_nation_volume", "unigram_logprob", "var_breach_backtest",
+    "twap", "two_nation_volume", "var_breach_backtest",
 ))
 
 _VERIFIED_R13 = frozenset((
@@ -446,7 +457,7 @@ _VERIFIED_R13 = frozenset((
     "dominant_event_type", "drawdown_fold_series", "garman_klass_vol", "hhi_concentration",
     "hybrid_rrf_fusion", "jaccard_threshold_curve", "jpeg_decode", "k_anonymity_audit",
     "ks_drift", "language_id_eval", "length_outliers", "market_beta",
-    "median_absolute_deviation", "ngram_jaccard_pairs", "null_safe_join", "order_count_histogram",
+    "median_absolute_deviation", "null_safe_join", "order_count_histogram",
     "part_supplier_stats", "pq_ann", "pq_distortion", "product_profit_by_nation",
     "psi_value_drift", "quantile_sketch_merge", "range_join", "realized_bipower",
     "regional_revenue", "risk_adjusted_returns", "roll_spread", "ship_latency_percentiles",
@@ -456,7 +467,7 @@ _VERIFIED_R13 = frozenset((
 ))
 
 _VERIFIED_R14 = frozenset((
-    "bm25_topk_retrieval", "bmp_decode", "bmp_features", "bollinger_fold_series",
+    "bmp_decode", "bmp_features", "bollinger_fold_series",
     "datetime_functions", "distinct_count", "distinct_rows", "drawdown_duration",
     "dsir_importance_selection", "dsir_selection_eval", "exact_substring_dedup_apply", "exact_substring_spans",
     "filter_project", "frame_sample", "funnel_time_to_convert", "grouped_pandas_sign_flips",
@@ -472,11 +483,10 @@ _VERIFIED_R14 = frozenset((
 ))
 
 _VERIFIED_R15 = frozenset((
-    "array_functions", "asof_fold_series", "asof_join_tolerance", "bm25_score",
-    "bootstrap_ci", "bpe_apply_tokenize", "bpe_train_merges", "centrality_agreement",
+    "array_functions", "asof_fold_series", "asof_join_tolerance", "bootstrap_ci", "bpe_apply_tokenize", "bpe_train_merges", "centrality_agreement",
     "chunk_documents", "cube_subtotals", "dataset_card", "dataset_interleave",
     "dataset_split", "date_arithmetic", "domain_pagerank", "donchian_channel",
-    "ewma", "exact_dedup", "except_feeds", "explode_outer_numbers",
+    "ewma", "except_feeds", "explode_outer_numbers",
     "funnel_analysis", "gif_decode", "gif_features", "harmonic_centrality",
     "hash_functions", "intersect_feeds", "json_extraction", "km_logrank",
     "km_survival", "kmeans_refine", "kmv_distinct", "label_propagation",
