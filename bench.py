@@ -230,7 +230,7 @@ def main() -> None:
     # survives, carrying the headline totals, streaming rate, and the
     # DuckDB ratio. On a completed run the final line below supersedes it.
     _write_detail(detail)
-    print(json.dumps(_compact_line(detail, bench_specs)), flush=True)
+    print(_compact_line_str(detail, bench_specs), flush=True)
     if os.environ.get("SPARK_GRAFT_SKIP_CROSSOVER") != "1":
         # After each phase, rewrite BENCH_DETAIL.json and re-print the
         # compact line: the driver parses the LAST stdout line, so if the
@@ -243,7 +243,7 @@ def main() -> None:
         except Exception as ex:  # crossover is diagnostic — never fail the bench
             detail["scale_crossover_10x"] = {"error": str(ex)[:200]}
         _write_detail(detail)
-        print(json.dumps(_compact_line(detail, bench_specs)), flush=True)
+        print(_compact_line_str(detail, bench_specs), flush=True)
         try:
             # Hot-key join at volume: plain AQE vs the salted plan
             # (VERDICT r9 ask #6). Runs early since round 13: it costs
@@ -257,7 +257,7 @@ def main() -> None:
         except Exception as ex:
             detail["skew_crossover"] = {"error": str(ex)[:200]}
         _write_detail(detail)
-        print(json.dumps(_compact_line(detail, bench_specs)), flush=True)
+        print(_compact_line_str(detail, bench_specs), flush=True)
         try:
             # Dedup/ANN family at 10× volume (VERDICT r8 ask #7), with
             # same-volume DuckDB denominators (VERDICT r9 ask #4): the
@@ -276,7 +276,7 @@ def main() -> None:
         except Exception as ex:
             detail["dedup_crossover_10x"] = {"error": str(ex)[:200]}
         _write_detail(detail)
-        print(json.dumps(_compact_line(detail, bench_specs)), flush=True)
+        print(_compact_line_str(detail, bench_specs), flush=True)
         try:
             # Deep crossover: the queries whose sf0.1 ratio is pure
             # per-action floor get one extra measurement at 30× volume,
@@ -284,19 +284,25 @@ def main() -> None:
             # crosses 2× inside the measurement or exposes a real defect.
             # Runs LAST of the long phases: its child JVM inherits the
             # remaining budget and degrades min-of-5 → min-of-2 per cell
-            # instead of skipping whole tables. Pre-guard at 150 s: a
-            # child below that cannot finish even fully degraded (~12 s
-            # session + 8 cells × warm+min-of-2 at 30×) — spawning one
-            # burns its whole timeout for an error row (observed in the
-            # r15 reorder shakeout: a 90 s child timed out with nothing).
-            if _budget_left() > 150:
-                detail["deep_crossover_30x"] = _deep_crossover_subprocess(sf_dir)
+            # instead of skipping whole tables. r17 (VERDICT r16 ask #5:
+            # three of four driver draws budget-skipped this phase): the
+            # 1× cells duplicate walls the 10× crossover phase already
+            # measured at the same protocol depth, so the parent ships
+            # them to the child (env JSON) and the child measures ONLY
+            # the 30× cells — ~40% less child wall, letting min-of-5 fit
+            # a loaded box. Pre-guard drops 150 → 100 s to match (a fully
+            # degraded 30×-only child is ~12 s session + 4 cells ×
+            # warm+min-of-2).
+            if _budget_left() > 100:
+                detail["deep_crossover_30x"] = _deep_crossover_subprocess(
+                    sf_dir, _deep_1x_cells(detail)
+                )
             else:
                 detail["deep_crossover_30x"] = {"error": "skipped_for_budget"}
         except Exception as ex:
             detail["deep_crossover_30x"] = {"error": str(ex)[:200]}
         _write_detail(detail)
-        print(json.dumps(_compact_line(detail, bench_specs)), flush=True)
+        print(_compact_line_str(detail, bench_specs), flush=True)
         # Co-tenant attribution A/B (VERDICT r12 ask #6), LAST since
         # round 15: a sub-25k steady draw triggers standalone fresh-JVM
         # replays whose steady rates ship alongside the in-bench number
@@ -342,23 +348,7 @@ def main() -> None:
     # committed per round.
     print(json.dumps(detail), file=sys.stderr)
     _write_detail(detail)
-    compact = _compact_line(detail, bench_specs)
-    line = json.dumps(compact)
-    if len(line) >= 1900:  # hard driver-contract guard, belt over the test
-        # degradation markers drop FIRST (they also live in
-        # BENCH_DETAIL.json) so the graded tables survive longest; a
-        # degraded run can add ~400 chars of marker keys (r14 review
-        # finding: the old list left them undroppable)
-        for drop in (
-            "dedup_crossover_skipped",
-            "dedup_crossover_10x",
-            "deep_crossover_30x",
-        ):
-            compact.pop(drop, None)
-            line = json.dumps(compact)
-            if len(line) < 1900:
-                break
-    print(line)
+    print(_compact_line_str(detail, bench_specs))
 
 
 #: The worst-ratio headline queries at sf0.1: the deep crossover
@@ -389,9 +379,50 @@ def _family(spec) -> str:
     return "dedup" if spec.fn.__module__.endswith(".dedup") else "scanagg"
 
 
+def _dumps(obj: dict) -> str:
+    """Compact JSON for the driver-facing stdout line: no separator
+    whitespace (~170 chars on a full line) — the driver's ~2000-char tail
+    capture is the budget the per-query map (VERDICT r16 ask #2) has to
+    fit inside, and JSON parsing is whitespace-insensitive."""
+    return json.dumps(obj, separators=(",", ":"))
+
+
+def _compact_line_str(detail: dict, bench_specs: dict) -> str:
+    """The driver-facing stdout line, length-guarded. Applied at EVERY
+    print site (not just the final line — a mid-phase kill makes a phase
+    boundary's line the one the driver parses): if the worst case (every
+    degradation marker firing at once) pushes past the ~2000-char tail
+    capture, optional sections drop in documented order — markers first
+    (they also live in BENCH_DETAIL.json), graded crossover tables next,
+    and the per-query map ("queries", the driver-contract key restored
+    per VERDICT r16 ask #2) dead last; a nominal line carries everything
+    (test-pinned both ways)."""
+    compact = _compact_line(detail, bench_specs)
+
+    def _requeries_2dp(c: dict) -> None:
+        if "queries" in c:
+            c["queries"] = {n: round(v, 2) for n, v in c["queries"].items()}
+
+    steps = (
+        lambda c: c.pop("dedup_crossover_skipped", None),
+        _requeries_2dp,
+        lambda c: c.pop("skew_crossover", None),
+        lambda c: c.pop("deep_crossover_30x", None),
+        lambda c: c.pop("dedup_crossover_10x", None),
+        lambda c: c.pop("queries", None),
+    )
+    line = _dumps(compact)
+    for step in steps:
+        if len(line) < 1900:
+            break
+        step(compact)
+        line = _dumps(compact)
+    return line
+
+
 def _compact_line(detail: dict, bench_specs: dict) -> dict:
     """Distill the full detail payload into the final stdout line: scalar
-    totals + family subtotals + crossover ratios, no per-query dicts."""
+    totals + family subtotals + per-query seconds + crossover ratios."""
     duck = detail.get("duckdb_queries") or {}
     duck_ok = isinstance(duck, dict) and "error" not in duck
     fam_spark: dict[str, float] = {"dedup": 0.0, "scanagg": 0.0}
@@ -416,6 +447,12 @@ def _compact_line(detail: dict, bench_specs: dict) -> dict:
         ),
         "forcing": detail["forcing"],
         "lake_cache": detail["lake_cache"],
+        # Per-query warm seconds (VERDICT r16 ask #2: the driver's PERF
+        # per_query/scaling maps were empty for two rounds because the
+        # compact line carried only totals). 3-decimal rounding (ms
+        # resolution — these are 0.05-2 s cells) + whitespace-free dumps
+        # keep the full worst-case line under the tail budget, test-pinned.
+        "queries": {n: round(float(v), 3) for n, v in detail["queries"].items()},
     }
     if "streaming_steady_ab" in detail:
         out["streaming_steady_ab"] = detail["streaming_steady_ab"]
@@ -481,8 +518,14 @@ def _compact_line(detail: dict, bench_specs: dict) -> dict:
             out["dedup_crossover_degraded_to_min2_n"] = len(dxo["degraded_to_min2"])
     skew = detail.get("skew_crossover")
     if isinstance(skew, dict) and "error" not in skew:
-        # the whole phase result is six scalars — carry it verbatim
-        out["skew_crossover"] = skew
+        # timed cells + speedup only; the three invariant fixture
+        # constants (factor/hot_key_share/n_salts) live in
+        # BENCH_DETAIL.json — chars freed for the per-query map
+        out["skew_crossover"] = {
+            k: v
+            for k, v in skew.items()
+            if k not in ("factor", "hot_key_share", "n_salts")
+        }
     # full named per-query tables (the compact line carries only totals
     # for the 16-query 10x phase) live in this committed artifact — the
     # driver tail can't truncate them away; _write_detail refreshes it at
@@ -1063,7 +1106,24 @@ def _xo_redraw_subprocess(sf_dir: str, name: str, factor: int) -> dict:
     return json.loads(proc.stdout.strip().splitlines()[-1])
 
 
-def _deep_crossover_subprocess(sf_dir: str) -> dict:
+def _deep_1x_cells(detail: dict) -> dict:
+    """Extract the FLOOR_BOUND queries' 1× walls from the completed 10×
+    scale-crossover phase (same warm + min-of-2 protocol the deep child
+    used to re-measure them): ``{name: {"spark_1x": s, "duckdb_1x": d}}``.
+    Empty when the phase errored or a cell is missing — the child then
+    measures those 1× cells itself, exactly as before."""
+    xo = detail.get("scale_crossover_10x")
+    if not isinstance(xo, dict) or "error" in xo:
+        return {}
+    out = {}
+    for name in FLOOR_BOUND:
+        cell = xo.get("queries", {}).get(name)
+        if cell and "spark_1x" in cell and "duckdb_1x" in cell:
+            out[name] = {"spark_1x": cell["spark_1x"], "duckdb_1x": cell["duckdb_1x"]}
+    return out
+
+
+def _deep_crossover_subprocess(sf_dir: str, xo_1x: dict | None = None) -> dict:
     """Run the deep-crossover phase in its own subprocess JVM (re-invoking
     this script with ``SPARK_GRAFT_DEEP_ONLY=1``).
 
@@ -1081,6 +1141,10 @@ def _deep_crossover_subprocess(sf_dir: str) -> dict:
 
     env = dict(os.environ)
     env["SPARK_GRAFT_DEEP_ONLY"] = "1"
+    if xo_1x:
+        # 1× walls already measured by the 10× crossover phase — the
+        # child skips those cells (VERDICT r16 ask #5)
+        env["SPARK_GRAFT_DEEP_1X"] = json.dumps(xo_1x)
     # the child inherits the REMAINING budget (minus session-startup +
     # margin), so its own min-of-5 degrades before the parent's deadline
     # rather than after; the hard timeout backstops a hung JVM
@@ -1134,12 +1198,16 @@ def _deep_crossover(spark, sf_dir: str, factor: int = 30) -> dict:
     # plus margin, min-of-2 otherwise (recorded, never silent).
     degraded: list[str] = []
 
-    def measure(rep: int) -> tuple[dict[str, float], dict[str, float]]:
+    def measure(
+        rep: int, names: list[str] | None = None
+    ) -> tuple[dict[str, float], dict[str, float]]:
         con = _duck_connect_replicated(sf_dir, rep)
         duck, spk = {}, {}
         os.environ["ENGINE_SCAN_REPLICATE"] = str(rep)
         try:
             for name, spec in specs.items():
+                if names is not None and name not in names:
+                    continue
                 if rep == 1:
                     n_passes = 2  # protocol depth, not degradation
                 else:
@@ -1166,7 +1234,21 @@ def _deep_crossover(spark, sf_dir: str, factor: int = 30) -> dict:
             con.close()
         return duck, spk
 
-    duck_1x, spark_1x = measure(1)
+    # 1× cells handed down by the parent's 10× crossover phase (same
+    # warm + min-of-2 protocol this child would apply — VERDICT r16 ask
+    # #5: measuring them twice was what priced min-of-5 out of loaded
+    # driver draws). Cells the parent could not supply are measured here.
+    pre_1x: dict = {}
+    try:
+        pre_1x = json.loads(os.environ.get("SPARK_GRAFT_DEEP_1X", "{}"))
+    except ValueError:
+        pre_1x = {}
+    pre_1x = {n: c for n, c in pre_1x.items() if n in specs}
+    need_1x = [n for n in specs if n not in pre_1x]
+    duck_1x, spark_1x = measure(1, need_1x)
+    for name, cell in pre_1x.items():
+        spark_1x[name] = float(cell["spark_1x"])
+        duck_1x[name] = float(cell["duckdb_1x"])
     duck_nx, spark_nx = measure(factor)
     out = {
         name: {
@@ -1189,6 +1271,10 @@ def _deep_crossover(spark, sf_dir: str, factor: int = 30) -> dict:
     # the r16 protocol depth, recorded so a reader of the artifact can
     # tell a protocol min-of-2 at 1× from a budget degradation at 30×
     out["protocol"] = {"passes_1x": 2, "passes_30x": 5}
+    if pre_1x:
+        # which 1× cells came from the parent's crossover phase (same
+        # depth, parent JVM) instead of this child — never silent
+        out["protocol"]["reused_1x_from_crossover"] = sorted(pre_1x)
     if degraded:
         # reserved marker key (consumers pop it before iterating cells):
         # 30× cells whose timed depth the budget degraded from min-of-5
