@@ -78,6 +78,50 @@ def materialize(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+#: Per-session capability flag for the classic ``Dataset.ofRows`` rewrap
+#: (ADVICE r16): probed once on first use instead of paying a py4j
+#: exception per cache hit on sessions where the internal API moved
+#: (Connect, future Spark). ``None`` = not probed yet.
+_OFROWS_OK: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+_OFROWS_WARNED = False
+
+
+def rewrap_analyzed(df: DataFrame) -> DataFrame | None:
+    """Fresh Dataset over ``df``'s memoized ANALYZED plan — re-executes
+    every stage (new RDD, no shuffle-stage reuse), the prepared-statement
+    rewrap both plan caches use. Returns ``None`` when the JVM-internal
+    ``org.apache.spark.sql.classic.Dataset.ofRows`` hook is unavailable
+    (non-classic session, Connect mode, moved internals): callers fall
+    back to a full rebuild. The capability is probed at most once per
+    session, and the first fallback logs a one-time warning — a Spark
+    upgrade that breaks the hook must not silently re-pay the ~1 s
+    construction this rewrap exists to remove (ADVICE r16)."""
+    global _OFROWS_WARNED
+    spark = df.sparkSession
+    ok = _OFROWS_OK.get(spark)
+    if ok is False:
+        return None
+    try:
+        jdf = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+            spark._jsparkSession, df._jdf.queryExecution().analyzed()
+        )
+        if ok is None:
+            _OFROWS_OK[spark] = True
+        return DataFrame(jdf, spark)
+    except Exception as ex:
+        _OFROWS_OK[spark] = False
+        if not _OFROWS_WARNED:
+            _OFROWS_WARNED = True
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "classic Dataset.ofRows rewrap unavailable (%s): plan caches "
+                "fall back to full rebuilds — correct but slower (prepared-"
+                "statement reuse disabled)", ex,
+            )
+        return None
+
+
 #: Analyzed SUB-plan memo: session → {(tag, anchor frame): DataFrame}.
 #: registry._PLAN_CACHE gives every ``prepared=True`` catalog query
 #: prepared-statement semantics, but the ``prepared=False`` pipelines
@@ -110,11 +154,14 @@ def cached_subplan(
     time: correctness never depends on a hit. PySpark DataFrames use
     object identity for ``__eq__``/``__hash__``, so dict keying is safe."""
     spark = anchor.sparkSession
-    per_session = _SUBPLAN_CACHE.get(spark)
-    if per_session is None:
-        per_session = _SUBPLAN_CACHE.setdefault(spark, {})
     key = (tag, anchor)
-    df = per_session.get(key)
+    # lookup under the lock too (ADVICE r16): the lock previously guarded
+    # only insertion/eviction, so the stated thread-safety was GIL luck
+    with _SUBPLAN_LOCK:
+        per_session = _SUBPLAN_CACHE.get(spark)
+        if per_session is None:
+            per_session = _SUBPLAN_CACHE.setdefault(spark, {})
+        df = per_session.get(key)
     if df is None:
         df = builder()
         with _SUBPLAN_LOCK:
@@ -126,13 +173,7 @@ def cached_subplan(
                         break
                 per_session[key] = df
         return df
-    try:
-        # fresh Dataset over the memoized ANALYZED plan: re-executes every
-        # stage (no shuffle-stage reuse), exactly like registry's cache
-        jdf = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
-            spark._jsparkSession, df._jdf.queryExecution().analyzed()
-        )
-        return DataFrame(jdf, spark)
-    except Exception:
-        # JVM internals moved (non-classic session, connect mode)
-        return builder()
+    # fresh Dataset over the memoized ANALYZED plan: re-executes every
+    # stage (no shuffle-stage reuse), exactly like registry's cache
+    rewrapped = rewrap_analyzed(df)
+    return rewrapped if rewrapped is not None else builder()

@@ -1313,13 +1313,30 @@ def connected_components(
         not _registry._SUPPRESS_CONF_MUTATION
         and n_e < 64 * _LOOP_EDGES_PER_PARTITION
     )
+    # SESSION-GLOBAL mutation, single-query-at-a-time assumption (ADVICE
+    # r16): the narrowed width is visible to anything ELSE planned on
+    # this session while the loop runs. The registry's concurrent phase
+    # is covered by the _SUPPRESS_CONF_MUTATION freeze above; any other
+    # concurrent user of the same session (e.g. an active streaming
+    # micro-batch planning a batch mid-loop) would inherit the narrow
+    # width for that plan — a perf wobble, never a correctness issue,
+    # and only in the <4.2M-edge regime where the guard fires at all.
     saved_conf: dict[str, str] = {}
     if manage_conf:
         saved_conf = {
             "spark.sql.adaptive.enabled": spark.conf.get("spark.sql.adaptive.enabled"),
             "spark.sql.shuffle.partitions": spark.conf.get("spark.sql.shuffle.partitions"),
         }
-        n_parts = max(1, min(int(saved_conf["spark.sql.shuffle.partitions"] or "32"),
+        try:
+            session_parts = int(saved_conf["spark.sql.shuffle.partitions"] or "32")
+        except ValueError:
+            # non-integer conf value (e.g. "auto" from an external
+            # resource manager): leave the session untouched rather
+            # than raise mid-query (ADVICE r16)
+            manage_conf = False
+            saved_conf = {}
+    if manage_conf:
+        n_parts = max(1, min(session_parts,
                              n_e // _LOOP_EDGES_PER_PARTITION + 1))
         spark.conf.set("spark.sql.adaptive.enabled", "false")
         spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))

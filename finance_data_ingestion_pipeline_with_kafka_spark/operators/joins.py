@@ -38,14 +38,33 @@ from ..registry import query
     bench=True,
     sized_partitions=True,
     # the filtered customer⋈orders side only proves broadcast-small at
-    # execution time — AQE's exact-bytes shuffle→broadcast conversion is
-    # load-bearing here at every scale (measured: AQE on 0.44/0.88 s at
-    # 1×/30× vs the tiny-path AQE-off 0.72/1.24 s)
+    # execution time — above the tiny threshold AQE's exact-bytes
+    # shuffle→broadcast conversion is load-bearing (measured: AQE on
+    # 0.88 s at 30× vs the unhinted AQE-off 1.24 s)
     keep_aqe=True,
+    # ...but in the tiny regime the fn below steers the broadcast itself
+    # (data-aware hint), so the static plan is already the good one and
+    # AQE's per-stage replanning latency buys nothing (r17, guide §3.1;
+    # interleaved same-JVM A/B at sf0.1: AQE 0.613/0.670 min/med →
+    # AQE-off static + steer 0.288/0.353)
+    tiny_static=True,
 )
 def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[J1] TPC-H-Q3-shaped fact⋈fact⋈dim join + grouped agg + top-k.
-    Filters sit before the joins so Catalyst pushes them into the scans."""
+    Filters sit before the joins so Catalyst pushes them into the scans.
+
+    Build-side steering (r17, guide §3.1): without CBO stats Catalyst
+    sizes the filtered customer⋈orders join by inflated estimate and
+    instead BROADCASTS the projected lineitem scan (its width-scaled
+    file estimate lands under the 10 MB threshold at sf0.1) — 300k+
+    filtered fact rows collected to the driver and hash-built on every
+    run, while 30k join rows stream past them. In the ``tiny_input``
+    regime the fn hints the customer⋈orders side explicitly so the fact
+    table is always the probe side; above the threshold the hint
+    vanishes and AQE's runtime exact-bytes conversion makes the call
+    (scale-safe: the hint can never force an unbounded broadcast)."""
+    from ..registry import tiny_input
+
     # the filtered customer side is a small fraction of an already-small
     # dim → broadcast it so only the orders⋈lineitem shuffle remains
     c = F.broadcast(
@@ -58,9 +77,11 @@ def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
     )
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    co = c.join(o, c["c_custkey"] == o["o_custkey"])
+    if tiny_input(sf_dir):
+        co = F.broadcast(co)
     return (
-        c.join(o, c["c_custkey"] == o["o_custkey"])
-        .join(l, l["l_orderkey"] == o["o_orderkey"])
+        co.join(l, l["l_orderkey"] == co["o_orderkey"])
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dsum(revenue).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -262,6 +283,8 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     only region-local rows. Catalyst does not reorder shuffle joins
     without CBO stats, so the as-written order IS the executed order —
     at 100 TB the difference is shuffling 20 TB instead of 100 TB."""
+    from ..registry import tiny_input
+
     # ASIA nations: 5 rows — broadcast twice (to customer and supplier)
     n_asia = (
         load_table(spark, sf_dir, "nation")
@@ -286,10 +309,20 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pre-filter semi-join would add a build stage for no shuffle savings
     s = F.broadcast(load_table(spark, sf_dir, "supplier"))
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    co = c.join(o, c["c_custkey"] == o["o_custkey"])
+    # Build-side steering (r17, guide §3.1), same defect as
+    # top_revenue_orders: Catalyst's static estimator inflates the
+    # customer⋈orders side past lineitem's width-scaled file estimate
+    # and BROADCASTS the 600k-row fact table (driver collect + hash
+    # build per run, plan-verified). Tiny regime: hint the co side so
+    # lineitem probes; above the threshold the hint vanishes and AQE
+    # governs. Interleaved same-JVM A/B at sf0.1 (noop, min/med of 5):
+    # 0.495/0.544 → 0.266/0.296.
+    if tiny_input(sf_dir):
+        co = F.broadcast(co)
     return (
-        c.join(o, c["c_custkey"] == o["o_custkey"])
-        .join(l, l["l_orderkey"] == o["o_orderkey"])
-        .join(s, (l["l_suppkey"] == s["s_suppkey"]) & (s["s_nationkey"] == c["c_nationkey"]))
+        co.join(l, l["l_orderkey"] == co["o_orderkey"])
+        .join(s, (l["l_suppkey"] == s["s_suppkey"]) & (s["s_nationkey"] == co["c_nationkey"]))
         .groupBy(F.col("n_name").alias("nation"))
         .agg(dsum(revenue).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
         # presentation sort dropped (order-insensitive compare)

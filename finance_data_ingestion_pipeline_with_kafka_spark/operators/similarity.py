@@ -161,11 +161,24 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
+    from ..registry import tiny_input
+
     e = nonzero(
         load_table(spark, sf_dir, "embeddings").select(
             "vec_id", "label", F.col("embedding").alias("v")
         )
     )
+    if tiny_input(sf_dir):
+        # Tiny regime (r17, guide §4.2): 16 single-digit-KB Arrow tasks
+        # pay 16 Python-worker round trips for a corpus whose whole
+        # matmul is ~4 MFLOPs — fold to 4 (narrow coalesce, no shuffle)
+        # so each worker gets a batch worth vectorizing. Identical
+        # output: the per-batch top-k is a superset filter and the final
+        # window ranks globally with a deterministic tiebreak. Above the
+        # threshold the scan keeps full file-split width. Interleaved
+        # same-JVM A/B at sf0.1 (noop, min/med of 5): 0.380/0.468 →
+        # 0.328/0.388.
+        e = e.coalesce(4)
     qrows = sorted(
         # project to the two columns the kernel closure needs before the
         # collect (guide §2.3/§5: the driver transfer and the scan read

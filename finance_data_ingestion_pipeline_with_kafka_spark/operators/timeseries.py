@@ -144,6 +144,28 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _purchase_click_sides(e: DataFrame) -> DataFrame:
+    """(event_id, user_id, ts, value, side) rows for the as-of family:
+    side 1 = purchase, side 0 = click. ONE scan with
+    ``event_type IN (purchase, click)`` pushed down, not the historical
+    two-filter-branch union (r17, guide §2.4/§6): the union's branches
+    each re-scanned and re-decoded the full events table — no exchange
+    reuse applies to scans. Row set, side values and every downstream
+    ordering key are identical to the union form (the two predicates
+    partition the IN set), so all four as-of variants' results are
+    byte-unchanged; interleaved same-JVM A/B on asof_join at sf0.1
+    (noop, min/med of 5): 0.392/0.475 → 0.180/0.305."""
+    return e.filter(F.col("event_type").isin("purchase", "click")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.when(F.col("event_type") == "purchase", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("side"),
+    )
+
+
 @query(
     "asof_join",
     oracle="""
@@ -180,13 +202,7 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     compare deterministic even if a future fixture contains ts ties.
     """
     e = load_table(spark, sf_dir, "events")
-    left = e.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts", "value", F.lit(1).alias("side")
-    )
-    right = e.filter(F.col("event_type") == "click").select(
-        "event_id", "user_id", "ts", "value", F.lit(0).alias("side")
-    )
-    unioned = left.unionByName(right)
+    unioned = _purchase_click_sides(e)
     w = Window.partitionBy("user_id").orderBy("ts", "side", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -1587,13 +1603,7 @@ def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     CASE to DuckDB's native ASOF match, over a click side pre-deduped to
     one row per (user_id, ts) — same tie rationale as ``asof_join``."""
     e = load_table(spark, sf_dir, "events")
-    left = e.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts", "value", F.lit(1).alias("side")
-    )
-    right = e.filter(F.col("event_type") == "click").select(
-        "event_id", "user_id", "ts", "value", F.lit(0).alias("side")
-    )
-    unioned = left.unionByName(right)
+    unioned = _purchase_click_sides(e)
     w = Window.partitionBy("user_id").orderBy("ts", "side", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -1649,13 +1659,7 @@ def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     ASOF's own tie choice is arbitrary). Still ONE shuffle on user_id —
     the direction flip costs nothing."""
     e = load_table(spark, sf_dir, "events")
-    left = e.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts", "value", F.lit(1).alias("side")
-    )
-    right = e.filter(F.col("event_type") == "click").select(
-        "event_id", "user_id", "ts", "value", F.lit(0).alias("side")
-    )
-    unioned = left.unionByName(right)
+    unioned = _purchase_click_sides(e)
     w = Window.partitionBy("user_id").orderBy(
         "ts", F.desc("side"), "event_id"
     ).rowsBetween(Window.currentRow, Window.unboundedFollowing)
@@ -1742,13 +1746,7 @@ def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule, so no candidate is counted twice. The nearest election
     compares exact epoch-µs longs — no float anywhere in the decision."""
     e = load_table(spark, sf_dir, "events")
-    left = e.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts", "value", F.lit(1).alias("side")
-    )
-    right = e.filter(F.col("event_type") == "click").select(
-        "event_id", "user_id", "ts", "value", F.lit(0).alias("side")
-    )
-    unioned = left.unionByName(right)
+    unioned = _purchase_click_sides(e)
     order = ["ts", "side", "event_id"]
     w_b = Window.partitionBy("user_id").orderBy(*order).rowsBetween(
         Window.unboundedPreceding, Window.currentRow

@@ -57,6 +57,16 @@ class QuerySpec:
     #: 0.72/1.24 s — the conversion pays for the adaptive stage latency
     #: severalfold.
     keep_aqe: bool = False
+    #: opt a ``keep_aqe`` query back IN to the tiny-input AQE-off static
+    #: path (r17): ``keep_aqe`` exists because a static plan without
+    #: runtime re-planning picked a bad join strategy on these queries —
+    #: but a query whose fn applies a data-aware strategy hint in the
+    #: tiny regime (``tiny_input``; top_revenue_orders' broadcast steer
+    #: of the filtered customer⋈orders side) gets the GOOD static plan
+    #: there, and the adaptive stage latency is again pure overhead.
+    #: Above the tiny threshold the flag is inert and ``keep_aqe``
+    #: semantics apply unchanged (plain AQE, runtime conversion armed).
+    tiny_static: bool = False
 
 
 QUERIES: dict[str, QuerySpec] = {}
@@ -133,6 +143,22 @@ _SHUFFLE_KEY = "spark.sql.shuffle.partitions"
 #: overhead from queries too small to need replanning.
 _AQE_OFF_MAX_BYTES = 1 << 30
 
+
+def tiny_input(sf_dir: str) -> bool:
+    """True when the (replication-adjusted) input volume is below the
+    tiny-input threshold — the regime where the registry runs sized
+    queries with AQE off and a static partition count. Query fns use it
+    to apply strategy hints that are only SAFE at bounded volume (e.g.
+    broadcasting a filtered fact-join side whose size Catalyst's static
+    estimator inflates past the real fact table's): above the threshold
+    the hint vanishes and AQE's exact-bytes runtime decisions govern, so
+    the hint can never force an unbounded broadcast at lake scale —
+    data-aware by construction, same pattern as the sizing knobs here."""
+    import os
+
+    replicate = max(int(os.environ.get("ENGINE_SCAN_REPLICATE", "1")), 1)
+    return _dir_bytes(sf_dir) * replicate < _AQE_OFF_MAX_BYTES
+
 #: First-touch snapshot of each session's shuffle.partitions, restored on
 #: every unsized (and non-tiny sized) invocation.
 _ORIG_SHUFFLE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
@@ -182,7 +208,11 @@ def restore_session_confs(spark: SparkSession) -> None:
 
 
 def _apply_sized_partitions(
-    spark: SparkSession, sf_dir: str, sized: bool, keep_aqe: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    sized: bool,
+    keep_aqe: bool = False,
+    tiny_static: bool = False,
 ) -> None:
     """Set (or clear) the managed confs deterministically on EVERY catalog
     invocation, so query ordering can never leak one query's setting into
@@ -203,7 +233,9 @@ def _apply_sized_partitions(
 
         replicate = max(int(os.environ.get("ENGINE_SCAN_REPLICATE", "1")), 1)
         n = sized_partition_num(spark, sf_dir)
-        if not keep_aqe and _dir_bytes(sf_dir) * replicate < _AQE_OFF_MAX_BYTES:
+        if (not keep_aqe or tiny_static) and (
+            _dir_bytes(sf_dir) * replicate < _AQE_OFF_MAX_BYTES
+        ):
             # tiny input: static sized plan, no adaptive re-planning.
             # The static reduce count is additionally capped at the core
             # count — without AQE there is no coalescing to merge sliver
@@ -280,6 +312,7 @@ def query(
     crossover: bool = True,
     sized_partitions: bool = False,
     keep_aqe: bool = False,
+    tiny_static: bool = False,
 ):
     """Decorator registering a query in the catalog. The registered
     callable memoizes the constructed DataFrame per (session, sf_dir,
@@ -296,7 +329,9 @@ def query(
             raise ValueError(f"duplicate query name {name!r}")
         if not prepared:
             def unprepared(spark: SparkSession, sf_dir: str) -> DataFrame:
-                _apply_sized_partitions(spark, sf_dir, sized_partitions, keep_aqe)
+                _apply_sized_partitions(
+                    spark, sf_dir, sized_partitions, keep_aqe, tiny_static
+                )
                 return fn(spark, sf_dir)
 
             unprepared.__name__ = fn.__name__
@@ -311,12 +346,14 @@ def query(
             QUERIES[name] = QuerySpec(
                 name=name, fn=unprepared, oracle=oracle, tags=tags, bench=bench,
                 crossover=crossover, sized_partitions=sized_partitions,
-                keep_aqe=keep_aqe,
+                keep_aqe=keep_aqe, tiny_static=tiny_static,
             )
             return fn
 
         def cached(spark: SparkSession, sf_dir: str) -> DataFrame:
-            _apply_sized_partitions(spark, sf_dir, sized_partitions, keep_aqe)
+            _apply_sized_partitions(
+                spark, sf_dir, sized_partitions, keep_aqe, tiny_static
+            )
             per_session = _PLAN_CACHE.get(spark)
             if per_session is None:
                 per_session = _PLAN_CACHE.setdefault(spark, {})
@@ -344,16 +381,13 @@ def query(
             # (skipped stages), which would turn a re-run into an
             # incremental computation. A fresh Dataset over the same
             # logical plan re-executes every stage — prepared-statement
-            # reuse, not result reuse.
-            try:
-                jdf = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
-                    spark._jsparkSession, df._jdf.queryExecution().analyzed()
-                )
-                return DataFrame(jdf, spark)
-            except Exception:
-                # JVM internals moved (non-classic session, connect mode):
-                # fall back to a full rebuild.
-                return fn(spark, sf_dir)
+            # reuse, not result reuse. rewrap_analyzed probes the
+            # JVM-internal hook once per session and warns once on
+            # fallback (ADVICE r16).
+            from .execution import rewrap_analyzed
+
+            rewrapped = rewrap_analyzed(df)
+            return rewrapped if rewrapped is not None else fn(spark, sf_dir)
 
         cached.__name__ = fn.__name__
         cached.__module__ = fn.__module__
@@ -362,7 +396,7 @@ def query(
         QUERIES[name] = QuerySpec(
             name=name, fn=cached, oracle=oracle, tags=tags, bench=bench,
             crossover=crossover, sized_partitions=sized_partitions,
-            keep_aqe=keep_aqe,
+            keep_aqe=keep_aqe, tiny_static=tiny_static,
         )
         return fn
 

@@ -53,7 +53,16 @@ def _append_ticks(buf: list, pdf: pd.DataFrame) -> None:
     Python — measured 3.5 → 0.2 ms per 2000-tick group)."""
     px = pdf["last_price"].to_numpy()
     mask = ~pd.isna(px)
-    ms = pdf["datetime"].to_numpy().astype("datetime64[ms]").astype("int64")
+    dt = pdf["datetime"]
+    # tz-aware guard (ADVICE r16): a tz-aware datetime column reaches
+    # numpy as object dtype and the [ms] cast raises. The pipeline's
+    # decode emits tz-naive UTC today; normalize instead of crashing all
+    # four updaters if a future source attaches a timezone — tz_convert
+    # to UTC then drop the tz yields the same epoch instants the old
+    # ``Timestamp.value // 1_000_000`` path produced.
+    if isinstance(dt.dtype, pd.DatetimeTZDtype):
+        dt = dt.dt.tz_convert("UTC").dt.tz_localize(None)
+    ms = dt.to_numpy().astype("datetime64[ms]").astype("int64")
     buf.extend(zip(ms[mask].tolist(), [float(x) for x in px[mask]]))
 
 

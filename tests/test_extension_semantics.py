@@ -3602,3 +3602,116 @@ def test_tfidf_single_corpus_tokenize(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan
     assert plan.count("Generate") == 1
+
+
+def test_rewrap_fallback_warns_once_and_rebuilds(spark, caplog):
+    """r17 pin (ADVICE r16): when the classic Dataset.ofRows hook is
+    unavailable, rewrap_analyzed returns None after logging ONE warning,
+    the per-session capability flag short-circuits further probes, and
+    cached_subplan falls back to a full rebuild (correct, just slower)."""
+    import logging
+
+    from finance_data_ingestion_pipeline_with_kafka_spark import execution as ex
+
+    anchor = spark.range(50).withColumnRenamed("id", "n")
+    df = anchor.groupBy((F.col("n") % 3).alias("k")).count()
+    saved_warned = ex._OFROWS_WARNED
+    saved_flag = ex._OFROWS_OK.get(spark)
+    try:
+        ex._OFROWS_WARNED = False
+        ex._OFROWS_OK.pop(spark, None)
+        broken = anchor.groupBy((F.col("n") % 3).alias("k")).count()
+
+        class _Boom:
+            def queryExecution(self):
+                raise RuntimeError("internals moved")
+
+        broken._jdf = _Boom()
+        with caplog.at_level(logging.WARNING):
+            assert ex.rewrap_analyzed(broken) is None
+        assert ex._OFROWS_WARNED
+        assert ex._OFROWS_OK.get(spark) is False
+        assert sum(
+            "ofRows rewrap unavailable" in r.message for r in caplog.records
+        ) == 1
+        # flagged session: rewrap short-circuits (no exception, no more
+        # warnings) and cached_subplan hits rebuild via the builder
+        assert ex.rewrap_analyzed(df) is None
+        calls = []
+
+        def builder():
+            calls.append(1)
+            return anchor.groupBy((F.col("n") % 3).alias("k")).count()
+
+        ex.cached_subplan("rewrap_fb_tag", anchor, builder)
+        out = ex.cached_subplan("rewrap_fb_tag", anchor, builder)
+        assert len(calls) == 2  # hit path rebuilt instead of rewrapping
+        assert sorted(map(tuple, out.collect())) == sorted(
+            map(tuple, df.collect())
+        )
+    finally:
+        ex._OFROWS_WARNED = saved_warned
+        if saved_flag is None:
+            ex._OFROWS_OK.pop(spark, None)
+        else:
+            ex._OFROWS_OK[spark] = saved_flag
+
+
+def test_append_ticks_tz_aware_matches_naive():
+    """r17 pin (ADVICE r16): _append_ticks must accept a tz-aware
+    datetime column (normalizing to the same UTC epoch ms the tz-naive
+    path yields) instead of raising on the object-dtype [ms] cast."""
+    import pandas as pd
+
+    from finance_data_ingestion_pipeline_with_kafka_spark.streaming.stateful import (
+        _append_ticks,
+    )
+
+    naive = pd.DataFrame(
+        {
+            "datetime": pd.to_datetime(
+                ["2024-01-02 14:30:00.123", "2024-01-02 14:30:01.456", None]
+            ),
+            "last_price": [101.5, None, 103.0],
+        }
+    )
+    aware = naive.assign(datetime=naive["datetime"].dt.tz_localize("UTC"))
+    shifted = naive.assign(
+        datetime=naive["datetime"]
+        .dt.tz_localize("UTC")
+        .dt.tz_convert("America/New_York")
+    )
+    buf_naive, buf_aware, buf_shifted = [], [], []
+    _append_ticks(buf_naive, naive)
+    _append_ticks(buf_aware, aware)
+    _append_ticks(buf_shifted, shifted)
+    assert buf_naive == buf_aware == buf_shifted
+    assert len(buf_naive) == 2  # NaN price masked; NaT row carried price 103
+
+
+def test_pair_emitters_satisfy_assume_canonical_contract(spark, sf_dir):
+    """r17 pin (ADVICE r16): connected_components(assume_canonical=True)
+    encodes an emitter invariant — the minhash/phash pair pipelines end
+    in a MATERIALIZED (checkpointed) DISTINCT canonical set with strictly
+    doc_a < doc_b. Pin it on the emitters' real outputs, not just the CC
+    fast path's parity on synthetic inputs."""
+    from finance_data_ingestion_pipeline_with_kafka_spark.registry import load_all
+
+    cat = load_all()
+    # minhash_near_dup's output IS the frame near_dup_clusters hands to
+    # CC: it must arrive already materialized (checkpoint scan).
+    # phash_near_dup's output is materialized by its caller
+    # (phash_clusters wraps it in materialize() before CC), so only the
+    # distinct-canonical-pair property is the emitter's own contract.
+    for name, expect_materialized in (
+        ("minhash_near_dup", True),
+        ("phash_near_dup", False),
+    ):
+        pairs = cat[name].fn(spark, sf_dir)
+        if expect_materialized:
+            analyzed = str(pairs._jdf.queryExecution().analyzed())
+            assert "LogicalRDD" in analyzed.splitlines()[0], (name, analyzed[:200])
+        rows = [(r["doc_a"], r["doc_b"]) for r in pairs.collect()]
+        assert all(a < b for a, b in rows), name  # strict canonical order
+        assert len(rows) == len(set(rows)), name  # distinct
+        assert rows, f"{name}: fixture produced no pairs to pin on"

@@ -217,22 +217,64 @@ def test_session_builder_perf_confs(spark):
 
 
 def test_keep_aqe_query_runs_plain_aqe(spark, sf_dir):
-    """A sized query flagged keep_aqe (top_revenue_orders) must run with
-    AQE ON, NO partition floor and the session's own shuffle.partitions —
-    at any input size: its load-bearing optimization is AQE's runtime
-    shuffle-to-broadcast conversion."""
+    """A keep_aqe query WITHOUT the tiny_static opt-in
+    (shipping_priority_topk — its whole point is the unhinted AQE
+    runtime build-side decision) must run with AQE ON, NO partition
+    floor and the session's own shuffle.partitions — at any input size."""
     from finance_data_ingestion_pipeline_with_kafka_spark.registry import (
         _INIT_PARTITION_KEY,
         _SHUFFLE_KEY,
     )
 
     cat = _catalog()
-    assert cat["top_revenue_orders"].keep_aqe
+    assert cat["shipping_priority_topk"].keep_aqe
+    assert not cat["shipping_priority_topk"].tiny_static
     orig_shuffle = spark.conf.get(_SHUFFLE_KEY)
-    cat["top_revenue_orders"].fn(spark, sf_dir)
+    cat["shipping_priority_topk"].fn(spark, sf_dir)
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get(_INIT_PARTITION_KEY) is None
     assert spark.conf.get(_SHUFFLE_KEY) == orig_shuffle
+    cat["grouped_stats"].fn(spark, sf_dir)  # clean managed confs
+
+
+def test_tiny_static_keep_aqe_query_takes_static_path(spark, sf_dir):
+    """top_revenue_orders (keep_aqe + tiny_static, r17): in the tiny
+    regime it now takes the AQE-off static-partition path — its fn's
+    data-aware broadcast steer makes the static plan the good one — and
+    its analyzed plan carries the broadcast hint on the customer⋈orders
+    side. Above the tiny threshold (simulated via ENGINE_SCAN_REPLICATE)
+    the hint disappears and plain-AQE keep_aqe semantics return."""
+    import os
+
+    from finance_data_ingestion_pipeline_with_kafka_spark.registry import (
+        _INIT_PARTITION_KEY,
+        tiny_input,
+    )
+
+    cat = _catalog()
+    spec = cat["top_revenue_orders"]
+    assert spec.keep_aqe and spec.tiny_static
+    assert tiny_input(sf_dir)
+    df = spec.fn(spark, sf_dir)
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+    assert spark.conf.get(_INIT_PARTITION_KEY) is None
+    # two broadcast hints in the analyzed plan: the customer dim + the
+    # steered customer⋈orders side
+    analyzed = str(df._jdf.queryExecution().analyzed())
+    assert analyzed.count("ResolvedHint (strategy=broadcast)") == 2
+    os.environ["ENGINE_SCAN_REPLICATE"] = "100000"
+    try:
+        assert not tiny_input(sf_dir)
+        df_big = spec.fn(spark, sf_dir)
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+        assert spark.conf.get(_INIT_PARTITION_KEY) is None  # keep_aqe: no floor
+        analyzed_big = str(df_big._jdf.queryExecution().analyzed())
+        # the steer hint is gone: what remains is the customer-dim hint
+        # plus one broadcast-spine hint per replicated scan (customer,
+        # orders, lineitem — catalog._replicate_shifted) = 4, not 5
+        assert analyzed_big.count("ResolvedHint (strategy=broadcast)") == 4
+    finally:
+        os.environ.pop("ENGINE_SCAN_REPLICATE", None)
     cat["grouped_stats"].fn(spark, sf_dir)  # clean managed confs
 
 
