@@ -324,6 +324,133 @@ def _minhash_cte(hot_bucket_cap: int | None = HOT_BUCKET_CAP) -> str:
     )"""
 
 
+#: SQL escaping of the token-split regex: a Spark SQL string literal
+#: processes backslash escapes, so each backslash doubles.
+_TOKEN_SPLIT_SQL = TOKEN_SPLIT.replace("\\", "\\\\")
+
+#: Phase B of the verified-pair pipeline — candidate docs' shingle SETS —
+#: as generated SQL over temp views of the candidate checkpoint and the
+#: corpus scan (see ``minhash_pairs``). Literal transcription of
+#: ``cand_ids = cands.doc_a ∪ cands.doc_b DISTINCT`` → left-semi join →
+#: ``shingle_rows`` (same slice/arrays_zip/explode/concat_ws chain, same
+#: ``size(t) >= n`` guard) → ``collect_set``.
+_MH_SHINGLE_SETS_SQL = f"""
+WITH cand_ids AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_a AS doc_id FROM {{cands}}
+    UNION ALL
+    SELECT doc_b AS doc_id FROM {{cands}}
+  )
+),
+cdocs AS (
+  SELECT d.doc_id, d.text FROM {{docs}} d
+  LEFT SEMI JOIN cand_ids ci ON d.doc_id = ci.doc_id
+),
+toks AS (
+  SELECT doc_id, split(trim(text), '{_TOKEN_SPLIT_SQL}') AS t FROM cdocs
+),
+zipped AS (
+  SELECT doc_id,
+         explode(arrays_zip({", ".join(
+             f"slice(t, {j + 1}, size(t) - {SHINGLE_N - 1})"
+             for j in range(SHINGLE_N)
+         )})) AS z
+  FROM toks WHERE size(t) >= {SHINGLE_N}
+)
+SELECT doc_id,
+       collect_set(concat_ws(' ', {", ".join(
+           f"z.`{j}`" for j in range(SHINGLE_N)
+       )})) AS sh
+FROM zipped GROUP BY doc_id
+"""
+
+#: Phase C — exact-Jaccard verification of the candidate pairs against
+#: the phase-B shingle sets: the same two joins and the same
+#: ``round(exact_jaccard, 6)`` arithmetic (intersection computed via the
+#: union identity; the divisor's integer sum coerces to double exactly
+#: as the Column form did), filtered at the 0.8 threshold.
+_MH_VERIFY_SQL = """
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT c.doc_a, c.doc_b,
+         round(CAST(size(array_intersect(sa.sh, sb.sh)) AS DOUBLE)
+               / (size(sa.sh) + size(sb.sh) - size(array_intersect(sa.sh, sb.sh))),
+               6) AS jaccard
+  FROM {cands} c
+  JOIN {sh} sa ON sa.doc_id = c.doc_a
+  JOIN {sh} sb ON sb.doc_id = c.doc_b
+) WHERE jaccard >= 0.8
+"""
+
+
+#: Explosion allowance for the dedup pipelines' shuffle-width heuristic:
+#: the EXCHANGES in the minhash pipeline carry post-aggregation data
+#: (per-doc signature partials, 4 band rows/doc, candidate pairs) — far
+#: below the map-side shingle blowup — but the width guard still charges
+#: the input this factor so the narrowing can only ever fire when even
+#: an explosion-inflated estimate is tiny.
+_DEDUP_WIDTH_EXPLOSION = 32
+
+
+def _dedup_shuffle_width(spark: SparkSession, sf_dir: str) -> int | None:
+    """Data-aware shuffle width for the minhash pipeline's tiny-bytes
+    exchanges, or ``None`` to leave the session untouched (r17, guide
+    §2.2/§2.4). Measured at sf0.1 (interleaved same-JVM, min/med of 5):
+    the signatures+candidates checkpoint at the session's static width
+    32 ran 0.975/1.231 s vs 0.427/0.472 s at 8 — three exchanges of
+    ~1 MB shared among 32 sub-millisecond reduce tasks each is pure
+    scheduling (AQE's coalescing cannot help: parallelismFirst keeps
+    defaultParallelism partitions by design — session.py). The width
+    derives from the MEASURED documents bytes × replication ×
+    ``_DEDUP_WIDTH_EXPLOSION``, floored at 8 and capped at the session's
+    own setting, so a lake-scale corpus (or the 10× crossover's
+    replicated scan) keeps full width — the knob only removes overhead
+    from inputs whose explosion-inflated size still fits single-digit
+    partitions."""
+    import os as _os
+
+    try:
+        bytes_ = _os.path.getsize(_os.path.join(sf_dir, "documents.parquet"))
+    except OSError:
+        return None
+    replicate = max(int(_os.environ.get("ENGINE_SCAN_REPLICATE", "1")), 1)
+    eff = bytes_ * replicate * _DEDUP_WIDTH_EXPLOSION
+    try:
+        session_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    except ValueError:
+        return None
+    n = max(8, min(session_parts, eff // (8 << 20)))
+    return int(n) if n < session_parts else None
+
+
+from contextlib import contextmanager as _contextmanager
+
+
+@_contextmanager
+def _narrowed_shuffle(spark: SparkSession, n_parts: int | None):
+    """Scoped static-width shuffle for a dedup pipeline's checkpointed
+    stages: same save/restore + concurrent-phase-freeze discipline as the
+    CC loop's conf guard (and the same single-query-at-a-time caveat —
+    the narrowing is session-visible while active, a perf wobble only,
+    never correctness). No-op when ``n_parts`` is None or the registry's
+    concurrent freeze is on."""
+    from .. import registry as _registry
+
+    if n_parts is None or _registry._SUPPRESS_CONF_MUTATION:
+        yield
+        return
+    saved = {
+        "spark.sql.adaptive.enabled": spark.conf.get("spark.sql.adaptive.enabled"),
+        "spark.sql.shuffle.partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+    }
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+    try:
+        yield
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
 @query(
     "minhash_near_dup",
     oracle=f"WITH {_minhash_cte()} SELECT doc_a, doc_b, jaccard FROM near_dup",
@@ -341,7 +468,9 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     including which candidate pairs the banding surfaces — has an exact
     DuckDB twin and the driver hash-compares it; injected-near-dup tests
     additionally pin recall behavior."""
-    return minhash_pairs(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
+    with _narrowed_shuffle(spark, _dedup_shuffle_width(spark, sf_dir)):
+        return minhash_pairs(docs)
 
 
 def minhash_pairs(docs: DataFrame) -> DataFrame:
@@ -378,6 +507,7 @@ def minhash_pairs(docs: DataFrame) -> DataFrame:
     only the Python-side expression construction is amortized."""
     from ..execution import cached_subplan
 
+    spark = docs.sparkSession
     cands = materialize(
         cached_subplan(
             "minhash_sigs_cands",
@@ -385,33 +515,42 @@ def minhash_pairs(docs: DataFrame) -> DataFrame:
             lambda: minhash_candidates(minhash_signatures(docs)),
         )
     )
-    # Exact-Jaccard verification only needs shingle SETS for candidate
-    # docs (a few hundred), not the whole corpus — semi-join first.
-    cand_ids = (
-        cands.select(F.col("doc_a").alias("doc_id"))
-        .union(cands.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
+    # Phases B (candidate shingle sets) and C (exact-Jaccard verify) are
+    # generated SQL over temp views of the fresh checkpoints (r17,
+    # VERDICT r16 ask #4): their DataFrame construction was ~0.15-0.45 s
+    # of py4j Column round trips PER INVOCATION, unmemoizable by
+    # cached_subplan because both close over this invocation's cands
+    # checkpoint (an analyzed-plan memo would replay LAST run's rows).
+    # ``spark.sql`` analyzes eagerly, so the views are dropped right
+    # after each call; names are unique so concurrent invocations never
+    # clobber each other. The SQL is the literal transcription of the
+    # prior DataFrame chain (semi-join → shingle_rows → collect_set;
+    # cands ⋈ sh ⋈ sh → round(exact_jaccard, 6)), pinned equal by
+    # test_minhash_phase_bc_sql_equals_dataframe_form and oracle-exact
+    # against the unchanged DuckDB CTE.
+    seq = next(_VIEW_SEQ)
+    cands_v, docs_v, sh_v = (
+        f"__mh_cands_{seq}", f"__mh_docs_{seq}", f"__mh_sh_{seq}"
     )
-    sh = (
-        shingle_rows(docs.join(cand_ids, "doc_id", "left_semi"))
-        .groupBy("doc_id")
-        .agg(F.collect_set("sh").alias("sh"))
-    )
-    sh = materialize(sh)
-    verified = (
-        cands.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
-        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(exact_jaccard("sh_a", "sh_b"), 6).alias("jaccard"),
+    cands.createOrReplaceTempView(cands_v)
+    docs.createOrReplaceTempView(docs_v)
+    try:
+        sh = materialize(
+            spark.sql(_MH_SHINGLE_SETS_SQL.format(cands=cands_v, docs=docs_v))
         )
-    )
+    finally:
+        spark.catalog.dropTempView(docs_v)
+    sh.createOrReplaceTempView(sh_v)
+    try:
+        verified = spark.sql(_MH_VERIFY_SQL.format(cands=cands_v, sh=sh_v))
+    finally:
+        spark.catalog.dropTempView(sh_v)
+        spark.catalog.dropTempView(cands_v)
     # Materialize the near-dup pair set (tiny: one row per verified pair);
     # the checkpoint also truncates lineage for downstream consumers
     # (near_dup_clusters' iterative loop).
     # presentation sort dropped (order-insensitive compare)
-    return materialize(verified.filter(F.col("jaccard") >= 0.8))
+    return materialize(verified)
 
 
 @query(
@@ -722,6 +861,10 @@ def minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     crossover=False,  # pair-verification kernel: work grows with block
     # occupancy squared in BOTH engines; at 10x its DuckDB twin would be
     # the crossover phase's wall-clock, not its signal
+    # r17: explosion-aware static width in the measured-tiny regime only
+    # (interleaved same-JVM A/B at sf0.1, noop min/med: 0.679/0.728 at
+    # session width 32 -> 0.599/0.653 at 8); None above the regime
+    width_fn=lambda spark, sf_dir: _dedup_shuffle_width(spark, sf_dir),
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[U4] Exact word-bigram Jaccard with (lang, length-bucket) blocking —
@@ -1004,6 +1147,10 @@ def _simhash_oracle() -> str:
     crossover=False,  # band-bucket candidate pairs grow super-linearly
     # with occupancy at 10x in both engines (measured ~24x Spark / ~11x
     # DuckDB wall growth) - the phase's signal is the scan-agg queries
+    # r17: explosion-aware static width in the measured-tiny regime only
+    # (interleaved same-JVM A/B at sf0.1, noop min/med: 0.851/0.934 at
+    # session width 32 -> 0.543/0.588 at 8); None above the regime
+    width_fn=lambda spark, sf_dir: _dedup_shuffle_width(spark, sf_dir),
 )
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[U4] SimHash near-dup: 4×15-bit band blocking, then Hamming
@@ -1348,6 +1495,57 @@ def connected_components(
             spark.conf.set(k, v)
 
 
+#: One contraction round — ``_small_star(_large_star(e))`` — as a single
+#: SQL statement over a temp view of the round's checkpointed edge set
+#: (r17, VERDICT r16 ask #4 / guide §4's driver-boundary logic applied
+#: to the DRIVER itself): the DataFrame form of the two star operations
+#: rebuilds ~30 Column/Window objects per round, each a py4j round trip,
+#: measured ~0.1-0.3 s/round of pure Python↔JVM chatter at any SF. One
+#: view registration + one ``spark.sql`` parse replaces all of it; the
+#: string is a module constant, so per-round Python cost is two py4j
+#: calls. The SQL is the literal transcription of ``_large_star`` ∘
+#: ``_small_star`` (kept, and pinned equal, by
+#: ``test_cc_round_sql_equals_dataframe_form``): doubled edges →
+#: windowed neighborhood-min ``least(min(v) OVER u, u)`` → ``v > u``
+#: filter (large star, no intermediate distinct — r16) → windowed
+#: center-min over v → leaf ∪ center → DISTINCT (small star).
+_CC_ROUND_SQL = """
+WITH doubled AS (
+  SELECT u, v FROM {e} UNION ALL SELECT v AS u, u AS v FROM {e}
+),
+ls AS (
+  SELECT least(min(v) OVER (PARTITION BY u), u) AS m, u, v FROM doubled
+),
+lout AS (SELECT m AS u, v FROM ls WHERE v > u),
+withm AS (
+  SELECT u, v, min(u) OVER (PARTITION BY v) AS m FROM lout
+)
+SELECT DISTINCT u, v FROM (
+  SELECT m AS u, u AS v FROM withm WHERE u != m
+  UNION ALL
+  SELECT m AS u, v FROM withm
+)
+"""
+
+#: Monotonic suffix for this module's temp-view names: concurrent CC
+#: loops (near_dup_clusters ∥ phash_clusters in the bench's concurrent
+#: phase) must never replace each other's round views.
+_VIEW_SEQ = __import__("itertools").count()
+
+
+def _cc_round_sql(e: DataFrame) -> DataFrame:
+    """One contraction round via ``_CC_ROUND_SQL`` over a uniquely named
+    temp view of ``e`` (dropped immediately — ``spark.sql`` analyzes
+    eagerly, so the returned frame no longer references the view)."""
+    spark = e.sparkSession
+    view = f"__cc_round_{next(_VIEW_SEQ)}"
+    e.createOrReplaceTempView(view)
+    try:
+        return spark.sql(_CC_ROUND_SQL.format(e=view))
+    finally:
+        spark.catalog.dropTempView(view)
+
+
 def _cc_loop(
     e: DataFrame,
     n_e: int,
@@ -1359,7 +1557,7 @@ def _cc_loop(
     ``connected_components`` (factored out so the data-aware conf scope
     wraps exactly the loop's actions)."""
     for _ in range(max_iter):
-        new_e = materialize(_small_star(_large_star(e)))
+        new_e = materialize(_cc_round_sql(e))
         # Two-tier fixed-point check (r16, guide §2.4): both sides are
         # DISTINCT canonical sets, so unequal counts prove inequality
         # without the union-groupBy's shuffle — a count over the freshly

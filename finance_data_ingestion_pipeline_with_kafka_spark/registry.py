@@ -67,6 +67,15 @@ class QuerySpec:
     #: Above the tiny threshold the flag is inert and ``keep_aqe``
     #: semantics apply unchanged (plain AQE, runtime conversion armed).
     tiny_static: bool = False
+    #: query-supplied shuffle-width policy (r17): called per invocation
+    #: with (spark, sf_dir); a positive int runs the query AQE-off at
+    #: that static width, ``None`` restores session defaults. For
+    #: operator families whose post-shuffle volume the generic bytes
+    #: heuristic mis-models (the dedup pipelines: map-side shingle
+    #: explosion, tiny post-agg exchanges) — the policy encodes the
+    #: family's own scale arithmetic (explosion allowance, replication)
+    #: and must return None outside its measured-tiny regime.
+    width_fn: Callable[[SparkSession, str], int | None] | None = None
 
 
 QUERIES: dict[str, QuerySpec] = {}
@@ -213,6 +222,7 @@ def _apply_sized_partitions(
     sized: bool,
     keep_aqe: bool = False,
     tiny_static: bool = False,
+    width_fn: Callable[[SparkSession, str], int | None] | None = None,
 ) -> None:
     """Set (or clear) the managed confs deterministically on EVERY catalog
     invocation, so query ordering can never leak one query's setting into
@@ -228,6 +238,23 @@ def _apply_sized_partitions(
     if orig_shuffle is None:
         orig_shuffle = spark.conf.get(_SHUFFLE_KEY, "32")
         _ORIG_SHUFFLE[spark] = orig_shuffle
+    if width_fn is not None:
+        # query-supplied width policy (r17): static AQE-off width when
+        # the policy fires, plain session defaults when it returns None
+        # (outside its measured-tiny regime — scale-safety lives in the
+        # policy's own arithmetic, see QuerySpec.width_fn)
+        n = width_fn(spark, sf_dir)
+        try:
+            spark.conf.unset(_INIT_PARTITION_KEY)
+        except Exception:
+            pass
+        if n:
+            spark.conf.set(_AQE_KEY, "false")
+            spark.conf.set(_SHUFFLE_KEY, str(n))
+        else:
+            spark.conf.set(_AQE_KEY, "true")
+            spark.conf.set(_SHUFFLE_KEY, orig_shuffle)
+        return
     if sized:
         import os
 
@@ -313,6 +340,7 @@ def query(
     sized_partitions: bool = False,
     keep_aqe: bool = False,
     tiny_static: bool = False,
+    width_fn: Callable[[SparkSession, str], int | None] | None = None,
 ):
     """Decorator registering a query in the catalog. The registered
     callable memoizes the constructed DataFrame per (session, sf_dir,
@@ -330,7 +358,8 @@ def query(
         if not prepared:
             def unprepared(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _apply_sized_partitions(
-                    spark, sf_dir, sized_partitions, keep_aqe, tiny_static
+                    spark, sf_dir, sized_partitions, keep_aqe, tiny_static,
+                    width_fn,
                 )
                 return fn(spark, sf_dir)
 
@@ -346,13 +375,14 @@ def query(
             QUERIES[name] = QuerySpec(
                 name=name, fn=unprepared, oracle=oracle, tags=tags, bench=bench,
                 crossover=crossover, sized_partitions=sized_partitions,
-                keep_aqe=keep_aqe, tiny_static=tiny_static,
+                keep_aqe=keep_aqe, tiny_static=tiny_static, width_fn=width_fn,
             )
             return fn
 
         def cached(spark: SparkSession, sf_dir: str) -> DataFrame:
             _apply_sized_partitions(
-                spark, sf_dir, sized_partitions, keep_aqe, tiny_static
+                spark, sf_dir, sized_partitions, keep_aqe, tiny_static,
+                width_fn,
             )
             per_session = _PLAN_CACHE.get(spark)
             if per_session is None:
@@ -396,7 +426,7 @@ def query(
         QUERIES[name] = QuerySpec(
             name=name, fn=cached, oracle=oracle, tags=tags, bench=bench,
             crossover=crossover, sized_partitions=sized_partitions,
-            keep_aqe=keep_aqe, tiny_static=tiny_static,
+            keep_aqe=keep_aqe, tiny_static=tiny_static, width_fn=width_fn,
         )
         return fn
 

@@ -3715,3 +3715,143 @@ def test_pair_emitters_satisfy_assume_canonical_contract(spark, sf_dir):
         assert all(a < b for a, b in rows), name  # strict canonical order
         assert len(rows) == len(set(rows)), name  # distinct
         assert rows, f"{name}: fixture produced no pairs to pin on"
+
+
+def test_cc_round_sql_equals_dataframe_form(spark):
+    """r17 pin (VERDICT r16 ask #4): the generated-SQL contraction round
+    (_cc_round_sql) must produce exactly the edge set of the DataFrame
+    form _small_star(_large_star(e)) it transcribes, on every topology
+    the r16 fast-path pin exercises."""
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.dedup import (
+        _cc_round_sql,
+        _large_star,
+        _small_star,
+    )
+
+    cases = [
+        [(i, j) for i in range(1, 9) for j in range(i + 1, 9)],
+        [(i, i + 1) for i in range(10)] + [(5, 100), (100, 101)],
+        [(1, 2)],
+        [(1, 2), (3, 4), (5, 6)],
+        [(2, 3), (2, 5), (7, 9)],
+        [(1, 2), (2, 3), (4, 5), (5, 6), (3, 4)],
+    ]
+    for edges in cases:
+        e = spark.createDataFrame(edges, ["u", "v"])
+        df_form = sorted(map(tuple, _small_star(_large_star(e)).collect()))
+        sql_form = sorted(map(tuple, _cc_round_sql(e).collect()))
+        assert sql_form == df_form, edges
+        # the round's temp view must not leak
+        assert not [
+            t.name for t in spark.catalog.listTables() if t.name.startswith("__cc_round_")
+        ]
+
+
+def test_minhash_phase_bc_sql_equals_dataframe_form(spark):
+    """r17 pin (VERDICT r16 ask #4): minhash_pairs' generated-SQL phases
+    B/C must equal the historical DataFrame chain (semi-join →
+    shingle_rows → collect_set; cands ⋈ sh ⋈ sh → round(exact_jaccard,6)
+    ≥ 0.8) on a corpus with real near-dups, and must leak no temp views."""
+    from pyspark.sql import functions as SF
+
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.dedup import (
+        exact_jaccard,
+        minhash_candidates,
+        minhash_pairs,
+        minhash_signatures,
+        shingle_rows,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),                       # exact clone
+            (3, base + " extra tail words here"),  # near-dup
+            (4, "totally different text with many other tokens inside it"),
+            (5, "short text"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = sorted(map(tuple, minhash_pairs(docs).collect()))
+
+    cands = minhash_candidates(minhash_signatures(docs)).localCheckpoint()
+    cand_ids = (
+        cands.select(SF.col("doc_a").alias("doc_id"))
+        .union(cands.select(SF.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = (
+        shingle_rows(docs.join(cand_ids, "doc_id", "left_semi"))
+        .groupBy("doc_id")
+        .agg(SF.collect_set("sh").alias("sh"))
+    )
+    old = (
+        cands.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+        .select("doc_a", "doc_b", SF.round(exact_jaccard("sh_a", "sh_b"), 6).alias("jaccard"))
+        .filter(SF.col("jaccard") >= 0.8)
+    )
+    expect = sorted(map(tuple, old.collect()))
+    assert got == expect
+    assert got, "fixture produced no verified pairs to pin on"
+    assert not [
+        t.name for t in spark.catalog.listTables() if t.name.startswith("__mh_")
+    ]
+
+
+def test_dedup_width_fn_policy(spark, sf_dir):
+    """r17 pin: the dedup width policy fires only in its measured-tiny
+    regime (explosion-inflated documents bytes under single-digit
+    partitions), is replication-aware, and the registry applies it per
+    invocation — AQE off + static width on fire, session defaults on
+    None — while the concurrent-phase freeze suppresses it entirely."""
+    import os
+
+    from finance_data_ingestion_pipeline_with_kafka_spark.operators.dedup import (
+        _dedup_shuffle_width,
+    )
+    from finance_data_ingestion_pipeline_with_kafka_spark.registry import (
+        _SHUFFLE_KEY,
+        load_all,
+        suppress_conf_mutation,
+    )
+
+    from finance_data_ingestion_pipeline_with_kafka_spark.registry import (
+        _apply_sized_partitions,
+    )
+
+    cat = load_all()
+    assert cat["simhash_near_dup"].width_fn is not None
+    assert cat["ngram_jaccard_pairs"].width_fn is not None
+    orig_shuffle = spark.conf.get(_SHUFFLE_KEY)  # test session runs at 8
+    # policy arithmetic: against a 32-wide session the sf0.01 fixture is
+    # deep inside the tiny regime (floor 8); replication pushes the
+    # explosion-inflated estimate past the session width -> None; and at
+    # the session's own width (8) narrowing buys nothing -> None
+    spark.conf.set(_SHUFFLE_KEY, "32")
+    try:
+        assert _dedup_shuffle_width(spark, sf_dir) == 8
+        os.environ["ENGINE_SCAN_REPLICATE"] = "100000"
+        try:
+            assert _dedup_shuffle_width(spark, sf_dir) is None
+        finally:
+            os.environ.pop("ENGINE_SCAN_REPLICATE", None)
+    finally:
+        spark.conf.set(_SHUFFLE_KEY, orig_shuffle)
+    assert _dedup_shuffle_width(spark, sf_dir) is None
+    # registry hook: a firing policy runs AQE-off at its width; a None
+    # policy restores session defaults; the concurrent freeze suppresses
+    _apply_sized_partitions(spark, sf_dir, False, width_fn=lambda s, d: 5)
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+    assert spark.conf.get(_SHUFFLE_KEY) == "5"
+    _apply_sized_partitions(spark, sf_dir, False, width_fn=lambda s, d: None)
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get(_SHUFFLE_KEY) == orig_shuffle
+    _apply_sized_partitions(spark, sf_dir, False, width_fn=lambda s, d: 5)
+    with suppress_conf_mutation():
+        _apply_sized_partitions(spark, sf_dir, False, width_fn=lambda s, d: 7)
+        assert spark.conf.get(_SHUFFLE_KEY) == "5"  # frozen: untouched
+    cat["grouped_stats"].fn(spark, sf_dir)  # unsized: restores defaults
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get(_SHUFFLE_KEY) == orig_shuffle
