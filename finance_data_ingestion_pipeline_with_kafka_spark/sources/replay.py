@@ -60,14 +60,36 @@ def kafka_stream(
 
 
 def kafka_shaped_file_stream(
-    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+    min_parallelism: int | None = None,
 ) -> DataFrame:
     """File-replay source with the Kafka wire shape: each line of each
-    text file is one message in a ``value`` column."""
+    text file is one message in a ``value`` column.
+
+    ``min_parallelism`` (r17, guide §2.5 input skew): a replay batch is
+    typically ONE text file — one input split — so everything narrow
+    downstream (JSON decode, the sha2 surrogate key) ran single-task no
+    matter how many cores the session has; profiled at 62.5k msgs/batch
+    the single-task decode chain was the dominant term of the steady
+    micro-batch. Default (None) spreads each batch round-robin across
+    ``defaultParallelism`` tasks — one cheap exchange of the raw message
+    bytes buys cluster-wide decode, mirroring what a real Kafka source
+    gets from its topic partitioning (``kafka_stream`` is untouched).
+    Pass 1 to disable. Round-robin repartition is retry-deterministic
+    (Spark sorts before repartition by default) and every downstream
+    operator is key- or watermark-based, so results are placement-
+    independent."""
     reader = spark.readStream.format("text")
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return reader.load(path).select(F.col("value").cast("string").alias("value"))
+    out = reader.load(path).select(F.col("value").cast("string").alias("value"))
+    if min_parallelism is None:
+        min_parallelism = spark.sparkContext.defaultParallelism
+    if min_parallelism and min_parallelism > 1:
+        out = out.repartition(min_parallelism)
+    return out
 
 
 def write_json_fixture(path: str, messages: list[str], filename: str = "part-0000.json") -> str:

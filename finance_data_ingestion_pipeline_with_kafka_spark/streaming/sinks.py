@@ -21,6 +21,14 @@ from pyspark.sql.streaming import StreamingQuery
 #: layout, not part of the pipeline's rename contract).
 PARTITION_COL = "sink_date"
 
+#: Output-file sizing for the idempotent sink (guide §6: files in the
+#: 128 MB-1 GB range; micro-batches land nearer the floor). ROW_BYTES is
+#: the measured parquet-compressed footprint of one trade row (~60-100 B
+#: on the finnhub schema); files target 64 MB so a 62k-row batch writes
+#: ONE file while a 100M-row batch writes ~150 parallel writers.
+_SINK_ROW_BYTES = 96
+_SINK_FILE_BYTES = 64 << 20
+
 
 def _sink_has_data(sink_dir: str) -> bool:
     if not os.path.isdir(sink_dir):
@@ -81,16 +89,30 @@ def foreach_batch_idempotent_parquet(
         dated = fresh.withColumn(PARTITION_COL, F.to_date(F.col(ts_col))).persist()
         try:
             out = dated
-            if _sink_has_data(sink_dir):
-                bounds = dated.agg(
-                    F.min(PARTITION_COL).alias("lo"), F.max(PARTITION_COL).alias("hi")
-                ).first()
-                if bounds["lo"] is not None:
-                    existing = existing_keys_in_range(
-                        spark, sink_dir, key, bounds["lo"], bounds["hi"], horizon_days
-                    )
-                    out = dated.join(existing, on=key, how="left_anti")
-            out.write.mode("append").partitionBy(PARTITION_COL).parquet(sink_dir)
+            # row count rides the SAME action as the date bounds (free):
+            # it sizes the output files below
+            bounds = dated.agg(
+                F.min(PARTITION_COL).alias("lo"),
+                F.max(PARTITION_COL).alias("hi"),
+                F.count(F.lit(1)).alias("n"),
+            ).first()
+            if _sink_has_data(sink_dir) and bounds["lo"] is not None:
+                existing = existing_keys_in_range(
+                    spark, sink_dir, key, bounds["lo"], bounds["hi"], horizon_days
+                )
+                out = dated.join(existing, on=key, how="left_anti")
+            # Output-file sizing (r17, guide §6): without it every batch
+            # wrote one file per post-shuffle partition (32 ~90 kB files
+            # per 62.5k-row batch — 256 sink files after one replay),
+            # and every LATER batch's anti-join re-listed and re-opened
+            # all of them, so batch time grew with sink history. Width
+            # derives from the batch's own row count at ~64 MB/file —
+            # a repartition, not coalesce, so the anti-join upstream
+            # keeps its parallelism (coalesce would fuse and cap it).
+            n_files = max(1, int(bounds["n"] or 0) * _SINK_ROW_BYTES // _SINK_FILE_BYTES + 1)
+            out.repartition(n_files).write.mode("append").partitionBy(
+                PARTITION_COL
+            ).parquet(sink_dir)
         finally:
             dated.unpersist()
 
