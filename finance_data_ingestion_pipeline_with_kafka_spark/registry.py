@@ -439,79 +439,68 @@ def query(
 #: and after that the window refreshes the STALEST evidence (testdata
 #: regenerates between rounds, so old green rows decay).
 #:
-#: Round-16 ordering (cumulative after CORRECTNESS_r15: 279/279
-#: hash-green, zero latest-run failures across r01–r15; tiers derived by
-#: ``tools/rotate_verified.py`` over CORRECTNESS_r01..r15):
-#:   (0) brand-new queries registered this round — no driver row at all
-#:       (``phash_near_dup``, ``phash_recall``, ``unigram_lm_train``,
-#:       ``unigram_lm_tokenize``, …).
-#:   (1) ``_R16_MODIFIED`` — queries whose Spark kernels, oracle CTEs, or
-#:       execution-affecting registration changed during round 16 after
-#:       their last driver verification. Standing rule: code-changed ⇒
-#:       next driver window.
-#:   (2) ``_VERIFIED_R10`` — the 38 r10-stale rows (VERDICT r15 ask #1
-#:       leads with them — this retires the r10 tier entirely; oldest
-#:       evidence becomes r11). The dedup/ANN flagships
-#:       (``minhash_near_dup``, ``near_dup_clusters``, ``knn_bruteforce``)
-#:       sit in this tier after five driver rounds on r10 evidence.
-#:   (3..7) ``_VERIFIED_R11..R15`` — freshness order below the fold.
+#: Round-17 ordering (cumulative after CORRECTNESS_r16: 287/287
+#: hash-green, zero latest-run failures across r01–r16; tiers derived by
+#: ``tools/rotate_verified.py`` over CORRECTNESS_r01..r16):
+#:   (0) brand-new queries — none this round (optimization round).
+#:   (1) ``_R17_MODIFIED`` — the 19 queries whose execution paths
+#:       changed during round 17's optimization work after their last
+#:       driver verification (standing rule: code-changed ⇒ next driver
+#:       window): the tiny-regime broadcast steers (top_revenue_orders,
+#:       regional_revenue), the single-scan as-of family, knn's
+#:       tiny-regime coalesce, the minhash phase-B/C SQL generation and
+#:       its downstream composites, the SQL contraction round's CC
+#:       consumers (near_dup_clusters, phash_clusters/survivors,
+#:       incremental_clusters), and the width_fn registrations
+#:       (simhash_near_dup, ngram_jaccard_pairs). Subtracted from their
+#:       freshness tiers below, as every rotation has done.
+#:   (2) ``_VERIFIED_R10`` — the 2 rows displaced from the r16 window
+#:       (window_cume_nth, window_first_last — flagged by the r16
+#:       rotation as heading this round's staleness order).
+#:   (3..9) ``_VERIFIED_R11..R16`` — freshness order below the fold.
 #:
-#: Round-16 window arithmetic: brand-new + modified + 38 r10 rows (tier
-#: retired) fill the window; any remaining slots refresh the oldest r11
-#: rows in registration order.
+#: Round-17 window arithmetic: 19 modified + 2 r10 + the 29 oldest r11
+#: rows (registration order) fill the 50 slots; the 11 displaced r11
+#: rows head the next round's staleness order.
 
-#: Queries whose execution path changed during round 16's OPTIMIZATION
-#: work after their last driver verification (standing rule:
-#: code-changed ⇒ next driver window): the minhash/CC composition
-#: (cached_subplan + star-contraction changes), the simhash pair
-#: emitter, the presentation-sort drops, the tfidf/bm25/unigram_logprob
-#: exchange-reuse rewrites, exact_dedup's sized-partition registration,
-#: and knn's narrowed query-vector collect. Moving them here displaces
-#: the LAST 2 r10-stale rows from the 50-slot window (new 8 + modified
-#: 16 + 26 of the 28 remaining r10 rows) — the modified-first rule
-#: outranks staleness by the window contract's own precedence.
-_R16_MODIFIED: frozenset[str] = frozenset((
-    "bm25_score", "bm25_topk_retrieval", "dedup_cluster_stats", "dedup_survivors",
-    "exact_dedup", "incremental_clusters", "knn_bruteforce", "minhash_near_dup",
-    "minhash_recall", "near_dup_clusters", "ngram_jaccard_pairs", "quality_survivors",
-    "simhash_near_dup", "simhash_recall", "tfidf_top_terms", "unigram_logprob",
+_R17_MODIFIED = frozenset((
+    "asof_join", "asof_join_forward", "asof_join_nearest", "asof_join_tolerance",
+    "corpus_build_funnel", "dedup_cluster_stats", "dedup_survivors", "incremental_clusters",
+    "knn_bruteforce", "minhash_near_dup", "minhash_recall", "near_dup_clusters",
+    "ngram_jaccard_pairs", "phash_clusters", "phash_survivors", "quality_survivors",
+    "regional_revenue", "simhash_near_dup", "top_revenue_orders",
 ))
+
 _VERIFIED_R10 = frozenset((
-    "ann_lsh_bucketed", "asof_join", "embedding_near_dup", "embedding_quantize", "except_all_multiset", "fingerprint_containment",
-    "historical_var", "intersect_all_multiset", "last_closed_bar", "length_bucketing", "minhash_jaccard_estimate", "multi_resolution_bars", "ohlcv_bars",
-    "png_decode", "pq_encode", "sliding_window_agg", "sql_entry_revenue", "tumbling_window_agg",
-    "union_by_name_missing", "vwap", "window_cume_nth", "window_cumulative",
-    "window_first_last", "window_lag_returns", "window_moving_avg", "window_ntile_pctrank",
-    "window_range_frame", "window_rank_topk",
+    "window_cume_nth", "window_first_last",
 ))
 
 _VERIFIED_R11 = frozenset((
-    "anti_join", "approx_percentiles", "argmax_order", "asof_join_forward",
-    "asof_join_nearest", "boilerplate_ngrams", "bollinger_bands", "bpe_token_count",
-    "broadcast_dim_join", "contamination_check", "correlation", "count_min_freq",
-    "cross_join_pairs", "doc_fingerprint", "domain_mix_weights", "embedding_normalize",
-    "fuzzy_prefix_join", "gapfill_bars", "grouping_sets", "hll_sketch_users",
-    "language_id", "macd", "media_features", "media_resize",
-    "min_cost_supplier", "obv_flow", "outer_join_counts", "pii_redaction",
-    "quality_score", "repetition_filter", "rsi_indicator", "scd2_intervals",
-    "scd2_point_in_time", "scd_upsert", "semi_join", "sequence_packing",
-    "stochastic_oscillator", "token_budget_sample", "token_stats",
-    "top_revenue_orders", "unpivot_metrics", "winnow_fingerprints", "word_frequency",
+    "anti_join", "approx_percentiles", "argmax_order", "boilerplate_ngrams",
+    "bollinger_bands", "bpe_token_count", "broadcast_dim_join", "contamination_check",
+    "correlation", "count_min_freq", "cross_join_pairs", "doc_fingerprint",
+    "domain_mix_weights", "embedding_normalize", "fuzzy_prefix_join", "gapfill_bars",
+    "grouping_sets", "hll_sketch_users", "language_id", "macd",
+    "media_features", "media_resize", "min_cost_supplier", "obv_flow",
+    "outer_join_counts", "pii_redaction", "quality_score", "repetition_filter",
+    "rsi_indicator", "scd2_intervals", "scd2_point_in_time", "scd_upsert",
+    "semi_join", "sequence_packing", "stochastic_oscillator", "token_budget_sample",
+    "token_stats", "unpivot_metrics", "winnow_fingerprints", "word_frequency",
 ))
 
 _VERIFIED_R12 = frozenset((
     "activity_streaks", "ann_ndcg", "ann_recall", "bloom_join_prune",
-    "conversion_funnel", "corpus_build_funnel", "customer_ltv_pareto", "disjunctive_predicate_join",
-    "dominant_part_suppliers", "dormant_high_balance", "event_transitions", "forecast_revenue_change",
-    "fuzzy_block_recall", "important_parts", "incremental_join_view", "incremental_ohlcv",
-    "interval_concurrency", "ivf_ann", "ivf_delta_assign", "ivf_probe_sweep",
-    "key_skew_profile", "large_volume_customers", "nation_market_share", "nearest_centroid_eval",
-    "order_priority_check", "pit_feature_matrix", "pmi_collocations", "position_ledger",
-    "pq_refine_rerank", "promo_revenue_share", "returned_item_ranking", "rfm_segmentation",
-    "rolling_pair_correlation", "rolling_robust_stats", "running_distinct_users", "salted_skew_join",
-    "session_fold_sessions", "session_window_agg", "small_quantity_revenue", "snapshot_diff",
-    "sq8_recall", "suppliers_kept_waiting", "table_expectations", "top_supplier_revenue",
-    "twap", "two_nation_volume", "var_breach_backtest",
+    "conversion_funnel", "customer_ltv_pareto", "disjunctive_predicate_join", "dominant_part_suppliers",
+    "dormant_high_balance", "event_transitions", "forecast_revenue_change", "fuzzy_block_recall",
+    "important_parts", "incremental_join_view", "incremental_ohlcv", "interval_concurrency",
+    "ivf_ann", "ivf_delta_assign", "ivf_probe_sweep", "key_skew_profile",
+    "large_volume_customers", "nation_market_share", "nearest_centroid_eval", "order_priority_check",
+    "pit_feature_matrix", "pmi_collocations", "position_ledger", "pq_refine_rerank",
+    "promo_revenue_share", "returned_item_ranking", "rfm_segmentation", "rolling_pair_correlation",
+    "rolling_robust_stats", "running_distinct_users", "salted_skew_join", "session_fold_sessions",
+    "session_window_agg", "small_quantity_revenue", "snapshot_diff", "sq8_recall",
+    "suppliers_kept_waiting", "table_expectations", "top_supplier_revenue", "twap",
+    "two_nation_volume", "var_breach_backtest",
 ))
 
 _VERIFIED_R13 = frozenset((
@@ -521,44 +510,56 @@ _VERIFIED_R13 = frozenset((
     "dominant_event_type", "drawdown_fold_series", "garman_klass_vol", "hhi_concentration",
     "hybrid_rrf_fusion", "jaccard_threshold_curve", "jpeg_decode", "k_anonymity_audit",
     "ks_drift", "language_id_eval", "length_outliers", "market_beta",
-    "median_absolute_deviation", "null_safe_join", "order_count_histogram",
-    "part_supplier_stats", "pq_ann", "pq_distortion", "product_profit_by_nation",
-    "psi_value_drift", "quantile_sketch_merge", "range_join", "realized_bipower",
-    "regional_revenue", "risk_adjusted_returns", "roll_spread", "ship_latency_percentiles",
-    "sort_partition_balance", "url_domain_dedup", "value_histogram", "vocab_coverage",
-    "volume_zscore_anomaly", "winsorized_stats", "word_entropy", "zorder_skipping",
-    "zscore_by_group",
+    "median_absolute_deviation", "null_safe_join", "order_count_histogram", "part_supplier_stats",
+    "pq_ann", "pq_distortion", "product_profit_by_nation", "psi_value_drift",
+    "quantile_sketch_merge", "range_join", "realized_bipower", "risk_adjusted_returns",
+    "roll_spread", "ship_latency_percentiles", "sort_partition_balance", "url_domain_dedup",
+    "value_histogram", "vocab_coverage", "volume_zscore_anomaly", "winsorized_stats",
+    "word_entropy", "zorder_skipping", "zscore_by_group",
 ))
 
 _VERIFIED_R14 = frozenset((
-    "bmp_decode", "bmp_features", "bollinger_fold_series",
-    "datetime_functions", "distinct_count", "distinct_rows", "drawdown_duration",
-    "dsir_importance_selection", "dsir_selection_eval", "exact_substring_dedup_apply", "exact_substring_spans",
-    "filter_project", "frame_sample", "funnel_time_to_convert", "grouped_pandas_sign_flips",
-    "grouped_stats", "hurst_aggvar", "ivfpq_ann", "ivfpq_recall",
-    "kyle_lambda", "lead_lag_xcorr", "lsh_bucket_profile", "macd_fold_series",
-    "matryoshka_recall", "membership_predicate", "minhash_band_sweep", "minhash_incremental",
-    "mp3_duration_profile", "mp3_frame_scan", "mp4_box_scan", "multimodal_metadata",
-    "ngram_novelty", "null_conditional", "pandas_udf_token_count", "pricing_summary",
-    "realized_moments", "repeat_purchase_intervals", "rsi_fold_series", "scalar_subquery",
-    "seasonal_profile", "shipping_priority_topk", "string_functions", "udtf_bigrams",
-    "udtf_tokenize", "ulcer_index", "variance_ratio", "wav_decode",
-    "weighted_hash_sample", "zipf_fit",
+    "bmp_decode", "bmp_features", "bollinger_fold_series", "datetime_functions",
+    "distinct_count", "distinct_rows", "drawdown_duration", "dsir_importance_selection",
+    "dsir_selection_eval", "exact_substring_dedup_apply", "exact_substring_spans", "filter_project",
+    "frame_sample", "funnel_time_to_convert", "grouped_pandas_sign_flips", "grouped_stats",
+    "hurst_aggvar", "ivfpq_ann", "ivfpq_recall", "kyle_lambda",
+    "lead_lag_xcorr", "lsh_bucket_profile", "macd_fold_series", "matryoshka_recall",
+    "membership_predicate", "minhash_band_sweep", "minhash_incremental", "mp3_duration_profile",
+    "mp3_frame_scan", "mp4_box_scan", "multimodal_metadata", "ngram_novelty",
+    "null_conditional", "pandas_udf_token_count", "pricing_summary", "realized_moments",
+    "repeat_purchase_intervals", "rsi_fold_series", "scalar_subquery", "seasonal_profile",
+    "shipping_priority_topk", "string_functions", "udtf_bigrams", "udtf_tokenize",
+    "ulcer_index", "variance_ratio", "wav_decode", "weighted_hash_sample",
+    "zipf_fit",
 ))
 
 _VERIFIED_R15 = frozenset((
-    "array_functions", "asof_fold_series", "asof_join_tolerance", "bootstrap_ci", "bpe_apply_tokenize", "bpe_train_merges", "centrality_agreement",
-    "chunk_documents", "cube_subtotals", "dataset_card", "dataset_interleave",
-    "dataset_split", "date_arithmetic", "domain_pagerank", "donchian_channel",
-    "ewma", "except_feeds", "explode_outer_numbers",
-    "funnel_analysis", "gif_decode", "gif_features", "harmonic_centrality",
-    "hash_functions", "intersect_feeds", "json_extraction", "km_logrank",
-    "km_survival", "kmeans_refine", "kmv_distinct", "label_propagation",
-    "map_functions", "ols_regression", "percentiles", "pivot_matrix",
-    "reservoir_sample", "retention_cohorts", "rolling_volatility", "rollup_subtotals",
-    "running_drawdown", "semantic_dedup", "stddev_variance", "stratified_sample",
-    "table_profile", "touch_attribution", "triangle_clustering", "trustrank_seeded",
-    "union_feeds", "variant_json_agg",
+    "array_functions", "asof_fold_series", "bootstrap_ci", "bpe_apply_tokenize",
+    "bpe_train_merges", "centrality_agreement", "chunk_documents", "cube_subtotals",
+    "dataset_card", "dataset_interleave", "dataset_split", "date_arithmetic",
+    "domain_pagerank", "donchian_channel", "ewma", "except_feeds",
+    "explode_outer_numbers", "funnel_analysis", "gif_decode", "gif_features",
+    "harmonic_centrality", "hash_functions", "intersect_feeds", "json_extraction",
+    "km_logrank", "km_survival", "kmeans_refine", "kmv_distinct",
+    "label_propagation", "map_functions", "ols_regression", "percentiles",
+    "pivot_matrix", "reservoir_sample", "retention_cohorts", "rolling_volatility",
+    "rollup_subtotals", "running_drawdown", "semantic_dedup", "stddev_variance",
+    "stratified_sample", "table_profile", "touch_attribution", "triangle_clustering",
+    "trustrank_seeded", "union_feeds", "variant_json_agg",
+))
+
+_VERIFIED_R16 = frozenset((
+    "ann_lsh_bucketed", "bm25_score", "bm25_topk_retrieval", "embedding_near_dup",
+    "embedding_quantize", "exact_dedup", "except_all_multiset", "fingerprint_containment",
+    "historical_var", "intersect_all_multiset", "last_closed_bar", "length_bucketing",
+    "minhash_jaccard_estimate", "multi_resolution_bars", "ohlcv_bars", "phash_incremental",
+    "phash_near_dup", "phash_recall", "png_decode", "pq_encode",
+    "simhash_recall", "sliding_window_agg", "sql_entry_revenue", "tfidf_top_terms",
+    "tumbling_window_agg", "unigram_lm_eval", "unigram_lm_tokenize", "unigram_lm_train",
+    "unigram_logprob", "union_by_name_missing", "vwap", "window_cumulative",
+    "window_lag_returns", "window_moving_avg", "window_ntile_pctrank", "window_range_frame",
+    "window_rank_topk",
 ))
 
 
@@ -601,21 +602,13 @@ def load_all() -> dict[str, QuerySpec]:
 
     def rank(item: tuple[str, QuerySpec]) -> tuple[int, int, int]:
         name, _spec = item
-        if name in _R16_MODIFIED:
-            return (1, 0, reg_order[name])
-        if name in _VERIFIED_R10:
-            return (2, 0, reg_order[name])
-        if name in _VERIFIED_R11:
-            return (3, 0, reg_order[name])
-        if name in _VERIFIED_R12:
-            return (4, 0, reg_order[name])
-        if name in _VERIFIED_R13:
-            return (5, 0, reg_order[name])
-        if name in _VERIFIED_R14:
-            return (6, 0, reg_order[name])
-        if name in _VERIFIED_R15:
-            return (7, 0, reg_order[name])
-        # brand-new queries (registered after CORRECTNESS_r15 was
+        for i, tier in enumerate((
+            _R17_MODIFIED, _VERIFIED_R10, _VERIFIED_R11, _VERIFIED_R12,
+            _VERIFIED_R13, _VERIFIED_R14, _VERIFIED_R15, _VERIFIED_R16,
+        )):
+            if name in tier:
+                return (i + 1, 0, reg_order[name])
+        # brand-new queries (registered after CORRECTNESS_r16 was
         # written): no driver row yet, so they lead the window ahead of
         # even the code-modified re-verification tier
         return (0, 0, reg_order[name])
