@@ -78,6 +78,33 @@ def materialize(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+def materialize_counted(df: DataFrame) -> tuple[DataFrame, int]:
+    """:func:`materialize` fused with the caller's ``count()`` into ONE
+    Spark job where the backend allows it (r17, guide §2.4 — the CC
+    loop's per-round fixed-point check paid a second job-scheduling
+    round trip per contraction round for a count the materialization
+    job had already computed).
+
+    Default (local) path: ``localCheckpoint(eager=False)`` marks the
+    plan's RDD for checkpointing and lets the ``count()`` action
+    materialize the blocks — the count's single pass computes every
+    partition, so ``LocalRDDCheckpointData.doCheckpoint`` finds all
+    blocks cached and launches no backfill job. Identical rows, lineage
+    truncation, and block lifetime as the eager form; one job instead
+    of two.
+
+    Reliable path (``ENGINE_RELIABLE_CHECKPOINT``): keeps the eager
+    persist→checkpoint→unpersist idiom unchanged (its checkpoint WRITE
+    is a separate job by construction, so there is nothing to fuse) and
+    counts the checkpointed frame — the count reads checkpoint files,
+    exactly as callers did before."""
+    if os.environ.get("ENGINE_RELIABLE_CHECKPOINT"):
+        out = materialize(df)
+        return out, out.count()
+    out = df.localCheckpoint(eager=False)
+    return out, out.count()
+
+
 #: Per-session capability flag for the classic ``Dataset.ofRows`` rewrap
 #: (ADVICE r16): probed once on first use instead of paying a py4j
 #: exception per cache hit on sessions where the internal API moved

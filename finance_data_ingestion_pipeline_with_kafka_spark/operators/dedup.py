@@ -15,7 +15,10 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions.core import davg
-from ..execution import materialize  # re-export: the dedup pipeline is its historical home
+from ..execution import (  # re-export: the dedup pipeline is its historical home
+    materialize,
+    materialize_counted,
+)
 from ..registry import query
 from .text import TOKEN_SPLIT, tokens
 
@@ -1422,6 +1425,7 @@ def connected_components(
     returning silently would hand the caller wrong keeper assignments."""
     if assume_canonical:
         e = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        n_e = e.count()  # near-free on the caller's checkpointed blocks
     else:
         nodes = (
             edges.select(F.col("src").alias("id"))
@@ -1435,8 +1439,8 @@ def connected_components(
             .filter(F.col("u") != F.col("v"))
             .distinct()
         )
-        e = materialize(e)
-    n_e = e.count()  # near-free on the checkpointed blocks
+        # seed checkpoint + count fused into one job (r17, guide §2.4)
+        e, n_e = materialize_counted(e)
 
     # Data-aware loop parallelism (r16, guide §2.2/§2.4): each
     # contraction round shuffles the CURRENT edge set three times, and
@@ -1557,14 +1561,16 @@ def _cc_loop(
     ``connected_components`` (factored out so the data-aware conf scope
     wraps exactly the loop's actions)."""
     for _ in range(max_iter):
-        new_e = materialize(_cc_round_sql(e))
         # Two-tier fixed-point check (r16, guide §2.4): both sides are
         # DISTINCT canonical sets, so unequal counts prove inequality
-        # without the union-groupBy's shuffle — a count over the freshly
-        # checkpointed blocks is one cheap map-only job. Only
-        # equal-count rounds (the convergence round, plus rare same-size
+        # without the union-groupBy's shuffle. The round's checkpoint
+        # and its count are FUSED into one job (r17, guide §2.4 —
+        # materialize_counted): the count action materializes the lazy
+        # localCheckpoint's blocks, so each contraction round pays one
+        # job-scheduling round trip instead of two. Only equal-count
+        # rounds (the convergence round, plus rare same-size
         # contractions) pay the full set-equality check.
-        n_new = new_e.count()
+        new_e, n_new = materialize_counted(_cc_round_sql(e))
         if n_new != n_e:
             e, n_e = new_e, n_new
             continue

@@ -2213,6 +2213,83 @@ def test_reliable_checkpoint_stable_dir_no_sprawl(spark, tmp_path, monkeypatch):
         monkeypatch.delenv("ENGINE_RELIABLE_CHECKPOINT", raising=False)
 
 
+def test_materialize_counted_single_job_and_parity(spark, tmp_path, monkeypatch):
+    """materialize_counted (r17): the CC loop's per-round checkpoint and
+    fixed-point count are fused into ONE Spark job on the local path —
+    the count action materializes the lazy localCheckpoint's blocks, so
+    no separate eager-checkpoint job runs. Pins (a) the single-job claim
+    via statusTracker, (b) row/count parity with the eager form, (c) the
+    lineage truncation downstream actions rely on (subtree computes
+    exactly once, counted by accumulator), and (d) the reliable-path
+    fallback keeps eager semantics and writes checkpoint files."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    from finance_data_ingestion_pipeline_with_kafka_spark.execution import (
+        materialize,
+        materialize_counted,
+    )
+
+    sc = spark.sparkContext
+    acc = spark.sparkContext.accumulator(0)
+
+    @F.udf(LongType())
+    def bump(x):
+        acc.add(1)
+        return x
+
+    # Job accounting is pinned in the regime the fusion targets — the CC
+    # loop, which disables AQE for its small-graph rounds (AQE otherwise
+    # submits per-stage jobs and blurs the count).
+    n = 64
+    saved_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = spark.range(n).select(bump(F.col("id")).alias("id")).distinct()
+        sc.setJobGroup("mc-local", "materialize_counted local")
+        try:
+            out, cnt = materialize_counted(df)
+        finally:
+            sc.setJobGroup(None, None)
+        fused_jobs = len(sc.statusTracker().getJobIdsForGroup("mc-local"))
+        assert cnt == n
+        assert acc.value == n, f"subtree ran {acc.value / n:.1f}x, want once"
+        # lineage truncated: downstream actions read checkpointed blocks
+        assert sorted(r.id for r in out.collect()) == list(range(n))
+        assert acc.value == n
+        assert fused_jobs == 1, f"fused path ran {fused_jobs} jobs, want 1"
+
+        # eager form on the identical plan shape pays the separate count
+        eager_df = spark.range(n).select(F.col("id")).distinct()
+        sc.setJobGroup("mc-eager", "eager materialize + count")
+        try:
+            eager = materialize(eager_df)
+            eager_cnt = eager.count()
+        finally:
+            sc.setJobGroup(None, None)
+        eager_jobs = len(sc.statusTracker().getJobIdsForGroup("mc-eager"))
+        assert eager_cnt == cnt
+        assert eager_jobs == 2, f"eager ran {eager_jobs} jobs, want 2"
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", saved_aqe)
+
+    # reliable path: eager semantics kept, checkpoint files written
+    ck = str(tmp_path / "mc_reliable_ck")
+    monkeypatch.setenv("ENGINE_RELIABLE_CHECKPOINT", ck)
+    try:
+        out_r, cnt_r = materialize_counted(
+            spark.range(n).select(F.col("id")).distinct()
+        )
+    finally:
+        monkeypatch.delenv("ENGINE_RELIABLE_CHECKPOINT", raising=False)
+    assert cnt_r == n and sorted(r.id for r in out_r.collect()) == list(range(n))
+    assert any(files for _, _, files in os.walk(ck)), (
+        "reliable path wrote no checkpoint files"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Round-13 additions: roll_spread, pq_distortion, jaccard_threshold_curve
 # ---------------------------------------------------------------------------
