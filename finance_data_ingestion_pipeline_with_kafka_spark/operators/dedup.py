@@ -1380,7 +1380,10 @@ def _small_star(e: DataFrame) -> DataFrame:
 
 
 def connected_components(
-    edges: DataFrame, max_iter: int = 30, assume_canonical: bool = False
+    edges: DataFrame,
+    max_iter: int = 30,
+    assume_canonical: bool = False,
+    n_edges: int | None = None,
 ) -> DataFrame:
     """Connected components by alternating large-star/small-star
     contraction (Kiveris et al. 2014) — the union-find step that turns
@@ -1425,7 +1428,12 @@ def connected_components(
     returning silently would hand the caller wrong keeper assignments."""
     if assume_canonical:
         e = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
-        n_e = e.count()  # near-free on the caller's checkpointed blocks
+        # ``n_edges``: caller-supplied row count of ``edges`` (r17 §8b —
+        # a caller that checkpoints via materialize_counted already has
+        # it, so the seed count job is skipped entirely; the projection
+        # above preserves the count). Only honored here: the generic
+        # branch transforms the edge set before counting.
+        n_e = n_edges if n_edges is not None else e.count()
     else:
         nodes = (
             edges.select(F.col("src").alias("id"))

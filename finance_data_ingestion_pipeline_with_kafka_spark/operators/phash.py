@@ -483,7 +483,7 @@ def phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     parity with ``near_dup_clusters``: detector → clusters → survivors.
     Oracle resolves components with the recursive transitive-closure
     CTE over the identical integer pair set."""
-    from ..execution import materialize
+    from ..execution import materialize_counted
     from .dedup import connected_components
 
     pairs = phash_near_dup(spark, sf_dir).select(
@@ -491,9 +491,12 @@ def phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # phash_pairs emits a DISTINCT canonical set (doc_a < doc_b) but
     # lazily — materialize once, then skip the seed-normalization job
-    # and the nodes-table join (see connected_components docstring);
+    # and the nodes-table join (see connected_components docstring).
+    # The checkpoint and the CC seed count are fused into one job
+    # (materialize_counted, r17 §8b) and the count handed to CC;
     # presentation sort dropped (order-insensitive compare)
-    comp = connected_components(materialize(pairs), assume_canonical=True)
+    pairs_m, n_pairs = materialize_counted(pairs)
+    comp = connected_components(pairs_m, assume_canonical=True, n_edges=n_pairs)
     return comp.select(
         F.col("id").alias("doc_id"),
         F.col("component").alias("keeper_doc_id"),
